@@ -1,0 +1,517 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.tables.Tables._
+import Q._
+
+/** Relational operator inventory (SURVEY.md §2B): scans, joins, aggregations,
+  * grouping sets, windows, sort/limit, set ops, scalar function families.
+  *
+  * Scale notes per query are in the Scaladoc of each entry; the general rules:
+  * filters/projections are written so Catalyst pushes them into the parquet
+  * scan, dimension joins use explicit `broadcast`, every aggregate is
+  * partial-aggregatable (map-side combine), and every query ends in an
+  * `orderBy` on a unique key only to make driver hash-comparison
+  * deterministic (a tiny final sort over already-reduced output).
+  */
+object RelationalQueries {
+
+  val entries: Map[String, QueryDef] = Map(
+    // ---------------------------------------------------------- scans
+    "q_scan_project_filter" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        lineitem(s, d)
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice", $"l_returnflag")
+          .filter($"l_quantity" > 30 && $"l_returnflag" === "R")
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+             |FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    ),
+
+    "q_pred_pushdown_scan" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        orders(s, d)
+          .filter($"o_orderdate" >= lit("1998-01-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1999-01-01").cast("timestamp"))
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderdate")
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+             |ORDER BY o_orderkey""".stripMargin)
+    ),
+
+    // ---------------------------------------------------------- joins
+    "q_join_inner_hash" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val o = orders(s, d)
+        val c = customer(s, d)
+        // customer is ~1% of orders: Catalyst broadcasts under AQE; shuffle-hash
+        // on o_custkey at 100 TB when customer outgrows the broadcast threshold.
+        o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+          .select($"o_orderkey", $"c_name", $"o_totalprice")
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, c_name, o_totalprice
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_orderkey""".stripMargin)
+    ),
+
+    "q_join_broadcast" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        lineitem(s, d)
+          .join(broadcast(part(s, d)), $"l_partkey" === $"p_partkey")
+          .select($"l_orderkey", $"l_linenumber", $"p_brand", $"p_retailprice")
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, p_brand, p_retailprice
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    ),
+
+    "q_join_multiway" -> QueryDef(
+      // TPC-H Q5 shape: dims broadcast, facts shuffle once on the join key.
+      (s, d) => {
+        import s.implicits._
+        val r = broadcast(region(s, d).filter($"r_name" === "ASIA"))
+        val n = broadcast(nation(s, d))
+        val c = customer(s, d)
+        val o = orders(s, d)
+        val l = lineitem(s, d)
+        l.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(c, $"o_custkey" === $"c_custkey")
+          .join(n, $"c_nationkey" === $"n_nationkey")
+          .join(r, $"n_regionkey" === $"r_regionkey")
+          .groupBy($"n_name")
+          .agg(
+            sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount", 4, 2)))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy($"n_name")
+      },
+      Some("""SELECT n_name,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+             |  COUNT(*) AS n_items
+             |FROM lineitem
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)
+    ),
+
+    "q_join_left_outer" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val c = customer(s, d)
+        val o = orders(s, d)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+          .groupBy($"c_custkey")
+          .agg(
+            count($"o_orderkey").as("n_orders"),
+            coalesce(sum(dec($"o_totalprice")), lit(0).cast("decimal(12,2)"))
+              .cast("double").as("total_spend"))
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+             |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE) AS total_spend
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)
+    ),
+
+    "q_join_semi" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        customer(s, d)
+          .join(orders(s, d).filter($"o_orderpriority" === "1-URGENT"),
+            $"c_custkey" === $"o_custkey", "left_semi")
+          .select($"c_custkey", $"c_name")
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+             |ORDER BY c_custkey""".stripMargin)
+    ),
+
+    "q_join_anti" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        customer(s, d)
+          .join(orders(s, d), $"c_custkey" === $"o_custkey", "left_anti")
+          .select($"c_custkey", $"c_name")
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |ORDER BY c_custkey""".stripMargin)
+    ),
+
+    "q_join_theta_range" -> QueryDef(
+      // Range self-join: equi prefilter on user_id carries the shuffle; the
+      // 1-hour band is evaluated post-join. Per-user row groups stay small, so
+      // the quadratic term is bounded per key — the scalable range-join shape.
+      (s, d) => {
+        import s.implicits._
+        val e1 = events(s, d).select($"user_id", $"ts".as("ts1"), $"event_id".as("id1"))
+        val e2 = events(s, d).select($"user_id", $"ts".as("ts2"), $"event_id".as("id2"))
+        e1.join(e2, Seq("user_id"))
+          .filter($"ts2" > $"ts1" && $"ts2" <= $"ts1" + expr("INTERVAL 1 HOUR"))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy($"user_id")
+      },
+      Some("""SELECT e1.user_id, COUNT(*) AS n_pairs
+             |FROM events e1 JOIN events e2
+             |  ON e1.user_id = e2.user_id
+             | AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+             |GROUP BY e1.user_id ORDER BY e1.user_id""".stripMargin)
+    ),
+
+    "q_join_asof" -> QueryDef(
+      // As-of join without a join: union both streams, one window pass carries
+      // the latest signup ts forward per user. One shuffle on user_id, no
+      // pair explosion — the 100 TB-safe as-of pattern.
+      (s, d) => {
+        import s.implicits._
+        val e = events(s, d).filter($"event_type".isin("purchase", "signup"))
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.withColumn("signup_ts", when($"event_type" === "signup", $"ts"))
+          .withColumn("last_signup_ts", last($"signup_ts", ignoreNulls = true).over(w))
+          .filter($"event_type" === "purchase")
+          .select($"event_id", $"user_id", $"ts".as("purchase_ts"), $"last_signup_ts")
+          .orderBy($"event_id")
+      },
+      Some("""SELECT e.event_id, e.user_id, e.ts AS purchase_ts,
+             |  (SELECT max(s.ts) FROM events s
+             |   WHERE s.user_id = e.user_id AND s.event_type = 'signup' AND s.ts <= e.ts) AS last_signup_ts
+             |FROM events e WHERE e.event_type = 'purchase'
+             |ORDER BY e.event_id""".stripMargin)
+    ),
+
+    // ---------------------------------------------------------- aggregation
+    "q_agg_hash" -> QueryDef(
+      // TPC-H Q1 shape. All aggregates are partial-aggregatable; with 4 group
+      // keys total the reduce side is trivial at any scale.
+      (s, d) => {
+        import s.implicits._
+        val one = lit(1).cast("decimal(4,2)")
+        lineitem(s, d)
+          .filter($"l_shipdate" <= lit("2000-09-02").cast("timestamp"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            sum(dec($"l_quantity")).cast("double").as("sum_qty"),
+            sum(dec($"l_extendedprice")).cast("double").as("sum_base_price"),
+            sum(dec($"l_extendedprice") * (one - dec($"l_discount", 4, 2)))
+              .cast("double").as("sum_disc_price"),
+            sum(dec($"l_extendedprice") * (one - dec($"l_discount", 4, 2)) * (one + dec($"l_tax", 4, 2)))
+              .cast("double").as("sum_charge"),
+            (sum(dec($"l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+            (sum(dec($"l_extendedprice")).cast("double") / count(lit(1))).as("avg_price"),
+            (sum(dec($"l_discount", 4, 2)).cast("double") / count(lit(1))).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+             |  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+             |  COUNT(*) AS count_order
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    ),
+
+    "q_agg_distinct" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        orders(s, d)
+          .groupBy($"o_orderpriority")
+          .agg(countDistinct($"o_custkey").as("n_customers"),
+            count(lit(1)).as("n_orders"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    ),
+
+    "q_agg_approx_distinct" -> QueryDef(
+      // HLL sketch — mergeable partial aggregate, the 100 TB answer to
+      // COUNT(DISTINCT). No oracle (approximate); driver records rows>0.
+      (s, d) => {
+        import s.implicits._
+        events(s, d)
+          .groupBy($"event_type")
+          .agg(approx_count_distinct($"user_id", 0.01).as("approx_users"),
+            count(lit(1)).as("n_events"))
+          .orderBy($"event_type")
+      },
+      None
+    ),
+
+    "q_rollup" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val o = orders(s, d)
+        val c = customer(s, d)
+        val n = broadcast(nation(s, d))
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .join(n, c("c_nationkey") === n("n_nationkey"))
+          .rollup($"n_name", $"c_mktsegment")
+          .agg(sumMoney($"o_totalprice").as("sales"), count(lit(1)).as("n_orders"),
+            grouping_id($"n_name", $"c_mktsegment").as("gid"))
+          .orderBy($"gid", asc_nulls_first("n_name"), asc_nulls_first("c_mktsegment"))
+      },
+      Some("""SELECT n_name, c_mktsegment,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sales,
+             |  COUNT(*) AS n_orders,
+             |  GROUPING(n_name, c_mktsegment) AS gid
+             |FROM orders
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY ROLLUP (n_name, c_mktsegment)
+             |ORDER BY gid, n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin)
+    ),
+
+    "q_cube" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val o = orders(s, d)
+        val c = customer(s, d)
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .cube($"c_mktsegment", $"o_orderpriority")
+          .agg(sumMoney($"o_totalprice").as("sales"), count(lit(1)).as("n_orders"),
+            grouping_id($"c_mktsegment", $"o_orderpriority").as("gid"))
+          .orderBy($"gid", asc_nulls_first("c_mktsegment"), asc_nulls_first("o_orderpriority"))
+      },
+      Some("""SELECT c_mktsegment, o_orderpriority,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sales,
+             |  COUNT(*) AS n_orders,
+             |  GROUPING(c_mktsegment, o_orderpriority) AS gid
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY CUBE (c_mktsegment, o_orderpriority)
+             |ORDER BY gid, c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+    ),
+
+    // ---------------------------------------------------------- windows
+    "q_window_rank" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+        orders(s, d)
+          .withColumn("rnk", row_number().over(w))
+          .filter($"rnk" <= 3)
+          .select($"o_custkey", $"rnk", $"o_orderkey", $"o_totalprice")
+          .orderBy($"o_custkey", $"rnk")
+      },
+      Some("""SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+             |  FROM orders) t
+             |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin)
+    ),
+
+    "q_window_running" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        orders(s, d)
+          .withColumn("running_spend", sum(dec($"o_totalprice")).over(w).cast("double"))
+          .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"running_spend")
+          .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+             |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+             |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)
+    ),
+
+    "q_window_lag" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        events(s, d)
+          .withColumn("gap_us", unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w)))
+          .select($"user_id", $"event_id", $"ts", $"gap_us")
+          .orderBy($"user_id", $"ts", $"event_id")
+      },
+      Some("""SELECT user_id, event_id, ts,
+             |  epoch_us(ts) - epoch_us(LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+             |FROM events ORDER BY user_id, ts, event_id""".stripMargin)
+    ),
+
+    // ---------------------------------------------------------- sort / limit
+    "q_sort_limit_topk" -> QueryDef(
+      // orderBy.limit compiles to TakeOrderedAndProject: per-partition top-10
+      // then a 10-row merge on the driver — no global sort at any scale.
+      (s, d) => {
+        import s.implicits._
+        lineitem(s, d)
+          .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+          .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice
+             |FROM lineitem
+             |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin)
+    ),
+
+    // ---------------------------------------------------------- set ops
+    "q_union" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val a = customer(s, d).filter($"c_mktsegment" === "AUTOMOBILE").select($"c_custkey")
+        val b = orders(s, d).filter($"o_orderpriority" === "1-URGENT")
+          .select($"o_custkey".as("c_custkey"))
+        a.union(b).distinct().orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+             |UNION
+             |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+             |ORDER BY c_custkey""".stripMargin)
+    ),
+
+    "q_except" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        customer(s, d).select($"c_custkey")
+          .except(orders(s, d).select($"o_custkey".as("c_custkey")))
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey FROM customer
+             |EXCEPT
+             |SELECT o_custkey AS c_custkey FROM orders
+             |ORDER BY c_custkey""".stripMargin)
+    ),
+
+    "q_intersect" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        customer(s, d).filter($"c_acctbal" > 0).select($"c_custkey")
+          .intersect(orders(s, d).filter($"o_orderstatus" === "F")
+            .select($"o_custkey".as("c_custkey")))
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey FROM customer WHERE c_acctbal > 0
+             |INTERSECT
+             |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+             |ORDER BY c_custkey""".stripMargin)
+    ),
+
+    // ---------------------------------------------------------- scalar funcs
+    "q_string_funcs" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        part(s, d)
+          .select(
+            $"p_partkey",
+            upper($"p_name").as("u_name"),
+            substring($"p_name", 1, 8).as("pre8"),
+            concat_ws("|", $"p_brand", $"p_type").as("brand_type"),
+            length($"p_name").cast("long").as("name_len"),
+            $"p_name".like("%a%").as("has_a"))
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey, UPPER(p_name) AS u_name, SUBSTRING(p_name, 1, 8) AS pre8,
+             |  CONCAT_WS('|', p_brand, p_type) AS brand_type,
+             |  CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+             |  (p_name LIKE '%a%') AS has_a
+             |FROM part ORDER BY p_partkey""".stripMargin)
+    ),
+
+    "q_date_funcs" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        orders(s, d)
+          .select(
+            $"o_orderkey",
+            year($"o_orderdate").cast("long").as("o_year"),
+            month($"o_orderdate").cast("long").as("o_month"),
+            date_trunc("month", $"o_orderdate").as("month_start"),
+            datediff($"o_orderdate", lit("1995-01-01").cast("date")).cast("long").as("days_since_95"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+             |  CAST(MONTH(o_orderdate) AS BIGINT) AS o_month,
+             |  CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+             |  CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_95
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+
+    "q_math_funcs" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        part(s, d)
+          .select(
+            $"p_partkey",
+            round(dec($"p_retailprice"), 1).cast("double").as("price_r1"),
+            abs($"p_size" - 25).cast("long").as("size_dist"),
+            pow($"p_size", 2).as("size_sq"),
+            greatest($"p_size", lit(25)).cast("long").as("size_floor25"))
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey,
+             |  CAST(ROUND(CAST(p_retailprice AS DECIMAL(12,2)), 1) AS DOUBLE) AS price_r1,
+             |  CAST(ABS(p_size - 25) AS BIGINT) AS size_dist,
+             |  POW(p_size, 2) AS size_sq,
+             |  CAST(GREATEST(p_size, 25) AS BIGINT) AS size_floor25
+             |FROM part ORDER BY p_partkey""".stripMargin)
+    ),
+
+    "q_json_extract" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        events(s, d)
+          .select(
+            $"event_id",
+            get_json_object($"props", "$.k").cast("long").as("k_val"))
+          .filter($"k_val" > 50)
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+             |FROM events
+             |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+             |ORDER BY event_id""".stripMargin)
+    ),
+
+    "q_array_funcs" -> QueryDef(
+      // Higher-order functions on the embedding column: codegen-friendly, no
+      // UDF. Float→double casts keep the fold order-identical across engines.
+      (s, d) => {
+        import s.implicits._
+        embeddings(s, d)
+          .select(
+            $"vec_id",
+            size($"embedding").cast("long").as("dim"),
+            expr("aggregate(slice(embedding, 1, 8), CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))")
+              .as("sum_first8"),
+            expr("CAST(aggregate(embedding, 0L, (acc, x) -> acc + CASE WHEN x > 0 THEN 1L ELSE 0L END) AS BIGINT)")
+              .as("n_positive"))
+          .orderBy($"vec_id")
+      },
+      Some("""SELECT vec_id, CAST(LEN(embedding) AS BIGINT) AS dim,
+             |  LIST_SUM(LIST_TRANSFORM(embedding[1:8], x -> CAST(x AS DOUBLE))) AS sum_first8,
+             |  CAST(LEN(LIST_FILTER(embedding, x -> x > 0)) AS BIGINT) AS n_positive
+             |FROM embeddings ORDER BY vec_id""".stripMargin)
+    )
+  )
+}
