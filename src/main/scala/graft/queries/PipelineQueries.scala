@@ -1,0 +1,302 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.tables.Tables._
+
+/** LLM-data-pipeline operators over `documents` / `embeddings`: dedup (exact,
+  * fingerprint, MinHash+LSH), similarity search, text analysis, fingerprinting.
+  *
+  * Scale notes:
+  * - exact / fingerprint dedup: one hash-groupBy shuffle on a 32-byte key —
+  *   the canonical 100 TB exact-dedup shape.
+  * - MinHash+LSH: signatures are computed per-doc (map-only), candidates come
+  *   from an equi-join on (band, band_key) — never an all-pairs product. The
+  *   verify step re-checks true Jaccard on candidates only.
+  * - similarity: the query side is a tiny broadcast; candidates stream past it
+  *   map-side, top-k via per-partition window. Brute-force is the exact
+  *   baseline; the LSH-bucketed variant bounds candidates at scale.
+  * All hashing is md5-based so DuckDB reproduces signatures bit-for-bit.
+  */
+object PipelineQueries {
+
+  val entries: Map[String, QueryDef] = Map(
+    // ---------------------------------------------------------- dedup
+    "q_dedup_exact" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        documents(s, d)
+          .withColumn("fp", md5(lower(trim($"text"))))
+          .groupBy($"fp")
+          .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT md5(lower(trim(text))) AS fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+             |FROM documents GROUP BY 1 ORDER BY doc_id""".stripMargin)
+    ),
+
+    "q_dedup_fuzzy" -> QueryDef(
+      // Word-set fingerprint: identical token sets (any order/multiplicity)
+      // collapse — unigram-Jaccard==1.0 near-duplicate clusters.
+      (s, d) => {
+        import s.implicits._
+        documents(s, d)
+          .withColumn("fp", md5(array_join(array_sort(array_distinct(split($"text", " "))), " ")))
+          .groupBy($"fp")
+          .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_members"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+             |  MIN(doc_id) AS doc_id, COUNT(*) AS n_members
+             |FROM documents GROUP BY 1 ORDER BY doc_id""".stripMargin)
+    ),
+
+    "q_dedup_minhash_lsh" -> QueryDef(
+      // 16 md5-minhashes over 3-token shingles, 4 bands × 4 rows; candidate
+      // pairs from the band equi-join, verified with exact Jaccard >= 0.5.
+      (s, d) => {
+        import s.implicits._
+        val sh = documents(s, d)
+          .select($"doc_id", split($"text", " ").as("tok"))
+          .filter(size($"tok") >= 3)
+          .select($"doc_id", array_distinct(
+            expr("transform(sequence(0, size(tok)-3), i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2]))")
+          ).as("shingles"))
+        val sig = sh.select($"doc_id",
+          expr("transform(sequence(0, 15), s -> array_min(transform(shingles, g -> md5(concat(CAST(s AS STRING), ':', g)))))")
+            .as("sig"))
+        val bands = sig.select($"doc_id",
+          explode(expr("transform(sequence(0, 3), b -> struct(b AS band, md5(concat_ws('|', slice(sig, b*4+1, 4))) AS bkey))"))
+            .as("bb"))
+          .select($"doc_id", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
+        val cand = bands.as("x")
+          .join(bands.as("y"), Seq("band", "bkey"))
+          .filter(col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        cand
+          .join(sh.select($"doc_id".as("doc_a"), $"shingles".as("sh_a")), Seq("doc_a"))
+          .join(sh.select($"doc_id".as("doc_b"), $"shingles".as("sh_b")), Seq("doc_b"))
+          .withColumn("jaccard",
+            size(array_intersect($"sh_a", $"sh_b")).cast("double") / size(array_union($"sh_a", $"sh_b")))
+          .filter($"jaccard" >= 0.5)
+          .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+             |sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(0, len(tok)-2),
+             |    i -> tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3])) AS shingles
+             |  FROM toks WHERE len(tok) >= 3),
+             |sig AS (
+             |  SELECT doc_id, list_transform(range(0, 16),
+             |    s -> list_min(list_transform(shingles, g -> md5(CAST(s AS VARCHAR) || ':' || g)))) AS sig
+             |  FROM sh),
+             |bands AS (
+             |  SELECT doc_id, CAST(c.band AS INTEGER) AS band, c.bkey FROM (
+             |    SELECT doc_id, unnest(list_transform(range(0, 4),
+             |      b -> {'band': b, 'bkey': md5(array_to_string(sig[b*4+1 : b*4+4], '|'))})) AS c
+             |    FROM sig)),
+             |cand AS (
+             |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+             |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+             |pairs AS (
+             |  SELECT doc_a, doc_b,
+             |    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             |      / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jac
+             |  FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b)
+             |SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard
+             |FROM pairs WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
+    "q_dedup_simhash" -> QueryDef(
+      // 16-bit md5-derived SimHash over unigrams: per-token hash bits vote,
+      // sign of the vote forms the fingerprint. Map-only per doc; grouping on
+      // the fingerprint finds near-dup buckets.
+      (s, d) => {
+        import s.implicits._
+        documents(s, d)
+          .select($"doc_id", array_distinct(split($"text", " ")).as("tok"))
+          .withColumn("simhash",
+            expr("""aggregate(sequence(0, 15),
+                   |  0L,
+                   |  (acc, b) -> acc + CASE WHEN
+                   |    aggregate(tok, 0L, (v, t) ->
+                   |      v + CASE WHEN (conv(substring(md5(t), 1, 8), 16, 10) DIV shiftleft(1L, b)) % 2 = 1
+                   |          THEN 1L ELSE -1L END) > 0
+                   |    THEN shiftleft(1L, b) ELSE 0L END)""".stripMargin))
+          .select($"doc_id", $"simhash")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tok FROM documents),
+             |bits AS (
+             |  SELECT doc_id, b,
+             |    CASE WHEN SUM(CASE WHEN (CAST(('0x' || substring(md5(tk), 1, 8))::VARCHAR AS BIGINT) // (1::BIGINT << b)) % 2 = 1
+             |                       THEN 1 ELSE -1 END) > 0
+             |         THEN (1::BIGINT << b) ELSE 0 END AS bit
+             |  FROM t, unnest(tok) AS u(tk), unnest(range(0, 16)) AS r(b)
+             |  GROUP BY doc_id, b)
+             |SELECT doc_id, SUM(bit) AS simhash FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ---------------------------------------------------------- similarity
+    "q_similarity_topk" -> QueryDef(
+      // Exact brute-force cosine top-5 for 10 query vectors: query side
+      // broadcast, dot product via zip_with/aggregate in doubles (sequential
+      // fold order matches DuckDB's list_sum), ranking on 4-dp-rounded sims
+      // with vec_id tiebreak for cross-engine determinism.
+      (s, d) => {
+        import s.implicits._
+        val e = embeddings(s, d).select($"vec_id",
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+          .withColumn("nrm", expr("sqrt(aggregate(v, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x))"))
+        val q = e.filter($"vec_id" < 10)
+          .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+        val scored = e.select($"vec_id".as("c_id"), $"v".as("cv"), $"nrm".as("cn"))
+          .join(broadcast(q), $"q_id" =!= $"c_id")
+          .withColumn("sim4", round(
+            expr("aggregate(zip_with(qv, cv, (a, b) -> a * b), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+              / ($"qn" * $"cn"), 4))
+        val w = Window.partitionBy($"q_id").orderBy($"sim4".desc, $"c_id")
+        scored.withColumn("rnk", row_number().over(w))
+          .filter($"rnk" <= 5)
+          .select($"q_id", $"rnk", $"c_id", $"sim4")
+          .orderBy($"q_id", $"rnk")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+             |n AS (
+             |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+             |s AS (
+             |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             |    ROUND(list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 4) AS sim4
+             |  FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+             |SELECT q_id, rnk, c_id, sim4 FROM (
+             |  SELECT q_id, c_id, sim4,
+             |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim4 DESC, c_id) AS rnk
+             |  FROM s) t
+             |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin)
+    ),
+
+    // ---------------------------------------------------------- text analysis
+    "q_text_analysis" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        documents(s, d)
+          .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+          .groupBy($"lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum($"n_tokens").as("total_tokens"),
+            countDistinct($"source").as("n_sources"),
+            (sum($"n_tokens").cast("double") / count(lit(1))).as("avg_tokens"))
+          .orderBy($"lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+             |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+             |  COUNT(DISTINCT source) AS n_sources,
+             |  CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+
+    "q_text_quality" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        documents(s, d)
+          .select($"doc_id", $"n_chars", split($"text", " ").as("tok"))
+          .select(
+            $"doc_id",
+            size($"tok").cast("long").as("n_tokens"),
+            $"n_chars",
+            (expr("CAST(size(filter(tok, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)")
+              / size($"tok")).as("stop_ratio"),
+            ($"n_chars".cast("double") / size($"tok")).as("avg_token_len"))
+          .withColumn("is_quality",
+            $"n_tokens".between(10, 2000) && $"stop_ratio" <= 0.5)
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tokens, n_chars,
+             |  CAST(len(list_filter(tok, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE) / len(tok) AS stop_ratio,
+             |  CAST(n_chars AS DOUBLE) / len(tok) AS avg_token_len,
+             |  (len(tok) BETWEEN 10 AND 2000
+             |   AND CAST(len(list_filter(tok, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE) / len(tok) <= 0.5) AS is_quality
+             |FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS tok FROM documents) t
+             |ORDER BY doc_id""".stripMargin)
+    ),
+
+    "q_text_langid" -> QueryDef(
+      // Marker-token language-ID heuristic: score = stopword hits per lang
+      // wordlist, argmax with 'und' fallback; reported against the labeled
+      // lang column as a per-lang confusion summary.
+      (s, d) => {
+        import s.implicits._
+        val scored = documents(s, d)
+          .select($"doc_id", $"lang", split($"text", " ").as("tok"))
+          .withColumn("en_score", expr("size(filter(tok, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))"))
+          .withColumn("es_score", expr("size(filter(tok, x -> x IN ('el', 'la', 'de', 'que', 'los', 'una')))"))
+          .withColumn("fr_score", expr("size(filter(tok, x -> x IN ('le', 'la', 'de', 'et', 'les', 'une')))"))
+          .withColumn("pred",
+            when(greatest($"en_score", $"es_score", $"fr_score") === 0, "und")
+              .when($"en_score" >= $"es_score" && $"en_score" >= $"fr_score", "en")
+              .when($"es_score" >= $"fr_score", "es")
+              .otherwise("fr"))
+        scored.groupBy($"lang", $"pred")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy($"lang", $"pred")
+      },
+      Some("""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tok FROM documents),
+             |scored AS (
+             |  SELECT doc_id, lang,
+             |    len(list_filter(tok, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS en_score,
+             |    len(list_filter(tok, x -> x IN ('el', 'la', 'de', 'que', 'los', 'una'))) AS es_score,
+             |    len(list_filter(tok, x -> x IN ('le', 'la', 'de', 'et', 'les', 'une'))) AS fr_score
+             |  FROM t),
+             |pred AS (
+             |  SELECT lang,
+             |    CASE WHEN GREATEST(en_score, es_score, fr_score) = 0 THEN 'und'
+             |         WHEN en_score >= es_score AND en_score >= fr_score THEN 'en'
+             |         WHEN es_score >= fr_score THEN 'es'
+             |         ELSE 'fr' END AS pred
+             |  FROM scored)
+             |SELECT lang, pred, COUNT(*) AS n_docs FROM pred
+             |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin)
+    ),
+
+    "q_token_count" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        documents(s, d)
+          .select(
+            $"doc_id",
+            size(split($"text", " ")).cast("long").as("n_ws_tokens"),
+            $"n_chars",
+            ceil($"n_chars" / 4.0).cast("long").as("n_bpe_est"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+             |  n_chars, CAST(CEIL(n_chars / 4.0) AS BIGINT) AS n_bpe_est
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
+    "q_doc_fingerprint" -> QueryDef(
+      // Chunked rolling fingerprint: md5 per 16-token window — the shape used
+      // for shard-level dedup manifests. posexplode keeps (chunk_idx, fp).
+      (s, d) => {
+        import s.implicits._
+        documents(s, d)
+          .select($"doc_id", split($"text", " ").as("tok"))
+          .select($"doc_id", posexplode(
+            expr("transform(sequence(0, CAST(ceil(size(tok) / 16.0) AS INT) - 1), i -> md5(concat_ws(' ', slice(tok, i*16+1, 16))))")))
+          .select($"doc_id", $"pos".cast("long").as("chunk_idx"), $"col".as("fp"))
+          .orderBy($"doc_id", $"chunk_idx")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+             |fps AS (
+             |  SELECT doc_id, unnest(list_transform(range(0, CAST(CEIL(len(tok) / 16.0) AS BIGINT)),
+             |    i -> {'i': i, 'fp': md5(array_to_string(tok[i*16+1 : i*16+16], ' '))})) AS c
+             |  FROM t)
+             |SELECT doc_id, CAST(c.i AS BIGINT) AS chunk_idx, c.fp AS fp
+             |FROM fps ORDER BY doc_id, chunk_idx""".stripMargin)
+    )
+  )
+}

@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.tables.Tables._
+import Q._
+
+/** Event-time windowing shapes (SURVEY.md §2B `q_stream_*`).
+  *
+  * `window()` and `session_window()` are the exact operators the streaming
+  * path uses (graft.streaming wires them behind `readStream` + watermark);
+  * run here in batch mode so the driver can oracle-verify the semantics —
+  * batch and streaming share the same Catalyst windowing logic, so this
+  * verifies the streaming aggregation itself, not a lookalike.
+  */
+object StreamShapeQueries {
+
+  val entries: Map[String, QueryDef] = Map(
+    "q_stream_tumbling" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        events(s, d)
+          .groupBy(window($"ts", "1 hour"), $"event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(dec($"value")).cast("double").as("total_value"))
+          .select(
+            $"window.start".as("window_start"),
+            $"window.end".as("window_end"),
+            $"event_type", $"n_events", $"total_value")
+          .orderBy($"window_start", $"event_type")
+      },
+      Some("""SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS window_start,
+             |  CAST(DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+             |  event_type, COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+             |FROM events
+             |GROUP BY 1, 2, 3
+             |ORDER BY window_start, event_type""".stripMargin)
+    ),
+
+    "q_stream_session" -> QueryDef(
+      // Session windows (30-min gap) per user. In Spark a session extends
+      // while the next event's ts is strictly inside [start, last+gap); the
+      // oracle's gap-and-island SQL starts a new session when diff >= gap —
+      // the same boundary rule. session_window shuffles once on user_id.
+      (s, d) => {
+        import s.implicits._
+        events(s, d)
+          .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(dec($"value")).cast("double").as("total_value"))
+          .select(
+            $"user_id",
+            $"session_window.start".as("session_start"),
+            $"session_window.end".as("session_end"),
+            $"n_events", $"total_value")
+          .orderBy($"user_id", $"session_start")
+      },
+      Some("""WITH flags AS (
+             |  SELECT user_id, ts, value,
+             |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             |           OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+             |         THEN 1 ELSE 0 END AS new_s
+             |  FROM events),
+             |sess AS (
+             |  SELECT user_id, ts, value,
+             |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM flags)
+             |SELECT user_id, MIN(ts) AS session_start,
+             |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+             |  COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+             |FROM sess GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin)
+    )
+  )
+}
