@@ -1,0 +1,50 @@
+package graft.etl
+
+import scala.collection.mutable.ArrayBuffer
+
+/** One emitted event: the single-shard Kinesis record analog.
+  *
+  * `seqNo` is the shard sequence number — assignment order is total
+  * (stack.py:268 shard_count=1 ⇒ global arrival order; consumers replay from
+  * TRIM_HORIZON, run.py:117). `arrivalTs` backs the consumer's
+  * ApproximateArrivalTimestamp threshold filter (run.py:126).
+  */
+final case class EventRecord(
+    seqNo: Long,
+    partitionKey: String,
+    envelope: String,
+    arrivalTs: Long
+)
+
+/** Pluggable event sink (reference O10). There is no OSS Spark Kinesis sink;
+  * the contract surface is this trait — a memory implementation for tests and
+  * local runs, a KPL-style implementation would slot in unchanged. Appends
+  * happen driver-side per micro-batch after an ordered collect of that batch's
+  * (small) event set; at scale the data path would instead be
+  * `foreachPartition` with per-shard ordering keys.
+  */
+trait EventSink {
+  def append(events: Seq[(String, String)]): Unit
+  def all: Seq[EventRecord]
+  def size: Int = all.size
+}
+
+final class MemoryEventSink extends EventSink {
+  private val buf = ArrayBuffer.empty[EventRecord]
+  private var seq = 0L
+
+  override def append(events: Seq[(String, String)]): Unit = synchronized {
+    events.foreach { case (pk, env) =>
+      buf += EventRecord(seq, pk, env, System.currentTimeMillis())
+      seq += 1
+    }
+  }
+
+  override def all: Seq[EventRecord] = synchronized(buf.toVector)
+
+  /** Shard read analog (O11): iterate from TRIM_HORIZON in `limit`-sized
+    * batches — semantics of run.py:111-131's get_records loop.
+    */
+  def iterator(limit: Int = 50): Iterator[Seq[EventRecord]] =
+    all.grouped(limit)
+}
