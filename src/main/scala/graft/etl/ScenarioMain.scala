@@ -58,6 +58,34 @@ object ScenarioMain {
     println("[cdc] table statistics:")
     cdc.tableStatistics().show(truncate = false)
 
+    // --- consumer replay (O11-O14): threshold filter + early stop + parse --
+    val consumed = EventConsumer.consume(cdcSink, expected = 15)
+    println(s"[consumer] consumed=${consumed.size} (expect 15)")
+    EventConsumer.project(spark, consumed)
+      .groupBy("record_type", "operation").count().orderBy("record_type", "operation")
+      .show(truncate = false)
+
+    // --- streaming surface: tail events parquet as a file stream -----------
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val eventsBatch = graft.tables.Tables.events(spark, sfDir)
+    val streamDir = Files.createTempDirectory("graft-events-stream")
+    eventsBatch.limit(2000).coalesce(1).write.mode("overwrite").parquet(streamDir.toString)
+    val stream = graft.streaming.StreamOps.readEventStream(spark, streamDir.toString)
+    val sq = graft.streaming.StreamOps.runToMemory(
+      graft.streaming.StreamOps.tumblingCounts(stream), "scenario_tumbling")
+    sq.awaitTermination()
+    val n = spark.table("scenario_tumbling").count()
+    println(s"[streaming] tumbling windows emitted (closed by watermark): $n")
+
+    // --- multimodal plumbing demo ------------------------------------------
+    val docs = graft.tables.Tables.documents(spark, sfDir)
+    val assets = graft.multimodal.Multimodal.assetsFromDocuments(spark, docs.limit(100))
+    val frames = graft.multimodal.Multimodal.decodeToFrames(
+      graft.multimodal.Multimodal.repartitionForDecode(assets, 4))
+    val feats = graft.multimodal.Multimodal.extractFeatures(assets)
+    println(s"[multimodal] assets=${assets.count()} frames=${frames.count()} " +
+      s"features=${feats.count()} dim=${feats.head().feature.length}")
+
     spark.stop()
   }
 }

@@ -1,0 +1,123 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for a training-data pipeline: image/audio/video carried
+  * as opaque `binary` columns with typed metadata, processed by batched
+  * per-partition functions (the Scala analog of `mapInPandas` — one iterator
+  * of rows per partition, vectorizable batch shape, no per-row JVM↔native
+  * round-trips).
+  *
+  * The actual codec work is STUBBED (no image/audio libraries in this
+  * environment): `DecodeStub` derives deterministic fake pixel/sample
+  * statistics from the bytes. Everything Spark-side is real and tested —
+  * schema, lineage, partition-parallel batching, feature shapes — so swapping
+  * the stub for a real codec (JNI/FFM to libjpeg/ffmpeg on executors) changes
+  * no plan shape.
+  *
+  * Scale notes: assets are processed where they land (map-only; no shuffle);
+  * `repartitionForDecode` exists for skew (few giant videos) — salt by
+  * asset_id so one executor doesn't own all large blobs. Feature vectors are
+  * fixed-width Array[Float], so downstream similarity/dedup reuse the
+  * embeddings operators unchanged.
+  */
+object Multimodal {
+
+  final case class MediaMeta(
+      kind: String, // image | audio | video
+      format: String, // jpeg | png | wav | mp4 | ...
+      width: Int,
+      height: Int,
+      sampleRate: Int,
+      durationMs: Long
+  )
+
+  final case class MediaAsset(
+      asset_id: Long,
+      meta: MediaMeta,
+      content: Array[Byte]
+  )
+
+  final case class DecodedFrame(
+      asset_id: Long,
+      frame_idx: Int,
+      width: Int,
+      height: Int,
+      mean_intensity: Double
+  )
+
+  final case class MediaFeature(
+      asset_id: Long,
+      feature: Array[Float] // fixed FeatureDim for downstream ANN/dedup
+  )
+
+  val FeatureDim = 64
+
+  /** STUB codec: deterministic fake "decode" from raw bytes. A real build
+    * replaces only this object.
+    */
+  object DecodeStub {
+    /** Pretend each 256-byte block is one frame; mean intensity = mean byte. */
+    def decodeFrames(a: MediaAsset): Iterator[DecodedFrame] = {
+      val blocks = a.content.grouped(256).zipWithIndex
+      blocks.map { case (b, i) =>
+        val mean = if (b.isEmpty) 0.0 else b.map(x => (x & 0xff).toDouble).sum / b.length
+        DecodedFrame(a.asset_id, i, a.meta.width, a.meta.height, mean)
+      }
+    }
+
+    /** Fixed-dim feature: folded byte histogram, L2-normalized. */
+    def feature(a: MediaAsset): MediaFeature = {
+      val acc = new Array[Float](FeatureDim)
+      var i = 0
+      while (i < a.content.length) {
+        acc((a.content(i) & 0xff) % FeatureDim) += 1f
+        i += 1
+      }
+      val n = math.sqrt(acc.map(x => x.toDouble * x).sum).toFloat
+      MediaFeature(a.asset_id, if (n == 0) acc else acc.map(_ / n))
+    }
+  }
+
+  /** Spread assets for parallel decode; salt on asset_id (blob-size skew). */
+  def repartitionForDecode(assets: Dataset[MediaAsset], partitions: Int): Dataset[MediaAsset] =
+    assets.repartition(partitions, col("asset_id"))
+
+  /** Decode every asset to frames, batched per partition (mapPartitions =
+    * the mapInPandas batch shape).
+    */
+  def decodeToFrames(assets: Dataset[MediaAsset]): Dataset[DecodedFrame] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap(DecodeStub.decodeFrames))
+  }
+
+  /** Sample every `stride`-th frame (video frame-sampling shape). */
+  def frameSample(frames: Dataset[DecodedFrame], stride: Int): Dataset[DecodedFrame] =
+    frames.filter(col("frame_idx") % stride === 0).as(frames.encoder)
+
+  /** Extract fixed-dim features per asset, batched per partition. */
+  def extractFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeature] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map(DecodeStub.feature))
+  }
+
+  /** "Resize": metadata-level transform (stub keeps bytes, rewrites meta —
+    * real impl re-encodes content).
+    */
+  def resize(assets: Dataset[MediaAsset], w: Int, h: Int): Dataset[MediaAsset] = {
+    import assets.sparkSession.implicits._
+    assets.map(a => a.copy(meta = a.meta.copy(width = w, height = h)))
+  }
+
+  /** Demo asset source: wraps any table's string column as fake binary
+    * image content (the testdata has no real media; deterministic).
+    */
+  def assetsFromDocuments(spark: SparkSession, documents: DataFrame): Dataset[MediaAsset] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      MediaAsset(id, MediaMeta("image", "fake", 64, 64, 0, 0L), bytes)
+    }
+  }
+}

@@ -20,6 +20,21 @@ import graft.tables.Tables._
   */
 object PipelineQueries {
 
+  /** Fixed affine-hash coefficients for the 16 minhash functions
+    * ((a*h + b) mod 2^31-1); literal in both the Spark plan and the oracle
+    * SQL so signatures reproduce bit-for-bit.
+    */
+  val lshA: Seq[Long] = Seq(
+    1103515245L, 1588635695L, 1203248318L, 1739049700L,
+    1357014125L, 1185371942L, 1973594899L, 1129580573L,
+    1790575337L, 1236486949L, 1431529177L, 1863225301L,
+    1076943109L, 1518932171L, 1343714473L, 1654988357L)
+  val lshB: Seq[Long] = Seq(
+    12345L, 386724701L, 175692913L, 297764501L,
+    523456787L, 88811113L, 734567891L, 419326181L,
+    650001233L, 911117773L, 137426953L, 805306457L,
+    268435459L, 577007813L, 94906249L, 350011421L)
+
   val entries: Map[String, QueryDef] = Map(
     // ---------------------------------------------------------- dedup
     "q_dedup_exact" -> QueryDef(
@@ -52,8 +67,13 @@ object PipelineQueries {
     ),
 
     "q_dedup_minhash_lsh" -> QueryDef(
-      // 16 md5-minhashes over 3-token shingles, 4 bands × 4 rows; candidate
-      // pairs from the band equi-join, verified with exact Jaccard >= 0.5.
+      // MinHash+LSH near-dup pairs: one md5 per distinct 3-token shingle →
+      // 48-bit int, then 16 affine universal hashes ((a*h+b) mod 2^31-1 —
+      // pure codegen'd arithmetic, no further digesting), 4 bands × 4 rows;
+      // candidates from the (band, key) equi-join — never an all-pairs
+      // product — verified with exact Jaccard >= 0.5. The shingle set is
+      // persisted across the signature and verify branches (at 100 TB this
+      // is the "materialize signatures once" checkpoint).
       (s, d) => {
         import s.implicits._
         val sh = documents(s, d)
@@ -62,11 +82,18 @@ object PipelineQueries {
           .select($"doc_id", array_distinct(
             expr("transform(sequence(0, size(tok)-3), i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2]))")
           ).as("shingles"))
-        val sig = sh.select($"doc_id",
-          expr("transform(sequence(0, 15), s -> array_min(transform(shingles, g -> md5(concat(CAST(s AS STRING), ':', g)))))")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val hs = sh.select($"doc_id",
+          expr("transform(shingles, g -> CAST(conv(substring(md5(g), 1, 12), 16, 10) AS BIGINT) % 2147483647)")
+            .as("hs"))
+        val sig = hs.select($"doc_id",
+          expr(s"""transform(sequence(0, 15),
+                  |  s -> array_min(transform(hs,
+                  |    h -> (element_at(array(${PipelineQueries.lshA.mkString(",")}), s + 1) * h
+                  |        + element_at(array(${PipelineQueries.lshB.mkString(",")}), s + 1)) % 2147483647)))""".stripMargin)
             .as("sig"))
         val bands = sig.select($"doc_id",
-          explode(expr("transform(sequence(0, 3), b -> struct(b AS band, md5(concat_ws('|', slice(sig, b*4+1, 4))) AS bkey))"))
+          explode(expr("transform(sequence(0, 3), b -> struct(b AS band, concat_ws('|', slice(sig, b*4+1, 4)) AS bkey))"))
             .as("bb"))
           .select($"doc_id", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
         val cand = bands.as("x")
@@ -83,30 +110,36 @@ object PipelineQueries {
           .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
           .orderBy($"doc_a", $"doc_b")
       },
-      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
-             |sh AS (
-             |  SELECT doc_id, list_distinct(list_transform(range(0, len(tok)-2),
-             |    i -> tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3])) AS shingles
-             |  FROM toks WHERE len(tok) >= 3),
-             |sig AS (
-             |  SELECT doc_id, list_transform(range(0, 16),
-             |    s -> list_min(list_transform(shingles, g -> md5(CAST(s AS VARCHAR) || ':' || g)))) AS sig
-             |  FROM sh),
-             |bands AS (
-             |  SELECT doc_id, CAST(c.band AS INTEGER) AS band, c.bkey FROM (
-             |    SELECT doc_id, unnest(list_transform(range(0, 4),
-             |      b -> {'band': b, 'bkey': md5(array_to_string(sig[b*4+1 : b*4+4], '|'))})) AS c
-             |    FROM sig)),
-             |cand AS (
-             |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-             |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-             |pairs AS (
-             |  SELECT doc_a, doc_b,
-             |    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-             |      / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jac
-             |  FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b)
-             |SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard
-             |FROM pairs WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin)
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+              |sh AS (
+              |  SELECT doc_id, list_distinct(list_transform(range(0, len(tok)-2),
+              |    i -> tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3])) AS shingles
+              |  FROM toks WHERE len(tok) >= 3),
+              |hs AS (
+              |  SELECT doc_id, list_transform(shingles,
+              |    g -> ('0x' || substring(md5(g), 1, 12))::BIGINT % 2147483647) AS hs
+              |  FROM sh),
+              |sig AS (
+              |  SELECT doc_id, list_transform(range(0, 16),
+              |    s -> list_min(list_transform(hs,
+              |      h -> ([${PipelineQueries.lshA.mkString(",")}][s + 1] * h
+              |          + [${PipelineQueries.lshB.mkString(",")}][s + 1]) % 2147483647))) AS sig
+              |  FROM hs),
+              |bands AS (
+              |  SELECT doc_id, CAST(c.band AS INTEGER) AS band, c.bkey FROM (
+              |    SELECT doc_id, unnest(list_transform(range(0, 4),
+              |      b -> {'band': b, 'bkey': array_to_string(sig[b*4+1 : b*4+4], '|')})) AS c
+              |    FROM sig)),
+              |cand AS (
+              |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+              |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+              |pairs AS (
+              |  SELECT doc_a, doc_b,
+              |    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              |      / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jac
+              |  FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b)
+              |SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard
+              |FROM pairs WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin)
     ),
 
     "q_dedup_simhash" -> QueryDef(

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured-Streaming surface of the engine: the event-time operators the
+  * batch queries (`q_stream_*`) verify, wired to real `readStream` sources
+  * with watermarks, plus a `flatMapGroupsWithState` per-key session tracker
+  * (custom state — the CDC-apply shape generalized to arbitrary keys).
+  *
+  * The reference's only time logic is the arrival-ts threshold (O12); these
+  * generalize it to event-time with bounded lateness: watermark = the
+  * threshold made continuous.
+  */
+object StreamOps {
+
+  /** Tumbling event-time counts with bounded lateness. Same aggregation plan
+    * as `q_stream_tumbling`; watermark drops events later than `lateness`
+    * behind the max seen event time (O12 analog).
+    */
+  def tumblingCounts(
+      events: DataFrame,
+      window_ : String = "1 hour",
+      lateness: String = "10 minutes"
+  ): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"))
+
+  /** Session windows per user with a gap; same operator as `q_stream_session`. */
+  def sessionCounts(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      lateness: String = "10 minutes"
+  ): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
+  final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  final case class UserRunning(user_id: Long, n_events: Long, n_purchases: Long)
+
+  /** Custom keyed state via flatMapGroupsWithState: running per-user counters
+    * emitted on every update — state lives in the state store, partitioned by
+    * key (scales horizontally; nothing driver-side).
+    */
+  def runningUserCounters(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, it: Iterator[UserEvent], state: GroupState[UserRunning]) => {
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0L))
+          val batch = it.toSeq
+          val next = UserRunning(
+            userId,
+            prev.n_events + batch.size,
+            prev.n_purchases + batch.count(_.event_type == "purchase"))
+          state.update(next)
+          Iterator.single(next)
+        })
+  }
+
+  /** File-source streaming entry: tail a directory of parquet events. */
+  def readEventStream(spark: SparkSession, path: String): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    spark.readStream.schema(schema).parquet(path)
+  }
+
+  /** Run any streaming DataFrame to an in-memory table and wait until all
+    * currently-available input is processed (test/driver harness).
+    */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append): StreamingQuery = {
+    df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamOps
+
+class StreamOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("tumbling window with watermark drops late events (O12 analog)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val events = input.toDF().toDF("ts", "event_type")
+    val q = StreamOps.tumblingCounts(events, "1 hour", "10 minutes")
+      .writeStream.outputMode(OutputMode.Append).format("memory")
+      .queryName("tumbling_out").start()
+    try {
+      // batch 1: events in hours 10 and 11; max event time 11:30
+      input.addData((ts("2024-01-01 10:05:00"), "a"), (ts("2024-01-01 10:55:00"), "a"),
+        (ts("2024-01-01 11:30:00"), "a"))
+      q.processAllAvailable()
+      // batch 2: advance watermark far past hour 10 (wm = 13:00 - 10m)
+      input.addData((ts("2024-01-01 13:00:00"), "a"))
+      q.processAllAvailable()
+      // batch 3: a late event for hour 10 — behind the watermark, dropped
+      input.addData((ts("2024-01-01 10:10:00"), "a"))
+      q.processAllAvailable()
+      // batch 4: push watermark to close every window
+      input.addData((ts("2024-01-01 20:00:00"), "a"))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_out")
+        .select($"window_start", $"n_events").as[(Timestamp, Long)].collect().toMap
+      // hour-10 window emitted with 2 events only — the late third was dropped
+      assert(rows(ts("2024-01-01 10:00:00")) == 2L)
+      assert(rows(ts("2024-01-01 11:00:00")) == 1L)
+    } finally q.stop()
+  }
+
+  test("session windows merge events within the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "user_id")
+    val q = StreamOps.sessionCounts(events, "30 minutes", "10 minutes")
+      .writeStream.outputMode(OutputMode.Append).format("memory")
+      .queryName("session_out").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:20:00"), 1L), // one session
+        (ts("2024-01-01 12:00:00"), 1L)) // separate session
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 20:00:00"), 2L)) // advance watermark, close sessions
+      q.processAllAvailable()
+      val rows = spark.table("session_out")
+        .select($"session_start", $"session_end", $"n_events")
+        .as[(Timestamp, Timestamp, Long)].collect().sortBy(_._1.getTime)
+      assert(rows.head == ((ts("2024-01-01 10:00:00"), ts("2024-01-01 10:50:00"), 2L)))
+      assert(rows(1) == ((ts("2024-01-01 12:00:00"), ts("2024-01-01 12:30:00"), 1L)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState keeps running per-user counters across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.UserEvent]
+    val q = StreamOps.runningUserCounters(input.toDS())
+      .writeStream.outputMode(OutputMode.Append).format("memory")
+      .queryName("state_out").start()
+    try {
+      input.addData(
+        StreamOps.UserEvent(1, ts("2024-01-01 10:00:00"), "view"),
+        StreamOps.UserEvent(1, ts("2024-01-01 10:01:00"), "purchase"))
+      q.processAllAvailable()
+      input.addData(StreamOps.UserEvent(1, ts("2024-01-01 10:02:00"), "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("state_out").as[StreamOps.UserRunning].collect()
+      // second emission reflects accumulated state: 3 events, 2 purchases
+      assert(rows.map(r => (r.n_events, r.n_purchases)).toSet ==
+        Set((2L, 1L), (3L, 2L)))
+    } finally q.stop()
+  }
+}
