@@ -175,21 +175,20 @@ object PipelineQueries {
     // ---------------------------------------------------------- similarity
     "q_similarity_topk" -> QueryDef(
       // Exact brute-force cosine top-5 for 10 query vectors: query side
-      // broadcast, dot product via zip_with/aggregate in doubles (sequential
-      // fold order matches DuckDB's list_sum), ranking on 4-dp-rounded sims
-      // with vec_id tiebreak for cross-engine determinism.
+      // broadcast, dot product via the codegen'd CosineSimilarity expression
+      // (sequential double fold — bit-identical to the oracle's list_sum
+      // order), ranking on 4-dp-rounded sims with vec_id tiebreak for
+      // cross-engine determinism.
       (s, d) => {
         import s.implicits._
         val e = embeddings(s, d).select($"vec_id",
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-          .withColumn("nrm", expr("sqrt(aggregate(v, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x))"))
         val q = e.filter($"vec_id" < 10)
-          .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
-        val scored = e.select($"vec_id".as("c_id"), $"v".as("cv"), $"nrm".as("cn"))
+          .select($"vec_id".as("q_id"), $"v".as("qv"))
+        val scored = e.select($"vec_id".as("c_id"), $"v".as("cv"))
           .join(broadcast(q), $"q_id" =!= $"c_id")
-          .withColumn("sim4", round(
-            expr("aggregate(zip_with(qv, cv, (a, b) -> a * b), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
-              / ($"qn" * $"cn"), 4))
+          .withColumn("sim4",
+            round(graft.functions.CosineSimilarity.cosineSim(s, $"qv", $"cv"), 4))
         val w = Window.partitionBy($"q_id").orderBy($"sim4".desc, $"c_id")
         scored.withColumn("rnk", row_number().over(w))
           .filter($"rnk" <= 5)
@@ -209,6 +208,60 @@ object PipelineQueries {
              |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim4 DESC, c_id) AS rnk
              |  FROM s) t
              |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin)
+    ),
+
+    "q_similarity_ann_lsh" -> QueryDef(
+      // The 100 TB similarity path: 16 random-hyperplane sign bits (planes
+      // are deterministic integer lattices so both engines build identical
+      // buckets) → equi-join on bucket id → exact cosine rerank of
+      // candidates only, top-3. Candidates per query ≈ N/2^16·skew instead
+      // of N: the all-pairs product never materializes.
+      (s, d) => {
+        import s.implicits._
+        val aArr = PipelineQueries.lshA.map(_.toString + "L").mkString(",")
+        val bArr = PipelineQueries.lshB.map(_.toString + "L").mkString(",")
+        val bucketExpr =
+          s"""aggregate(sequence(0, 7), 0L, (acc, p) -> acc +
+             |  IF(aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE),
+             |       (s2, i) -> s2 + v[i] * CAST((element_at(array($aArr), p + 1) * (i + 1)
+             |                                  + element_at(array($bArr), p + 1)) % 1009 - 504 AS DOUBLE)) > 0,
+             |     shiftleft(1L, p), 0L))""".stripMargin
+        val e = embeddings(s, d)
+          .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+          .withColumn("bucket", expr(bucketExpr))
+        val q = e.filter($"vec_id" < 10)
+          .select($"vec_id".as("q_id"), $"v".as("qv"), $"bucket")
+        val scored = e.select($"vec_id".as("c_id"), $"v".as("cv"), $"bucket")
+          .join(broadcast(q), Seq("bucket"))
+          .filter($"q_id" =!= $"c_id")
+          .withColumn("sim4",
+            round(graft.functions.CosineSimilarity.cosineSim(s, $"qv", $"cv"), 4))
+        val w = Window.partitionBy($"q_id").orderBy($"sim4".desc, $"c_id")
+        scored.withColumn("rnk", row_number().over(w))
+          .filter($"rnk" <= 3)
+          .select($"q_id", $"rnk", $"c_id", $"sim4")
+          .orderBy($"q_id", $"rnk")
+      },
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+              |b AS (
+              |  SELECT vec_id, v,
+              |    CAST(list_sum(list_transform(range(0, 8), p ->
+              |      CASE WHEN list_sum(list_transform(range(0, 64),
+              |          i -> v[i + 1] * CAST((([${PipelineQueries.lshA.mkString(",")}]::BIGINT[])[p + 1] * (i + 1)
+              |                              + ([${PipelineQueries.lshB.mkString(",")}]::BIGINT[])[p + 1]) % 1009 - 504 AS DOUBLE))) > 0
+              |           THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS bucket
+              |  FROM e),
+              |n AS (SELECT vec_id, v, bucket, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM b),
+              |s AS (
+              |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+              |    ROUND(list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 4) AS sim4
+              |  FROM n q JOIN n c ON q.bucket = c.bucket AND q.vec_id < 10 AND q.vec_id <> c.vec_id)
+              |SELECT q_id, rnk, c_id, sim4 FROM (
+              |  SELECT q_id, c_id, sim4,
+              |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim4 DESC, c_id) AS rnk
+              |  FROM s) t
+              |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin)
     ),
 
     // ---------------------------------------------------------- text analysis
