@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+
+/** Physical-plan quality gates: the properties that keep these queries fast
+  * at 100 TB must hold in the compiled plan, not just in intent — filter/
+  * column pushdown into the parquet scan, broadcast for dimension joins,
+  * TakeOrderedAndProject for top-k (per-partition k + driver merge, never a
+  * global sort), whole-stage codegen coverage.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def physical(df: DataFrame): String = {
+    df.collect() // materialize THIS QueryExecution so AQE settles on the final plan
+    val qe: QueryExecution = df.queryExecution
+    qe.executedPlan.toString
+  }
+  private def run(name: String): DataFrame = SparkEntry.queries(name)(spark, sfDir)
+
+  test("q_scan_project_filter pushes predicates and prunes columns at the scan") {
+    val plan = physical(run("q_scan_project_filter"))
+    assert(plan.contains("PushedFilters: ["), plan)
+    // PushedFilters is elided at 100 chars in toString; DataFilters shows both
+    assert(plan.contains("GreaterThan(l_quantity") && plan.contains("= R)"), plan)
+    // pruned read schema: only the 4 projected + filtered columns
+    assert(!plan.contains("l_shipdate"), "scan should not read unprojected columns")
+  }
+
+  test("q_pred_pushdown_scan pushes the date range into the parquet scan") {
+    val plan = physical(run("q_pred_pushdown_scan"))
+    assert(plan.contains("PushedFilters") && plan.contains("o_orderdate"), plan)
+  }
+
+  test("q_join_broadcast uses a broadcast hash join") {
+    val plan = physical(run("q_join_broadcast"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q_join_multiway broadcasts every dimension (no fact-side SMJ for dims)") {
+    val plan = physical(run("q_join_multiway"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q_sort_limit_topk compiles to TakeOrderedAndProject, not a global sort") {
+    val plan = physical(run("q_sort_limit_topk"))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q_join_semi / q_join_anti produce semi/anti physical joins") {
+    assert(physical(run("q_join_semi")).contains("LeftSemi"))
+    assert(physical(run("q_join_anti")).contains("LeftAnti"))
+  }
+
+  test("q_agg_hash stays inside whole-stage codegen with partial aggregation") {
+    val plan = physical(run("q_agg_hash"))
+    assert(plan.contains("*(1) HashAggregate"), plan) // *(n) = whole-stage codegen stage
+    // partial + final pair: two HashAggregate occurrences minimum
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("similarity expression participates in whole-stage codegen") {
+    val plan = physical(run("q_similarity_topk"))
+    assert(plan.contains("cosine_sim"), plan)
+    assert(plan.contains("*("), plan) // inside a codegen stage
+  }
+
+  test("q_join_theta_range keeps the equi key as the join key (range as post-filter)") {
+    val plan = physical(run("q_join_theta_range"))
+    // joined on user_id (hash-partitionable); the ts band must not force NLJ
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
