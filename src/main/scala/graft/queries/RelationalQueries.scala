@@ -264,6 +264,73 @@ object RelationalQueries {
       None
     ),
 
+    "q_agg_minmax" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        orders(s, d)
+          .groupBy($"o_orderpriority")
+          .agg(
+            min($"o_totalprice").as("min_price"),
+            max($"o_totalprice").as("max_price"),
+            min($"o_orderdate").as("first_date"),
+            max($"o_orderdate").as("last_date"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+             |  MIN(o_orderdate) AS first_date, MAX(o_orderdate) AS last_date
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    ),
+
+    "q_agg_median" -> QueryDef(
+      // Exact interpolated median over integral-valued quantities: the
+      // midpoint arithmetic is exact for integers, so Spark's percentile and
+      // DuckDB's quantile_cont agree bitwise. (For arbitrary doubles the two
+      // interpolation formulas can differ 1 ulp — integral inputs sidestep it.)
+      (s, d) => {
+        import s.implicits._
+        lineitem(s, d)
+          .groupBy($"l_returnflag")
+          .agg(
+            expr("percentile(l_quantity, 0.5)").as("median_qty"),
+            expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+            count(lit(1)).as("n"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_quantity, 0.5) AS median_qty,
+             |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+             |  COUNT(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+
+    "q_pivot" -> QueryDef(
+      // Relational pivot: per-nation sales spread across the 5 market
+      // segments as columns (explicit value list keeps the schema static —
+      // the scalable form; dynamic pivot needs a pre-pass to enumerate keys).
+      (s, d) => {
+        import s.implicits._
+        val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+        orders(s, d)
+          .join(customer(s, d), $"o_custkey" === $"c_custkey")
+          .join(broadcast(nation(s, d)), $"c_nationkey" === $"n_nationkey")
+          .groupBy($"n_name")
+          .pivot("c_mktsegment", segs)
+          .agg(sumMoney($"o_totalprice"))
+          .na.fill(0.0, segs)
+          .orderBy($"n_name")
+      },
+      Some("""SELECT n_name,
+             |  CAST(COALESCE(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN CAST(o_totalprice AS DECIMAL(12,2)) END), 0) AS DOUBLE) AS "AUTOMOBILE",
+             |  CAST(COALESCE(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN CAST(o_totalprice AS DECIMAL(12,2)) END), 0) AS DOUBLE) AS "BUILDING",
+             |  CAST(COALESCE(SUM(CASE WHEN c_mktsegment = 'FURNITURE' THEN CAST(o_totalprice AS DECIMAL(12,2)) END), 0) AS DOUBLE) AS "FURNITURE",
+             |  CAST(COALESCE(SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN CAST(o_totalprice AS DECIMAL(12,2)) END), 0) AS DOUBLE) AS "HOUSEHOLD",
+             |  CAST(COALESCE(SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN CAST(o_totalprice AS DECIMAL(12,2)) END), 0) AS DOUBLE) AS "MACHINERY"
+             |FROM orders
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)
+    ),
+
     "q_rollup" -> QueryDef(
       (s, d) => {
         import s.implicits._
@@ -358,6 +425,25 @@ object RelationalQueries {
              |FROM events ORDER BY user_id, ts, event_id""".stripMargin)
     ),
 
+    "q_window_ntile" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.orderBy($"o_totalprice".desc, $"o_orderkey")
+        orders(s, d)
+          .withColumn("quartile", ntile(4).over(w).cast("long"))
+          .groupBy($"quartile")
+          .agg(count(lit(1)).as("n_orders"), sumMoney($"o_totalprice").as("sales"))
+          .orderBy($"quartile")
+      },
+      Some("""SELECT quartile, COUNT(*) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sales
+             |FROM (
+             |  SELECT o_totalprice,
+             |    CAST(NTILE(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS quartile
+             |  FROM orders) t
+             |GROUP BY quartile ORDER BY quartile""".stripMargin)
+    ),
+
     // ---------------------------------------------------------- sort / limit
     "q_sort_limit_topk" -> QueryDef(
       // orderBy.limit compiles to TakeOrderedAndProject: per-partition top-10
@@ -434,6 +520,26 @@ object RelationalQueries {
              |  CONCAT_WS('|', p_brand, p_type) AS brand_type,
              |  CAST(LENGTH(p_name) AS BIGINT) AS name_len,
              |  (p_name LIKE '%a%') AS has_a
+             |FROM part ORDER BY p_partkey""".stripMargin)
+    ),
+
+    "q_regex_funcs" -> QueryDef(
+      // Patterns kept to the POSIX-ish common subset so Java regex (Spark)
+      // and RE2 (DuckDB) agree.
+      (s, d) => {
+        import s.implicits._
+        part(s, d)
+          .select(
+            $"p_partkey",
+            regexp_extract($"p_name", "([a-z]+)$", 1).as("last_word"),
+            regexp_replace($"p_name", "[aeiou]", "_").as("devoweled"),
+            $"p_name".rlike("^[a-z]+ ").as("starts_word"))
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey,
+             |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+             |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+             |  regexp_matches(p_name, '^[a-z]+ ') AS starts_word
              |FROM part ORDER BY p_partkey""".stripMargin)
     ),
 
