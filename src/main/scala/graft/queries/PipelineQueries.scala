@@ -87,11 +87,7 @@ object PipelineQueries {
           expr("transform(shingles, g -> CAST(conv(substring(md5(g), 1, 12), 16, 10) AS BIGINT) % 2147483647)")
             .as("hs"))
         val sig = hs.select($"doc_id",
-          expr(s"""transform(sequence(0, 15),
-                  |  s -> array_min(transform(hs,
-                  |    h -> (element_at(array(${PipelineQueries.lshA.mkString(",")}), s + 1) * h
-                  |        + element_at(array(${PipelineQueries.lshB.mkString(",")}), s + 1)) % 2147483647)))""".stripMargin)
-            .as("sig"))
+          graft.functions.LshFunctions.minhashSig(s, $"hs").as("sig"))
         val bands = sig.select($"doc_id",
           explode(expr("transform(sequence(0, 3), b -> struct(b AS band, concat_ws('|', slice(sig, b*4+1, 4)) AS bkey))"))
             .as("bb"))
@@ -218,17 +214,10 @@ object PipelineQueries {
       // of N: the all-pairs product never materializes.
       (s, d) => {
         import s.implicits._
-        val aArr = PipelineQueries.lshA.map(_.toString + "L").mkString(",")
-        val bArr = PipelineQueries.lshB.map(_.toString + "L").mkString(",")
-        val bucketExpr =
-          s"""aggregate(sequence(0, 7), 0L, (acc, p) -> acc +
-             |  IF(aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE),
-             |       (s2, i) -> s2 + v[i] * CAST((element_at(array($aArr), p + 1) * (i + 1)
-             |                                  + element_at(array($bArr), p + 1)) % 1009 - 504 AS DOUBLE)) > 0,
-             |     shiftleft(1L, p), 0L))""".stripMargin
         val e = embeddings(s, d)
           .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-          .withColumn("bucket", expr(bucketExpr))
+          .withColumn("bucket", graft.functions.LshFunctions.hyperplaneSig(s, $"v") % 256)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val q = e.filter($"vec_id" < 10)
           .select($"vec_id".as("q_id"), $"v".as("qv"), $"bucket")
         val scored = e.select($"vec_id".as("c_id"), $"v".as("cv"), $"bucket")
@@ -262,6 +251,64 @@ object PipelineQueries {
               |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim4 DESC, c_id) AS rnk
               |  FROM s) t
               |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin)
+    ),
+
+    "q_dedup_embedding" -> QueryDef(
+      // Embedding-cosine near-dup detection, banded: 16 hyperplane sign bits
+      // split into 4 bands × 4 bits — a pair is a candidate if ANY band
+      // matches (union-of-bands recall, the MinHash-banding trick applied to
+      // sign LSH). Candidates rerank with exact cosine; threshold tuned to
+      // this corpus (no planted dups; max pair ≈ 0.51). All-pairs never
+      // materializes: the join key is (band, 4-bit key).
+      (s, d) => {
+        import s.implicits._
+        val e = embeddings(s, d)
+          .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+          .withColumn("sig16", graft.functions.LshFunctions.hyperplaneSig(s, $"v"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // bands carry only ids: the self-join and pair-dedup shuffle 3 longs
+        // per row; the 64-double vectors re-attach after dedup via the
+        // persisted e (at 100 TB this is the difference between shuffling
+        // keys and shuffling payloads).
+        val bands = e.select($"vec_id",
+          explode(expr("transform(sequence(0, 3), b -> struct(b AS band, shiftright(sig16, b * 4) % 16 AS bkey))")).as("bb"))
+          .select($"vec_id", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
+        val cand = bands.select($"vec_id".as("id_a"), $"band", $"bkey")
+          .join(bands.select($"vec_id".as("id_b"), $"band", $"bkey"), Seq("band", "bkey"))
+          .filter($"id_a" < $"id_b")
+          .select($"id_a", $"id_b")
+          .distinct()
+        cand
+          .join(e.select($"vec_id".as("id_a"), $"v".as("va")), Seq("id_a"))
+          .join(e.select($"vec_id".as("id_b"), $"v".as("vb")), Seq("id_b"))
+          .withColumn("cos4", round(graft.functions.CosineSimilarity.cosineSim(s, $"va", $"vb"), 4))
+          .filter($"cos4" >= 0.45)
+          .select($"id_a", $"id_b", $"cos4")
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+              |b AS (
+              |  SELECT vec_id, v,
+              |    CAST(list_sum(list_transform(range(0, 16), p ->
+              |      CASE WHEN list_sum(list_transform(range(0, 64),
+              |          i -> v[i + 1] * CAST((([${PipelineQueries.lshA.mkString(",")}]::BIGINT[])[p + 1] * (i + 1)
+              |                              + ([${PipelineQueries.lshB.mkString(",")}]::BIGINT[])[p + 1]) % 1009 - 504 AS DOUBLE))) > 0
+              |           THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS sig16
+              |  FROM e),
+              |bands AS (
+              |  SELECT vec_id, v, t.b AS band, (sig16 >> (t.b * 4)) % 16 AS bkey
+              |  FROM b, (SELECT unnest(range(0, 4)) AS b) t),
+              |cand AS (
+              |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+              |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id),
+              |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+              |scored AS (
+              |  SELECT id_a, id_b,
+              |    ROUND(list_sum(list_transform(range(1, 65), i -> a.v[i] * c.v[i])) / (a.nrm * c.nrm), 4) AS cos4
+              |  FROM cand JOIN n a ON a.vec_id = id_a JOIN n c ON c.vec_id = id_b)
+              |SELECT id_a, id_b, cos4 FROM scored WHERE cos4 >= 0.45
+              |ORDER BY id_a, id_b""".stripMargin)
     ),
 
     // ---------------------------------------------------------- text analysis

@@ -395,19 +395,24 @@ object RelationalQueries {
     ),
 
     "q_window_running" -> QueryDef(
+      // Running sum in exact integer cents (primitive long window — no
+      // decimal boxing in the frame loop), surfaced as double: x*100 of a
+      // 2-dp double is within 1e-9 of an integer, so round() is exact and
+      // the /100.0 is one correctly-rounded division in both engines.
       (s, d) => {
         import s.implicits._
         val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         orders(s, d)
-          .withColumn("running_spend", sum(dec($"o_totalprice")).over(w).cast("double"))
+          .withColumn("cents", round($"o_totalprice" * 100, 0).cast("long"))
+          .withColumn("running_spend", sum($"cents").over(w) / 100.0)
           .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"running_spend")
           .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
       },
       Some("""SELECT o_custkey, o_orderkey, o_orderdate,
-             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+             |  SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) OVER (
              |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running_spend
              |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)
     ),
 
