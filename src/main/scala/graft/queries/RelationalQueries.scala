@@ -157,6 +157,25 @@ object RelationalQueries {
              |ORDER BY c_custkey""".stripMargin)
     ),
 
+    "q_join_salted" -> QueryDef(
+      // Skew-safe salted join (graft.operators.ScaleOps): result must be
+      // row-identical to the plain equi-join — which is exactly what the
+      // oracle states.
+      (s, d) => {
+        import s.implicits._
+        val li = lineitem(s, d).select($"l_orderkey", $"l_extendedprice")
+        val ord = orders(s, d).select($"o_orderkey".as("l_orderkey"), $"o_orderpriority")
+        graft.operators.ScaleOps.saltedJoin(li, ord, "l_orderkey", saltFactor = 8)
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n_items"), sumMoney($"l_extendedprice").as("revenue"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_items,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    ),
+
     "q_join_theta_range" -> QueryDef(
       // Range self-join: equi prefilter on user_id carries the shuffle; the
       // 1-hour band is evaluated post-join. Per-user row groups stay small, so
