@@ -56,6 +56,70 @@ object CdcQueries {
               |ORDER BY schema_name, table_name, pk_id""".stripMargin)
     ),
 
+    "q_cdc_apply_scale" -> QueryDef(
+      // The reference's apply operator at data scale: the events table mapped
+      // to a change stream (signup→INSERT, purchase→UPDATE, error→DELETE,
+      // seq = event_id) and run through the DISTRIBUTED CdcApply.run path —
+      // one shuffle on the PK, per-key sequential fold, no driver state. The
+      // oracle derives the same final images with window SQL: an op takes
+      // effect iff it's an INSERT, or an UPDATE whose latest prior
+      // INSERT/DELETE is an INSERT; a key survives iff its last INSERT/DELETE
+      // is an INSERT. Values travel as integer-cent strings (identical
+      // rendering in both engines).
+      (s, d) => {
+        import s.implicits._
+        val ops = events(s, d)
+          .filter($"event_type".isin("signup", "purchase", "error"))
+          .select(
+            $"event_id".as("seq"),
+            when($"event_type" === "signup", "INSERT")
+              .when($"event_type" === "purchase", "UPDATE")
+              .otherwise("DELETE").as("op"),
+            lit("app").as("schema"),
+            lit("users").as("table"),
+            $"user_id".cast("string").as("pk"),
+            array($"user_id".cast("string"),
+              round($"value" * 100, 0).cast("long").cast("string")).as("values"))
+          .as[graft.cdc.CdcRecord]
+        graft.cdc.CdcApply.run(s, ops)
+          .filter($"kind" === "state")
+          .select(
+            $"pk".cast("long").as("user_id"),
+            get($"values", lit(1)).cast("long").as("last_cents"),
+            $"lastSeq".as("last_seq"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH ops AS (
+             |  SELECT user_id AS pk, event_id AS seq,
+             |    CASE event_type WHEN 'signup' THEN 'INSERT'
+             |         WHEN 'purchase' THEN 'UPDATE' ELSE 'DELETE' END AS op,
+             |    CAST(CAST(ROUND(value * 100, 0) AS BIGINT) AS VARCHAR) AS cents
+             |  FROM events WHERE event_type IN ('signup', 'purchase', 'error')),
+             |w AS (
+             |  SELECT *,
+             |    last_value(CASE WHEN op IN ('INSERT', 'DELETE') THEN op END IGNORE NULLS)
+             |      OVER (PARTITION BY pk ORDER BY seq ROWS UNBOUNDED PRECEDING) AS last_id
+             |  FROM ops),
+             |eff AS (
+             |  SELECT pk, seq, cents FROM w
+             |  WHERE op = 'INSERT' OR (op = 'UPDATE' AND last_id = 'INSERT')),
+             |last_eff AS (
+             |  SELECT pk, seq, cents,
+             |    ROW_NUMBER() OVER (PARTITION BY pk ORDER BY seq DESC) AS rn
+             |  FROM eff),
+             |survivors AS (
+             |  SELECT pk FROM (
+             |    SELECT pk, op, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY seq DESC) AS rn
+             |    FROM ops WHERE op IN ('INSERT', 'DELETE')) t
+             |  WHERE rn = 1 AND op = 'INSERT')
+             |SELECT CAST(l.pk AS BIGINT) AS user_id,
+             |       CAST(l.cents AS BIGINT) AS last_cents,
+             |       l.seq AS last_seq
+             |FROM last_eff l JOIN survivors sv ON l.pk = sv.pk
+             |WHERE l.rn = 1
+             |ORDER BY user_id""".stripMargin)
+    ),
+
     "q_envelope_json" -> QueryDef(
       (s, d) => {
         import s.implicits._
