@@ -67,6 +67,17 @@ object Multimodal {
       }
     }
 
+    /** Unnormalized folded byte histogram (exact long counts). */
+    def histogram(a: MediaAsset): Array[Long] = {
+      val acc = new Array[Long](FeatureDim)
+      var i = 0
+      while (i < a.content.length) {
+        acc((a.content(i) & 0xff) % FeatureDim) += 1L
+        i += 1
+      }
+      acc
+    }
+
     /** Fixed-dim feature: folded byte histogram, L2-normalized. */
     def feature(a: MediaAsset): MediaFeature = {
       val acc = new Array[Float](FeatureDim)

@@ -311,6 +311,45 @@ object PipelineQueries {
               |ORDER BY id_a, id_b""".stripMargin)
     ),
 
+    "q_multimodal_pipeline" -> QueryDef(
+      // The multimodal plumbing as a verifiable query: documents wrapped as
+      // binary assets, run through the REAL module path (batched per-partition
+      // decode + histogram). The oracle recomputes frame counts, first-frame
+      // mean intensity and histogram bins from ASCII codepoints — byte ==
+      // codepoint because the corpus is pure ASCII, so the stub codec's
+      // arithmetic is reproducible engine-independently.
+      (s, d) => {
+        import s.implicits._
+        val assets = graft.multimodal.Multimodal.assetsFromDocuments(s, documents(s, d))
+        val frames = graft.multimodal.Multimodal.decodeToFrames(assets)
+        val frameAgg = frames.groupBy($"asset_id".as("doc_id"))
+          .agg(count(lit(1)).as("n_frames"),
+            round(max(when($"frame_idx" === 0, $"mean_intensity")), 4).as("frame0_mean"))
+        val hists = assets.map(a => {
+          val h = graft.multimodal.Multimodal.DecodeStub.histogram(a)
+          (a.asset_id, h(0), h(1), h(2), h(3))
+        }).toDF("doc_id", "h0", "h1", "h2", "h3")
+        frameAgg.join(hists, Seq("doc_id"))
+          .select($"doc_id", $"n_frames", $"frame0_mean", $"h0", $"h1", $"h2", $"h3")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, text, length(text) AS n,
+             |    list_transform(range(1, length(text) + 1), i -> ascii(substring(text, i, 1))) AS bytes
+             |  FROM documents),
+             |agg AS (
+             |  SELECT doc_id,
+             |    CAST(CEIL(n / 256.0) AS BIGINT) AS n_frames,
+             |    ROUND(CAST(list_sum(bytes[1 : LEAST(n, 256)]) AS DOUBLE) / LEAST(n, 256), 4) AS frame0_mean,
+             |    CAST(len(list_filter(bytes, x -> x % 64 = 0)) AS BIGINT) AS h0,
+             |    CAST(len(list_filter(bytes, x -> x % 64 = 1)) AS BIGINT) AS h1,
+             |    CAST(len(list_filter(bytes, x -> x % 64 = 2)) AS BIGINT) AS h2,
+             |    CAST(len(list_filter(bytes, x -> x % 64 = 3)) AS BIGINT) AS h3
+             |  FROM b)
+             |SELECT doc_id, n_frames, frame0_mean, h0, h1, h2, h3
+             |FROM agg ORDER BY doc_id""".stripMargin)
+    ),
+
     // ---------------------------------------------------------- text analysis
     "q_text_analysis" -> QueryDef(
       (s, d) => {
