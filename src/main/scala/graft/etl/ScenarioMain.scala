@@ -58,6 +58,23 @@ object ScenarioMain {
     println("[cdc] table statistics:")
     cdc.tableStatistics().show(truncate = false)
 
+    // --- durable CDC: distributed parquet state + restart recovery ---------
+    val stateDir = Files.createTempDirectory("graft-scenario-state").toString
+    val d1 = new TaskRunner(spark, SelectionRules.referenceTables,
+      Seq(SelectionRule("%", "%", "include")), new MemoryEventSink, Some(stateDir))
+    d1.processCdcBatchRecords(
+      graft.cdc.CdcParser.parseLines(ReferenceFixtures.cdcFile1.linesIterator.toSeq)
+        .map(r => r.copy(seq = 1000000L + r.seq)))
+    // simulated crash: a brand-new runner resumes from the snapshot
+    val d2 = new TaskRunner(spark, SelectionRules.referenceTables,
+      Seq(SelectionRule("%", "%", "include")), new MemoryEventSink, Some(stateDir))
+    d2.processCdcBatchRecords(
+      graft.cdc.CdcParser.parseLines(ReferenceFixtures.cdcFile2.linesIterator.toSeq)
+        .map(r => r.copy(seq = 2000000L + r.seq)))
+    println(s"[durable-cdc] state after restart+batch2: " +
+      d2.currentState.map(r => s"${r.schema}.${r.table}#${r.pk}").mkString(", ") +
+      s" (expect hr.department#204); exceptions=${d2.exceptions.size} (expect 1)")
+
     // --- consumer replay (O11-O14): threshold filter + early stop + parse --
     val consumed = EventConsumer.consume(cdcSink, expected = 15)
     println(s"[consumer] consumed=${consumed.size} (expect 15)")

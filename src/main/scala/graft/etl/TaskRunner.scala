@@ -22,7 +22,8 @@ final class TaskRunner(
     spark: SparkSession,
     tables: Seq[TableDef],
     rules: Seq[SelectionRule],
-    sink: EventSink
+    sink: EventSink,
+    stateDir: Option[String] = None
 ) {
   import spark.implicits._
 
@@ -72,8 +73,22 @@ final class TaskRunner(
   @volatile private var stateRecords: Seq[CdcRecord] = Seq.empty
   @volatile private var exceptionLog: Seq[ApplyOutcome] = Seq.empty
 
-  def currentState: Seq[CdcRecord] = stateRecords
-  def exceptions: Seq[ApplyOutcome] = exceptionLog
+  /** Durable, distributed state (parquet snapshot + exception log) when a
+    * stateDir is configured; a restarted runner on the same dir resumes from
+    * the committed snapshot. In-memory otherwise (tests, ephemeral replays).
+    */
+  private val durable: Option[DurableCdcState] =
+    stateDir.map(d => new DurableCdcState(spark, d))
+
+  def currentState: Seq[CdcRecord] = durable match {
+    case Some(st) => st.loadState().collect().toSeq
+      .sortBy(r => (r.schema, r.table, r.pk))
+    case None => stateRecords
+  }
+  def exceptions: Seq[ApplyOutcome] = durable match {
+    case Some(st) => st.loadExceptions().collect().toSeq.sortBy(_.lastSeq)
+    case None => exceptionLog
+  }
 
   /** Emit CDC start controls: create-table per selected table + the DMS
     * internal awsdms_apply_exceptions table (README.md:84 — "3 create +
@@ -92,12 +107,16 @@ final class TaskRunner(
     * running state. Batch is the parsed record set in seq order.
     */
   private def applyBatch(records: Seq[CdcRecord]): Unit = synchronized {
-    val seeded = stateRecords ++ records
-    val outcomes = CdcApply.runLocal(seeded)
-    stateRecords = outcomes.filter(_.kind == "state").map { o =>
-      CdcRecord(0L, CdcParser.OpLoad, o.schema, o.table, o.pk, o.values)
+    durable match {
+      case Some(st) =>
+        st.mergeBatch(spark.createDataset(records))
+      case None =>
+        val outcomes = CdcApply.runLocal(stateRecords ++ records)
+        stateRecords = outcomes.filter(_.kind == "state").map { o =>
+          CdcRecord(0L, CdcParser.OpLoad, o.schema, o.table, o.pk, o.values)
+        }
+        exceptionLog = exceptionLog ++ outcomes.filter(_.kind == "exception")
     }
-    exceptionLog = exceptionLog ++ outcomes.filter(_.kind == "exception")
   }
 
   private val txnCounter = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -122,24 +141,25 @@ final class TaskRunner(
     val records = lines
       .filter(_._2.trim.nonEmpty)
       .map { case (seq, line) => CdcParser.parseLine(seq, line) }
+    processCdcBatchRecords(records)
+  }
+
+  /** Apply an already-parsed, already-sequenced record batch: emit envelopes
+    * then merge into state. (The streaming path funnels here via
+    * processCdcBatch; also the direct API for replays.)
+    */
+  def processCdcBatchRecords(records: Seq[CdcRecord]): Unit = {
     val ts = nowIso()
     val events = records.map { r =>
       val txn = txnCounter.incrementAndGet()
-      val dataJson = r.table match {
-        case _ =>
-          // Generic positional data object col1..colN resolved against the
-          // declared schema when available; raw positional otherwise.
-          val t = selected.find(t => t.name == r.table && t.owner == r.schema)
-          val fields = t match {
-            case Some(td) =>
-              td.columns.map(_.name).zip(r.values).map { case (n, v) =>
-                s""""$n":${jsonValue(v)}"""
-              }
-            case None =>
-              r.values.zipWithIndex.map { case (v, i) => s""""col${i + 1}":${jsonValue(v)}""" }
-          }
-          fields.mkString("{", ",", "}")
+      val t = selected.find(t => t.name == r.table && t.owner == r.schema)
+      val fields = t match {
+        case Some(td) =>
+          td.columns.map(_.name).zip(r.values).map { case (n, v) => s""""$n":${jsonValue(v)}""" }
+        case None =>
+          r.values.zipWithIndex.map { case (v, i) => s""""col${i + 1}":${jsonValue(v)}""" }
       }
+      val dataJson = fields.mkString("{", ",", "}")
       val env =
         s"""{"data":$dataJson,"metadata":{"timestamp":"$ts","record-type":"data","operation":"${r.op.toLowerCase}","partition-key-type":"schema-table","schema-name":"${r.schema}","table-name":"${r.table}","transaction-id":$txn}}"""
       (s"${r.schema}.${r.table}", env)

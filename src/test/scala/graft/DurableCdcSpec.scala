@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cdc.CdcParser
+import graft.etl._
+import graft.schema.{SelectionRule, SelectionRules}
+
+/** Durable CDC state: distributed parquet-snapshot merge per batch, restart
+  * recovery, idempotent state under batch replay.
+  */
+class DurableCdcSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+
+  private def runner(stateDir: String, sink: EventSink = new MemoryEventSink) =
+    new TaskRunner(spark, SelectionRules.referenceTables,
+      Seq(SelectionRule("%", "%", "include")), sink, Some(stateDir))
+
+  private def batchOf(body: String, fileSeq: Long) =
+    CdcParser.parseLines(body.linesIterator.toSeq)
+      .map(r => r.copy(seq = fileSeq * 1000000L + r.seq))
+
+  test("restarted runner resumes from the committed snapshot") {
+    val dir = Files.createTempDirectory("graft-durable").toString
+    val st = new DurableCdcState(spark, dir)
+    import spark.implicits._
+
+    // batch 1 (cdc file 1): net-empty employee
+    st.mergeBatch(spark.createDataset(batchOf(ReferenceFixtures.cdcFile1, 1)))
+    assert(st.loadState().count() == 0)
+
+    // "crash": brand-new state handle on the same dir — batch 2 applies on top
+    val st2 = new DurableCdcState(spark, dir)
+    st2.mergeBatch(spark.createDataset(batchOf(ReferenceFixtures.cdcFile2, 2)))
+    val state = st2.loadState().collect()
+    assert(state.map(r => (r.schema, r.table, r.pk)).toSeq == Seq(("hr", "department", "204")))
+    val ex = st2.loadExceptions().collect()
+    assert(ex.map(e => (e.table, e.pk)).toSeq == Seq(("department", "301")))
+  }
+
+  test("state snapshot is idempotent under batch replay (at-least-once)") {
+    val dir = Files.createTempDirectory("graft-replay").toString
+    val st = new DurableCdcState(spark, dir)
+    import spark.implicits._
+    val b = batchOf(ReferenceFixtures.cdcFile2, 2)
+    st.mergeBatch(spark.createDataset(b))
+    val first = st.loadState().collect().map(r => (r.pk, r.values)).toSet
+    st.mergeBatch(spark.createDataset(b)) // replayed micro-batch
+    val second = st.loadState().collect().map(r => (r.pk, r.values)).toSet
+    assert(first == second)
+  }
+
+  test("TaskRunner in durable mode survives a restart mid-stream") {
+    val dir = Files.createTempDirectory("graft-tr-durable").toString
+    val r1 = runner(dir)
+    r1.processCdcBatchRecords(batchOf(ReferenceFixtures.cdcFile1, 1))
+    // new runner (fresh JVM analog) on the same state dir
+    val r2 = runner(dir)
+    r2.processCdcBatchRecords(batchOf(ReferenceFixtures.cdcFile2, 2))
+    assert(r2.currentState.map(r => (r.schema, r.table, r.pk)) ==
+      Seq(("hr", "department", "204")))
+    assert(r2.exceptions.map(e => (e.table, e.pk)) == Seq(("department", "301")))
+  }
+}
