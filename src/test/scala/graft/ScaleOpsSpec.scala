@@ -35,6 +35,35 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(salts > 4, s"expected hot key spread across salts, got $salts")
   }
 
+  test("AQE splits a skewed join partition at runtime (OptimizeSkewedJoin)") {
+    import spark.implicits._
+    // one key owns ~90% of the left side; thresholds lowered so local data
+    // sizes qualify as "skewed"
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+      val left = spark.range(200000)
+        .select(when($"id" % 10 =!= 0, lit(7L)).otherwise($"id").as("k"), $"id".as("payload"))
+      val right = spark.range(1000).select($"id".as("k"), lit("dim").as("v"))
+      val joined = left.join(right, Seq("k"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"expected AQE skew handling in:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without any shuffle exchange") {
     import spark.implicits._
     val warehouse = java.nio.file.Files.createTempDirectory("graft-wh")
