@@ -29,6 +29,32 @@ trait EventSink {
   def size: Int = all.size
 }
 
+/** N-shard sink: the scale-out generalization of the reference's 1-shard
+  * stream. Records route by `hash(partitionKey) % shards` — total order is
+  * kept per shard, and since a table's envelopes share one partition key
+  * (`schema.table`), per-table event order survives sharding: exactly the
+  * ordering contract Kinesis gives per shard. Throughput scales with shards;
+  * the reference is the `shards = 1` special case.
+  */
+final class ShardedEventSink(val shards: Int) extends EventSink {
+  require(shards > 0)
+  private val shardSinks = Array.fill(shards)(new MemoryEventSink)
+
+  private def shardOf(pk: String): Int = math.floorMod(pk.hashCode, shards)
+
+  override def append(events: Seq[(String, String)]): Unit =
+    events.groupBy { case (pk, _) => shardOf(pk) }.foreach { case (s, evs) =>
+      shardSinks(s).append(evs)
+    }
+
+  def shard(i: Int): MemoryEventSink = shardSinks(i)
+
+  /** All events across shards; order is per-shard (no global order — the
+    * point of sharding), shards concatenated.
+    */
+  override def all: Seq[EventRecord] = shardSinks.toIndexedSeq.flatMap(_.all)
+}
+
 final class MemoryEventSink extends EventSink {
   private val buf = ArrayBuffer.empty[EventRecord]
   private var seq = 0L

@@ -58,6 +58,13 @@ object ScenarioMain {
     println("[cdc] table statistics:")
     cdc.tableStatistics().show(truncate = false)
 
+    // --- sharded sink: the N-shard scale-out of the 1-shard stream ---------
+    val sharded = new ShardedEventSink(2)
+    new TaskRunner(spark, SelectionRules.referenceTables,
+      Seq(SelectionRule("%", "%", "include")), sharded).runFullLoad(root.toString)
+    println(s"[sharded] events=${sharded.all.size} (expect 16) across ${sharded.shards} shards: " +
+      (0 until sharded.shards).map(i => s"shard$i=${sharded.shard(i).size}").mkString(", "))
+
     // --- durable CDC: distributed parquet state + restart recovery ---------
     val stateDir = Files.createTempDirectory("graft-scenario-state").toString
     val d1 = new TaskRunner(spark, SelectionRules.referenceTables,

@@ -434,6 +434,38 @@ object PipelineQueries {
              |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin)
     ),
 
+    "q_text_ngrams" -> QueryDef(
+      // Top-5 bigrams per language: explode → two-key count → windowed top-k
+      // with deterministic tiebreak. The n-gram frequency shape behind
+      // tokenizer/vocab builds; partial-aggregatable counts, k rows per group
+      // out.
+      (s, d) => {
+        import s.implicits._
+        val bi = documents(s, d)
+          .select($"lang", split($"text", " ").as("tok"))
+          .filter(size($"tok") >= 2)
+          .select($"lang", explode(
+            expr("transform(sequence(0, size(tok)-2), i -> concat_ws(' ', tok[i], tok[i+1]))")).as("bigram"))
+        val counts = bi.groupBy($"lang", $"bigram").agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy($"lang").orderBy($"n".desc, $"bigram")
+        counts.withColumn("rnk", row_number().over(w).cast("long"))
+          .filter($"rnk" <= 5)
+          .select($"lang", $"rnk", $"bigram", $"n")
+          .orderBy($"lang", $"rnk")
+      },
+      Some("""WITH bi AS (
+             |  SELECT lang, unnest(list_transform(range(0, len(tok)-1),
+             |    i -> tok[i+1] || ' ' || tok[i+2])) AS bigram
+             |  FROM (SELECT lang, string_split(text, ' ') AS tok FROM documents)
+             |  WHERE len(tok) >= 2),
+             |counts AS (SELECT lang, bigram, COUNT(*) AS n FROM bi GROUP BY lang, bigram)
+             |SELECT lang, rnk, bigram, n FROM (
+             |  SELECT lang, bigram, n,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS BIGINT) AS rnk
+             |  FROM counts) t
+             |WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin)
+    ),
+
     "q_token_count" -> QueryDef(
       (s, d) => {
         import s.implicits._
