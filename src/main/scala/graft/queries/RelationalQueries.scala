@@ -449,6 +449,34 @@ object RelationalQueries {
              |FROM events ORDER BY user_id, ts, event_id""".stripMargin)
     ),
 
+    "q_topk_per_group" -> QueryDef(
+      // Top-3 orders per customer via the custom bounded_topk
+      // TypedImperativeAggregate: map-side partials keep a 3-element buffer
+      // per key, so only k×keys rows shuffle — the scale path the
+      // row_number() window (which sorts everything) can't take. The oracle
+      // is the independent window formulation: agreement verifies the
+      // aggregate's update/merge/eval against relational semantics.
+      (s, d) => {
+        import s.implicits._
+        orders(s, d)
+          .groupBy($"o_custkey")
+          .agg(graft.functions.BoundedTopK
+            .boundedTopK(s, $"o_totalprice", $"o_orderkey", 3).as("topk"))
+          .select($"o_custkey", posexplode($"topk"))
+          .select(
+            $"o_custkey",
+            ($"pos" + 1).cast("long").as("rnk"),
+            $"col.id".as("o_orderkey"),
+            $"col.score".as("o_totalprice"))
+          .orderBy($"o_custkey", $"rnk")
+      },
+      Some("""SELECT o_custkey, CAST(rnk AS BIGINT) AS rnk, o_orderkey, o_totalprice FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+             |  FROM orders) t
+             |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin)
+    ),
+
     "q_window_ntile" -> QueryDef(
       (s, d) => {
         import s.implicits._
