@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types._
+import graft.functions._
+
+/** Config-injectable function pack: add
+  * `spark.sql.extensions=graft.GraftExtensions` to a session (or
+  * `.withExtensions(new GraftExtensions)`) and every custom expression is
+  * available in SQL without any code — the standard library-integration
+  * surface for Spark deployments.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two double arrays"),
+      (exprs: Seq[Expression]) => CosineSimilarity.normalized(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("hyperplane_sig"),
+      info("hyperplane_sig", "hyperplane_sig(v) - 16 sign-LSH bits of a double array"),
+      (exprs: Seq[Expression]) => HyperplaneSig(Cast(exprs.head, ArrayType(DoubleType)))))
+    e.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(hs) - 16 affine minhashes of pre-hashed shingles"),
+      (exprs: Seq[Expression]) => AffineMinHashSig(Cast(exprs.head, ArrayType(LongType)))))
+    e.injectFunction((
+      FunctionIdentifier("bounded_topk"),
+      info("bounded_topk", "bounded_topk(score, id, k) - k largest (score,id) pairs per group"),
+      (exprs: Seq[Expression]) => BoundedTopK(
+        Cast(exprs(0), DoubleType), Cast(exprs(1), LongType), exprs(2)).toAggregateExpression()))
+  }
+}

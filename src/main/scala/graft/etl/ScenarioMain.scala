@@ -17,8 +17,15 @@ object ScenarioMain {
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // injected-function surface (spark.sql.extensions=graft.GraftExtensions)
+    val fx = spark.sql(
+      "SELECT cosine_sim(array(3.0D, 4.0D), array(3.0D, 4.0D)) AS c, " +
+        "hyperplane_sig(array(1.0D)) AS h").head()
+    println(s"[extensions] cosine_sim=${fx.getDouble(0)} (expect 1.0), hyperplane_sig ok")
 
     val root = Files.createTempDirectory("graft-scenario-src")
     ReferenceFixtures.fullLoadCsvs.foreach { case (table, body) =>
