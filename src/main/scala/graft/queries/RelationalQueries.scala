@@ -219,6 +219,28 @@ object RelationalQueries {
              |ORDER BY e.event_id""".stripMargin)
     ),
 
+    "q_scalar_subquery" -> QueryDef(
+      // Correlated scalar subquery through the SQL front door: customers
+      // above their own nation's average balance. Catalyst decorrelates this
+      // to an aggregate + join — worth pinning since the rewrite is where
+      // subquery bugs live. The threshold is the deterministic
+      // decimal-sum::double / count form on both sides.
+      (s, d) => {
+        customer(s, d).createOrReplaceTempView("customer")
+        s.sql(
+          """SELECT c_custkey, c_acctbal FROM customer c
+            |WHERE c_acctbal > (
+            |  SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+            |  FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+            |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_acctbal FROM customer c
+             |WHERE c_acctbal > (
+             |  SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+             |  FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+             |ORDER BY c_custkey""".stripMargin)
+    ),
+
     // ---------------------------------------------------------- aggregation
     "q_agg_hash" -> QueryDef(
       // TPC-H Q1 shape. All aggregates are partial-aggregatable; with 4 group

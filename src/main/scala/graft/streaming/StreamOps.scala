@@ -49,6 +49,30 @@ object StreamOps {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Stream-stream inner join with event-time bounds: purchases matched to
+    * the same user's signups within `horizon` before the purchase. Both
+    * sides watermarked so state is GC'd once the range condition can no
+    * longer match — the bounded-state pattern every stream-stream join at
+    * scale needs (unbounded joins accumulate state forever).
+    */
+  def purchasesJoinedToSignups(
+      purchases: DataFrame,
+      signups: DataFrame,
+      horizon: String = "2 hours",
+      lateness: String = "10 minutes"
+  ): DataFrame = {
+    val p = purchases.withWatermark("ts", lateness)
+      .select(col("user_id"), col("ts").as("purchase_ts"), col("event_id").as("purchase_id"))
+    val sg = signups.withWatermark("ts", lateness)
+      .select(col("user_id").as("s_user_id"), col("ts").as("signup_ts"))
+    p.join(sg,
+      col("user_id") === col("s_user_id") &&
+        col("signup_ts") <= col("purchase_ts") &&
+        col("signup_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"),
+      "inner")
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"), col("signup_ts"))
+  }
+
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   final case class UserRunning(user_id: Long, n_events: Long, n_purchases: Long)
 

@@ -64,6 +64,29 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join matches purchases to in-horizon signups only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    val signups = MemoryStream[(Long, Timestamp, Long)]
+    val pDf = purchases.toDF().toDF("user_id", "ts", "event_id")
+    val sDf = signups.toDF().toDF("user_id", "ts", "event_id")
+    val q = StreamOps.purchasesJoinedToSignups(pDf, sDf, "2 hours", "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssjoin_out").start()
+    try {
+      signups.addData(
+        (1L, ts("2024-01-01 09:00:00"), 100L), // in horizon for the 10:00 purchase
+        (1L, ts("2024-01-01 05:00:00"), 101L), // too old
+        (2L, ts("2024-01-01 09:30:00"), 102L)) // other user
+      purchases.addData((1L, ts("2024-01-01 10:00:00"), 200L))
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin_out")
+        .select($"purchase_id", $"signup_ts").as[(Long, Timestamp)].collect().toSeq
+      assert(rows == Seq((200L, ts("2024-01-01 09:00:00"))))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running per-user counters across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
