@@ -43,7 +43,10 @@ final class DurableCdcState(spark: SparkSession, dir: String) {
 
   def loadExceptions(): Dataset[ApplyOutcome] =
     if (fs.exists(new Path(exceptionsPath)))
+      // a replayed micro-batch (at-least-once) re-appends identical rows;
+      // (key, seq) identifies an exception uniquely, so dedup on read
       spark.read.parquet(exceptionsPath).as[ApplyOutcome]
+        .dropDuplicates("schema", "table", "pk", "lastSeq")
     else spark.emptyDataset[ApplyOutcome]
 
   /** Merge one parsed micro-batch into the snapshot with the distributed

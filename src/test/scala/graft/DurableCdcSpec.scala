@@ -48,6 +48,12 @@ class DurableCdcSpec extends AnyFunSuite {
     st.mergeBatch(spark.createDataset(b)) // replayed micro-batch
     val second = st.loadState().collect().map(r => (r.pk, r.values)).toSet
     assert(first == second)
+    // replayed identical exceptions dedup on read: the delete-missing-301
+    // from the original batch appears exactly once (the replay also logs a
+    // legitimate duplicate-insert artifact for 204 — full-row-image replays
+    // keep STATE exact; the exception log records what each apply attempt saw)
+    val ex = st.loadExceptions().collect()
+    assert(ex.count(e => e.table == "department" && e.pk == "301") == 1)
   }
 
   test("TaskRunner in durable mode survives a restart mid-stream") {
