@@ -657,6 +657,110 @@ object RelationalQueries {
              |FROM part ORDER BY p_partkey""".stripMargin)
     ),
 
+    "q_map_funcs" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        part(s, d)
+          .withColumn("m", map(lit("brand"), $"p_brand", lit("type"), $"p_type"))
+          .select(
+            $"p_partkey",
+            element_at($"m", "brand").as("brand_v"),
+            size(map_keys($"m")).cast("long").as("n_keys"),
+            array_contains(map_keys($"m"), "type").as("has_type"))
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey,
+             |  map_extract(map(['brand','type'], [p_brand, p_type]), 'brand')[1] AS brand_v,
+             |  CAST(cardinality(map(['brand','type'], [p_brand, p_type])) AS BIGINT) AS n_keys,
+             |  list_contains(map_keys(map(['brand','type'], [p_brand, p_type])), 'type') AS has_type
+             |FROM part ORDER BY p_partkey""".stripMargin)
+    ),
+
+    "q_struct_funcs" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        customer(s, d)
+          .withColumn("st", struct($"c_name".as("name"), $"c_acctbal".as("bal")))
+          .select(
+            $"c_custkey",
+            $"st.name".as("name_v"),
+            ($"st.bal" > 0).as("positive"))
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey,
+             |  struct_pack(name := c_name, bal := c_acctbal).name AS name_v,
+             |  (struct_pack(name := c_name, bal := c_acctbal).bal > 0) AS positive
+             |FROM customer ORDER BY c_custkey""".stripMargin)
+    ),
+
+    "q_conditional_funcs" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        customer(s, d)
+          .select(
+            $"c_custkey",
+            coalesce(nullif($"c_mktsegment", lit("AUTOMOBILE")), lit("OTHER")).as("seg_or_other"),
+            when($"c_acctbal" < 0, "debt").when($"c_acctbal" < 1000, "low").otherwise("high").as("bal_band"),
+            least($"c_nationkey", lit(10)).cast("long").as("nk_cap"))
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey,
+             |  COALESCE(NULLIF(c_mktsegment, 'AUTOMOBILE'), 'OTHER') AS seg_or_other,
+             |  CASE WHEN c_acctbal < 0 THEN 'debt' WHEN c_acctbal < 1000 THEN 'low' ELSE 'high' END AS bal_band,
+             |  CAST(LEAST(c_nationkey, 10) AS BIGINT) AS nk_cap
+             |FROM customer ORDER BY c_custkey""".stripMargin)
+    ),
+
+    "q_sample_hash" -> QueryDef(
+      // Deterministic ~1/16 sample by md5 bucket — the reproducible,
+      // engine-independent way to sample at scale (TABLESAMPLE is neither).
+      (s, d) => {
+        import s.implicits._
+        orders(s, d)
+          .filter(substring(md5($"o_orderkey".cast("string")), 1, 1) === "0")
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+             |FROM orders
+             |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+             |ORDER BY o_orderkey""".stripMargin)
+    ),
+
+    "q_agg_argmax" -> QueryDef(
+      // arg-max with a composite deterministic ordering key (cents ⊕ orderkey)
+      (s, d) => {
+        import s.implicits._
+        orders(s, d)
+          .withColumn("ord_key",
+            round($"o_totalprice" * 100, 0).cast("long") * 10000000L + $"o_orderkey")
+          .groupBy($"o_orderpriority")
+          .agg(
+            max_by($"o_orderkey", $"ord_key").as("top_order"),
+            max($"o_totalprice").as("top_price"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+             |  arg_max(o_orderkey, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) * 10000000 + o_orderkey) AS top_order,
+             |  MAX(o_totalprice) AS top_price
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    ),
+
+    "q_having" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        orders(s, d)
+          .groupBy($"o_custkey")
+          .agg(count(lit(1)).as("n_orders"), sumMoney($"o_totalprice").as("spend"))
+          .filter($"n_orders" >= 15)
+          .orderBy($"o_custkey")
+      },
+      Some("""SELECT o_custkey, COUNT(*) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend
+             |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+             |ORDER BY o_custkey""".stripMargin)
+    ),
+
     "q_json_extract" -> QueryDef(
       (s, d) => {
         import s.implicits._
