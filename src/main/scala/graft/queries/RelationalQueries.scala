@@ -372,6 +372,39 @@ object RelationalQueries {
              |GROUP BY n_name ORDER BY n_name""".stripMargin)
     ),
 
+    "q_agg_variance" -> QueryDef(
+      // Sample variance/stddev via the explicit exact-sum formula: Σx and Σx²
+      // as exact decimals, then identical double arithmetic in both engines —
+      // the built-in stddev aggregates are partial-merge-order-dependent and
+      // would differ run to run, let alone engine to engine.
+      (s, d) => {
+        import s.implicits._
+        val x = dec($"c_acctbal")
+        val x2 = (dec($"c_acctbal") * dec($"c_acctbal"))
+        customer(s, d)
+          .groupBy($"c_mktsegment")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(x).cast("double").as("sum_x"),
+            sum(x2).cast("double").as("sum_x2"))
+          .withColumn("variance",
+            ($"sum_x2" - $"sum_x" * $"sum_x" / $"n") / ($"n" - 1))
+          .withColumn("stddev", sqrt($"variance"))
+          .select($"c_mktsegment", $"n", round($"variance", 2).as("variance"),
+            round($"stddev", 2).as("stddev"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, n, ROUND(variance, 2) AS variance, ROUND(sqrt(variance), 2) AS stddev
+             |FROM (
+             |  SELECT c_mktsegment, n, (sum_x2 - sum_x * sum_x / n) / (n - 1) AS variance
+             |  FROM (
+             |    SELECT c_mktsegment, COUNT(*) AS n,
+             |      CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_x,
+             |      CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)) * CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_x2
+             |    FROM customer GROUP BY c_mktsegment) a) b
+             |ORDER BY c_mktsegment""".stripMargin)
+    ),
+
     "q_rollup" -> QueryDef(
       (s, d) => {
         import s.implicits._
@@ -519,6 +552,29 @@ object RelationalQueries {
     ),
 
     // ---------------------------------------------------------- sort / limit
+    "q_window_first_last" -> QueryDef(
+      // first/last over an explicit full-partition frame (last_value without
+      // the frame is the running-last trap both engines share).
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        orders(s, d)
+          .select(
+            $"o_custkey", $"o_orderkey", $"o_orderdate",
+            first($"o_orderkey").over(w).as("first_order"),
+            last($"o_orderkey").over(w).as("last_order"))
+          .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+             |  FIRST_VALUE(o_orderkey) OVER w AS first_order,
+             |  LAST_VALUE(o_orderkey) OVER w AS last_order
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)
+    ),
+
     "q_sort_limit_topk" -> QueryDef(
       // orderBy.limit compiles to TakeOrderedAndProject: per-partition top-10
       // then a 10-row merge on the driver — no global sort at any scale.
@@ -635,6 +691,49 @@ object RelationalQueries {
              |  CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
              |  CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_95
              |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+
+    "q_date_arith" -> QueryDef(
+      // Calendar arithmetic: month shifting, month-end snapping, weekday.
+      // Weekday numbering differs (Spark 1=Sunday, DuckDB 0=Sunday) — the
+      // oracle aligns explicitly.
+      (s, d) => {
+        import s.implicits._
+        orders(s, d)
+          .select(
+            $"o_orderkey",
+            add_months($"o_orderdate", 3).cast("date").as("plus3m"),
+            last_day($"o_orderdate").cast("date").as("month_end"),
+            (dayofweek($"o_orderdate") - 1).cast("long").as("dow0"),
+            quarter($"o_orderdate").cast("long").as("q"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+             |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+             |  CAST(dayofweek(o_orderdate) AS BIGINT) AS dow0,
+             |  CAST(quarter(o_orderdate) AS BIGINT) AS q
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+
+    "q_bitwise_funcs" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        part(s, d)
+          .select(
+            $"p_partkey",
+            ($"p_partkey".bitwiseAND(lit(255L))).as("low8"),
+            ($"p_partkey".bitwiseOR(lit(1L))).as("odd_or"),
+            ($"p_partkey".bitwiseXOR($"p_size".cast("long"))).as("xored"),
+            shiftleft($"p_partkey", 2).as("shl2"))
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey,
+             |  p_partkey & 255 AS low8,
+             |  p_partkey | 1 AS odd_or,
+             |  xor(p_partkey, CAST(p_size AS BIGINT)) AS xored,
+             |  p_partkey << 2 AS shl2
+             |FROM part ORDER BY p_partkey""".stripMargin)
     ),
 
     "q_math_funcs" -> QueryDef(
