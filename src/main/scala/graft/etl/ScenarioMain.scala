@@ -107,6 +107,15 @@ object ScenarioMain {
     sq.awaitTermination()
     val n = spark.table("scenario_tumbling").count()
     println(s"[streaming] tumbling windows emitted (closed by watermark): $n")
+    val dq = graft.streaming.StreamOps.runToMemory(
+      graft.streaming.StreamOps.dedupStream(
+        graft.streaming.StreamOps.readEventStream(spark, streamDir.toString)
+          .withColumn("uid_bucket",
+            org.apache.spark.sql.functions.col("user_id") % 50), Seq("uid_bucket")),
+      "scenario_dedup")
+    dq.awaitTermination()
+    println(s"[streaming] dedup kept ${spark.table("scenario_dedup").count()} of 2000 " +
+      "(one per key within watermark)")
 
     // --- multimodal plumbing demo ------------------------------------------
     val docs = graft.tables.Tables.documents(spark, sfDir)

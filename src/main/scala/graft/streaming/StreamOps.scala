@@ -49,6 +49,20 @@ object StreamOps {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Streaming exact dedup with bounded state: duplicates of a key arriving
+    * within the watermark window are dropped, and key state is GC'd once the
+    * watermark passes — the streaming form of `q_dedup_exact` (unbounded
+    * dropDuplicates would grow state forever at 100 TB/day).
+    */
+  def dedupStream(
+      events: DataFrame,
+      keyCols: Seq[String],
+      lateness: String = "10 minutes"
+  ): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Stream-stream inner join with event-time bounds: purchases matched to
     * the same user's signups within `horizon` before the purchase. Both
     * sides watermarked so state is GC'd once the range condition can no

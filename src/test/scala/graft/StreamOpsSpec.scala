@@ -64,6 +64,31 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops in-watermark duplicates, keeps state bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val events = input.toDF().toDF("doc_hash", "ts")
+    val q = StreamOps.dedupStream(events, Seq("doc_hash"), "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    try {
+      input.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      // same key again within the watermark window → dropped
+      input.addData((1L, ts("2024-01-01 10:02:00")))
+      q.processAllAvailable()
+      // advance far past the watermark: old state GC'd, key 1 admits again
+      input.addData((9L, ts("2024-01-01 20:00:00")))
+      q.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 20:01:00")))
+      q.processAllAvailable()
+      val keys = spark.table("dedup_out").select($"doc_hash").as[Long].collect().toSeq
+      assert(keys.count(_ == 1L) == 2) // once early, once after state expiry
+      assert(keys.count(_ == 2L) == 1)
+    } finally q.stop()
+  }
+
   test("stream-stream join matches purchases to in-horizon signups only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
