@@ -449,6 +449,72 @@ object RelationalQueries {
              |ORDER BY gid, c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
     ),
 
+    "q_grouping_sets" -> QueryDef(
+      // Explicit GROUPING SETS (not derivable from one rollup/cube): totals
+      // by (priority), by (status), and grand total in one pass.
+      (s, d) => {
+        orders(s, d).createOrReplaceTempView("orders")
+        s.sql(
+          """SELECT o_orderpriority, o_orderstatus,
+            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sales,
+            |  COUNT(*) AS n,
+            |  GROUPING_ID(o_orderpriority, o_orderstatus) AS gid
+            |FROM orders
+            |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+            |ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority, o_orderstatus,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sales,
+             |  COUNT(*) AS n,
+             |  GROUPING(o_orderpriority, o_orderstatus) AS gid
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+             |ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)
+    ),
+
+    "q_lateral_topn" -> QueryDef(
+      // Correlated LATERAL subquery: top-2 customers per nation by balance.
+      // Catalyst plans this via DomainJoin decorrelation — a different path
+      // from window top-k, worth pinning separately.
+      (s, d) => {
+        nation(s, d).createOrReplaceTempView("nation")
+        customer(s, d).createOrReplaceTempView("customer")
+        s.sql(
+          """SELECT n.n_name, t.c_custkey, t.c_acctbal
+            |FROM nation n,
+            |LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+            |         WHERE c.c_nationkey = n.n_nationkey
+            |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+            |ORDER BY n.n_name, t.c_custkey""".stripMargin)
+      },
+      Some("""SELECT n.n_name, t.c_custkey, t.c_acctbal
+             |FROM nation n,
+             |LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+             |         WHERE c.c_nationkey = n.n_nationkey
+             |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+             |ORDER BY n.n_name, t.c_custkey""".stripMargin)
+    ),
+
+    "q_try_funcs" -> QueryDef(
+      // Error-tolerant ETL casts: malformed input → null, not a failed job
+      // (ANSI mode makes plain CAST throw — try_cast is the 100 TB-safe form).
+      (s, d) => {
+        import s.implicits._
+        part(s, d)
+          .select(
+            $"p_partkey",
+            expr("try_cast(substring(p_name, 1, 3) AS BIGINT)").as("bad_int"),
+            expr("try_cast(CAST(p_size AS STRING) AS BIGINT)").as("good_int"),
+            expr("try_cast('2024-13-45' AS DATE)").as("bad_date"))
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey,
+             |  TRY_CAST(substring(p_name, 1, 3) AS BIGINT) AS bad_int,
+             |  TRY_CAST(CAST(p_size AS VARCHAR) AS BIGINT) AS good_int,
+             |  TRY_CAST('2024-13-45' AS DATE) AS bad_date
+             |FROM part ORDER BY p_partkey""".stripMargin)
+    ),
+
     // ---------------------------------------------------------- windows
     "q_window_rank" -> QueryDef(
       (s, d) => {
