@@ -65,6 +65,24 @@ object ScenarioMain {
     println("[cdc] table statistics:")
     cdc.tableStatistics().show(truncate = false)
 
+    // --- full-load-and-cdc: loaded rows seed the apply state ---------------
+    val flc = new TaskRunner(spark, SelectionRules.referenceTables,
+      Seq(SelectionRule("%", "%", "include")), new MemoryEventSink)
+    flc.runFullLoadAndSeedCdc(root.toString)
+    flc.processCdcBatchRecords(
+      graft.cdc.CdcParser.parseLines(ReferenceFixtures.cdcFile1.linesIterator.toSeq)
+        .map(r => r.copy(seq = 1000000L + r.seq)))
+    println(s"[full-load-and-cdc] state after seed+cdc1: ${flc.currentState.size} rows " +
+      s"(expect 9: 10 loaded, 101 deleted), exceptions=${flc.exceptions.size} (expect 1 dup-insert)")
+
+    // --- durable file sink: JSON-lines shards, restart-readable ------------
+    val sinkDir = Files.createTempDirectory("graft-scenario-sink").toString
+    val fsink = new FileEventSink(sinkDir, shards = 2)
+    new TaskRunner(spark, SelectionRules.referenceTables,
+      Seq(SelectionRule("%", "%", "include")), fsink).runFullLoad(root.toString)
+    println(s"[file-sink] wrote=${fsink.size}, fresh-reader sees=" +
+      s"${new FileEventSink(sinkDir, shards = 2).size} (expect 16/16)")
+
     // --- sharded sink: the N-shard scale-out of the 1-shard stream ---------
     val sharded = new ShardedEventSink(2)
     new TaskRunner(spark, SelectionRules.referenceTables,

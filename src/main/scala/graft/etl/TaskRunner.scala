@@ -63,6 +63,40 @@ final class TaskRunner(
     }
   }
 
+  /** DMS `migration_type="full-load-and-cdc"`: run the full load (controls +
+    * load envelopes) AND seed the apply state with the loaded rows as
+    * seq-0 LOAD images, so a subsequent CDC stream applies on top of them
+    * (UPDATE/DELETE of a loaded PK is then valid, INSERT of one excepts).
+    * The reference deploys the two task types separately (stack.py:87,98);
+    * this is the combined public DMS mode.
+    */
+  def runFullLoadAndSeedCdc(sourceRoot: String): Unit = {
+    runFullLoad(sourceRoot)
+    val seeds = selected.flatMap { t =>
+      spark.read
+        .schema(t.structType)
+        .option("header", "false")
+        .option("timestampFormat", "yyyy-MM-dd[ HH:mm:ss]")
+        .csv(s"$sourceRoot/${t.path}")
+        .collect()
+        .map { row =>
+          val values = t.columns.indices.map { i =>
+            val v = row.get(i)
+            if (v == null) null
+            else v match {
+              case ts: java.sql.Timestamp =>
+                // keep the CSV lexical form for date-valued timestamps
+                val s = ts.toString
+                if (s.endsWith(" 00:00:00.0")) s.dropRight(11) else s
+              case other => other.toString
+            }
+          }
+          CdcRecord(0L, CdcParser.OpLoad, t.owner, t.name, values.head, values)
+        }
+    }
+    applyBatch(seeds)
+  }
+
   // ---- CDC -----------------------------------------------------------------
 
   /** Current applied state (full row images per surviving PK) and accumulated

@@ -89,6 +89,30 @@ class GoldenScenarioSpec extends AnyFunSuite {
     assert(stats("project") == ((1L, 0L, 1L)))
   }
 
+  test("full-load-and-cdc: loaded rows seed the apply state") {
+    val root = Files.createTempDirectory("graft-flcdc")
+    writeSourceTree(root)
+    val sink = new MemoryEventSink
+    val runner = new TaskRunner(spark, SelectionRules.referenceTables,
+      Seq(SelectionRule("%", "%", "include")), sink)
+    runner.runFullLoadAndSeedCdc(root.toString)
+    // 10 loaded rows are now live state
+    assert(runner.currentState.size == 10)
+
+    // CDC file 1 applies ON TOP of the load: INSERT of existing 101 excepts
+    // (it was loaded), then update/update/delete → 101 gone, 102-104 remain
+    runner.processCdcBatchRecords(
+      graft.cdc.CdcParser.parseLines(ReferenceFixtures.cdcFile1.linesIterator.toSeq)
+        .map(r => r.copy(seq = 1000000L + r.seq)))
+    val employees = runner.currentState.filter(_.table == "employee").map(_.pk).sorted
+    assert(employees == Seq("102", "103", "104"))
+    assert(runner.exceptions.map(e => (e.table, e.pk)) == Seq(("employee", "101")))
+    assert(runner.exceptions.head.error.contains("duplicate insert"))
+    // loaded departments/projects untouched
+    assert(runner.currentState.count(_.table == "department") == 3)
+    assert(runner.currentState.count(_.table == "project") == 3)
+  }
+
   test("envelope JSON retains nulls and carries the partition key") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
