@@ -64,6 +64,8 @@ object ScenarioMain {
     println(s"[cdc] apply exceptions: ${cdc.exceptions.map(e => s"${e.table}#${e.pk}: ${e.error}")}")
     println("[cdc] table statistics:")
     cdc.tableStatistics().show(truncate = false)
+    println("[cdc] awsdms_apply_exceptions table:")
+    cdc.applyExceptionsTable().show(truncate = false)
 
     // --- full-load-and-cdc: loaded rows seed the apply state ---------------
     val flc = new TaskRunner(spark, SelectionRules.referenceTables,

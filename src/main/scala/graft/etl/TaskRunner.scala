@@ -224,6 +224,21 @@ final class TaskRunner(
       .start()
   }
 
+  /** The `awsdms_apply_exceptions` table as a DataFrame — DMS materializes
+    * apply failures as rows of this control table (its create-table event is
+    * part of the CDC golden, README.md:84); columns follow the public DMS
+    * layout (TASK_NAME/TABLE_OWNER/TABLE_NAME/ERROR_TIME/STATEMENT/ERROR).
+    */
+  def applyExceptionsTable(taskName: String = "graft-cdc"): DataFrame = {
+    val rows = exceptions.map { e =>
+      (taskName, e.schema, e.table,
+        new java.sql.Timestamp(System.currentTimeMillis()),
+        s"${e.values.mkString(",")}", e.error)
+    }
+    spark.createDataset(rows)
+      .toDF("TASK_NAME", "TABLE_OWNER", "TABLE_NAME", "ERROR_TIME", "STATEMENT", "ERROR")
+  }
+
   /** Table statistics (O15/O16): per-(schema, table) operation counters over
     * everything emitted so far, sorted by (SchemaName, TableName) — the
     * describe_table_statistics report (run.py:141-148).

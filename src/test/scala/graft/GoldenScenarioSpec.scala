@@ -81,6 +81,12 @@ class GoldenScenarioSpec extends AnyFunSuite {
     // one apply exception: delete on never-inserted department 301
     assert(runner.exceptions.map(e => (e.table, e.pk)) == Seq(("department", "301")))
 
+    // awsdms_apply_exceptions surfaced as a DMS-layout table
+    val exTable = runner.applyExceptionsTable().collect()
+    assert(exTable.length == 1)
+    assert(exTable.head.getString(1) == "hr" && exTable.head.getString(2) == "department")
+    assert(exTable.head.getString(5).contains("delete for missing key 301"))
+
     // stats: inserts/updates/deletes per table (employee 2/3/2, department 1/0/1, project 1/0/1)
     val stats = runner.tableStatistics().collect()
       .map(r => (r.getString(1), (r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
