@@ -253,6 +253,81 @@ object PipelineQueries {
               |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin)
     ),
 
+    "q_similarity_ann_ivf" -> QueryDef(
+      // IVF coarse quantization — the other 100 TB similarity scale path
+      // (inverted-file ANN, complementing the LSH buckets above). A tiny
+      // deterministic centroid set (vec_id % 97 == 0 and < 1552: 6 rows at
+      // sf0.01, 16 at sf0.1 — the k-means-init analogue) is collected once
+      // and baked into the plan as array literals, so nearest-centroid
+      // assignment of the N candidate vectors is pure map-side codegen (K
+      // fused cosine loops per row, ZERO shuffle — the property that makes
+      // IVF viable at 100 TB). Queries probe their nprobe=2 nearest cells;
+      // candidates come from an equi-join on cell id against the broadcast
+      // probe list, so ~2N/K vectors are reranked exactly instead of N.
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.Column
+        val e = embeddings(s, d)
+          .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        // K ≤ 16 rows — legitimate driver-side materialization (k-means-init
+        // style); everything downstream stays distributed.
+        val cents: Seq[(Long, Seq[Double])] =
+          e.filter($"vec_id" % 97 === 0 && $"vec_id" < 1552).orderBy($"vec_id")
+            .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+        // per-centroid (−cos6, cid) structs: array_min = argmax cosine with
+        // lowest-cid tiebreak, matching the oracle's ORDER BY cos6 DESC, cid.
+        def simStructs(vcol: Column): Column = array(cents.map { case (cid, cv) =>
+          struct(
+            (-round(graft.functions.CosineSimilarity.cosineSim(s, vcol, typedlit(cv)), 6)).as("negs"),
+            lit(cid).as("cid"))
+        }: _*)
+        val assigned = e
+          .withColumn("cell", array_min(simStructs($"v")).getField("cid"))
+          .select($"vec_id".as("c_id"), $"v".as("cv"), $"cell")
+        val probes = e.filter($"vec_id" < 10)
+          .withColumn("p", explode(slice(array_sort(simStructs($"v")), 1, 2)))
+          .select($"vec_id".as("q_id"), $"v".as("qv"), $"p.cid".as("cell"))
+        val scored = assigned
+          .join(broadcast(probes), Seq("cell"))
+          .filter($"q_id" =!= $"c_id")
+          .withColumn("sim4",
+            round(graft.functions.CosineSimilarity.cosineSim(s, $"qv", $"cv"), 4))
+        val w = Window.partitionBy($"q_id").orderBy($"sim4".desc, $"c_id")
+        scored.withColumn("rnk", row_number().over(w))
+          .filter($"rnk" <= 3)
+          .select($"q_id", $"rnk", $"c_id", $"sim4")
+          .orderBy($"q_id", $"rnk")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+             |n AS (
+             |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+             |c AS (
+             |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+             |  WHERE vec_id % 97 = 0 AND vec_id < 1552),
+             |asg AS (
+             |  SELECT vec_id, cid,
+             |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos6 DESC, cid) AS rk
+             |  FROM (
+             |    SELECT n.vec_id, c.cid,
+             |      ROUND(list_sum(list_transform(range(1, 65), i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm), 6) AS cos6
+             |    FROM n, c)),
+             |cells AS (SELECT vec_id, cid AS cell FROM asg WHERE rk = 1),
+             |probes AS (SELECT vec_id AS q_id, cid AS cell FROM asg WHERE vec_id < 10 AND rk <= 2),
+             |s AS (
+             |  SELECT p.q_id, ce.vec_id AS c_id,
+             |    ROUND(list_sum(list_transform(range(1, 65), i -> q.v[i] * cv.v[i])) / (q.nrm * cv.nrm), 4) AS sim4
+             |  FROM probes p
+             |  JOIN cells ce ON ce.cell = p.cell AND ce.vec_id <> p.q_id
+             |  JOIN n cv ON cv.vec_id = ce.vec_id
+             |  JOIN n q ON q.vec_id = p.q_id)
+             |SELECT q_id, rnk, c_id, sim4 FROM (
+             |  SELECT q_id, c_id, sim4,
+             |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim4 DESC, c_id) AS rnk
+             |  FROM s) t
+             |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin)
+    ),
+
     "q_dedup_embedding" -> QueryDef(
       // Embedding-cosine near-dup detection, banded: 16 hyperplane sign bits
       // split into 4 bands × 4 bits — a pair is a candidate if ANY band

@@ -69,6 +69,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("*("), plan) // inside a codegen stage
   }
 
+  test("q_similarity_ann_ivf assigns cells map-side and joins cells by broadcast") {
+    val plan = physical(run("q_similarity_ann_ivf"))
+    // candidate×probe matching is an equi-join on cell id, never all-pairs
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // centroid assignment is literal-baked cosine argmin (no shuffle before the join):
+    // exactly the exchanges for the probe broadcast + final top-k window remain
+    assert(plan.contains("cosine_sim"), plan)
+  }
+
   test("q_join_theta_range keeps the equi key as the join key (range as post-filter)") {
     val plan = physical(run("q_join_theta_range"))
     // joined on user_id (hash-partitionable); the ts band must not force NLJ
