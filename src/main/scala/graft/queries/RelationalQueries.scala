@@ -372,6 +372,33 @@ object RelationalQueries {
              |GROUP BY n_name ORDER BY n_name""".stripMargin)
     ),
 
+    "q_pivot_dynamic" -> QueryDef(
+      // Dynamic pivot: the key set is discovered at runtime (Spark runs a
+      // distinct pre-pass over o_orderpriority, capped by
+      // spark.sql.pivotMaxValues, then compiles the same CASE-per-key agg as
+      // the static form). The extra job is one low-cardinality distinct —
+      // cheap at any scale when the pivot column is a dimension; the static
+      // list above stays the choice when keys are known and the pre-pass scan
+      // of the fact table matters.
+      (s, d) => {
+        import s.implicits._
+        orders(s, d)
+          .groupBy($"o_orderstatus")
+          .pivot("o_orderpriority")
+          .agg(count(lit(1)))
+          .na.fill(0)
+          .orderBy($"o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus,
+             |  COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS "1-URGENT",
+             |  COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS "2-HIGH",
+             |  COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS "3-MEDIUM",
+             |  COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS "4-NOT SPECIFIED",
+             |  COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS "5-LOW"
+             |FROM orders
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    ),
+
     "q_agg_variance" -> QueryDef(
       // Sample variance/stddev via the explicit exact-sum formula: Σx and Σx²
       // as exact decimals, then identical double arithmetic in both engines —
