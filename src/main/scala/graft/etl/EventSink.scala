@@ -55,6 +55,66 @@ final class ShardedEventSink(val shards: Int) extends EventSink {
   override def all: Seq[EventRecord] = shardSinks.toIndexedSeq.flatMap(_.all)
 }
 
+/** Kinesis-quota backpressure decorator: a token bucket of `capacityPerSec`
+  * record slots, refilled continuously — the per-shard PutRecords quota
+  * (1000 records/s/shard on the real service, stack.py:266-272's one-shard
+  * stream). `append` forwards what fits and retries the throttled remainder
+  * with fixed backoff, the same bounded retry(retries, sleep) pattern the
+  * reference driver wraps around every throttlable AWS call (run.py:51-62);
+  * when retries are exhausted it surfaces the provisioned-throughput error
+  * instead of dropping records. Record order is preserved across retries
+  * (prefix-accept), so the per-shard ordering contract survives throttling.
+  * Clock and sleeper are injectable — specs run on virtual time.
+  */
+final class ThrottledEventSink(
+    inner: EventSink,
+    capacityPerSec: Int,
+    maxRetries: Int = 10,
+    backoffMs: Long = 1000L,
+    nanoTime: () => Long = System.nanoTime,
+    sleep: Long => Unit = Thread.sleep
+) extends EventSink {
+  require(capacityPerSec > 0)
+
+  private var tokens: Double = capacityPerSec.toDouble
+  private var lastRefill: Long = nanoTime()
+
+  /** Observability: number of throttled (backed-off) attempts so far. */
+  @volatile var throttleCount: Int = 0
+
+  private def refill(): Unit = {
+    val now = nanoTime()
+    tokens = math.min(
+      capacityPerSec.toDouble,
+      tokens + (now - lastRefill) / 1e9 * capacityPerSec)
+    lastRefill = now
+  }
+
+  override def append(events: Seq[(String, String)]): Unit = synchronized {
+    var pending = events
+    var attempt = 0
+    while (pending.nonEmpty) {
+      refill()
+      val n = math.min(pending.size, tokens.toInt)
+      if (n > 0) {
+        inner.append(pending.take(n))
+        tokens -= n
+        pending = pending.drop(n)
+        attempt = 0
+      } else {
+        throttleCount += 1
+        attempt += 1
+        if (attempt > maxRetries)
+          throw new IllegalStateException(
+            s"ProvisionedThroughputExceeded: ${pending.size} records still throttled after $maxRetries retries")
+        sleep(backoffMs)
+      }
+    }
+  }
+
+  override def all: Seq[EventRecord] = inner.all
+}
+
 final class MemoryEventSink extends EventSink {
   private val buf = ArrayBuffer.empty[EventRecord]
   private var seq = 0L
