@@ -37,6 +37,35 @@ object StreamShapeQueries {
              |ORDER BY window_start, event_type""".stripMargin)
     ),
 
+    "q_stream_sliding" -> QueryDef(
+      // Sliding windows (1 h window, 30 min slide): window() replicates each
+      // event into exactly windowDuration/slide = 2 windows map-side, then
+      // the same partial-agg shuffle as tumbling — state per (window, type),
+      // never per event. The oracle enumerates the two containing windows
+      // per event (epoch-aligned 30-min bucket, minus k·slide for k ∈ {0,1}).
+      (s, d) => {
+        import s.implicits._
+        events(s, d)
+          .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(dec($"value")).cast("double").as("total_value"))
+          .select(
+            $"window.start".as("window_start"),
+            $"window.end".as("window_end"),
+            $"event_type", $"n_events", $"total_value")
+          .orderBy($"window_start", $"event_type")
+      },
+      Some("""WITH w AS (
+             |  SELECT event_type, value,
+             |    CAST(time_bucket(INTERVAL 30 MINUTE, ts) - k.k * INTERVAL 30 MINUTE AS TIMESTAMP) AS window_start
+             |  FROM events, (SELECT unnest([0, 1]) AS k) k)
+             |SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+             |  event_type, COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+             |FROM w GROUP BY 1, 2, 3
+             |ORDER BY window_start, event_type""".stripMargin)
+    ),
+
     "q_stream_session" -> QueryDef(
       // Session windows (30-min gap) per user. In Spark a session extends
       // while the next event's ts is strictly inside [start, last+gap); the

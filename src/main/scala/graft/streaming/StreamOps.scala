@@ -33,6 +33,25 @@ object StreamOps {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"))
 
+  /** Sliding event-time counts (window/slide) with bounded lateness; same
+    * aggregation plan as `q_stream_sliding` — each event feeds
+    * window/slide overlapping windows, state is per (window, type).
+    */
+  def slidingCounts(
+      events: DataFrame,
+      window_ : String = "1 hour",
+      slide: String = "30 minutes",
+      lateness: String = "10 minutes"
+  ): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"))
+
   /** Session windows per user with a gap; same operator as `q_stream_session`. */
   def sessionCounts(
       events: DataFrame,

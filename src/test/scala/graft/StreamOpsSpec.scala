@@ -41,6 +41,28 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding windows count each event in window/slide overlapping windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val events = input.toDF().toDF("ts", "event_type")
+    val q = StreamOps.slidingCounts(events, "1 hour", "30 minutes", "10 minutes")
+      .writeStream.outputMode(OutputMode.Append).format("memory")
+      .queryName("sliding_out").start()
+    try {
+      input.addData((ts("2024-01-01 10:05:00"), "a"), (ts("2024-01-01 10:40:00"), "a"))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 20:00:00"), "a")) // close all early windows
+      q.processAllAvailable()
+      val rows = spark.table("sliding_out")
+        .select($"window_start", $"n_events").as[(Timestamp, Long)].collect().toMap
+      // 10:05 ∈ [09:30,10:30) and [10:00,11:00); 10:40 ∈ [10:00,11:00) and [10:30,11:30)
+      assert(rows(ts("2024-01-01 09:30:00")) == 1L)
+      assert(rows(ts("2024-01-01 10:00:00")) == 2L)
+      assert(rows(ts("2024-01-01 10:30:00")) == 1L)
+    } finally q.stop()
+  }
+
   test("session windows merge events within the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
