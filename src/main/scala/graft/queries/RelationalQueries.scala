@@ -305,6 +305,25 @@ object RelationalQueries {
       None
     ),
 
+    "q_agg_approx_quantile" -> QueryDef(
+      // Mergeable quantile sketch (approx_percentile) — the 100 TB answer to
+      // exact percentile(): partial sketches merge associatively, so no
+      // single-node sort of the whole column. No oracle (sketch contents are
+      // engine-specific); the spec bounds its error against exact
+      // percentile(), driver records rows>0.
+      (s, d) => {
+        import s.implicits._
+        lineitem(s, d)
+          .groupBy($"l_returnflag")
+          .agg(
+            expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)")
+              .as("approx_price_q"),
+            count(lit(1)).as("n"))
+          .orderBy($"l_returnflag")
+      },
+      None
+    ),
+
     "q_agg_minmax" -> QueryDef(
       (s, d) => {
         import s.implicits._

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.expr
 import graft.cdc.{CdcApply, CdcParser}
 import graft.etl.ReferenceFixtures
 
@@ -26,7 +27,23 @@ class QueriesSmokeSpec extends AnyFunSuite {
 
   test("every query has an oracle or a documented reason not to") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("q_agg_approx_distinct"), s"unexpected oracle-less: $noOracle")
+    assert(noOracle == Set("q_agg_approx_distinct", "q_agg_approx_quantile"),
+      s"unexpected oracle-less: $noOracle")
+  }
+
+  test("approx quantile sketch lands within 5% of the exact percentile") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_agg_approx_quantile")(spark, sfDir)
+      .select($"l_returnflag", $"approx_price_q").as[(String, Seq[Double])].collect().toMap
+    val exact = graft.tables.Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("q"))
+      .as[(String, Seq[Double])].collect().toMap
+    exact.foreach { case (flag, qs) =>
+      qs.zip(rows(flag)).foreach { case (ex, ap) =>
+        assert(math.abs(ap - ex) / ex < 0.05, s"$flag: approx $ap vs exact $ex")
+      }
+    }
   }
 
   test("distributed CdcApply.run matches the local sequential fold") {
