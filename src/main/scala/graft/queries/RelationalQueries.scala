@@ -418,6 +418,75 @@ object RelationalQueries {
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     ),
 
+    "q_listagg" -> QueryDef(
+      // Ordered string aggregation (LISTAGG/string_agg): collect_set is
+      // merge-order-nondeterministic, so the deterministic form is
+      // sort-then-join — one hash-agg shuffle, the sort is per-group over a
+      // small distinct set, never a global sort.
+      (s, d) => {
+        import s.implicits._
+        customer(s, d)
+          .join(broadcast(nation(s, d)), $"c_nationkey" === $"n_nationkey")
+          .groupBy($"c_mktsegment")
+          .agg(
+            array_join(array_sort(collect_set($"n_name")), ",").as("nations"),
+            countDistinct($"n_name").as("n_nations"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment,
+             |  string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations,
+             |  COUNT(DISTINCT n_name) AS n_nations
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    ),
+
+    "q_unpivot" -> QueryDef(
+      // Wide→long reshape (UNPIVOT/melt): map-only — each row fans out to
+      // one row per measure with no shuffle at all; the inverse of pivot.
+      (s, d) => {
+        import s.implicits._
+        lineitem(s, d)
+          .unpivot(
+            Array($"l_orderkey", $"l_linenumber"),
+            Array($"l_quantity", $"l_discount", $"l_tax"),
+            "metric", "val")
+          .orderBy($"l_orderkey", $"l_linenumber", $"metric")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, metric, val FROM (
+             |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, CAST(l_quantity AS DOUBLE) AS val FROM lineitem
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem) t
+             |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin)
+    ),
+
+    "q_window_range" -> QueryDef(
+      // Value-range window frame: trailing 30-day revenue per customer —
+      // RANGE frames bound by the ORDER BY value, not row counts, so the
+      // result is insensitive to tie order (exact decimal sum per the money
+      // rule). One shuffle on the partition key.
+      (s, d) => {
+        import s.implicits._
+        val day = datediff($"o_orderdate", lit("1992-01-01")).cast("bigint")
+        val w = Window.partitionBy($"o_custkey").orderBy($"day")
+          .rangeBetween(-30, Window.currentRow)
+        orders(s, d)
+          .withColumn("day", day)
+          .withColumn("trailing30",
+            sum(dec($"o_totalprice")).over(w).cast("double"))
+          .select($"o_orderkey", $"o_custkey", $"day", $"trailing30")
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  date_diff('day', DATE '1992-01-01', o_orderdate) AS day,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+             |    PARTITION BY o_custkey
+             |    ORDER BY date_diff('day', DATE '1992-01-01', o_orderdate)
+             |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing30
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+
     "q_agg_variance" -> QueryDef(
       // Sample variance/stddev via the explicit exact-sum formula: Σx and Σx²
       // as exact decimals, then identical double arithmetic in both engines —
