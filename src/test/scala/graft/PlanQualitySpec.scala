@@ -79,6 +79,26 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("cosine_sim"), plan)
   }
 
+  test("partitionBy layout prunes partitions at the scan, not per-row") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    graft.tables.Tables.events(spark, sfDir)
+      .withColumn("event_date", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("event_date").parquet(dir)
+    val full = spark.read.parquet(dir)
+    val oneDay = full.select(max(col("event_date"))).collect()(0).getDate(0)
+    val pruned = full.filter(col("event_date") === lit(oneDay))
+    val plan = physical(pruned)
+    // the date predicate resolves against the directory layout (metadata),
+    // never against row contents — the 100 TB time-travel access path
+    assert(plan.contains("PartitionFilters:") && plan.contains("event_date"), plan)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.metrics("numFiles").value < full.inputFiles.length,
+      s"pruned scan read ${scan.metrics("numFiles").value}/${full.inputFiles.length} files")
+  }
+
   test("q_join_theta_range keeps the equi key as the join key (range as post-filter)") {
     val plan = physical(run("q_join_theta_range"))
     // joined on user_id (hash-partitionable); the ts band must not force NLJ
