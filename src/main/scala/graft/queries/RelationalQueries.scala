@@ -418,6 +418,58 @@ object RelationalQueries {
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     ),
 
+    "q_window_pct" -> QueryDef(
+      // Relative-rank analytics: percent_rank + cume_dist of each order
+      // within its priority class by value. Ties share a rank in both
+      // engines (rank-based definitions, not row_number), so the output is
+      // tie-order insensitive; one shuffle on the partition key.
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_orderpriority").orderBy(dec($"o_totalprice"))
+        orders(s, d)
+          .withColumn("pct_rank", round(percent_rank().over(w), 6))
+          .withColumn("cume", round(cume_dist().over(w), 6))
+          .select($"o_orderkey", $"o_orderpriority", $"pct_rank", $"cume")
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+             |  ROUND(percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY CAST(o_totalprice AS DECIMAL(12,2))), 6) AS pct_rank,
+             |  ROUND(cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY CAST(o_totalprice AS DECIMAL(12,2))), 6) AS cume
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+
+    "q_generator_gapfill" -> QueryDef(
+      // Generator + densification: build the full per-type date spine with
+      // sequence()/explode and left-join the observed daily counts, zero-
+      // filling gaps — calendar gap-filling for time series. The spine
+      // derives from a tiny per-type min/max agg (K rows), so the generate
+      // side is never large; the counts side is one hash-agg shuffle.
+      (s, d) => {
+        import s.implicits._
+        val e = events(s, d).select(to_date($"ts").as("day"), $"event_type")
+        val spine = e.groupBy($"event_type")
+          .agg(min($"day").as("d0"), max($"day").as("d1"))
+          .select($"event_type",
+            explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+        val counts = e.groupBy($"event_type", $"day").agg(count(lit(1)).as("n"))
+        spine.join(counts, Seq("event_type", "day"), "left")
+          .na.fill(0, Seq("n"))
+          .orderBy($"event_type", $"day")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+             |span AS (
+             |  SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM e GROUP BY event_type),
+             |spine AS (
+             |  SELECT event_type, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+             |  FROM span),
+             |c AS (
+             |  SELECT event_type, day, COUNT(*) AS n FROM e GROUP BY event_type, day)
+             |SELECT s.event_type, s.day, COALESCE(c.n, 0) AS n
+             |FROM spine s LEFT JOIN c ON s.event_type = c.event_type AND s.day = c.day
+             |ORDER BY s.event_type, s.day""".stripMargin)
+    ),
+
     "q_listagg" -> QueryDef(
       // Ordered string aggregation (LISTAGG/string_agg): collect_set is
       // merge-order-nondeterministic, so the deterministic form is
