@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.tables.Tables._
@@ -34,6 +35,62 @@ object PipelineQueries {
     523456787L, 88811113L, 734567891L, 419326181L,
     650001233L, 911117773L, 137426953L, 805306457L,
     268435459L, 577007813L, 94906249L, 350011421L)
+
+  /** Embedding near-dup candidate pairs (id_a < id_b, exact cos4 ≥ 0.45),
+    * shared by `q_dedup_embedding` (reports pairs) and `q_dedup_clusters`
+    * (connected components over them). Bands carry only ids: the self-join
+    * and pair-dedup shuffle 3 longs per row; the 64-double vectors re-attach
+    * after dedup via the persisted e (at 100 TB this is the difference
+    * between shuffling keys and shuffling payloads).
+    */
+  private def embeddingDupPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+      .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("sig16", graft.functions.LshFunctions.hyperplaneSig(s, $"v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = e.select($"vec_id",
+      explode(expr("transform(sequence(0, 3), b -> struct(b AS band, shiftright(sig16, b * 4) % 16 AS bkey))")).as("bb"))
+      .select($"vec_id", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
+    val cand = bands.select($"vec_id".as("id_a"), $"band", $"bkey")
+      .join(bands.select($"vec_id".as("id_b"), $"band", $"bkey"), Seq("band", "bkey"))
+      .filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b")
+      .distinct()
+    cand
+      .join(e.select($"vec_id".as("id_a"), $"v".as("va")), Seq("id_a"))
+      .join(e.select($"vec_id".as("id_b"), $"v".as("vb")), Seq("id_b"))
+      .withColumn("cos4", round(graft.functions.CosineSimilarity.cosineSim(s, $"va", $"vb"), 4))
+      .filter($"cos4" >= 0.45)
+      .select($"id_a", $"id_b", $"cos4")
+  }
+
+  /** Oracle-side CTE chain producing `scored (id_a, id_b, cos4)` — the SQL
+    * twin of [[embeddingDupPairs]] (before the ≥ 0.45 threshold), shared by
+    * the pair-reporting and clustering oracles.
+    */
+  private val embPairsCtes: String =
+    s"""e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |b AS (
+       |  SELECT vec_id, v,
+       |    CAST(list_sum(list_transform(range(0, 16), p ->
+       |      CASE WHEN list_sum(list_transform(range(0, 64),
+       |          i -> v[i + 1] * CAST((([${PipelineQueries.lshA.mkString(",")}]::BIGINT[])[p + 1] * (i + 1)
+       |                              + ([${PipelineQueries.lshB.mkString(",")}]::BIGINT[])[p + 1]) % 1009 - 504 AS DOUBLE))) > 0
+       |           THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS sig16
+       |  FROM e),
+       |bands AS (
+       |  SELECT vec_id, v, t.b AS band, (sig16 >> (t.b * 4)) % 16 AS bkey
+       |  FROM b, (SELECT unnest(range(0, 4)) AS b) t),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id),
+       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |scored AS (
+       |  SELECT id_a, id_b,
+       |    ROUND(list_sum(list_transform(range(1, 65), i -> a.v[i] * c.v[i])) / (a.nrm * c.nrm), 4) AS cos4
+       |  FROM cand JOIN n a ON a.vec_id = id_a JOIN n c ON c.vec_id = id_b)""".stripMargin
 
   val entries: Map[String, QueryDef] = Map(
     // ---------------------------------------------------------- dedup
@@ -337,53 +394,55 @@ object PipelineQueries {
       // materializes: the join key is (band, 4-bit key).
       (s, d) => {
         import s.implicits._
-        val e = embeddings(s, d)
-          .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-          .withColumn("sig16", graft.functions.LshFunctions.hyperplaneSig(s, $"v"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // bands carry only ids: the self-join and pair-dedup shuffle 3 longs
-        // per row; the 64-double vectors re-attach after dedup via the
-        // persisted e (at 100 TB this is the difference between shuffling
-        // keys and shuffling payloads).
-        val bands = e.select($"vec_id",
-          explode(expr("transform(sequence(0, 3), b -> struct(b AS band, shiftright(sig16, b * 4) % 16 AS bkey))")).as("bb"))
-          .select($"vec_id", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
-        val cand = bands.select($"vec_id".as("id_a"), $"band", $"bkey")
-          .join(bands.select($"vec_id".as("id_b"), $"band", $"bkey"), Seq("band", "bkey"))
-          .filter($"id_a" < $"id_b")
-          .select($"id_a", $"id_b")
-          .distinct()
-        cand
-          .join(e.select($"vec_id".as("id_a"), $"v".as("va")), Seq("id_a"))
-          .join(e.select($"vec_id".as("id_b"), $"v".as("vb")), Seq("id_b"))
-          .withColumn("cos4", round(graft.functions.CosineSimilarity.cosineSim(s, $"va", $"vb"), 4))
-          .filter($"cos4" >= 0.45)
-          .select($"id_a", $"id_b", $"cos4")
-          .orderBy($"id_a", $"id_b")
+        embeddingDupPairs(s, d).orderBy($"id_a", $"id_b")
       },
-      Some(s"""WITH e AS (
-              |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-              |b AS (
-              |  SELECT vec_id, v,
-              |    CAST(list_sum(list_transform(range(0, 16), p ->
-              |      CASE WHEN list_sum(list_transform(range(0, 64),
-              |          i -> v[i + 1] * CAST((([${PipelineQueries.lshA.mkString(",")}]::BIGINT[])[p + 1] * (i + 1)
-              |                              + ([${PipelineQueries.lshB.mkString(",")}]::BIGINT[])[p + 1]) % 1009 - 504 AS DOUBLE))) > 0
-              |           THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS sig16
-              |  FROM e),
-              |bands AS (
-              |  SELECT vec_id, v, t.b AS band, (sig16 >> (t.b * 4)) % 16 AS bkey
-              |  FROM b, (SELECT unnest(range(0, 4)) AS b) t),
-              |cand AS (
-              |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
-              |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id),
-              |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
-              |scored AS (
-              |  SELECT id_a, id_b,
-              |    ROUND(list_sum(list_transform(range(1, 65), i -> a.v[i] * c.v[i])) / (a.nrm * c.nrm), 4) AS cos4
-              |  FROM cand JOIN n a ON a.vec_id = id_a JOIN n c ON c.vec_id = id_b)
+      Some(s"""WITH $embPairsCtes
               |SELECT id_a, id_b, cos4 FROM scored WHERE cos4 >= 0.45
               |ORDER BY id_a, id_b""".stripMargin)
+    ),
+
+    "q_dedup_clusters" -> QueryDef(
+      // Connected components over the near-dup pair graph: iterative min-
+      // label propagation (Pregel-style hash-join per round — the standard
+      // large-scale CC), so every document gets a canonical cluster_id =
+      // min reachable doc id and "keep one per cluster" becomes a groupBy.
+      // The driver loop holds only a convergence counter; all data stays
+      // distributed. Rounds ≈ graph diameter — near-dup clusters are
+      // shallow, and the oracle's recursive closure certifies the fixpoint.
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val pairs = embeddingDupPairs(s, d).select($"id_a", $"id_b")
+        val edges = pairs.toDF("src", "dst")
+          .union(pairs.select($"id_b", $"id_a").toDF("src", "dst"))
+          .persist(MEMORY_AND_DISK)
+        var labels = embeddings(s, d).select($"vec_id".as("id"), $"vec_id".as("lbl"))
+        var changed = 1L
+        var rounds = 0
+        while (changed > 0 && rounds < 20) {
+          val prop = edges.join(labels.select($"id".as("src"), $"lbl"), Seq("src"))
+            .select($"dst".as("id"), $"lbl")
+          val merged = labels.union(prop).groupBy($"id").agg(min($"lbl").as("lbl"))
+            .persist(MEMORY_AND_DISK)
+          changed = merged.as("m")
+            .join(labels.as("o"), col("m.id") === col("o.id"))
+            .filter(col("m.lbl") < col("o.lbl")).count()
+          labels = merged
+          rounds += 1
+        }
+        labels.select($"id".as("doc_id"), $"lbl".as("cluster_id")).orderBy($"doc_id")
+      },
+      Some(s"""WITH RECURSIVE $embPairsCtes,
+              |pairs AS (SELECT id_a, id_b FROM scored WHERE cos4 >= 0.45),
+              |edges AS (
+              |  SELECT id_a AS src, id_b AS dst FROM pairs
+              |  UNION ALL SELECT id_b, id_a FROM pairs),
+              |reach(a, rb) AS (
+              |  SELECT vec_id, vec_id FROM e
+              |  UNION
+              |  SELECT r.a, ed.dst FROM reach r JOIN edges ed ON r.rb = ed.src)
+              |SELECT a AS doc_id, MIN(rb) AS cluster_id
+              |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin)
     ),
 
     "q_multimodal_pipeline" -> QueryDef(
