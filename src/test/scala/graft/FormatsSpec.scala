@@ -12,22 +12,24 @@ import org.apache.spark.sql.functions._
 class FormatsSpec extends AnyFunSuite {
   private lazy val spark = SparkSuite.spark
 
-  test("parquet / json-lines / csv round-trip identically") {
+  test("parquet / orc / json-lines / csv round-trip identically") {
     import spark.implicits._
     val src = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
       .select($"doc_id", $"lang", $"n_chars") // scalar columns round-trip everywhere
     val dir = Files.createTempDirectory("graft-formats").toString
     src.write.mode("overwrite").parquet(s"$dir/p")
+    src.write.mode("overwrite").orc(s"$dir/o")
     src.write.mode("overwrite").json(s"$dir/j")
     src.write.mode("overwrite").option("header", "true").csv(s"$dir/c")
 
     val schema = src.schema
     val p = spark.read.parquet(s"$dir/p")
+    val o = spark.read.orc(s"$dir/o")
     val j = spark.read.schema(schema).json(s"$dir/j")
     val c = spark.read.schema(schema).option("header", "true").csv(s"$dir/c")
 
     assert(p.count() == src.count())
-    Seq("json" -> j, "csv" -> c).foreach { case (name, df) =>
+    Seq("orc" -> o, "json" -> j, "csv" -> c).foreach { case (name, df) =>
       assert(df.schema == schema, s"$name schema drifted")
       assert(df.exceptAll(p).isEmpty && p.exceptAll(df).isEmpty, s"$name contents differ")
     }
