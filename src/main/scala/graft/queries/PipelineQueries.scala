@@ -417,16 +417,22 @@ object PipelineQueries {
           .union(pairs.select($"id_b", $"id_a").toDF("src", "dst"))
           .persist(MEMORY_AND_DISK)
         var labels = embeddings(s, d).select($"vec_id".as("id"), $"vec_id".as("lbl"))
-        var changed = 1L
+        // labels only ever decrease, so Σlbl strictly decreases until the
+        // fixpoint: convergence is one exact decimal-sum aggregate per round
+        // instead of a join against the previous labels.
+        def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+          df.agg(sum($"lbl".cast("decimal(38,0)"))).head.getDecimal(0)
+        var prevSum = labelSum(labels)
         var rounds = 0
-        while (changed > 0 && rounds < 20) {
+        var converged = false
+        while (!converged && rounds < 20) {
           val prop = edges.join(labels.select($"id".as("src"), $"lbl"), Seq("src"))
             .select($"dst".as("id"), $"lbl")
           val merged = labels.union(prop).groupBy($"id").agg(min($"lbl").as("lbl"))
             .persist(MEMORY_AND_DISK)
-          changed = merged.as("m")
-            .join(labels.as("o"), col("m.id") === col("o.id"))
-            .filter(col("m.lbl") < col("o.lbl")).count()
+          val curSum = labelSum(merged)
+          converged = curSum.compareTo(prevSum) == 0
+          prevSum = curSum
           labels = merged
           rounds += 1
         }
