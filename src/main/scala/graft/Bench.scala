@@ -30,10 +30,19 @@ object Bench {
       val ts = Seq.fill(trials)(timeOnce(fn)).sorted
       name -> ts(ts.length / 2)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver parses the result from sbt's interleaved log output, so the
+    // JSON must survive as a machine-readable artifact: write it to a file
+    // AND print it as the sole last stdout line (after spark.stop(), which
+    // logs shutdown noise of its own).
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/bench.json"), json)
     spark.stop()
+    println(json)
+    System.out.flush()
   }
 }

@@ -222,7 +222,7 @@ object PipelineQueries {
              |         THEN (1::BIGINT << b) ELSE 0 END AS bit
              |  FROM t, unnest(tok) AS u(tk), unnest(range(0, 16)) AS r(b)
              |  GROUP BY doc_id, b)
-             |SELECT doc_id, SUM(bit) AS simhash FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+             |SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS simhash FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     ),
 
     // ---------------------------------------------------------- similarity

@@ -160,12 +160,15 @@ object RelationalQueries {
     "q_join_salted" -> QueryDef(
       // Skew-safe salted join (graft.operators.ScaleOps): result must be
       // row-identical to the plain equi-join — which is exactly what the
-      // oracle states.
+      // oracle states. lineitem orderkeys are unskewed (≤7 rows each), so the
+      // hot-key pre-pass finds nothing and no row pays the salt: cost is the
+      // plain join + one column-pruned count pass, vs 8× with blanket salting.
       (s, d) => {
         import s.implicits._
         val li = lineitem(s, d).select($"l_orderkey", $"l_extendedprice")
         val ord = orders(s, d).select($"o_orderkey".as("l_orderkey"), $"o_orderpriority")
-        graft.operators.ScaleOps.saltedJoin(li, ord, "l_orderkey", saltFactor = 8)
+        graft.operators.ScaleOps.saltedJoin(li, ord, "l_orderkey", saltFactor = 8,
+          hotKeyThreshold = 1000L)
           .groupBy($"o_orderpriority")
           .agg(count(lit(1)).as("n_items"), sumMoney($"l_extendedprice").as("revenue"))
           .orderBy($"o_orderpriority")
@@ -310,15 +313,21 @@ object RelationalQueries {
       // exact percentile(): partial sketches merge associatively, so no
       // single-node sort of the whole column. No oracle (sketch contents are
       // engine-specific); the spec bounds its error against exact
-      // percentile(), driver records rows>0.
+      // percentile(), driver records rows>0. Emitted as scalar p50/p90/p99
+      // doubles (not an array column) so the compare harness can sort/hash.
       (s, d) => {
         import s.implicits._
         lineitem(s, d)
           .groupBy($"l_returnflag")
           .agg(
             expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)")
-              .as("approx_price_q"),
+              .as("q"),
             count(lit(1)).as("n"))
+          .select($"l_returnflag",
+            element_at($"q", 1).as("p50"),
+            element_at($"q", 2).as("p90"),
+            element_at($"q", 3).as("p99"),
+            $"n")
           .orderBy($"l_returnflag")
       },
       None

@@ -34,7 +34,8 @@ class QueriesSmokeSpec extends AnyFunSuite {
   test("approx quantile sketch lands within 5% of the exact percentile") {
     import spark.implicits._
     val rows = SparkEntry.queries("q_agg_approx_quantile")(spark, sfDir)
-      .select($"l_returnflag", $"approx_price_q").as[(String, Seq[Double])].collect().toMap
+      .select($"l_returnflag", expr("array(p50, p90, p99)"))
+      .as[(String, Seq[Double])].collect().toMap
     val exact = graft.tables.Tables.lineitem(spark, sfDir)
       .groupBy($"l_returnflag")
       .agg(expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("q"))

@@ -15,7 +15,10 @@ class ScaleOpsSpec extends AnyFunSuite {
       .select($"l_orderkey".as("o_orderkey"), $"l_extendedprice")
     val o = Tables.orders(spark, sfDir).select($"o_orderkey", $"o_totalprice")
     val plain = li.join(o, Seq("o_orderkey"))
-    val salted = ScaleOps.saltedJoin(li, o, "o_orderkey", saltFactor = 8)
+    // threshold 4 lands mid-distribution: some orderkeys hot, some cold —
+    // both paths of the hot/cold split must reproduce the plain join
+    val salted = ScaleOps.saltedJoin(li, o, "o_orderkey", saltFactor = 8,
+      hotKeyThreshold = 4L)
     assert(salted.count() == plain.count())
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
     assert(!salted.columns.contains("__salt"))
@@ -23,16 +26,37 @@ class ScaleOpsSpec extends AnyFunSuite {
 
   test("saltedJoin spreads a pathological hot key across salts") {
     import spark.implicits._
-    // 10k rows, all the same key — the classic straggler
+    // 10k rows on one key (the classic straggler) + 1k cold keys
     val hot = spark.range(10000).select(lit(1L).as("k"), $"id")
-    val dim = Seq((1L, "x")).toDF("k", "v")
-    val joined = ScaleOps.saltedJoin(hot, dim, "k", saltFactor = 8)
-    assert(joined.count() == 10000)
+      .union(spark.range(1000).select($"id" + 100L as "k", $"id"))
+    val dim = spark.range(1000).select(
+      when($"id" === 0, 1L).otherwise($"id" + 100L).as("k"),
+      lit("x").as("v"))
+    val joined = ScaleOps.saltedJoin(hot, dim, "k", saltFactor = 8,
+      hotKeyThreshold = 1000L)
+    // hot key matches all 10000; cold keys 101..1099 match 999 of the 1000
+    assert(joined.count() == 10999)
     // the internal salt spread the hot key over >1 partition-key values
-    val salts = hot.withColumn("__salt",
+    val salts = hot.filter($"k" === 1L).withColumn("__salt",
       pmod(hash(struct(hot.columns.map(col).toIndexedSeq: _*)), lit(8)))
       .select(countDistinct($"__salt")).head().getLong(0)
     assert(salts > 4, s"expected hot key spread across salts, got $salts")
+  }
+
+  test("saltedJoin replicates the small side only for hot keys") {
+    import spark.implicits._
+    val large = spark.range(5000).select(lit(1L).as("k"), $"id")
+      .union(spark.range(500).select($"id" + 10L as "k", $"id"))
+    val small = spark.range(500).select(
+      when($"id" === 0, 1L).otherwise($"id" + 10L).as("k"), $"id".as("v"))
+    // reproduce the internal small-side replication: 1 hot key of 501 total
+    val hotKeys = large.groupBy($"k").count().filter($"count" >= 1000L)
+      .select($"k", lit(true).as("__hot"))
+    val replicated = small.join(broadcast(hotKeys), Seq("k"), "left_outer")
+      .withColumn("__salt", explode(sequence(lit(0),
+        when($"__hot", lit(7)).otherwise(lit(0)))))
+    // cold keys 1×, the single hot key 8× → 499 + 8 + 0 (id 0 maps to hot)
+    assert(replicated.count() === small.count() + 7)
   }
 
   test("AQE splits a skewed join partition at runtime (OptimizeSkewedJoin)") {
