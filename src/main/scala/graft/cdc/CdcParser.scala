@@ -25,14 +25,28 @@ object CdcParser {
   val OpDelete = "DELETE"
   val OpLoad = "LOAD" // internal: full-load seed rows, seq < any change seq
 
+  /** Schema-change marker (include_table_alter_operations, stack.py:124):
+    * `ALTER-TABLE,<table>,<schema>[,<ddl...>]`. Synthesized as an alter-table
+    * CONTROL envelope by the runner; never enters the row-apply fold.
+    */
+  val OpAlterTable = "ALTER-TABLE"
+
   /** Parse one raw line at a given global sequence number. Lines must be read
     * as text, not fixed-schema CSV — arity varies within one file
     * (lib/query.py:21-27 mixes 5- and 8-field rows).
     */
   def parseLine(seq: Long, line: String): CdcRecord = {
     val parts = line.split(",", -1).map(_.trim)
-    require(parts.length >= 4, s"malformed CDC row (need >=4 fields): $line")
-    CdcRecord(seq, parts(0).toUpperCase, parts(2), parts(1), parts(3), parts.drop(3).toSeq)
+    require(parts.length >= 3, s"malformed CDC row (need >=3 fields): $line")
+    val op = parts(0).toUpperCase
+    if (op == OpAlterTable)
+      // DDL marker: no PK/row image; remaining fields are the DDL text
+      CdcRecord(seq, op, parts(2), parts(1),
+        if (parts.length > 3) parts(3) else "", parts.drop(3).toSeq)
+    else {
+      require(parts.length >= 4, s"malformed CDC row (need >=4 fields): $line")
+      CdcRecord(seq, op, parts(2), parts(1), parts(3), parts.drop(3).toSeq)
+    }
   }
 
   /** Parse an ordered collection of raw lines (already in file × row order). */

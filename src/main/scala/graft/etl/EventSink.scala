@@ -1,6 +1,8 @@
 package graft.etl
 
 import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.DataFrame
 
 /** One emitted event: the single-shard Kinesis record analog.
   *
@@ -18,13 +20,31 @@ final case class EventRecord(
 
 /** Pluggable event sink (reference O10). There is no OSS Spark Kinesis sink;
   * the contract surface is this trait — a memory implementation for tests and
-  * local runs, a KPL-style implementation would slot in unchanged. Appends
-  * happen driver-side per micro-batch after an ordered collect of that batch's
-  * (small) event set; at scale the data path would instead be
-  * `foreachPartition` with per-shard ordering keys.
+  * local runs, a KPL-style implementation would slot in unchanged.
   */
 trait EventSink {
   def append(events: Seq[(String, String)]): Unit
+
+  /** Distributed emission of a Spark-built event batch: columns
+    * `(seq: Long, partition_key: String, envelope: String)`. The contract is
+    * per-partition-key order by `seq` — exactly Kinesis's per-shard ordering.
+    *
+    * Default implementation streams the batch through the driver in global
+    * seq order via `toLocalIterator` (one output partition resident at a
+    * time, never the whole batch) because every bundled sink is a
+    * driver-local store standing in for the service. A real N-shard service
+    * sink overrides this with `events.repartition(col("partition_key"))
+    * .sortWithinPartitions("seq").foreachPartition(putRecords)` — the
+    * upstream envelope build is already distributed either way.
+    */
+  def appendOrdered(events: DataFrame): Unit =
+    events
+      .orderBy("seq")
+      .select("partition_key", "envelope")
+      .toLocalIterator().asScala
+      .grouped(1000)
+      .foreach(g => append(g.map(r => (r.getString(0), r.getString(1))).toSeq))
+
   def all: Seq[EventRecord]
   def size: Int = all.size
 }

@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.cdc.{ApplyOutcome, CdcApply, CdcParser, CdcRecord}
@@ -12,11 +12,13 @@ import graft.schema.{SelectionRule, SelectionRules, TableDef}
   * (DMS full-load tasks self-stop, run.py:169) and a `StreamingQuery` for CDC
   * (runs until stopped, run.py:190,205-206).
   *
-  * Scale notes: per-table loads are independent parallel scans; envelope
-  * construction is a map-only `to_json` projection; the only ordered section
-  * is the sink append, which mirrors the reference's 1-shard Kinesis bottleneck
-  * by design (stack.py:268) — with N shards the `orderBy(seq)` becomes a
-  * per-partition-key ordering and the collect disappears into foreachPartition.
+  * Scale notes: per-table loads are independent parallel scans; CDC
+  * sequencing, parsing, envelope construction, and the durable state merge
+  * are all distributed (no batch-sized collect anywhere in the streaming
+  * path). The only serialized section is the sink handoff, which mirrors the
+  * reference's 1-shard Kinesis bottleneck by design (stack.py:268) — an
+  * N-shard service sink overrides `EventSink.appendOrdered` with a
+  * per-partition-key `foreachPartition` put and the bottleneck disappears.
   */
 final class TaskRunner(
     spark: SparkSession,
@@ -32,12 +34,56 @@ final class TaskRunner(
   private def nowIso(): String =
     java.time.Instant.now().toString
 
+  // ---- task status machine (O20; run.py:93-104 polls starting → running →
+  // stopped with asserted transitions) --------------------------------------
+
+  private val statusLog = scala.collection.mutable.ArrayBuffer("starting")
+  @volatile private var cdcQuery: Option[StreamingQuery] = None
+
+  private def transition(s: String): Unit = synchronized {
+    if (statusLog.last != s) statusLog += s
+  }
+
+  /** Current task status: `starting` (created, nothing run), `running`
+    * (full load in progress / CDC StreamingQuery active), `stopped` (full
+    * load self-stopped, run.py:169, or CDC query stopped).
+    */
+  def status: String = {
+    cdcQuery.foreach(q => transition(if (q.isActive) "running" else "stopped"))
+    synchronized(statusLog.last)
+  }
+
+  /** Observed transition sequence (each state once, in order) — the
+    * describe-replication-task analog the reference asserts on.
+    */
+  def statusHistory: Seq[String] = { status; synchronized(statusLog.toSeq) }
+
+  /** Poll until `target` status, with the reference driver's bounded
+    * fixed-backoff retry (run.py:51-62 wraps status polls the same way).
+    * Returns true iff the target was observed within `retries` polls.
+    */
+  def waitForStatus(
+      target: String,
+      retries: Int = 20,
+      backoffMs: Long = 100L,
+      sleep: Long => Unit = Thread.sleep
+  ): Boolean = {
+    var attempt = 0
+    while (attempt <= retries) {
+      if (status == target) return true
+      attempt += 1
+      if (attempt <= retries) sleep(backoffMs)
+    }
+    false
+  }
+
   /** Full-load task (E1, run.py:151-175): per selected table emit drop-table +
     * create-table controls then every source row as a `load` envelope.
     * Expected golden output for the reference fixtures: 16 events
     * (3 create + 3 drop + 10 load, README.md:77).
     */
   def runFullLoad(sourceRoot: String): Unit = {
+    transition("running")
     selected.foreach { t =>
       val ts = nowIso()
       sink.append(Seq(
@@ -55,12 +101,16 @@ final class TaskRunner(
         timestamp = lit(ts),
         transactionId = lit(null).cast("long"))
       // Single-shard total order: the golden contract only fixes counts and
-      // per-table grouping; PK order keeps the dump deterministic.
-      envelopes
-        .orderBy($"envelope")
-        .collect()
-        .foreach(r => sink.append(Seq((r.getString(0), r.getString(2)))))
+      // per-table grouping; envelope order keeps the dump deterministic. The
+      // rank-by-envelope window serializes one table's load — the reference's
+      // 1-shard semantic — but the build stays in the plan and the handoff
+      // streams partition-at-a-time instead of collecting the table.
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"envelope")
+      sink.appendOrdered(envelopes
+        .select(row_number().over(w).cast("long").as("seq"),
+          $"partition_key", $"envelope"))
     }
+    transition("stopped") // full-load tasks self-stop (run.py:169)
   }
 
   /** DMS `migration_type="full-load-and-cdc"`: run the full load (controls +
@@ -72,15 +122,20 @@ final class TaskRunner(
     */
   def runFullLoadAndSeedCdc(sourceRoot: String): Unit = {
     runFullLoad(sourceRoot)
-    val seeds = selected.flatMap { t =>
+    // Seed records are built distributed (a map over each table's scan) and
+    // merged with the same distributed apply as any CDC batch — the loaded
+    // tables never cross the driver.
+    val seeds: Seq[Dataset[CdcRecord]] = selected.map { t =>
+      val owner = t.owner
+      val name = t.name
+      val nCols = t.columns.size
       spark.read
         .schema(t.structType)
         .option("header", "false")
         .option("timestampFormat", "yyyy-MM-dd[ HH:mm:ss]")
         .csv(s"$sourceRoot/${t.path}")
-        .collect()
         .map { row =>
-          val values = t.columns.indices.map { i =>
+          val values = (0 until nCols).map { i =>
             val v = row.get(i)
             if (v == null) null
             else v match {
@@ -91,10 +146,10 @@ final class TaskRunner(
               case other => other.toString
             }
           }
-          CdcRecord(0L, CdcParser.OpLoad, t.owner, t.name, values.head, values)
+          CdcRecord(0L, CdcParser.OpLoad, owner, name, values.head, values)
         }
     }
-    applyBatch(seeds)
+    seeds.reduceOption(_ union _).foreach(applyBatch)
   }
 
   // ---- CDC -----------------------------------------------------------------
@@ -137,15 +192,19 @@ final class TaskRunner(
       Envelope.controlJson("create-table", "dms", "awsdms_apply_exceptions", ts))))
   }
 
-  /** Apply one micro-batch of raw CDC lines (already enveloped+emitted) to the
-    * running state. Batch is the parsed record set in seq order.
+  /** Merge one parsed micro-batch into the running state. The durable path is
+    * fully distributed (`DurableCdcState.mergeBatch` → `CdcApply.run`, one
+    * shuffle on the PK, nothing driver-side). The in-memory path is the test
+    * double for fixture replays — state lives on the driver by definition, so
+    * it drains the (fixture-sized) batch there.
     */
-  private def applyBatch(records: Seq[CdcRecord]): Unit = synchronized {
+  private def applyBatch(records: Dataset[CdcRecord]): Unit = synchronized {
     durable match {
       case Some(st) =>
-        st.mergeBatch(spark.createDataset(records))
+        st.mergeBatch(records)
       case None =>
-        val outcomes = CdcApply.runLocal(stateRecords ++ records)
+        val batch = records.collect().toSeq.sortBy(_.seq)
+        val outcomes = CdcApply.runLocal(stateRecords ++ batch)
         stateRecords = outcomes.filter(_.kind == "state").map { o =>
           CdcRecord(0L, CdcParser.OpLoad, o.schema, o.table, o.pk, o.values)
         }
@@ -153,59 +212,79 @@ final class TaskRunner(
     }
   }
 
-  private val txnCounter = new java.util.concurrent.atomic.AtomicLong(0L)
-
-  /** Process one micro-batch DataFrame of (file, value) text rows: order by
-    * (file seq × line index), parse, emit one envelope per op
-    * (include_transaction_details, stack.py:125), then apply.
+  /** Process one micro-batch DataFrame of (file, value) text rows: sequence by
+    * (file seq × row index), parse, emit one envelope per op
+    * (include_transaction_details, stack.py:125), then apply — all computed
+    * distributed; nothing batch-sized crosses the driver on the durable path.
+    *
+    * Sequencing: text-source partitions are byte-offset ordered and
+    * `monotonically_increasing_id` is monotone within a partition with the
+    * partition index in its high bits, so ranking by it inside each file
+    * reproduces the reference's file-sequence × row order (SURVEY §7) without
+    * the driver-side zipWithIndex+collect this used to do. The per-file
+    * row_number shuffle moves one micro-batch file per trigger
+    * (maxFilesPerTrigger=1) — bounded by construction.
     */
   private[etl] def processCdcBatch(batch: DataFrame): Unit = {
-    // zipWithIndex is deterministic in partition order, and text-source
-    // partitions are byte-offset ordered — (fileSeq, index) is the reference's
-    // file-sequence × row order (SURVEY §7 ordering risk).
-    val lines: Seq[(Long, String)] = batch
-      .select(input_file_name().as("f"), col("value"))
-      .rdd
-      .zipWithIndex()
-      .map(TaskRunner.sequenceLine)
-      .collect()
-      .toSeq
-      .sortBy(_._1)
-    if (lines.isEmpty) return
-    val records = lines
-      .filter(_._2.trim.nonEmpty)
-      .map { case (seq, line) => CdcParser.parseLine(seq, line) }
-    processCdcBatchRecords(records)
+    if (batch.isEmpty) return
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__fseq")).orderBy(col("__mono"))
+    val sequenced = batch
+      .select(input_file_name().as("__f"), col("value"))
+      .filter(trim(col("value")) =!= "")
+      .withColumn("__mono", monotonically_increasing_id())
+      .withColumn("__fseq",
+        coalesce(
+          regexp_extract(element_at(split(col("__f"), "/"), -1), "(\\d+)[^0-9]*$", 1)
+            .cast("long"),
+          lit(0L)))
+      .select(
+        (col("__fseq") * 1000000L + row_number().over(w)).as("seq"),
+        col("value"))
+    processCdcRecords(CdcParser.parse(spark, sequenced))
   }
 
-  /** Apply an already-parsed, already-sequenced record batch: emit envelopes
-    * then merge into state. (The streaming path funnels here via
-    * processCdcBatch; also the direct API for replays.)
+  /** Apply an already-parsed, already-sequenced record batch — the direct API
+    * for replays; the streaming path funnels here via processCdcBatch.
     */
-  def processCdcBatchRecords(records: Seq[CdcRecord]): Unit = {
-    val ts = nowIso()
-    val events = records.map { r =>
-      val txn = txnCounter.incrementAndGet()
-      val t = selected.find(t => t.name == r.table && t.owner == r.schema)
-      val fields = t match {
-        case Some(td) =>
-          td.columns.map(_.name).zip(r.values).map { case (n, v) => s""""$n":${jsonValue(v)}""" }
-        case None =>
-          r.values.zipWithIndex.map { case (v, i) => s""""col${i + 1}":${jsonValue(v)}""" }
-      }
-      val dataJson = fields.mkString("{", ",", "}")
-      val env =
-        s"""{"data":$dataJson,"metadata":{"timestamp":"$ts","record-type":"data","operation":"${r.op.toLowerCase}","partition-key-type":"schema-table","schema-name":"${r.schema}","table-name":"${r.table}","transaction-id":$txn}}"""
-      (s"${r.schema}.${r.table}", env)
-    }
-    sink.append(events)
-    applyBatch(records)
-  }
+  def processCdcBatchRecords(records: Seq[CdcRecord]): Unit =
+    processCdcRecords(spark.createDataset(records))
 
-  private def jsonValue(v: String): String =
-    if (v == null) "null"
-    else if (v.matches("-?\\d+")) v
-    else "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  /** Distributed envelope build + ordered emission + state merge. Envelope
+    * construction is a map-only pass over the records (the per-table column
+    * names travel to executors as a tiny captured Map); the emitted
+    * transaction-id is the record's global seq — unique and order-correlated,
+    * which is all include_transaction_details pins down.
+    */
+  private def processCdcRecords(records: Dataset[CdcRecord]): Unit = {
+    val ts = nowIso()
+    val colNames: Map[(String, String), Seq[String]] =
+      selected.map(t => (t.owner, t.name) -> t.columns.map(_.name)).toMap
+    val cached = records.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val events = cached.map { r =>
+        val env =
+          if (r.op == CdcParser.OpAlterTable)
+            // schema-change marker → alter-table CONTROL event
+            // (include_table_alter_operations, stack.py:124)
+            Envelope.controlJson("alter-table", r.schema, r.table, ts)
+          else {
+            val fields = colNames.get((r.schema, r.table)) match {
+              case Some(ns) =>
+                ns.zip(r.values).map { case (n, v) => s""""$n":${TaskRunner.jsonValue(v)}""" }
+              case None =>
+                r.values.zipWithIndex.map { case (v, i) => s""""col${i + 1}":${TaskRunner.jsonValue(v)}""" }
+            }
+            val dataJson = fields.mkString("{", ",", "}")
+            s"""{"data":$dataJson,"metadata":{"timestamp":"$ts","record-type":"data","operation":"${r.op.toLowerCase}","partition-key-type":"schema-table","schema-name":"${r.schema}","table-name":"${r.table}","transaction-id":${r.seq}}}"""
+          }
+        (r.seq, s"${r.schema}.${r.table}", env)
+      }.toDF("seq", "partition_key", "envelope")
+      sink.appendOrdered(events)
+      // DDL markers never enter the row apply — they change no row state
+      applyBatch(cached.filter(_.op != CdcParser.OpAlterTable))
+    } finally cached.unpersist()
+  }
 
   /** Start the CDC task: controls first (task starts before data exists,
     * run.py:189-190), then tail `cdcPath` one file per trigger to preserve
@@ -216,12 +295,14 @@ final class TaskRunner(
     val stream = spark.readStream
       .option("maxFilesPerTrigger", 1)
       .text(cdcPath)
-    stream.writeStream
+    val q = stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime("500 milliseconds"))
       .foreachBatch { (batch: DataFrame, _: Long) => processCdcBatch(batch) }
       .start()
+    cdcQuery = Some(q)
+    q
   }
 
   /** The `awsdms_apply_exceptions` table as a DataFrame — DMS materializes
@@ -257,23 +338,28 @@ final class TaskRunner(
         count(when($"operation" === "insert", 1)).as("inserts"),
         count(when($"operation" === "update", 1)).as("updates"),
         count(when($"operation" === "delete", 1)).as("deletes"),
-        count(when($"operation".isin("create-table", "drop-table"), 1)).as("ddls"))
+        count(when($"operation".isin("create-table", "drop-table", "alter-table"), 1)).as("ddls"))
       .orderBy($"schema_name", $"table_name")
   }
 }
 
 object TaskRunner {
-  /** Extract the file sequence from `cdcNNNNNNNNNN.csv` (run.py:193-195). */
+  /** Extract the file sequence from `cdcNNNNNNNNNN.csv` (run.py:193-195).
+    * (The streaming path computes the same thing with `regexp_extract` in the
+    * plan; this is the scalar twin for tests and replays.)
+    */
   def fileSeq(path: String): Long = {
     val m = "(\\d+)".r.findAllIn(path.split("/").last).toSeq
     if (m.nonEmpty) m.last.toLong else 0L
   }
 
-  /** Serializable line-sequencing closure: (row, partitionIdx) →
-    * (fileSeq × 1e6 + lineIdx, line). Static so RDD closures don't capture
-    * the runner (which holds the SparkSession and sink).
+  /** DMS-style scalar JSON encoding for envelope `data` fields: integers
+    * unquoted, everything else a JSON string. Static so the distributed
+    * envelope map doesn't capture the runner (which holds the SparkSession
+    * and sink).
     */
-  val sequenceLine: ((org.apache.spark.sql.Row, Long)) => (Long, String) = {
-    case (r, i) => (fileSeq(r.getString(0)) * 1000000L + i, r.getString(1))
-  }
+  def jsonValue(v: String): String =
+    if (v == null) "null"
+    else if (v.matches("-?\\d+")) v
+    else "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 }

@@ -119,6 +119,67 @@ class GoldenScenarioSpec extends AnyFunSuite {
     assert(runner.currentState.count(_.table == "project") == 3)
   }
 
+  test("alter-table marker becomes a control event and leaves row state alone") {
+    val cdcDir = Files.createTempDirectory("graft-cdc-alter")
+    val ckpt = Files.createTempDirectory("graft-ckpt-alter")
+    val sink = new MemoryEventSink
+    val runner = new TaskRunner(spark, SelectionRules.referenceTables,
+      Seq(SelectionRule("%", "%", "include")), sink)
+    val q = runner.startCdc(cdcDir.toString, ckpt.toString)
+    try {
+      // one insert, a schema change (include_table_alter_operations,
+      // stack.py:124), then an update referencing the pre-alter image
+      Files.writeString(cdcDir.resolve("cdc0000000001.csv"),
+        """INSERT,employee,hr,101,Smith,Bob,2014-06-04,New York
+          |ALTER-TABLE,employee,hr,ADD COLUMN Badge STRING
+          |UPDATE,employee,hr,101,Smith,Bob,2014-06-04,Los Angeles
+          |""".stripMargin)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val dataOrControl = sink.all.map(e =>
+      ("\"record-type\":\"([^\"]+)\"".r.findFirstMatchIn(e.envelope).map(_.group(1)).get, opOf(e)))
+    // 4 start controls + insert + alter control + update
+    assert(dataOrControl.count(_._1 == "control") == 5)
+    assert(dataOrControl.count(_ == (("control", "alter-table"))) == 1)
+    assert(dataOrControl.filter(_._1 == "data").map(_._2) == Seq("insert", "update"))
+    val alter = sink.all.find(e => opOf(e) == "alter-table").get
+    assert(alter.partitionKey == "hr.employee")
+    assert(alter.envelope.contains(""""data":null"""))
+    // the alter never reached the row apply: 101's update landed normally
+    assert(runner.currentState.map(r => (r.table, r.pk)) == Seq(("employee", "101")))
+    assert(runner.exceptions.isEmpty)
+    // ddl counter includes the alter (plus the create controls)
+    val stats = runner.tableStatistics().collect()
+      .map(r => (r.getString(1), r.getLong(6))).toMap
+    assert(stats("employee") == 2L) // create-table + alter-table
+  }
+
+  test("task status walks starting → running → stopped (run.py:93-104)") {
+    val root = Files.createTempDirectory("graft-status-fl")
+    writeSourceTree(root)
+    val full = new TaskRunner(spark, SelectionRules.referenceTables,
+      Seq(SelectionRule("%", "%", "include")), new MemoryEventSink)
+    assert(full.status == "starting")
+    full.runFullLoad(root.toString) // full-load tasks self-stop (run.py:169)
+    assert(full.status == "stopped")
+    assert(full.statusHistory == Seq("starting", "running", "stopped"))
+
+    val cdcDir = Files.createTempDirectory("graft-status-cdc")
+    val ckpt = Files.createTempDirectory("graft-status-ckpt")
+    val cdc = new TaskRunner(spark, SelectionRules.referenceTables,
+      Seq(SelectionRule("%", "%", "include")), new MemoryEventSink)
+    assert(cdc.status == "starting")
+    val q = cdc.startCdc(cdcDir.toString, ckpt.toString)
+    try {
+      assert(cdc.waitForStatus("running"), s"never running: ${cdc.statusHistory}")
+    } finally q.stop()
+    assert(cdc.waitForStatus("stopped"), s"never stopped: ${cdc.statusHistory}")
+    assert(cdc.statusHistory == Seq("starting", "running", "stopped"))
+    // bounded retry gives up on a status that never arrives
+    assert(!cdc.waitForStatus("running", retries = 2, backoffMs = 1L))
+  }
+
   test("envelope JSON retains nulls and carries the partition key") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
