@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic Lloyd (k-means) refinement for IVF coarse quantizers.
+  *
+  * Each iteration is one distributed pass: nearest-centroid assignment is
+  * map-side codegen (the K centroids ride in the plan as array literals — the
+  * property that keeps IVF viable at 100 TB), and the new centroids are
+  * element-wise means via posexplode + partial-aggregating groupBy on
+  * (cell, position) — the shuffle carries K×dim×partitions partial sums, not
+  * data. Only the K×dim mean table is collected per iteration.
+  *
+  * Everything is pinned so an external engine can replay it bit-for-bit:
+  * a FIXED iteration count (no convergence test), cosine rounded to 6 dp with
+  * lowest-cid tiebreak for assignment, and means computed as exact
+  * decimal(38,12) sums (order-independent) divided as doubles and rounded to
+  * 6 dp. `q_similarity_ann_ivf`'s DuckDB oracle mirrors the same iterations
+  * in SQL.
+  */
+object IvfKMeans {
+
+  /** Per-centroid `(-cos6, cid)` structs for `vcol` against the centroid
+    * literals: `array_min(...)` of these is argmax-cosine with the
+    * lowest-cid tiebreak (matches `ORDER BY cos6 DESC, cid` in SQL).
+    */
+  def simStructs(
+      spark: SparkSession,
+      cents: Seq[(Long, Seq[Double])],
+      vcol: Column
+  ): Column = array(cents.map { case (cid, cv) =>
+    struct(
+      (-round(graft.functions.CosineSimilarity.cosineSim(spark, vcol, typedlit(cv)), 6)).as("negs"),
+      lit(cid).as("cid"))
+  }: _*)
+
+  /** Nearest-centroid cell id for `vcol` — pure map-side codegen. */
+  def assignCell(
+      spark: SparkSession,
+      cents: Seq[(Long, Seq[Double])],
+      vcol: Column
+  ): Column = array_min(simStructs(spark, cents, vcol)).getField("cid")
+
+  /** Run `iters` Lloyd iterations over `e` (columns `vec_id: Long`,
+    * `v: Array[Double]`) starting from `seeds`. Cell ids stay the seed ids
+    * (stable tiebreak ordering across iterations). Cells keep at least their
+    * seed vector assigned (cos(seed, seed) = 1 is the strict max), so no
+    * empty-cell repair is needed when seeds are drawn from the data.
+    */
+  def train(
+      spark: SparkSession,
+      e: DataFrame,
+      seeds: Seq[(Long, Seq[Double])],
+      iters: Int
+  ): Seq[(Long, Seq[Double])] = {
+    import spark.implicits._
+    var cents = seeds
+    for (_ <- 0 until iters) {
+      cents = e
+        .withColumn("cell", assignCell(spark, cents, $"v"))
+        .select($"cell", posexplode($"v").as(Seq("i", "x")))
+        .groupBy($"cell", $"i")
+        .agg(round(sum($"x".cast("decimal(38,12)")).cast("double") / count(lit(1)), 6).as("mx"))
+        .groupBy($"cell")
+        .agg(expr("transform(array_sort(collect_list(struct(i, mx))), s -> s.mx)").as("cv"))
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
+    }
+    cents
+  }
+}

@@ -36,6 +36,29 @@ object PipelineQueries {
     650001233L, 911117773L, 137426953L, 805306457L,
     268435459L, 577007813L, 94906249L, 350011421L)
 
+  /** One Lloyd iteration as oracle CTEs: `c$k` (cid, cv, cnrm) → `c${k+1}`.
+    * The SQL twin of one [[graft.operators.IvfKMeans.train]] pass — same
+    * 6-dp cosine argmax with lowest-cid tiebreak, same decimal(38,12)
+    * exact sums divided as doubles and rounded to 6 dp.
+    */
+  private def lloydIterSql(k: Int): String =
+    s"""asg$k AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT n.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |        ROUND(list_sum(list_transform(range(1, 65), i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm), 6) DESC,
+       |        c.cid) AS rk
+       |    FROM n, c$k c) WHERE rk = 1),
+       |m$k AS (
+       |  SELECT a.cell AS cid, r.i,
+       |    ROUND(CAST(SUM(CAST(n.v[r.i] AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS mx
+       |  FROM asg$k a JOIN n USING (vec_id), range(1, 65) r(i)
+       |  GROUP BY a.cell, r.i),
+       |c${k + 1} AS (
+       |  SELECT cid, list(mx ORDER BY i) AS cv,
+       |    sqrt(list_sum(list_transform(list(mx ORDER BY i), x -> x * x))) AS cnrm
+       |  FROM m$k GROUP BY cid)""".stripMargin
+
   /** Embedding near-dup candidate pairs (id_a < id_b, exact cos4 ≥ 0.45),
     * shared by `q_dedup_embedding` (reports pairs) and `q_dedup_clusters`
     * (connected components over them). Bands carry only ids: the self-join
@@ -312,10 +335,12 @@ object PipelineQueries {
 
     "q_similarity_ann_ivf" -> QueryDef(
       // IVF coarse quantization — the other 100 TB similarity scale path
-      // (inverted-file ANN, complementing the LSH buckets above). A tiny
-      // deterministic centroid set (vec_id % 97 == 0 and < 1552: 6 rows at
-      // sf0.01, 16 at sf0.1 — the k-means-init analogue) is collected once
-      // and baked into the plan as array literals, so nearest-centroid
+      // (inverted-file ANN, complementing the LSH buckets above). Seeds are
+      // a tiny deterministic sample (vec_id % 97 == 0 and < 1552: 6 rows at
+      // sf0.01, 16 at sf0.1), refined by 2 fixed Lloyd iterations
+      // (graft.operators.IvfKMeans: distributed assign + decimal-sum means,
+      // rounded so the oracle replays them bit-for-bit). The trained
+      // centroids bake into the plan as array literals, so nearest-centroid
       // assignment of the N candidate vectors is pure map-side codegen (K
       // fused cosine loops per row, ZERO shuffle — the property that makes
       // IVF viable at 100 TB). Queries probe their nprobe=2 nearest cells;
@@ -323,26 +348,24 @@ object PipelineQueries {
       // probe list, so ~2N/K vectors are reranked exactly instead of N.
       (s, d) => {
         import s.implicits._
-        import org.apache.spark.sql.Column
+        import graft.operators.IvfKMeans
+        // scanned by both Lloyd passes, the final assignment, and the probe
+        // side — persist once
         val e = embeddings(s, d)
           .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-        // K ≤ 16 rows — legitimate driver-side materialization (k-means-init
-        // style); everything downstream stays distributed.
-        val cents: Seq[(Long, Seq[Double])] =
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // K ≤ 16 rows — legitimate driver-side materialization (k-means
+        // init + per-iteration mean table); everything row-scale stays
+        // distributed.
+        val seeds: Seq[(Long, Seq[Double])] =
           e.filter($"vec_id" % 97 === 0 && $"vec_id" < 1552).orderBy($"vec_id")
             .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
-        // per-centroid (−cos6, cid) structs: array_min = argmax cosine with
-        // lowest-cid tiebreak, matching the oracle's ORDER BY cos6 DESC, cid.
-        def simStructs(vcol: Column): Column = array(cents.map { case (cid, cv) =>
-          struct(
-            (-round(graft.functions.CosineSimilarity.cosineSim(s, vcol, typedlit(cv)), 6)).as("negs"),
-            lit(cid).as("cid"))
-        }: _*)
+        val cents = IvfKMeans.train(s, e, seeds, iters = 2)
         val assigned = e
-          .withColumn("cell", array_min(simStructs($"v")).getField("cid"))
+          .withColumn("cell", IvfKMeans.assignCell(s, cents, $"v"))
           .select($"vec_id".as("c_id"), $"v".as("cv"), $"cell")
         val probes = e.filter($"vec_id" < 10)
-          .withColumn("p", explode(slice(array_sort(simStructs($"v")), 1, 2)))
+          .withColumn("p", explode(slice(array_sort(IvfKMeans.simStructs(s, cents, $"v")), 1, 2)))
           .select($"vec_id".as("q_id"), $"v".as("qv"), $"p.cid".as("cell"))
         val scored = assigned
           .join(broadcast(probes), Seq("cell"))
@@ -355,20 +378,22 @@ object PipelineQueries {
           .select($"q_id", $"rnk", $"c_id", $"sim4")
           .orderBy($"q_id", $"rnk")
       },
-      Some("""WITH e AS (
+      Some(s"""WITH e AS (
              |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
              |n AS (
              |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
-             |c AS (
+             |c0 AS (
              |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
              |  WHERE vec_id % 97 = 0 AND vec_id < 1552),
+             |${lloydIterSql(0)},
+             |${lloydIterSql(1)},
              |asg AS (
              |  SELECT vec_id, cid,
              |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos6 DESC, cid) AS rk
              |  FROM (
              |    SELECT n.vec_id, c.cid,
              |      ROUND(list_sum(list_transform(range(1, 65), i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm), 6) AS cos6
-             |    FROM n, c)),
+             |    FROM n, c2 c)),
              |cells AS (SELECT vec_id, cid AS cell FROM asg WHERE rk = 1),
              |probes AS (SELECT vec_id AS q_id, cid AS cell FROM asg WHERE vec_id < 10 AND rk <= 2),
              |s AS (
@@ -423,20 +448,33 @@ object PipelineQueries {
         def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
           df.agg(sum($"lbl".cast("decimal(38,0)"))).head.getDecimal(0)
         var prevSum = labelSum(labels)
+        var prevCached: Option[org.apache.spark.sql.DataFrame] = None
         var rounds = 0
         var converged = false
         while (!converged && rounds < 20) {
           val prop = edges.join(labels.select($"id".as("src"), $"lbl"), Seq("src"))
             .select($"dst".as("id"), $"lbl")
-          val merged = labels.union(prop).groupBy($"id").agg(min($"lbl").as("lbl"))
-            .persist(MEMORY_AND_DISK)
-          val curSum = labelSum(merged)
+          var merged = labels.union(prop).groupBy($"id").agg(min($"lbl").as("lbl"))
+          // localCheckpoint every 5 rounds truncates the per-round
+          // join-union-agg lineage chain (otherwise linear in rounds)
+          if ((rounds + 1) % 5 == 0) merged = merged.localCheckpoint(false)
+          merged = merged.persist(MEMORY_AND_DISK)
+          val curSum = labelSum(merged) // materializes this round's snapshot
+          // the superseded snapshot is dead once the new one is materialized:
+          // unpersist it so executor storage stays O(1) in rounds
+          prevCached.foreach(_.unpersist())
+          prevCached = Some(merged)
           converged = curSum.compareTo(prevSum) == 0
           prevSum = curSum
           labels = merged
           rounds += 1
         }
-        labels.select($"id".as("doc_id"), $"lbl".as("cluster_id")).orderBy($"doc_id")
+        // cut the result loose from the loop's caches: eager localCheckpoint
+        // materializes the final labels, then the edge cache can go
+        val result = labels.localCheckpoint()
+        edges.unpersist()
+        prevCached.foreach(_.unpersist())
+        result.select($"id".as("doc_id"), $"lbl".as("cluster_id")).orderBy($"doc_id")
       },
       Some(s"""WITH RECURSIVE $embPairsCtes,
               |pairs AS (SELECT id_a, id_b FROM scored WHERE cos4 >= 0.45),

@@ -180,14 +180,23 @@ object RelationalQueries {
     ),
 
     "q_join_theta_range" -> QueryDef(
-      // Range self-join: equi prefilter on user_id carries the shuffle; the
-      // 1-hour band is evaluated post-join. Per-user row groups stay small, so
-      // the quadratic term is bounded per key — the scalable range-join shape.
+      // Range self-join on a compound (user_id, hour-bucket) key: the probe
+      // side replicates 2× into its own bucket and the next (a 1-hour band
+      // can only land there), the build side keys by its bucket, and the
+      // exact band is a post-join filter. Per-key work is bounded by events
+      // in two adjacent hours — a hot user at 100× inflates many small keys
+      // instead of one quadratic one, unlike a plain user_id equi-join.
       (s, d) => {
         import s.implicits._
-        val e1 = events(s, d).select($"user_id", $"ts".as("ts1"), $"event_id".as("id1"))
-        val e2 = events(s, d).select($"user_id", $"ts".as("ts2"), $"event_id".as("id2"))
-        e1.join(e2, Seq("user_id"))
+        val ev = events(s, d)
+        val bkt = (t: org.apache.spark.sql.Column) => floor(unix_timestamp(t) / 3600L)
+        val e1 = ev.select($"user_id", $"ts".as("ts1"), $"event_id".as("id1"))
+          .withColumn("bkt", explode(array(bkt($"ts1"), bkt($"ts1") + 1L)))
+        val e2 = ev.select($"user_id", $"ts".as("ts2"), $"event_id".as("id2"))
+          .withColumn("bkt", bkt($"ts2"))
+        // (bkt1, bkt1+1) are distinct buckets, so each qualifying pair
+        // matches exactly one probe replica — no post-join dedup needed
+        e1.join(e2, Seq("user_id", "bkt"))
           .filter($"ts2" > $"ts1" && $"ts2" <= $"ts1" + expr("INTERVAL 1 HOUR"))
           .groupBy($"user_id")
           .agg(count(lit(1)).as("n_pairs"))
