@@ -64,12 +64,17 @@ object ScaleOps {
       df: DataFrame,
       tableName: String,
       key: String,
-      buckets: Int
-  ): Unit =
-    df.write
+      buckets: Int,
+      path: Option[String] = None
+  ): Unit = {
+    // Overwrite alone leaves a stale catalog entry pointing at the old
+    // layout when an external path is supplied — drop first for idempotency.
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $tableName")
+    val w = df.write
       .mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)
-      .saveAsTable(tableName)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(tableName)
+  }
 }

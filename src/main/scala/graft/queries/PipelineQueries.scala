@@ -218,6 +218,77 @@ object PipelineQueries {
               |FROM pairs WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin)
     ),
 
+    "q_dedup_ngram_jaccard" -> QueryDef(
+      // Exact n-gram Jaccard near-dup join via PREFIX FILTERING (the
+      // PPJoin/AllPairs candidate rule): order each doc's shingle set by
+      // global rarity (document frequency, shingle as tiebreak — any total
+      // order works) and index only the first |S| - ceil(tau*|S|) + 1
+      // shingles. Two docs with J >= tau MUST share a prefix shingle, so the
+      // equi-join on prefix shingles has exact recall while indexing ~half
+      // the tokens — and rare-first ordering keeps per-key join fan-out
+      // (df^2) small. This is the scale path for exact-threshold set-
+      // similarity joins, complementing q_dedup_minhash_lsh's probabilistic
+      // banding: no all-pairs product, one df pre-pass, one equi-join.
+      // tau = 1/2, so prefix length = |S| - ceil(|S|/2) + 1 in exact
+      // integer arithmetic ((n+1) div 2 — no float ceil drift between
+      // engines).
+      (s, d) => {
+        import s.implicits._
+        val sh = documents(s, d)
+          .select($"doc_id", split($"text", " ").as("tok"))
+          .filter(size($"tok") >= 3)
+          .select($"doc_id", array_distinct(
+            expr("transform(sequence(0, size(tok)-3), i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2]))")
+          ).as("shingles"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ex = sh.select($"doc_id", explode($"shingles").as("g"))
+        // document frequency per shingle — the global rarity order
+        val dfreq = ex.groupBy($"g").agg(count(lit(1)).as("df"))
+        // per-doc shingles sorted rare-first; struct sort is (df, g) lexicographic
+        val ordered = ex.join(dfreq, Seq("g"))
+          .groupBy($"doc_id")
+          .agg(array_sort(collect_list(struct($"df", $"g"))).as("ord"))
+          .select($"doc_id", expr("transform(ord, s -> s.g)").as("ogs"))
+        val pre = ordered.select($"doc_id",
+          explode(expr("slice(ogs, 1, size(ogs) - ((size(ogs) + 1) div 2) + 1)")).as("g"))
+        val cand = pre.as("x").join(pre.as("y"), Seq("g"))
+          .filter(col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        cand
+          .join(sh.select($"doc_id".as("doc_a"), $"shingles".as("sh_a")), Seq("doc_a"))
+          .join(sh.select($"doc_id".as("doc_b"), $"shingles".as("sh_b")), Seq("doc_b"))
+          .withColumn("jaccard",
+            size(array_intersect($"sh_a", $"sh_b")).cast("double") / size(array_union($"sh_a", $"sh_b")))
+          .filter($"jaccard" >= 0.5)
+          .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+             |sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(0, len(tok)-2),
+             |    i -> tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3])) AS shingles
+             |  FROM toks WHERE len(tok) >= 3),
+             |ex AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+             |dfreq AS (SELECT g, COUNT(*) AS df FROM ex GROUP BY g),
+             |ordered AS (
+             |  SELECT e.doc_id, list(e.g ORDER BY d.df, e.g) AS ogs
+             |  FROM ex e JOIN dfreq d USING (g) GROUP BY e.doc_id),
+             |pre AS (
+             |  SELECT doc_id, unnest(ogs[1 : len(ogs) - ((len(ogs) + 1) // 2) + 1]) AS g
+             |  FROM ordered),
+             |cand AS (
+             |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+             |  FROM pre x JOIN pre y ON x.g = y.g AND x.doc_id < y.doc_id),
+             |pairs AS (
+             |  SELECT doc_a, doc_b,
+             |    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             |      / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jac
+             |  FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b)
+             |SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard
+             |FROM pairs WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
     "q_dedup_simhash" -> QueryDef(
       // 16-bit md5-derived SimHash over unigrams: per-token hash bits vote,
       // sign of the vote forms the fingerprint. Map-only per doc; grouping on

@@ -179,6 +179,39 @@ object RelationalQueries {
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     ),
 
+    "q_join_bucketed" -> QueryDef(
+      // Co-located join via bucketed layout (graft.operators.ScaleOps
+      // .writeBucketed): both sides land pre-hashed into the same bucket
+      // count on the join key, so the join runs with NO Exchange on either
+      // side (plan-asserted in ScaleOpsSpec) — the 100 TB answer to repeated
+      // fact⋈fact joins on a stable key: pay the shuffle once at layout
+      // time, amortize it over every subsequent join. The oracle is the
+      // plain equi-join — bucketing is pure layout, never semantics.
+      (s, d) => {
+        import s.implicits._
+        val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed$sfx"
+        val ot = s"graft_bkt_orders$sfx"
+        val ct = s"graft_bkt_customer$sfx"
+        graft.operators.ScaleOps.writeBucketed(
+          orders(s, d).select($"o_orderkey", $"o_custkey", $"o_totalprice"),
+          ot, "o_custkey", buckets = 8, path = Some(s"$base/$ot"))
+        graft.operators.ScaleOps.writeBucketed(
+          customer(s, d).select($"c_custkey", $"c_mktsegment"),
+          ct, "c_custkey", buckets = 8, path = Some(s"$base/$ct"))
+        val o = s.table(ot)
+        val c = s.table(ct)
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"), sumMoney($"o_totalprice").as("total_price"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    ),
+
     "q_join_theta_range" -> QueryDef(
       // Range self-join on a compound (user_id, hour-bucket) key: the probe
       // side replicates 2× into its own bucket and the next (a 1-hour band
@@ -229,6 +262,44 @@ object RelationalQueries {
              |   WHERE s.user_id = e.user_id AND s.event_type = 'signup' AND s.ts <= e.ts) AS last_signup_ts
              |FROM events e WHERE e.event_type = 'purchase'
              |ORDER BY e.event_id""".stripMargin)
+    ),
+
+    "q_funnel_conversion" -> QueryDef(
+      // Product-analytics funnel: per user, first signup → purchases within
+      // the next hour. The signup side collapses to one row per user BEFORE
+      // the join (groupBy min — no event×event product), purchases join on
+      // user_id and filter to the window. One shuffle each side on user_id;
+      // at 100 TB both sides are partial-aggregated ahead of the join.
+      (s, d) => {
+        import s.implicits._
+        val ev = events(s, d)
+        val signup = ev.filter($"event_type" === "signup")
+          .groupBy($"user_id").agg(min($"ts").as("signup_ts"))
+        val purch = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts".as("p_ts"))
+        signup.join(purch, Seq("user_id"), "left_outer")
+          .withColumn("in_window",
+            $"p_ts" > $"signup_ts" && $"p_ts" <= $"signup_ts" + expr("INTERVAL 1 HOUR"))
+          .groupBy($"user_id", $"signup_ts")
+          .agg(
+            sum(when($"in_window", 1L).otherwise(0L)).as("n_conv_purchases"),
+            max(coalesce($"in_window", lit(false))).as("converted"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH signup AS (
+             |  SELECT user_id, MIN(ts) AS signup_ts FROM events
+             |  WHERE event_type = 'signup' GROUP BY user_id),
+             |purch AS (
+             |  SELECT user_id, ts AS p_ts FROM events WHERE event_type = 'purchase')
+             |SELECT s.user_id, s.signup_ts,
+             |  CAST(COALESCE(SUM(CASE WHEN p.p_ts > s.signup_ts
+             |        AND p.p_ts <= s.signup_ts + INTERVAL 1 HOUR THEN 1 ELSE 0 END), 0) AS BIGINT)
+             |    AS n_conv_purchases,
+             |  COALESCE(MAX(p.p_ts > s.signup_ts AND p.p_ts <= s.signup_ts + INTERVAL 1 HOUR),
+             |    FALSE) AS converted
+             |FROM signup s LEFT JOIN purch p ON p.user_id = s.user_id
+             |GROUP BY s.user_id, s.signup_ts
+             |ORDER BY s.user_id""".stripMargin)
     ),
 
     "q_scalar_subquery" -> QueryDef(
@@ -313,6 +384,33 @@ object RelationalQueries {
           .agg(approx_count_distinct($"user_id", 0.01).as("approx_users"),
             count(lit(1)).as("n_events"))
           .orderBy($"event_type")
+      },
+      None
+    ),
+
+    "q_agg_hll_merge" -> QueryDef(
+      // Datasketches HLL with EXPLICIT partial-sketch merge: per-group
+      // sketches built once (hll_sketch_agg), per-group estimates read out,
+      // and the global distinct count computed by UNIONING the group
+      // sketches (hll_union_agg) — never rescanning the input. This is the
+      // 100 TB distinct-count architecture: sketches are associative
+      // partials, so shard/day/partition sketches roll up to any grain for
+      // the cost of a merge. No oracle (sketch internals are
+      // engine-specific); the spec bounds both estimate levels against
+      // exact countDistinct.
+      (s, d) => {
+        import s.implicits._
+        val sk = events(s, d)
+          .groupBy($"event_type")
+          .agg(hll_sketch_agg($"user_id").as("sk"), count(lit(1)).as("n_events"))
+          .persist()
+        val per = sk.select($"event_type",
+          hll_sketch_estimate($"sk").as("approx_users"), $"n_events")
+        val merged = sk
+          .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("approx_users"),
+            sum($"n_events").as("n_events"))
+          .select(lit("__all__").as("event_type"), $"approx_users", $"n_events")
+        per.union(merged).orderBy($"event_type")
       },
       None
     ),

@@ -100,6 +100,49 @@ object StreamShapeQueries {
              |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
              |FROM sess GROUP BY user_id, sid
              |ORDER BY user_id, session_start""".stripMargin)
+    ),
+
+    "q_stream_stateful" -> QueryDef(
+      // REAL Structured Streaming execution, not a batch stand-in: readStream
+      // over the events parquet → flatMapGroupsWithState keyed per user
+      // (graft.streaming.StreamOps.runningUserCounters — custom state in the
+      // state store, partitioned by key) → AvailableNow into a memory sink.
+      // The emitted counters are monotone per user, so max() recovers the
+      // final state regardless of how the source chopped batches — which is
+      // exactly the batch aggregate the oracle states. Verifies the custom-
+      // state operator end-to-end through the streaming engine.
+      (s, d) => {
+        import s.implicits._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // The file-stream source tails a DIRECTORY; the testdata table is a
+        // single parquet file, so expose it through a symlinked temp dir
+        // (at scale the source would already be a date-partitioned prefix).
+        val src = java.nio.file.Paths.get(d, "events.parquet").toAbsolutePath
+        val dir = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"),
+          "graft_stream_events" + d.replaceAll("[^A-Za-z0-9]", "_"))
+        java.nio.file.Files.createDirectories(dir)
+        val link = dir.resolve("events.parquet")
+        if (!java.nio.file.Files.exists(link))
+          java.nio.file.Files.createSymbolicLink(link, src)
+        val raw = graft.streaming.StreamOps.readEventStream(s, dir.toString)
+        val ev = raw
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .select($"user_id", $"ts", $"event_type")
+          .as[graft.streaming.StreamOps.UserEvent]
+        val name = "q_stream_stateful_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = graft.streaming.StreamOps.runToMemory(
+          graft.streaming.StreamOps.runningUserCounters(ev).toDF(), name)
+        q.awaitTermination()
+        s.table(name)
+          .groupBy($"user_id")
+          .agg(max($"n_events").as("n_events"), max($"n_purchases").as("n_purchases"))
+          .orderBy($"user_id")
+      },
+      Some("""SELECT user_id, COUNT(*) AS n_events,
+             |  CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchases
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
     )
   )
 }

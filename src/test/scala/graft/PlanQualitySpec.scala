@@ -99,6 +99,58 @@ class PlanQualitySpec extends AnyFunSuite {
       s"pruned scan read ${scan.metrics("numFiles").value}/${full.inputFiles.length} files")
   }
 
+  test("runtime bloom filter from a selective dim prunes the fact side pre-shuffle") {
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      // force the shuffle-join shape (at 100 TB part outgrows broadcast) and
+      // drop the size thresholds so sf0.001 exercises the rewrite
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      val l = graft.tables.Tables.lineitem(spark, sfDir)
+      val p = graft.tables.Tables.part(spark, sfDir).filter(col("p_size") === 1)
+      val joined = l.join(p, col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_name"))
+      val plan = physical(joined)
+      // the selective dim side seeds a bloom filter that is applied at the
+      // fact scan BEFORE the join shuffle: rows that cannot match never
+      // leave the mapper — the runtime analogue of static pushdown
+      assert(plan.contains("might_contain"), plan)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
+  test("dynamic partition pruning drops fact partitions from the dim filter at runtime") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    graft.tables.Tables.events(spark, sfDir)
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // the dim must be a real scan: a LocalRelation constant-folds its filter
+    // away and the pruning rule no longer sees a selective predicate
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_dpp_dim").toString
+    spark.createDataFrame(Seq(("purchase", 1L), ("view", 2L)))
+      .toDF("event_type", "flag")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("flag") === 1L)
+    val joined = fact.join(dim, Seq("event_type"))
+      .select(col("event_id"), col("flag"))
+    val plan = physical(joined)
+    // the partition filter is a dynamicpruning subquery fed by the dim side:
+    // only matching partitions of the fact layout are listed/read
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan)
+  }
+
   test("q_join_theta_range keeps the equi key as the join key (range as post-filter)") {
     val plan = physical(run("q_join_theta_range"))
     // joined on user_id (hash-partitionable); the ts band must not force NLJ

@@ -27,8 +27,25 @@ class QueriesSmokeSpec extends AnyFunSuite {
 
   test("every query has an oracle or a documented reason not to") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("q_agg_approx_distinct", "q_agg_approx_quantile"),
+    assert(noOracle == Set("q_agg_approx_distinct", "q_agg_approx_quantile", "q_agg_hll_merge"),
       s"unexpected oracle-less: $noOracle")
+  }
+
+  test("hll sketch estimates (per-group and merged) land within 5% of exact") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_agg_hll_merge")(spark, sfDir)
+      .select($"event_type", $"approx_users")
+      .as[(String, Long)].collect().toMap
+    val exactPer = graft.tables.Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(org.apache.spark.sql.functions.countDistinct($"user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    val exactAll = graft.tables.Tables.events(spark, sfDir)
+      .select($"user_id").distinct().count()
+    (exactPer + ("__all__" -> exactAll)).foreach { case (k, ex) =>
+      val ap = rows(k)
+      assert(math.abs(ap - ex).toDouble / ex < 0.05, s"$k: approx $ap vs exact $ex")
+    }
   }
 
   test("approx quantile sketch lands within 5% of the exact percentile") {
