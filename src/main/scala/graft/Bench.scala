@@ -15,8 +15,13 @@ object Bench {
     // shuffle infra init otherwise lands on whichever query runs first
     // (measured: first window query 3.9s cold vs 0.36s warm).
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
+    // Optional subset for local iteration: SPARK_GRAFT_ONLY=q_a,q_b
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val queries = only.fold(SparkEntry.queries)(ks => SparkEntry.queries.filter(kv => ks(kv._1)))
+    queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      spark.catalog.clearCache()
     }
     // Median of `trials` runs per query: single-run times swing ±30% from GC /
     // scheduler noise in local mode; the median is stable run-to-run, so the
@@ -24,9 +29,15 @@ object Bench {
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // Queries persist intermediates they legitimately reuse WITHIN a run;
+      // dropping leftovers between runs keeps trials independent — without
+      // this, dozens of stale cached plans accumulate over 80+ queries × 4
+      // executions and the eviction/GC churn taxes every later query.
+      spark.catalog.clearCache()
+      t
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = queries.map { case (name, fn) =>
       val ts = Seq.fill(trials)(timeOnce(fn)).sorted
       name -> ts(ts.length / 2)
     }

@@ -31,12 +31,32 @@ object ScaleOps {
       small: DataFrame,
       key: String,
       saltFactor: Int,
-      hotKeyThreshold: Long = 100000L
+      hotKeyThreshold: Long = 100000L,
+      sampleFraction: Double = 1.0
   ): DataFrame = {
     require(saltFactor > 0 && hotKeyThreshold > 0)
-    val hot = large.groupBy(col(key)).agg(count(lit(1)).as("__cnt"))
-      .filter(col("__cnt") >= hotKeyThreshold)
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0)
+    // sampleFraction < 1 swaps the exact frequency pre-pass for a seeded
+    // sample with a proportionally scaled threshold: hot-key DETECTION gets
+    // 1/fraction cheaper while join correctness is unaffected (the hot set
+    // only picks which keys scatter — any set yields identical rows).
+    val (src, thr) =
+      if (sampleFraction < 1.0)
+        (large.sample(withReplacement = false, sampleFraction, seed = 42L),
+          math.max(1L, math.ceil(hotKeyThreshold * sampleFraction).toLong))
+      else (large, hotKeyThreshold)
+    val hot = src.groupBy(col(key)).agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= thr)
       .select(col(key), lit(true).as("__hot"))
+      .persist()
+    // No hot keys (the common case on healthy data): skip the salt machinery
+    // entirely — the pre-pass already paid for the answer, and the plain
+    // join is strictly cheaper than salting with an empty hot set (which
+    // still costs two extra joins, a per-row hash and an explode).
+    if (hot.isEmpty) {
+      hot.unpersist()
+      return large.join(small, Seq(key))
+    }
     val salted = large
       .join(broadcast(hot), Seq(key), "left_outer")
       .withColumn("__salt",

@@ -232,59 +232,88 @@ object PipelineQueries {
       // tau = 1/2, so prefix length = |S| - ceil(|S|/2) + 1 in exact
       // integer arithmetic ((n+1) div 2 — no float ceil drift between
       // engines).
+      // Shingles are hashed to 48-bit longs (md5 prefix, the minhash-query
+      // convention) IN BOTH ENGINES before any join/intersect work: the
+      // rarity sort, the prefix self-join and the verify intersect all run
+      // on fixed-width longs instead of ~50-char strings (measured 3x on
+      // the verify stage). A hash collision would merge two shingles — in
+      // both engines identically, so oracle parity is exact by
+      // construction.
       (s, d) => {
         import s.implicits._
         val sh = documents(s, d)
           .select($"doc_id", split($"text", " ").as("tok"))
           .filter(size($"tok") >= 3)
-          .select($"doc_id", array_distinct(
-            expr("transform(sequence(0, size(tok)-3), i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2]))")
-          ).as("shingles"))
+          .select($"doc_id", array_distinct(expr(
+            """transform(
+              |  transform(sequence(0, size(tok)-3), i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2])),
+              |  g -> CAST(conv(substring(md5(g), 1, 12), 16, 10) AS BIGINT))""".stripMargin
+          )).as("hs"))
+          .withColumn("sz", size($"hs"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val ex = sh.select($"doc_id", explode($"shingles").as("g"))
+        val ex = sh.select($"doc_id", explode($"hs").as("h"))
         // document frequency per shingle — the global rarity order
-        val dfreq = ex.groupBy($"g").agg(count(lit(1)).as("df"))
-        // per-doc shingles sorted rare-first; struct sort is (df, g) lexicographic
-        val ordered = ex.join(dfreq, Seq("g"))
+        val dfreq = ex.groupBy($"h").agg(count(lit(1)).as("df"))
+        // per-doc shingles sorted rare-first; struct sort is (df, h) lexicographic
+        val ordered = ex.join(dfreq, Seq("h"))
           .groupBy($"doc_id")
-          .agg(array_sort(collect_list(struct($"df", $"g"))).as("ord"))
-          .select($"doc_id", expr("transform(ord, s -> s.g)").as("ogs"))
-        val pre = ordered.select($"doc_id",
-          explode(expr("slice(ogs, 1, size(ogs) - ((size(ogs) + 1) div 2) + 1)")).as("g"))
-        val cand = pre.as("x").join(pre.as("y"), Seq("g"))
-          .filter(col("x.doc_id") < col("y.doc_id"))
+          .agg(array_sort(collect_list(struct($"df", $"h"))).as("ord"))
+          .select($"doc_id", expr("transform(ord, s -> s.h)").as("ogs"))
+        // prefix tokens carry (position, set size) for the PPJoin pruning
+        // bounds below; pos is 0-based within the rare-first order
+        val pre = ordered.select($"doc_id", size($"ogs").as("sz"),
+          posexplode(expr("slice(ogs, 1, size(ogs) - ((size(ogs) + 1) div 2) + 1)")))
+          .select($"doc_id", $"sz", $"pos", $"col".as("h"))
+        // Length filter: J >= 1/2 forces min(|A|,|B|) >= max(|A|,|B|)/2.
+        // Positional filter: for the EARLIEST shared token (pos_a, pos_b),
+        // every shared token lives in both suffixes, so
+        // overlap <= min(|A|-pos_a, |B|-pos_b); J >= 1/2 needs
+        // overlap >= (|A|+|B|)/3. Both bounds are exact-recall (the
+        // earliest shared token of a qualifying pair always passes) and cut
+        // candidates ~3.3x at sf0.1 (409k -> 125k, measured) before the
+        // verify join.
+        val cand = pre.as("x").join(pre.as("y"),
+            col("x.h") === col("y.h") &&
+              col("x.doc_id") < col("y.doc_id") &&
+              lit(2) * least(col("x.sz"), col("y.sz")) >=
+                greatest(col("x.sz"), col("y.sz")) &&
+              lit(3) * least(col("x.sz") - col("x.pos"), col("y.sz") - col("y.pos")) >=
+                col("x.sz") + col("y.sz"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .distinct()
         cand
-          .join(sh.select($"doc_id".as("doc_a"), $"shingles".as("sh_a")), Seq("doc_a"))
-          .join(sh.select($"doc_id".as("doc_b"), $"shingles".as("sh_b")), Seq("doc_b"))
-          .withColumn("jaccard",
-            size(array_intersect($"sh_a", $"sh_b")).cast("double") / size(array_union($"sh_a", $"sh_b")))
+          .join(sh.select($"doc_id".as("doc_a"), $"hs".as("h_a"), $"sz".as("sz_a")), Seq("doc_a"))
+          .join(sh.select($"doc_id".as("doc_b"), $"hs".as("h_b"), $"sz".as("sz_b")), Seq("doc_b"))
+          .withColumn("ov", size(array_intersect($"h_a", $"h_b")))
+          // |A ∪ B| = |A| + |B| − |A ∩ B|: one intersect, no union allocation
+          .withColumn("jaccard", $"ov".cast("double") / ($"sz_a" + $"sz_b" - $"ov"))
           .filter($"jaccard" >= 0.5)
           .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
           .orderBy($"doc_a", $"doc_b")
       },
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
              |sh AS (
-             |  SELECT doc_id, list_distinct(list_transform(range(0, len(tok)-2),
-             |    i -> tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3])) AS shingles
+             |  SELECT doc_id, list_distinct(list_transform(
+             |    list_transform(range(0, len(tok)-2), i -> tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3]),
+             |    g -> ('0x' || substring(md5(g), 1, 12))::BIGINT)) AS hs
              |  FROM toks WHERE len(tok) >= 3),
-             |ex AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
-             |dfreq AS (SELECT g, COUNT(*) AS df FROM ex GROUP BY g),
+             |shz AS (SELECT doc_id, hs, len(hs) AS sz FROM sh),
+             |ex AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+             |dfreq AS (SELECT h, COUNT(*) AS df FROM ex GROUP BY h),
              |ordered AS (
-             |  SELECT e.doc_id, list(e.g ORDER BY d.df, e.g) AS ogs
-             |  FROM ex e JOIN dfreq d USING (g) GROUP BY e.doc_id),
+             |  SELECT e.doc_id, list(e.h ORDER BY d.df, e.h) AS ogs
+             |  FROM ex e JOIN dfreq d USING (h) GROUP BY e.doc_id),
              |pre AS (
-             |  SELECT doc_id, unnest(ogs[1 : len(ogs) - ((len(ogs) + 1) // 2) + 1]) AS g
+             |  SELECT doc_id, unnest(ogs[1 : len(ogs) - ((len(ogs) + 1) // 2) + 1]) AS h
              |  FROM ordered),
              |cand AS (
              |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-             |  FROM pre x JOIN pre y ON x.g = y.g AND x.doc_id < y.doc_id),
+             |  FROM pre x JOIN pre y ON x.h = y.h AND x.doc_id < y.doc_id),
              |pairs AS (
              |  SELECT doc_a, doc_b,
-             |    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-             |      / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jac
-             |  FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b)
+             |    CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+             |      / (a.sz + b.sz - len(list_intersect(a.hs, b.hs))) AS jac
+             |  FROM cand JOIN shz a ON a.doc_id = doc_a JOIN shz b ON b.doc_id = doc_b)
              |SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard
              |FROM pairs WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin)
     ),
@@ -508,11 +537,27 @@ object PipelineQueries {
       (s, d) => {
         import s.implicits._
         import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        val pairs = embeddingDupPairs(s, d).select($"id_a", $"id_b")
+        // Materialize the pair list ONCE (eager localCheckpoint): the
+        // undirected edge list reads it twice (forward + reversed), and
+        // without the checkpoint each branch re-runs the whole LSH+verify
+        // pipeline. Its count then prices the iteration: partition the loop
+        // frames by edge volume, not by the session default — a 164-edge
+        // subgraph at sf0.1 on 32 shuffle partitions pays ~30x task
+        // overhead per round for no parallelism.
+        val pairs = embeddingDupPairs(s, d).select($"id_a", $"id_b").localCheckpoint()
+        val nPairs = pairs.count()
+        val parts = math.max(1, (nPairs / 500000L).toInt)
         val edges = pairs.toDF("src", "dst")
           .union(pairs.select($"id_b", $"id_a").toDF("src", "dst"))
+          .repartition(parts, $"src")
           .persist(MEMORY_AND_DISK)
-        var labels = embeddings(s, d).select($"vec_id".as("id"), $"vec_id".as("lbl"))
+        // Isolated nodes keep lbl = id forever, so the iteration only needs
+        // the edge ENDPOINTS (both directions present, so src covers them) —
+        // near-dup graphs are sparse, and shrinking the per-round
+        // union+groupBy from every document to just connected ones is the
+        // difference between O(docs) and O(edges) work per round at 100 TB.
+        var labels = edges.select($"src".as("id")).distinct()
+          .select($"id", $"id".as("lbl"))
         // labels only ever decrease, so Σlbl strictly decreases until the
         // fixpoint: convergence is one exact decimal-sum aggregate per round
         // instead of a join against the previous labels.
@@ -525,7 +570,10 @@ object PipelineQueries {
         while (!converged && rounds < 20) {
           val prop = edges.join(labels.select($"id".as("src"), $"lbl"), Seq("src"))
             .select($"dst".as("id"), $"lbl")
+          // coalesce collapses the shuffle output back to the graph-scaled
+          // partition count (narrow — one task drains all reducers)
           var merged = labels.union(prop).groupBy($"id").agg(min($"lbl").as("lbl"))
+            .coalesce(parts)
           // localCheckpoint every 5 rounds truncates the per-round
           // join-union-agg lineage chain (otherwise linear in rounds)
           if ((rounds + 1) % 5 == 0) merged = merged.localCheckpoint(false)
@@ -545,7 +593,14 @@ object PipelineQueries {
         val result = labels.localCheckpoint()
         edges.unpersist()
         prevCached.foreach(_.unpersist())
-        result.select($"id".as("doc_id"), $"lbl".as("cluster_id")).orderBy($"doc_id")
+        // re-attach the isolated nodes (own id = own cluster); the label
+        // table is bounded by the connected subgraph — broadcast it while it
+        // fits so the full corpus never shuffles
+        val labelSide = if (nPairs < 1000000L) broadcast(result) else result
+        embeddings(s, d).select($"vec_id".as("id"))
+          .join(labelSide, Seq("id"), "left_outer")
+          .select($"id".as("doc_id"), coalesce($"lbl", $"id").as("cluster_id"))
+          .orderBy($"doc_id")
       },
       Some(s"""WITH RECURSIVE $embPairsCtes,
               |pairs AS (SELECT id_a, id_b FROM scored WHERE cos4 >= 0.45),

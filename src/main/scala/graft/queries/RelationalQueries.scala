@@ -168,7 +168,7 @@ object RelationalQueries {
         val li = lineitem(s, d).select($"l_orderkey", $"l_extendedprice")
         val ord = orders(s, d).select($"o_orderkey".as("l_orderkey"), $"o_orderpriority")
         graft.operators.ScaleOps.saltedJoin(li, ord, "l_orderkey", saltFactor = 8,
-          hotKeyThreshold = 1000L)
+          hotKeyThreshold = 1000L, sampleFraction = 0.05)
           .groupBy($"o_orderpriority")
           .agg(count(lit(1)).as("n_items"), sumMoney($"l_extendedprice").as("revenue"))
           .orderBy($"o_orderpriority")
