@@ -31,6 +31,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("minhash_sig", "minhash_sig(hs) - 16 affine minhashes of pre-hashed shingles"),
       (exprs: Seq[Expression]) => AffineMinHashSig(Cast(exprs.head, ArrayType(LongType)))))
     e.injectFunction((
+      FunctionIdentifier("sorted_intersect_size"),
+      info("sorted_intersect_size",
+        "sorted_intersect_size(a, b) - |A ∩ B| of two sorted distinct long arrays"),
+      (exprs: Seq[Expression]) => SortedIntersectSize(
+        Cast(exprs(0), ArrayType(LongType)), Cast(exprs(1), ArrayType(LongType)))))
+    e.injectFunction((
       FunctionIdentifier("bounded_topk"),
       info("bounded_topk", "bounded_topk(score, id, k) - k largest (score,id) pairs per group"),
       (exprs: Seq[Expression]) => BoundedTopK(

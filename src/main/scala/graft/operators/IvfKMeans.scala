@@ -62,6 +62,9 @@ object IvfKMeans {
         .select($"cell", posexplode($"v").as(Seq("i", "x")))
         .groupBy($"cell", $"i")
         .agg(round(sum($"x".cast("decimal(38,12)")).cast("double") / count(lit(1)), 6).as("mx"))
+        // ≤ K×dim rows remain — collapse to one task instead of paying a
+        // full shuffle-partition fan-out for the second tiny groupBy
+        .coalesce(1)
         .groupBy($"cell")
         .agg(expr("transform(array_sort(collect_list(struct(i, mx))), s -> s.mx)").as("cv"))
         .collect().toSeq

@@ -154,6 +154,11 @@ object PipelineQueries {
       // product — verified with exact Jaccard >= 0.5. The shingle set is
       // persisted across the signature and verify branches (at 100 TB this
       // is the "materialize signatures once" checkpoint).
+      // The verify step compares HASHED shingle sets (sorted distinct, via
+      // the codegen'd two-pointer merge) rather than string sets — the hash
+      // pass already exists for the signatures, and both engines hash
+      // identically, so a collision merges the same two shingles on both
+      // sides and parity is exact by construction.
       (s, d) => {
         import s.implicits._
         val sh = documents(s, d)
@@ -162,11 +167,13 @@ object PipelineQueries {
           .select($"doc_id", array_distinct(
             expr("transform(sequence(0, size(tok)-3), i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2]))")
           ).as("shingles"))
+          .select($"doc_id",
+            expr("transform(shingles, g -> CAST(conv(substring(md5(g), 1, 12), 16, 10) AS BIGINT) % 2147483647)")
+              .as("hs"))
+          .withColumn("hsd", array_sort(array_distinct($"hs")))
+          .withColumn("sz", size($"hsd"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val hs = sh.select($"doc_id",
-          expr("transform(shingles, g -> CAST(conv(substring(md5(g), 1, 12), 16, 10) AS BIGINT) % 2147483647)")
-            .as("hs"))
-        val sig = hs.select($"doc_id",
+        val sig = sh.select($"doc_id",
           graft.functions.LshFunctions.minhashSig(s, $"hs").as("sig"))
         val bands = sig.select($"doc_id",
           explode(expr("transform(sequence(0, 3), b -> struct(b AS band, concat_ws('|', slice(sig, b*4+1, 4)) AS bkey))"))
@@ -178,10 +185,10 @@ object PipelineQueries {
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .distinct()
         cand
-          .join(sh.select($"doc_id".as("doc_a"), $"shingles".as("sh_a")), Seq("doc_a"))
-          .join(sh.select($"doc_id".as("doc_b"), $"shingles".as("sh_b")), Seq("doc_b"))
-          .withColumn("jaccard",
-            size(array_intersect($"sh_a", $"sh_b")).cast("double") / size(array_union($"sh_a", $"sh_b")))
+          .join(sh.select($"doc_id".as("doc_a"), $"hsd".as("h_a"), $"sz".as("sz_a")), Seq("doc_a"))
+          .join(sh.select($"doc_id".as("doc_b"), $"hsd".as("h_b"), $"sz".as("sz_b")), Seq("doc_b"))
+          .withColumn("ov", graft.functions.SetOps.sortedIntersectSize(s, $"h_a", $"h_b"))
+          .withColumn("jaccard", $"ov".cast("double") / ($"sz_a" + $"sz_b" - $"ov"))
           .filter($"jaccard" >= 0.5)
           .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
           .orderBy($"doc_a", $"doc_b")
@@ -195,6 +202,8 @@ object PipelineQueries {
               |  SELECT doc_id, list_transform(shingles,
               |    g -> ('0x' || substring(md5(g), 1, 12))::BIGINT % 2147483647) AS hs
               |  FROM sh),
+              |hsz AS (
+              |  SELECT doc_id, list_distinct(hs) AS hsd, len(list_distinct(hs)) AS sz FROM hs),
               |sig AS (
               |  SELECT doc_id, list_transform(range(0, 16),
               |    s -> list_min(list_transform(hs,
@@ -211,9 +220,9 @@ object PipelineQueries {
               |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
               |pairs AS (
               |  SELECT doc_a, doc_b,
-              |    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-              |      / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jac
-              |  FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b)
+              |    CAST(len(list_intersect(a.hsd, b.hsd)) AS DOUBLE)
+              |      / (a.sz + b.sz - len(list_intersect(a.hsd, b.hsd))) AS jac
+              |  FROM cand JOIN hsz a ON a.doc_id = doc_a JOIN hsz b ON b.doc_id = doc_b)
               |SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard
               |FROM pairs WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin)
     ),
@@ -241,14 +250,15 @@ object PipelineQueries {
       // construction.
       (s, d) => {
         import s.implicits._
+        // sorted once per doc so the verify merge below is a two-pointer scan
         val sh = documents(s, d)
           .select($"doc_id", split($"text", " ").as("tok"))
           .filter(size($"tok") >= 3)
-          .select($"doc_id", array_distinct(expr(
+          .select($"doc_id", array_sort(array_distinct(expr(
             """transform(
               |  transform(sequence(0, size(tok)-3), i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2])),
               |  g -> CAST(conv(substring(md5(g), 1, 12), 16, 10) AS BIGINT))""".stripMargin
-          )).as("hs"))
+          ))).as("hs"))
           .withColumn("sz", size($"hs"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val ex = sh.select($"doc_id", explode($"hs").as("h"))
@@ -284,8 +294,11 @@ object PipelineQueries {
         cand
           .join(sh.select($"doc_id".as("doc_a"), $"hs".as("h_a"), $"sz".as("sz_a")), Seq("doc_a"))
           .join(sh.select($"doc_id".as("doc_b"), $"hs".as("h_b"), $"sz".as("sz_b")), Seq("doc_b"))
-          .withColumn("ov", size(array_intersect($"h_a", $"h_b")))
-          // |A ∪ B| = |A| + |B| − |A ∩ B|: one intersect, no union allocation
+          // codegen'd two-pointer merge over the pre-sorted hash sets —
+          // allocation-free, vs array_intersect's per-row hash set +
+          // materialized intersection array
+          .withColumn("ov", graft.functions.SetOps.sortedIntersectSize(s, $"h_a", $"h_b"))
+          // |A ∪ B| = |A| + |B| − |A ∩ B|: one merge, no union allocation
           .withColumn("jaccard", $"ov".cast("double") / ($"sz_a" + $"sz_b" - $"ov"))
           .filter($"jaccard" >= 0.5)
           .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))

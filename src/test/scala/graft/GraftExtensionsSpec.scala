@@ -20,18 +20,36 @@ class GraftExtensionsSpec extends AnyFunSuite {
     graft.functions.CosineSimilarity.register(spark)
     graft.functions.LshFunctions.register(spark)
     graft.functions.BoundedTopK.register(spark)
+    graft.functions.SetOps.register(spark)
     val r = spark.sql(
       """SELECT
         |  cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
         |  hyperplane_sig(array(1.0D, 1.0D)) AS h,
-        |  minhash_sig(array(5L, 9L))[0] AS m""".stripMargin).head()
+        |  minhash_sig(array(5L, 9L))[0] AS m,
+        |  sorted_intersect_size(array(1L, 3L, 7L), array(3L, 5L, 7L, 9L)) AS s""".stripMargin).head()
     assert(r.getDouble(0) == 1.0)
     assert(r.getLong(1) >= 0L)
     assert(r.getLong(2) >= 0L)
+    assert(r.getInt(3) == 2)
     val agg = spark.sql(
       """SELECT g, size(bounded_topk(sc, id, 2)) FROM VALUES
         |  (1, 5.0D, 10L), (1, 6.0D, 11L), (1, 7.0D, 12L) AS t(g, sc, id)
         |GROUP BY g""".stripMargin).head()
     assert(agg.getInt(1) == 2)
+  }
+
+  test("sorted_intersect_size matches size(array_intersect) on sorted distinct sets") {
+    graft.functions.SetOps.register(spark)
+    // deterministic pseudo-random set pairs, incl. empty and disjoint
+    val rows = spark.sql(
+      """SELECT
+        |  array_sort(array_distinct(transform(sequence(1, i % 40), k -> CAST((k * 2654435761) % (i + 13) AS BIGINT)))) AS a,
+        |  array_sort(array_distinct(transform(sequence(1, (i * 7) % 40), k -> CAST((k * 40503) % (i + 7) AS BIGINT)))) AS b
+        |FROM (SELECT explode(sequence(0, 200)) AS i)""".stripMargin)
+    val mismatches = rows.selectExpr(
+      "sorted_intersect_size(a, b) AS fast",
+      "size(array_intersect(a, b)) AS ref"
+    ).filter("fast <> ref").count()
+    assert(mismatches == 0)
   }
 }
