@@ -268,12 +268,17 @@ object PipelineQueries {
         val ordered = ex.join(dfreq, Seq("h"))
           .groupBy($"doc_id")
           .agg(array_sort(collect_list(struct($"df", $"h"))).as("ord"))
-          .select($"doc_id", expr("transform(ord, s -> s.h)").as("ogs"))
         // prefix tokens carry (position, set size) for the PPJoin pruning
-        // bounds below; pos is 0-based within the rare-first order
-        val pre = ordered.select($"doc_id", size($"ogs").as("sz"),
-          posexplode(expr("slice(ogs, 1, size(ogs) - ((size(ogs) + 1) div 2) + 1)")))
-          .select($"doc_id", $"sz", $"pos", $"col".as("h"))
+        // bounds below; pos is 0-based within the rare-first order. Tokens
+        // with df = 1 exist in exactly one document, so they cannot produce
+        // a candidate — a qualifying pair's earliest SHARED token has
+        // df >= 2 and survives, so dropping them from the index keeps exact
+        // recall while removing the (majority) unique-shingle rows from the
+        // self-join.
+        val pre = ordered.select($"doc_id", size($"ord").as("sz"),
+          posexplode(expr("slice(ord, 1, size(ord) - ((size(ord) + 1) div 2) + 1)")))
+          .filter($"col.df" >= 2)
+          .select($"doc_id", $"sz", $"pos", $"col.h".as("h"))
         // Length filter: J >= 1/2 forces min(|A|,|B|) >= max(|A|,|B|)/2.
         // Positional filter: for the EARLIEST shared token (pos_a, pos_b),
         // every shared token lives in both suffixes, so
