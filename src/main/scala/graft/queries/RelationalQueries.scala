@@ -1183,6 +1183,35 @@ object RelationalQueries {
              |ORDER BY o_orderkey""".stripMargin)
     ),
 
+    "q_sample_stratified" -> QueryDef(
+      // Stratified deterministic sampling: per-stratum rates via md5 hex
+      // prefix of the row key (purchase 1/1, signup 1/4, view 1/8, rest
+      // 1/16) — the downsample-common/keep-rare shape of training-data
+      // curation, reproducible across engines and runs (unlike TABLESAMPLE
+      // or rand()). Map-only: the predicate evaluates per row with no
+      // shuffle and composes with pushdown on the stratum column.
+      (s, d) => {
+        import s.implicits._
+        val h = substring(md5($"event_id".cast("string")), 1, 1)
+        events(s, d)
+          .filter(
+            when($"event_type" === "purchase", lit(true))
+              .when($"event_type" === "signup", h.isin("0", "1", "2", "3"))
+              .when($"event_type" === "view", h.isin("0", "1"))
+              .otherwise(h === "0"))
+          .select($"event_id", $"event_type", $"user_id")
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, event_type, user_id
+             |FROM events
+             |WHERE CASE
+             |  WHEN event_type = 'purchase' THEN TRUE
+             |  WHEN event_type = 'signup' THEN substring(md5(CAST(event_id AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')
+             |  WHEN event_type = 'view' THEN substring(md5(CAST(event_id AS VARCHAR)), 1, 1) IN ('0', '1')
+             |  ELSE substring(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0' END
+             |ORDER BY event_id""".stripMargin)
+    ),
+
     "q_agg_argmax" -> QueryDef(
       // arg-max with a composite deterministic ordering key (cents ⊕ orderkey)
       (s, d) => {

@@ -151,6 +151,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.toLowerCase.contains("dynamicpruning"), plan)
   }
 
+  test("no declared query plans a cartesian product; NLJ only where intended") {
+    // q_similarity_topk is the deliberate brute-force exact baseline: its
+    // non-equi (q_id <> c_id) broadcast join IS the operator. Everything
+    // else must key its joins.
+    val allowNlj = Set("q_similarity_topk")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val cartesian = plan.contains("CartesianProduct")
+        val nlj = plan.contains("BroadcastNestedLoopJoin") && !allowNlj(name)
+        if (cartesian || nlj) Some(s"$name: cartesian=$cartesian nlj=$nlj") else None
+      } catch { case e: Throwable => Some(s"$name: plan failed: ${e.getMessage}") }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("q_join_theta_range keeps the equi key as the join key (range as post-filter)") {
     val plan = physical(run("q_join_theta_range"))
     // joined on user_id (hash-partitionable); the ts band must not force NLJ
