@@ -804,6 +804,62 @@ object PipelineQueries {
              |FROM documents ORDER BY doc_id""".stripMargin)
     ),
 
+    "q_text_redact" -> QueryDef(
+      // PII-shaped redaction: regex-mask email-like and long-digit tokens,
+      // report per-doc redaction counts — the masking pre-pass every
+      // training corpus runs. Map-only (regexp_replace + diff of counts),
+      // composes with pushdown; no shuffle.
+      (s, d) => {
+        import s.implicits._
+        val emailRe = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+        val digitRe = "[0-9]{6,}"
+        documents(s, d)
+          .select($"doc_id",
+            regexp_replace(regexp_replace($"text", emailRe, "<EMAIL>"), digitRe, "<NUM>")
+              .as("clean"),
+            (size(split($"text", emailRe, -1)) - 1).cast("long").as("n_emails"),
+            (size(split(regexp_replace($"text", emailRe, "<EMAIL>"), digitRe, -1)) - 1)
+              .cast("long").as("n_nums"))
+          .select($"doc_id", md5($"clean").as("clean_fp"), $"n_emails", $"n_nums")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  md5(regexp_replace(regexp_replace(text, '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+             |      '[0-9]{6,}', '<NUM>', 'g')) AS clean_fp,
+             |  CAST(len(string_split_regex(text, '[A-Za-z0-9._]+@[A-Za-z0-9.]+')) - 1 AS BIGINT) AS n_emails,
+             |  CAST(len(string_split_regex(regexp_replace(text, '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+             |      '[0-9]{6,}')) - 1 AS BIGINT) AS n_nums
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
+    "q_doc_chunks" -> QueryDef(
+      // Training-window chunking: fixed 32-token windows with stride 24
+      // (8-token overlap) per document — the context-window packing shape.
+      // posexplode of a per-doc window index sequence; map-only, chunk count
+      // carried per row so downstream token budgeting needs no re-scan.
+      (s, d) => {
+        import s.implicits._
+        documents(s, d)
+          .select($"doc_id", split($"text", " ").as("tok"))
+          .select($"doc_id", posexplode(expr(
+            "transform(sequence(0, CAST(greatest(ceil((size(tok) - 32) / 24.0), 0) AS INT)), " +
+              "w -> concat_ws(' ', slice(tok, w*24+1, 32)))")))
+          .select($"doc_id", $"pos".cast("long").as("chunk_idx"),
+            md5($"col").as("chunk_fp"),
+            size(split($"col", " ")).cast("long").as("chunk_tokens"))
+          .orderBy($"doc_id", $"chunk_idx")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+             |w AS (
+             |  SELECT doc_id, unnest(range(0, CAST(GREATEST(CEIL((len(tok) - 32) / 24.0), 0) AS BIGINT) + 1)) AS w,
+             |    tok
+             |  FROM t)
+             |SELECT doc_id, w AS chunk_idx,
+             |  md5(array_to_string(tok[w*24+1 : w*24+32], ' ')) AS chunk_fp,
+             |  CAST(len(tok[w*24+1 : w*24+32]) AS BIGINT) AS chunk_tokens
+             |FROM w ORDER BY doc_id, chunk_idx""".stripMargin)
+    ),
+
     "q_doc_fingerprint" -> QueryDef(
       // Chunked rolling fingerprint: md5 per 16-token window — the shape used
       // for shard-level dedup manifests. posexplode keeps (chunk_idx, fp).
