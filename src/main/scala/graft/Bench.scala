@@ -18,6 +18,12 @@ object Bench {
     // Optional subset for local iteration: SPARK_GRAFT_ONLY=q_a,q_b
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // fail fast on unknown names — a typo would otherwise bench an empty
+    // set and report a parseable-but-bogus total of 0.0
+    only.foreach { ks =>
+      val unknown = ks -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"SPARK_GRAFT_ONLY has unknown queries: $unknown")
+    }
     val queries = only.fold(SparkEntry.queries)(ks => SparkEntry.queries.filter(kv => ks(kv._1)))
     queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }

@@ -48,15 +48,15 @@ object ScaleOps {
     val hot = src.groupBy(col(key)).agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") >= thr)
       .select(col(key), lit(true).as("__hot"))
-      .persist()
     // No hot keys (the common case on healthy data): skip the salt machinery
-    // entirely — the pre-pass already paid for the answer, and the plain
-    // join is strictly cheaper than salting with an empty hot set (which
-    // still costs two extra joins, a per-row hash and an explode).
-    if (hot.isEmpty) {
-      hot.unpersist()
-      return large.join(small, Seq(key))
-    }
+    // entirely — the plain join is strictly cheaper than salting with an
+    // empty hot set (which still costs two extra joins, a per-row hash and
+    // an explode). The check runs the pre-pass once; on the salted path the
+    // two hot-side probes below compile to the same broadcast exchange, so
+    // execution computes it once more and reuses it — deliberately NOT
+    // persist()ed, which would pin the cache entry for the session with no
+    // lifecycle hook to release it after the caller's action.
+    if (hot.isEmpty) return large.join(small, Seq(key))
     val salted = large
       .join(broadcast(hot), Seq(key), "left_outer")
       .withColumn("__salt",

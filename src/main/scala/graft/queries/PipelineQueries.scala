@@ -584,7 +584,9 @@ object PipelineQueries {
         var prevSum = labelSum(labels)
         var prevCached: Option[org.apache.spark.sql.DataFrame] = None
         var rounds = 0
-        var converged = false
+        // zero pairs → empty endpoint set → labelSum is null and there is
+        // nothing to propagate; skip straight to the identity labels
+        var converged = nPairs == 0
         while (!converged && rounds < 20) {
           val prop = edges.join(labels.select($"id".as("src"), $"lbl"), Seq("src"))
             .select($"dst".as("id"), $"lbl")

@@ -123,11 +123,15 @@ object StreamShapeQueries {
           "graft_stream_events" + d.replaceAll("[^A-Za-z0-9]", "_"))
         java.nio.file.Files.createDirectories(dir)
         val link = dir.resolve("events.parquet")
-        if (!java.nio.file.Files.exists(link))
+        // NOFOLLOW: a stale link to a vanished target must be replaced, and
+        // plain exists() would follow it and report false
+        if (java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS)
+            && !java.nio.file.Files.exists(link))
+          java.nio.file.Files.delete(link)
+        if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
           java.nio.file.Files.createSymbolicLink(link, src)
         val raw = graft.streaming.StreamOps.readEventStream(s, dir.toString)
-        val ev = raw
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val ev = graft.tables.Tables.normalizeEventTs(raw)
           .select($"user_id", $"ts", $"event_type")
           .as[graft.streaming.StreamOps.UserEvent]
         val name = "q_stream_stateful_" +
@@ -135,10 +139,15 @@ object StreamShapeQueries {
         val q = graft.streaming.StreamOps.runToMemory(
           graft.streaming.StreamOps.runningUserCounters(ev).toDF(), name)
         q.awaitTermination()
-        s.table(name)
+        // materialize the (tiny) final counters, then drop the memory-sink
+        // view so repeated invocations don't retain per-batch output forever
+        val out = s.table(name)
           .groupBy($"user_id")
           .agg(max($"n_events").as("n_events"), max($"n_purchases").as("n_purchases"))
           .orderBy($"user_id")
+          .localCheckpoint()
+        s.catalog.dropTempView(name)
+        out
       },
       Some("""SELECT user_id, COUNT(*) AS n_events,
              |  CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchases

@@ -163,6 +163,7 @@ class PlanQualitySpec extends AnyFunSuite {
         val nlj = plan.contains("BroadcastNestedLoopJoin") && !allowNlj(name)
         if (cartesian || nlj) Some(s"$name: cartesian=$cartesian nlj=$nlj") else None
       } catch { case e: Throwable => Some(s"$name: plan failed: ${e.getMessage}") }
+      finally spark.catalog.clearCache() // drop each query's persisted intermediates
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }

@@ -64,6 +64,19 @@ class QueriesSmokeSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dedup_clusters degrades to identity labels on a corpus with zero near-dup pairs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_nopairs").toString
+    // orthogonal unit vectors: every candidate pair scores cos = 0 < 0.45
+    val rows = (0 until 8).map { i =>
+      (i.toLong, Seq.tabulate(64)(j => if (j == i) 1.0f else 0.0f))
+    }
+    rows.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("q_dedup_clusters")(spark, dir).collect()
+    assert(out.length == 8 && out.forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
   test("distributed CdcApply.run matches the local sequential fold") {
     import spark.implicits._
     val recs = CdcParser.parseLines(ReferenceFixtures.cdcLines)
