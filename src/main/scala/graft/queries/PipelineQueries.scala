@@ -451,6 +451,67 @@ object PipelineQueries {
               |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin)
     ),
 
+    "q_similarity_filtered" -> QueryDef(
+      // Pipeline COMPOSITION: the text-quality gate (q_text_quality's
+      // predicate) curates the corpus BEFORE the ANN index is built — the
+      // semi-join prunes vectors ahead of signature computation, so the
+      // bucketing/rerank cost scales with the curated corpus, not the raw
+      // one. Same LSH-bucket retrieval as q_similarity_ann_lsh afterwards;
+      // queries are drawn from the curated set ("search within the cleaned
+      // corpus"). documents.doc_id and embeddings.vec_id share the id space.
+      (s, d) => {
+        import s.implicits._
+        val quality = documents(s, d)
+          .select($"doc_id", split($"text", " ").as("tok"))
+          .filter(size($"tok").between(10, 2000) &&
+            expr("CAST(size(filter(tok, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)")
+              / size($"tok") <= 0.5)
+          .select($"doc_id".as("vec_id"))
+        val e = embeddings(s, d)
+          .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+          .join(quality, Seq("vec_id"), "left_semi")
+          .withColumn("bucket", graft.functions.LshFunctions.hyperplaneSig(s, $"v") % 256)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val q = e.filter($"vec_id" < 10)
+          .select($"vec_id".as("q_id"), $"v".as("qv"), $"bucket")
+        val scored = e.select($"vec_id".as("c_id"), $"v".as("cv"), $"bucket")
+          .join(broadcast(q), Seq("bucket"))
+          .filter($"q_id" =!= $"c_id")
+          .withColumn("sim4",
+            round(graft.functions.CosineSimilarity.cosineSim(s, $"qv", $"cv"), 4))
+        val w = Window.partitionBy($"q_id").orderBy($"sim4".desc, $"c_id")
+        scored.withColumn("rnk", row_number().over(w))
+          .filter($"rnk" <= 3)
+          .select($"q_id", $"rnk", $"c_id", $"sim4")
+          .orderBy($"q_id", $"rnk")
+      },
+      Some(s"""WITH qual AS (
+              |  SELECT doc_id FROM (SELECT doc_id, string_split(text, ' ') AS tok FROM documents)
+              |  WHERE len(tok) BETWEEN 10 AND 2000
+              |    AND CAST(len(list_filter(tok, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE) / len(tok) <= 0.5),
+              |e AS (
+              |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+              |  WHERE vec_id IN (SELECT doc_id FROM qual)),
+              |b AS (
+              |  SELECT vec_id, v,
+              |    CAST(list_sum(list_transform(range(0, 8), p ->
+              |      CASE WHEN list_sum(list_transform(range(0, 64),
+              |          i -> v[i + 1] * CAST((([${PipelineQueries.lshA.mkString(",")}]::BIGINT[])[p + 1] * (i + 1)
+              |                              + ([${PipelineQueries.lshB.mkString(",")}]::BIGINT[])[p + 1]) % 1009 - 504 AS DOUBLE))) > 0
+              |           THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS bucket
+              |  FROM e),
+              |n AS (SELECT vec_id, v, bucket, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM b),
+              |s AS (
+              |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+              |    ROUND(list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 4) AS sim4
+              |  FROM n q JOIN n c ON q.bucket = c.bucket AND q.vec_id < 10 AND q.vec_id <> c.vec_id)
+              |SELECT q_id, rnk, c_id, sim4 FROM (
+              |  SELECT q_id, c_id, sim4,
+              |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim4 DESC, c_id) AS rnk
+              |  FROM s) t
+              |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin)
+    ),
+
     "q_similarity_ann_ivf" -> QueryDef(
       // IVF coarse quantization — the other 100 TB similarity scale path
       // (inverted-file ANN, complementing the LSH buckets above). Seeds are
