@@ -735,6 +735,54 @@ object PipelineQueries {
              |FROM agg ORDER BY doc_id""".stripMargin)
     ),
 
+    "q_multimodal_features" -> QueryDef(
+      // The other half of the multimodal surface as a verifiable query:
+      // frame SAMPLING (every 2nd decoded frame — the video-stride shape)
+      // and the folded-histogram FEATURE vector. Normalized dims are
+      // computed in double math from the exact long histogram counts, so
+      // both engines perform the identical IEEE sqrt+divide (the float-
+      // accumulating extractFeatures path stays spec-tested; compared
+      // values must not ride float rounding).
+      (s, d) => {
+        import s.implicits._
+        val assets = graft.multimodal.Multimodal.assetsFromDocuments(s, documents(s, d))
+        val sampled = graft.multimodal.Multimodal
+          .frameSample(graft.multimodal.Multimodal.decodeToFrames(assets), 2)
+          .groupBy($"asset_id".as("doc_id"))
+          .agg(count(lit(1)).as("n_sampled"))
+        val hists = assets.map { a =>
+          val h = graft.multimodal.Multimodal.DecodeStub.histogram(a)
+          (a.asset_id, h(0), h(1), h(2), h(3),
+            math.sqrt(h.map(x => x.toDouble * x).sum))
+        }.toDF("doc_id", "h0", "h1", "h2", "h3", "nrm")
+        sampled.join(hists, Seq("doc_id"))
+          .select($"doc_id", $"n_sampled",
+            round($"h0" / $"nrm", 4).as("f0"),
+            round($"h1" / $"nrm", 4).as("f1"),
+            round($"h2" / $"nrm", 4).as("f2"),
+            round($"h3" / $"nrm", 4).as("f3"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, length(text) AS n,
+             |    list_transform(range(1, length(text) + 1), i -> ascii(substring(text, i, 1))) AS bytes
+             |  FROM documents),
+             |hist AS (
+             |  SELECT doc_id, r.k, CAST(len(list_filter(bytes, x -> x % 64 = r.k)) AS DOUBLE) AS c
+             |  FROM b, range(0, 64) r(k)),
+             |nrm AS (SELECT doc_id, sqrt(SUM(c * c)) AS nrm FROM hist GROUP BY doc_id),
+             |agg AS (
+             |  SELECT doc_id, CAST(CEIL(CEIL(n / 256.0) / 2.0) AS BIGINT) AS n_sampled FROM b)
+             |SELECT a.doc_id, a.n_sampled,
+             |  ROUND(MAX(CASE WHEN h.k = 0 THEN h.c END) / MAX(m.nrm), 4) AS f0,
+             |  ROUND(MAX(CASE WHEN h.k = 1 THEN h.c END) / MAX(m.nrm), 4) AS f1,
+             |  ROUND(MAX(CASE WHEN h.k = 2 THEN h.c END) / MAX(m.nrm), 4) AS f2,
+             |  ROUND(MAX(CASE WHEN h.k = 3 THEN h.c END) / MAX(m.nrm), 4) AS f3
+             |FROM agg a JOIN hist h USING (doc_id) JOIN nrm m USING (doc_id)
+             |GROUP BY a.doc_id, a.n_sampled
+             |ORDER BY a.doc_id""".stripMargin)
+    ),
+
     // ---------------------------------------------------------- text analysis
     "q_text_analysis" -> QueryDef(
       (s, d) => {

@@ -59,6 +59,24 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(replicated.count() === small.count() + 7)
   }
 
+  test("saltedJoin computes the hot-key pre-pass once at execution (exchange reuse)") {
+    import spark.implicits._
+    val large = spark.range(20000).select(lit(1L).as("k"), $"id")
+      .union(spark.range(500).select($"id" + 10L as "k", $"id"))
+    val small = spark.range(500).select(
+      when($"id" === 0, 1L).otherwise($"id" + 10L).as("k"), $"id".as("v"))
+    val joined = ScaleOps.saltedJoin(large, small, "k", saltFactor = 8,
+      hotKeyThreshold = 1000L)
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    // the hot set probes both join sides with identical subplans: the
+    // second probe must reuse the first broadcast, not recompute the
+    // pre-pass (the property that replaces the old persist())
+    assert(plan.contains("ReusedExchange") || plan.contains("TableCacheQueryStage")
+      || plan.contains("ReusedQueryStage"),
+      s"expected broadcast reuse for the hot-key pre-pass in:\n$plan")
+  }
+
   test("AQE splits a skewed join partition at runtime (OptimizeSkewedJoin)") {
     import spark.implicits._
     // one key owns ~90% of the left side; thresholds lowered so local data
