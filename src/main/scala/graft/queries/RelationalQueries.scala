@@ -396,6 +396,31 @@ object RelationalQueries {
       None
     ),
 
+    "q_agg_salted" -> QueryDef(
+      // Two-phase (salted) aggregation: phase 1 pre-aggregates on
+      // (key, salt) so a pathologically hot grouping key spreads across 16
+      // reducers instead of serializing on one; phase 2 combines the
+      // per-salt partials. Decimal partial sums keep the money math exact
+      // through both phases, so the result is bit-identical to the direct
+      // groupBy — which is exactly what the oracle states. (Spark's own
+      // partial aggregation handles MOST skew; explicit salting is the
+      // pattern for when a single key's partials still overwhelm one
+      // reducer — high-cardinality agg states, collect_list, etc.)
+      (s, d) => {
+        import s.implicits._
+        events(s, d)
+          .withColumn("__salt", pmod(hash($"event_id"), lit(16)))
+          .groupBy($"event_type", $"__salt")
+          .agg(count(lit(1)).as("pc"), sum(dec($"value")).as("pv"))
+          .groupBy($"event_type")
+          .agg(sum($"pc").as("n_events"), sum($"pv").cast("double").as("total_value"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
     "q_agg_hll_merge" -> QueryDef(
       // Datasketches HLL with EXPLICIT partial-sketch merge: per-group
       // sketches built once (hll_sketch_agg), per-group estimates read out,
