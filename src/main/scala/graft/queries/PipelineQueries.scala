@@ -971,6 +971,50 @@ object PipelineQueries {
              |FROM w ORDER BY doc_id, chunk_idx""".stripMargin)
     ),
 
+    "q_text_tfidf" -> QueryDef(
+      // Top-3 tf-idf terms per document (first 50 docs): tf from per-doc
+      // term counts, idf = ln(N / df) over the corpus — the vocabulary-
+      // weighting shape behind keyword extraction and sparse retrieval.
+      // Two partial-aggregatable counts + a broadcast-sized df join; the
+      // per-doc top-k is a bounded window. ln() is correctly-rounded IEEE
+      // in both engines; scores round to 6 dp with term tiebreak.
+      (s, d) => {
+        import s.implicits._
+        val docsAll = documents(s, d)
+        // corpus size: one scalar count to the driver (same class as the
+        // IVF seed collect — a literal in the plan, not per-row state)
+        val n = docsAll.count()
+        val terms = docsAll
+          .select($"doc_id", explode(split($"text", " ")).as("term"))
+        val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        val dfreq = terms.select($"doc_id", $"term").distinct()
+          .groupBy($"term").agg(count(lit(1)).as("df"))
+        val scored = tf.join(dfreq, Seq("term"))
+          .filter($"doc_id" < 50)
+          .withColumn("tfidf", round($"tf" * log(lit(n.toDouble) / $"df"), 6))
+        val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"term")
+        scored.withColumn("rnk", row_number().over(w).cast("long"))
+          .filter($"rnk" <= 3)
+          .select($"doc_id", $"rnk", $"term", $"tfidf")
+          .orderBy($"doc_id", $"rnk")
+      },
+      Some("""WITH terms AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+             |dfreq AS (
+             |  SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms)
+             |  GROUP BY term),
+             |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+             |scored AS (
+             |  SELECT doc_id, term, ROUND(tf * ln(n.n / df), 6) AS tfidf
+             |  FROM tf JOIN dfreq USING (term), n WHERE doc_id < 50)
+             |SELECT doc_id, rnk, term, tfidf FROM (
+             |  SELECT doc_id, term, tfidf,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rnk
+             |  FROM scored) t
+             |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)
+    ),
+
     "q_doc_fingerprint" -> QueryDef(
       // Chunked rolling fingerprint: md5 per 16-token window — the shape used
       // for shard-level dedup manifests. posexplode keeps (chunk_idx, fp).

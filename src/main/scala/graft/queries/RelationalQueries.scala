@@ -310,6 +310,35 @@ object RelationalQueries {
              |ORDER BY s.user_id""".stripMargin)
     ),
 
+    "q_retention_cohort" -> QueryDef(
+      // Cohort retention: users grouped by first-activity day, tracked for
+      // how many return k days later (k = 0..3). Two pre-aggregations
+      // (first day per user, distinct activity days per user) joined on
+      // user_id — both partial-aggregated before the join, so nothing
+      // event-sized shuffles twice; the cohort matrix is tiny.
+      (s, d) => {
+        import s.implicits._
+        val ev = events(s, d).select($"user_id", to_date($"ts").as("day"))
+        val firstDay = ev.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+        val active = ev.distinct()
+        firstDay.join(active, Seq("user_id"))
+          .withColumn("k", datediff($"day", $"cohort_day"))
+          .filter($"k".between(0, 3))
+          .groupBy($"cohort_day", $"k")
+          .agg(countDistinct($"user_id").as("n_users"))
+          .orderBy($"cohort_day", $"k")
+      },
+      Some("""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+             |first_day AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id),
+             |active AS (SELECT DISTINCT user_id, day FROM ev)
+             |SELECT f.cohort_day, CAST(a.day - f.cohort_day AS INTEGER) AS k,
+             |  COUNT(DISTINCT f.user_id) AS n_users
+             |FROM first_day f JOIN active a USING (user_id)
+             |WHERE a.day - f.cohort_day BETWEEN 0 AND 3
+             |GROUP BY f.cohort_day, k
+             |ORDER BY f.cohort_day, k""".stripMargin)
+    ),
+
     "q_scalar_subquery" -> QueryDef(
       // Correlated scalar subquery through the SQL front door: customers
       // above their own nation's average balance. Catalyst decorrelates this
