@@ -28,6 +28,7 @@ object Bench {
     queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
       spark.catalog.clearCache()
+      System.gc()
     }
     // Median of `trials` runs per query: single-run times swing ±30% from GC /
     // scheduler noise in local mode; the median is stable run-to-run, so the
@@ -40,7 +41,13 @@ object Bench {
       // dropping leftovers between runs keeps trials independent — without
       // this, dozens of stale cached plans accumulate over 80+ queries × 4
       // executions and the eviction/GC churn taxes every later query.
+      // The GC (untimed — after t) lets the async ContextCleaner reclaim
+      // unreferenced localCheckpoint/broadcast blocks promptly: left alone
+      // they pile up across ~360 executions and tax whichever
+      // memory-hungry query lands in the pressure window (observed 15x on
+      // one query purely from suite ordering).
       spark.catalog.clearCache()
+      System.gc()
       t
     }
     val results = queries.map { case (name, fn) =>
