@@ -129,6 +129,36 @@ object RelationalQueries {
              |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)
     ),
 
+    "q_join_full_outer" -> QueryDef(
+      // FULL OUTER over two pre-aggregated daily series: days with only
+      // signups and days with only purchases both survive with zero-filled
+      // counterparts. Aggregate-then-join keeps the outer join on the tiny
+      // per-day frames, never on raw events.
+      (s, d) => {
+        import s.implicits._
+        val ev = events(s, d)
+        val su = ev.filter($"event_type" === "signup")
+          .groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("n_signups"))
+        val pu = ev.filter($"event_type" === "purchase")
+          .groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("n_purchases"))
+        su.join(pu, Seq("day"), "full_outer")
+          .select($"day",
+            coalesce($"n_signups", lit(0L)).as("n_signups"),
+            coalesce($"n_purchases", lit(0L)).as("n_purchases"))
+          .orderBy($"day")
+      },
+      Some("""WITH su AS (
+             |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_signups FROM events
+             |  WHERE event_type = 'signup' GROUP BY 1),
+             |pu AS (
+             |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_purchases FROM events
+             |  WHERE event_type = 'purchase' GROUP BY 1)
+             |SELECT day, COALESCE(n_signups, 0) AS n_signups,
+             |  COALESCE(n_purchases, 0) AS n_purchases
+             |FROM su FULL JOIN pu USING (day)
+             |ORDER BY day""".stripMargin)
+    ),
+
     "q_join_semi" -> QueryDef(
       (s, d) => {
         import s.implicits._
