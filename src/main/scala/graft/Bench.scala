@@ -54,19 +54,33 @@ object Bench {
       val ts = Seq.fill(trials)(timeOnce(fn)).sorted
       name -> ts(ts.length / 2)
     }
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
-      .mkString("{", ",", "}")
+    def toJson(rs: Seq[(String, Double)]): String =
+      rs.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+        .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json =
-      s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // The driver parses the result from sbt's interleaved log output, so the
-    // JSON must survive as a machine-readable artifact: write it to a file
-    // AND print it as the sole last stdout line (after spark.stop(), which
-    // logs shutdown noise of its own).
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/bench.json"), json)
+    val fullJson =
+      s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","queries":${toJson(results.toSeq)},"sf":"$sfDir"}"""
+    // The driver captures only a bounded tail of sbt's stdout and parses the
+    // last JSON line it finds. The full per-query map (~90 entries, ~3 KB)
+    // overflows that buffer and the line arrives truncated → parsed:null in
+    // BENCH_r01/r03. So: full detail goes to a file (and an early stdout line),
+    // while the FINAL stdout line is a compact summary — total + the headline
+    // (expensive / architecture-bearing) queries — small enough to always
+    // survive the tail buffer intact.
+    val headline = Seq(
+      "q_agg_hash", "q_join_multiway", "q_join_theta_range", "q_cdc_apply_scale",
+      "q_dedup_minhash_lsh", "q_dedup_ngram_jaccard", "q_dedup_clusters",
+      "q_dedup_embedding", "q_similarity_ann_lsh", "q_similarity_ann_ivf",
+      "q_stream_stateful", "q_text_tfidf", "q_window_rank", "q_multimodal_features")
+    val headlineResults = results.toSeq.filter(kv => headline.contains(kv._1))
+    val compactJson =
+      s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","n_queries":${results.size},""" +
+        s""""queries":${toJson(headlineResults)},"sf":"$sfDir","detail":"/tmp/bench.json"}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/bench.json"), fullJson)
+    println(fullJson)
     spark.stop()
-    println(json)
+    println(compactJson)
     System.out.flush()
   }
 }

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -61,10 +61,23 @@ case class SortedIntersectSize(left: Expression, right: Expression)
 object SetOps {
   val FunctionName = "sorted_intersect_size"
 
-  /** Register for SQL + Column use (idempotent per session). */
+  /** Register for SQL + Column use (idempotent per session). Applies the
+    * same Cast-to-long-array coercion as `GraftExtensions.injectFunction`
+    * so the two registration paths are interchangeable — this temp function
+    * shadows the extension-injected one once any Column-API call registers
+    * it, and without the Cast an int-backed array would hit
+    * `ArrayData.getLong` on int storage.
+    */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FunctionName, exprs => SortedIntersectSize(exprs(0), exprs(1)), "scala_udf")
+      FunctionName,
+      exprs => {
+        require(exprs.length == 2,
+          s"$FunctionName(a, b) expects exactly 2 array<long> arguments, got ${exprs.length}")
+        SortedIntersectSize(
+          Cast(exprs(0), ArrayType(LongType)), Cast(exprs(1), ArrayType(LongType)))
+      },
+      "scala_udf")
 
   /** Column-API surface: `sortedIntersectSize($"a", $"b")` — both arrays must
     * be distinct and sorted ascending.

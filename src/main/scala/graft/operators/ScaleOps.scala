@@ -24,6 +24,12 @@ object ScaleOps {
     * large side; swap in `large.sample(fraction, seed)` with a scaled
     * threshold when even that pass is too dear.
     *
+    * NOTE: construction is EAGER — the `hot.isEmpty` probe below runs the
+    * frequency pre-pass before a plan is returned, and the salted path
+    * recomputes it once at execution. Plan-only consumers (explain dumps,
+    * plan-shape tests) therefore pay a scan of `large` per call; pass
+    * `sampleFraction < 1` to make that probe proportionally cheap.
+    *
     * Result is row-identical to `large.join(small, key)` — verified by spec.
     */
   def saltedJoin(

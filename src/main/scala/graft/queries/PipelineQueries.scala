@@ -714,8 +714,12 @@ object PipelineQueries {
           val h = graft.multimodal.Multimodal.DecodeStub.histogram(a)
           (a.asset_id, h(0), h(1), h(2), h(3))
         }).toDF("doc_id", "h0", "h1", "h2", "h3")
-        frameAgg.join(hists, Seq("doc_id"))
-          .select($"doc_id", $"n_frames", $"frame0_mean", $"h0", $"h1", $"h2", $"h3")
+        // Drive from `hists` (one row per asset, unconditionally): a zero-
+        // length doc decodes to zero frames, so an inner join on frameAgg
+        // would drop it here while the oracle keeps it with n_frames=0.
+        hists.join(frameAgg, Seq("doc_id"), "left_outer")
+          .select($"doc_id", coalesce($"n_frames", lit(0L)).as("n_frames"),
+            $"frame0_mean", $"h0", $"h1", $"h2", $"h3")
           .orderBy($"doc_id")
       },
       Some("""WITH b AS (
@@ -755,12 +759,17 @@ object PipelineQueries {
           (a.asset_id, h(0), h(1), h(2), h(3),
             math.sqrt(h.map(x => x.toDouble * x).sum))
         }.toDF("doc_id", "h0", "h1", "h2", "h3", "nrm")
-        sampled.join(hists, Seq("doc_id"))
-          .select($"doc_id", $"n_sampled",
-            round($"h0" / $"nrm", 4).as("f0"),
-            round($"h1" / $"nrm", 4).as("f1"),
-            round($"h2" / $"nrm", 4).as("f2"),
-            round($"h3" / $"nrm", 4).as("f3"))
+        // Drive from `hists` (one row per asset): a zero-length doc has no
+        // sampled frames, so the former inner join dropped it while the
+        // oracle kept it with n_sampled=0. The nrm=0 guard pins the
+        // zero-histogram case to 0.0 in BOTH engines (Spark 0/0 is NaN,
+        // DuckDB division by zero is NULL — neither is comparable).
+        val feat = (h: org.apache.spark.sql.Column) =>
+          when($"nrm" === 0.0d, lit(0.0d)).otherwise(round(h / $"nrm", 4))
+        hists.join(sampled, Seq("doc_id"), "left_outer")
+          .select($"doc_id", coalesce($"n_sampled", lit(0L)).as("n_sampled"),
+            feat($"h0").as("f0"), feat($"h1").as("f1"),
+            feat($"h2").as("f2"), feat($"h3").as("f3"))
           .orderBy($"doc_id")
       },
       Some("""WITH b AS (
@@ -774,10 +783,10 @@ object PipelineQueries {
              |agg AS (
              |  SELECT doc_id, CAST(CEIL(CEIL(n / 256.0) / 2.0) AS BIGINT) AS n_sampled FROM b)
              |SELECT a.doc_id, a.n_sampled,
-             |  ROUND(MAX(CASE WHEN h.k = 0 THEN h.c END) / MAX(m.nrm), 4) AS f0,
-             |  ROUND(MAX(CASE WHEN h.k = 1 THEN h.c END) / MAX(m.nrm), 4) AS f1,
-             |  ROUND(MAX(CASE WHEN h.k = 2 THEN h.c END) / MAX(m.nrm), 4) AS f2,
-             |  ROUND(MAX(CASE WHEN h.k = 3 THEN h.c END) / MAX(m.nrm), 4) AS f3
+             |  CASE WHEN MAX(m.nrm) = 0 THEN 0.0 ELSE ROUND(MAX(CASE WHEN h.k = 0 THEN h.c END) / MAX(m.nrm), 4) END AS f0,
+             |  CASE WHEN MAX(m.nrm) = 0 THEN 0.0 ELSE ROUND(MAX(CASE WHEN h.k = 1 THEN h.c END) / MAX(m.nrm), 4) END AS f1,
+             |  CASE WHEN MAX(m.nrm) = 0 THEN 0.0 ELSE ROUND(MAX(CASE WHEN h.k = 2 THEN h.c END) / MAX(m.nrm), 4) END AS f2,
+             |  CASE WHEN MAX(m.nrm) = 0 THEN 0.0 ELSE ROUND(MAX(CASE WHEN h.k = 3 THEN h.c END) / MAX(m.nrm), 4) END AS f3
              |FROM agg a JOIN hist h USING (doc_id) JOIN nrm m USING (doc_id)
              |GROUP BY a.doc_id, a.n_sampled
              |ORDER BY a.doc_id""".stripMargin)

@@ -220,7 +220,13 @@ object RelationalQueries {
       (s, d) => {
         import s.implicits._
         val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
-        val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed$sfx"
+        // Per-process token in the external path: two concurrent JVMs on the
+        // same dataset (e.g. Bench and Verify) would otherwise overwrite one
+        // shared layout while the other reads it. Layout reuse is only ever
+        // per-session anyway (catalog-gated below), so per-process paths
+        // lose nothing.
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_" +
+          s"p${ProcessHandle.current().pid()}$sfx"
         val ot = s"graft_bkt_orders$sfx"
         val ct = s"graft_bkt_customer$sfx"
         // Layout is AMORTIZED state, not per-query work: write the bucketed
