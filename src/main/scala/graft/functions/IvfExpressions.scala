@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Codegen'd nearest-centroid assignment against a baked centroid table.
+  *
+  * Semantically identical to `array_min(array(struct(-round(cosine, 6), cid)
+  * for each centroid)).cid` — the formulation `IvfKMeans` originally
+  * composed from 16 separate `CosineSimilarity` trees — but as ONE
+  * expression holding the K×dim centroid matrix in a codegen reference
+  * object. That collapses K cosine codegen blocks + K struct allocations +
+  * an array_min per row into a single fused loop, and (as importantly at
+  * bench scale) shrinks each consuming plan's expression tree from ~K·dim
+  * nodes to one, cutting analysis + codegen time for every Lloyd iteration
+  * plan.
+  *
+  * Exact-parity details mirrored from the composed form so the DuckDB
+  * oracle replays bit-for-bit:
+  *  - dot and |v|² accumulate left-to-right in doubles; centroid norms are
+  *    precomputed with the same left-to-right fold (same IEEE result);
+  *  - cos rounds to 6 dp via BigDecimal HALF_UP (Spark's `round(_, 6)`);
+  *  - argmax = min over (-cos6, cid) with java.lang.Double.compare ordering
+  *    (NaN greatest, as in struct comparison), i.e. lowest-cid tiebreak.
+  */
+case class IvfNearestCell(
+    child: Expression,
+    cids: Array[Long],
+    cents: Array[Array[Double]],
+    cnorms: Array[Double]
+) extends UnaryExpression {
+
+  require(cids.length == cents.length && cids.length == cnorms.length && cids.nonEmpty)
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "ivf_nearest_cell"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    IvfNearestCell.nearest(v, cids, cents, cnorms)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cidsRef = ctx.addReferenceObj("cids", cids, "long[]")
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    val cnormsRef = ctx.addReferenceObj("cnorms", cnorms, "double[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.IvfNearestCell.nearest($v, $cidsRef, $centsRef, $cnormsRef);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object IvfNearestCell {
+  /** Shared kernel for interpreted eval and codegen (one virtual call per
+    * row; the loop body JITs the same either way).
+    */
+  def nearest(
+      v: ArrayData,
+      cids: Array[Long],
+      cents: Array[Array[Double]],
+      cnorms: Array[Double]
+  ): Long = {
+    val n = v.numElements()
+    var nv = 0.0
+    var i = 0
+    while (i < n) { val x = v.getDouble(i); nv += x * x; i += 1 }
+    val vnorm = math.sqrt(nv)
+    var bestNeg = 0.0
+    var bestCid = 0L
+    var bestSet = false
+    var k = 0
+    while (k < cids.length) {
+      val c = cents(k)
+      val m = math.min(n, c.length)
+      var dot = 0.0
+      var j = 0
+      while (j < m) { dot += v.getDouble(j) * c(j); j += 1 }
+      val cos = dot / (vnorm * cnorms(k))
+      // Spark's round(double, 6) passes NaN/Infinity through untouched
+      // (BigDecimal.valueOf would throw); mirror that.
+      val cos6 =
+        if (java.lang.Double.isNaN(cos) || java.lang.Double.isInfinite(cos)) cos
+        else java.math.BigDecimal.valueOf(cos)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      val neg = -cos6
+      val cmp = java.lang.Double.compare(neg, bestNeg)
+      if (!bestSet || cmp < 0 || (cmp == 0 && cids(k) < bestCid)) {
+        bestNeg = neg; bestCid = cids(k); bestSet = true
+      }
+      k += 1
+    }
+    bestCid
+  }
+}

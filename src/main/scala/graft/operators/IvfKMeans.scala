@@ -35,12 +35,41 @@ object IvfKMeans {
       lit(cid).as("cid"))
   }: _*)
 
-  /** Nearest-centroid cell id for `vcol` — pure map-side codegen. */
+  /** Nearest-centroid cell id for `vcol` — pure map-side codegen, as ONE
+    * fused expression over the baked centroid matrix
+    * ([[graft.functions.IvfNearestCell]]) rather than K composed cosine
+    * trees: same bit-exact result as
+    * `array_min(simStructs(...)).getField("cid")`, but each consuming plan
+    * carries a single expression node, so Lloyd-iteration plans
+    * analyze + codegen in O(1) instead of O(K·dim).
+    */
   def assignCell(
       spark: SparkSession,
       cents: Seq[(Long, Seq[Double])],
       vcol: Column
-  ): Column = array_min(simStructs(spark, cents, vcol)).getField("cid")
+  ): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val cids = cents.map(_._1).toArray
+    val mat = cents.map(_._2.toArray).toArray
+    // same left-to-right fold as CosineSimilarity's |b|² accumulation →
+    // identical IEEE double
+    val cnorms = mat.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      math.sqrt(s)
+    }
+    // temp-function registration is the session's Column-from-Expression
+    // seam (the LshFunctions convention); the builder closure captures THIS
+    // call's centroids, and eager DataFrame analysis resolves it before any
+    // later re-registration.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ivf_nearest_cell",
+      exprs => graft.functions.IvfNearestCell(
+        Cast(exprs.head, ArrayType(DoubleType)), cids, mat, cnorms),
+      "scala_udf")
+    org.apache.spark.sql.functions.call_function("ivf_nearest_cell", vcol)
+  }
 
   /** Run `iters` Lloyd iterations over `e` (columns `vec_id: Long`,
     * `v: Array[Double]`) starting from `seeds`. Cell ids stay the seed ids

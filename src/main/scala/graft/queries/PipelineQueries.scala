@@ -262,10 +262,14 @@ object PipelineQueries {
           .withColumn("sz", size($"hs"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val ex = sh.select($"doc_id", explode($"hs").as("h"))
-        // document frequency per shingle — the global rarity order
-        val dfreq = ex.groupBy($"h").agg(count(lit(1)).as("df"))
+        // document frequency per shingle — the global rarity order. A window
+        // count over the shingle partition annotates each exploded row in
+        // ONE shuffle of ex; the aggregate-then-rejoin formulation costs
+        // three (dfreq groupBy, ex re-shuffle for the join, then the groupBy
+        // below).
+        val wdf = Window.partitionBy($"h")
         // per-doc shingles sorted rare-first; struct sort is (df, h) lexicographic
-        val ordered = ex.join(dfreq, Seq("h"))
+        val ordered = ex.withColumn("df", count(lit(1)).over(wdf))
           .groupBy($"doc_id")
           .agg(array_sort(collect_list(struct($"df", $"h"))).as("ord"))
         // prefix tokens carry (position, set size) for the PPJoin pruning
@@ -606,78 +610,28 @@ object PipelineQueries {
     ),
 
     "q_dedup_clusters" -> QueryDef(
-      // Connected components over the near-dup pair graph: iterative min-
-      // label propagation (Pregel-style hash-join per round — the standard
-      // large-scale CC), so every document gets a canonical cluster_id =
-      // min reachable doc id and "keep one per cluster" becomes a groupBy.
-      // The driver loop holds only a convergence counter; all data stays
-      // distributed. Rounds ≈ graph diameter — near-dup clusters are
-      // shallow, and the oracle's recursive closure certifies the fixpoint.
+      // Connected components over the near-dup pair graph, so every document
+      // gets a canonical cluster_id = min reachable doc id and "keep one per
+      // cluster" becomes a groupBy. Execution is ADAPTIVE
+      // (graft.operators.ConnectedComponents): a subcritical edge list —
+      // the near-dup common case, dup pairs are a tiny fraction of a healthy
+      // corpus — collapses to driver union-find (microseconds vs one Spark
+      // job PER ROUND), while larger graphs run the Pregel-style iterative
+      // min-label propagation with O(1)-in-rounds executor storage. The
+      // oracle's recursive closure certifies the fixpoint either way.
       (s, d) => {
         import s.implicits._
-        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
         // Materialize the pair list ONCE (eager localCheckpoint): the
         // undirected edge list reads it twice (forward + reversed), and
         // without the checkpoint each branch re-runs the whole LSH+verify
-        // pipeline. Its count then prices the iteration: partition the loop
-        // frames by edge volume, not by the session default — a 164-edge
-        // subgraph at sf0.1 on 32 shuffle partitions pays ~30x task
-        // overhead per round for no parallelism.
+        // pipeline.
         val pairs = embeddingDupPairs(s, d).select($"id_a", $"id_b").localCheckpoint()
-        val nPairs = pairs.count()
-        val parts = math.max(1, (nPairs / 500000L).toInt)
-        val edges = pairs.toDF("src", "dst")
-          .union(pairs.select($"id_b", $"id_a").toDF("src", "dst"))
-          .repartition(parts, $"src")
-          .persist(MEMORY_AND_DISK)
-        // Isolated nodes keep lbl = id forever, so the iteration only needs
-        // the edge ENDPOINTS (both directions present, so src covers them) —
-        // near-dup graphs are sparse, and shrinking the per-round
-        // union+groupBy from every document to just connected ones is the
-        // difference between O(docs) and O(edges) work per round at 100 TB.
-        var labels = edges.select($"src".as("id")).distinct()
-          .select($"id", $"id".as("lbl"))
-        // labels only ever decrease, so Σlbl strictly decreases until the
-        // fixpoint: convergence is one exact decimal-sum aggregate per round
-        // instead of a join against the previous labels.
-        def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-          df.agg(sum($"lbl".cast("decimal(38,0)"))).head.getDecimal(0)
-        var prevSum = labelSum(labels)
-        var prevCached: Option[org.apache.spark.sql.DataFrame] = None
-        var rounds = 0
-        // zero pairs → empty endpoint set → labelSum is null and there is
-        // nothing to propagate; skip straight to the identity labels
-        var converged = nPairs == 0
-        while (!converged && rounds < 20) {
-          val prop = edges.join(labels.select($"id".as("src"), $"lbl"), Seq("src"))
-            .select($"dst".as("id"), $"lbl")
-          // coalesce collapses the shuffle output back to the graph-scaled
-          // partition count (narrow — one task drains all reducers)
-          var merged = labels.union(prop).groupBy($"id").agg(min($"lbl").as("lbl"))
-            .coalesce(parts)
-          // localCheckpoint every 5 rounds truncates the per-round
-          // join-union-agg lineage chain (otherwise linear in rounds)
-          if ((rounds + 1) % 5 == 0) merged = merged.localCheckpoint(false)
-          merged = merged.persist(MEMORY_AND_DISK)
-          val curSum = labelSum(merged) // materializes this round's snapshot
-          // the superseded snapshot is dead once the new one is materialized:
-          // unpersist it so executor storage stays O(1) in rounds
-          prevCached.foreach(_.unpersist())
-          prevCached = Some(merged)
-          converged = curSum.compareTo(prevSum) == 0
-          prevSum = curSum
-          labels = merged
-          rounds += 1
-        }
-        // cut the result loose from the loop's caches: eager localCheckpoint
-        // materializes the final labels, then the edge cache can go
-        val result = labels.localCheckpoint()
-        edges.unpersist()
-        prevCached.foreach(_.unpersist())
+        val result = graft.operators.ConnectedComponents.labels(s, pairs)
         // re-attach the isolated nodes (own id = own cluster); the label
         // table is bounded by the connected subgraph — broadcast it while it
         // fits so the full corpus never shuffles
-        val labelSide = if (nPairs < 1000000L) broadcast(result) else result
+        val labelSide =
+          if (pairs.count() < 1000000L) broadcast(result) else result
         embeddings(s, d).select($"vec_id".as("id"))
           .join(labelSide, Seq("id"), "left_outer")
           .select($"id".as("doc_id"), coalesce($"lbl", $"id").as("cluster_id"))

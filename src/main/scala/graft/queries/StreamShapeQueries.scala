@@ -136,9 +136,22 @@ object StreamShapeQueries {
           .as[graft.streaming.StreamOps.UserEvent]
         val name = "q_stream_stateful_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
-        val q = graft.streaming.StreamOps.runToMemory(
-          graft.streaming.StreamOps.runningUserCounters(ev).toDF(), name)
-        q.awaitTermination()
+        // The stateful operator's state-store partition count is pinned from
+        // spark.sql.shuffle.partitions at query START (each partition pays a
+        // per-batch store open/commit). The user-counter state is keyed by
+        // user (thousands of tiny entries), so a handful of partitions
+        // carries it; the session default (sized for data shuffles) would
+        // spend more on store commits than on data. Restored right after
+        // start — the value is only read when the query launches.
+        // (restored only after awaitTermination — micro-batch planning runs
+        // async after start(), so restoring earlier would race the read)
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val q = graft.streaming.StreamOps.runToMemory(
+            graft.streaming.StreamOps.runningUserCounters(ev).toDF(), name)
+          q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
         // materialize the (tiny) final counters, then drop the memory-sink
         // view so repeated invocations don't retain per-batch output forever
         val out = s.table(name)

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.ConnectedComponents
+
+class ConnectedComponentsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+
+  // Chain 1-2-3-4, triangle 10-11-12 (with a redundant edge), pair 20-21,
+  // self-loop 30, duplicate edge 40-41.
+  private def edges = {
+    import spark.implicits._
+    Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (21L, 20L),
+      (30L, 30L),
+      (40L, 41L), (41L, 40L)
+    ).toDF("id_a", "id_b")
+  }
+
+  private val expected = Map(
+    1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+    10L -> 10L, 11L -> 10L, 12L -> 10L,
+    20L -> 20L, 21L -> 20L,
+    30L -> 30L,
+    40L -> 40L, 41L -> 40L)
+
+  test("driver union-find path labels every endpoint with its component min") {
+    val got = ConnectedComponents.labels(spark, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("distributed propagation path agrees with the driver path") {
+    // threshold 0 forces the iterative scale path on the same graph
+    val got = ConnectedComponents.labels(spark, edges, driverEdgeThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("zero edges yields an empty, correctly-typed label frame") {
+    import spark.implicits._
+    val out = ConnectedComponents.labels(
+      spark, Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+    assert(out.columns.toSeq == Seq("id", "lbl"))
+    assert(out.count() == 0)
+  }
+}
