@@ -997,6 +997,94 @@ object PipelineQueries {
              |  FROM t)
              |SELECT doc_id, CAST(c.i AS BIGINT) AS chunk_idx, c.fp AS fp
              |FROM fps ORDER BY doc_id, chunk_idx""".stripMargin)
+    ),
+
+    "q_cluster_canonical" -> QueryDef(
+      // The step dedup pipelines actually ship: pick ONE representative per
+      // near-dup cluster (longest text wins, lowest doc_id breaks ties) so
+      // downstream training reads canonical docs only. Composes the shared
+      // pair generation + adaptive connected components with a per-cluster
+      // top-1 window; only multi-member clusters surface (singletons pass
+      // through unchanged in a real pipeline). Label and size tables are
+      // bounded by the connected subgraph — broadcast — so the corpus never
+      // reshuffles.
+      (s, d) => {
+        import s.implicits._
+        val pairs = embeddingDupPairs(s, d).select($"id_a", $"id_b").localCheckpoint()
+        val labels = graft.operators.ConnectedComponents.labels(s, pairs)
+        val lbl = embeddings(s, d).select($"vec_id".as("id"))
+          .join(broadcast(labels), Seq("id"), "left_outer")
+          .select($"id".as("doc_id"), coalesce($"lbl", $"id").as("cluster_id"))
+        val sized = lbl.groupBy($"cluster_id")
+          .agg(count(lit(1)).as("n_members"))
+          .filter($"n_members" >= 2)
+        val members = lbl.join(broadcast(sized), Seq("cluster_id"))
+          .join(documents(s, d).select($"doc_id", $"n_chars"), Seq("doc_id"))
+        val w = Window.partitionBy($"cluster_id").orderBy($"n_chars".desc, $"doc_id")
+        members.withColumn("rk", row_number().over(w))
+          .filter($"rk" === 1)
+          .select($"cluster_id", $"doc_id".as("canonical_doc"),
+            $"n_members", $"n_chars".as("canonical_chars"))
+          .orderBy($"cluster_id")
+      },
+      Some(s"""WITH RECURSIVE $embPairsCtes,
+              |pairs AS (SELECT id_a, id_b FROM scored WHERE cos4 >= 0.45),
+              |edges AS (
+              |  SELECT id_a AS src, id_b AS dst FROM pairs
+              |  UNION ALL SELECT id_b, id_a FROM pairs),
+              |reach(a, rb) AS (
+              |  SELECT vec_id, vec_id FROM e
+              |  UNION
+              |  SELECT r.a, ed.dst FROM reach r JOIN edges ed ON r.rb = ed.src),
+              |lbl AS (SELECT a AS doc_id, MIN(rb) AS cluster_id FROM reach GROUP BY a),
+              |sized AS (
+              |  SELECT cluster_id, COUNT(*) AS n_members FROM lbl
+              |  GROUP BY 1 HAVING COUNT(*) >= 2),
+              |memb AS (
+              |  SELECT l.doc_id, l.cluster_id, s.n_members, d.n_chars
+              |  FROM lbl l JOIN sized s USING (cluster_id) JOIN documents d USING (doc_id))
+              |SELECT cluster_id, doc_id AS canonical_doc, n_members, n_chars AS canonical_chars
+              |FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+              |    ORDER BY n_chars DESC, doc_id) AS rk
+              |  FROM memb) t
+              |WHERE rk = 1 ORDER BY cluster_id""".stripMargin)
+    ),
+
+    "q_pack_batches" -> QueryDef(
+      // Token-budget macro-batching (context-window packing at corpus
+      // granularity): within each language shard, docs in doc_id order pack
+      // into batches by cumulative-token floor — a single window pass, no
+      // sequential scan; a batch overshoots its 2048-token budget by at most
+      // one document, the standard price for a parallelizable packer. The
+      // window partitions by lang, so shards pack independently — exactly
+      // how a 100 TB corpus packs per shard/worker without any global
+      // coordination.
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"lang").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        documents(s, d)
+          .withColumn("n_tok", size(split($"text", " ")).cast("long"))
+          .withColumn("cum", sum($"n_tok").over(w))
+          .withColumn("batch_id", expr("(cum - n_tok) div 2048"))
+          .groupBy($"lang", $"batch_id")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("batch_tokens"),
+            min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+          .orderBy($"lang", $"batch_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, lang, n_tok,
+             |    CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             |  FROM t)
+             |SELECT lang, CAST((cum - n_tok) // 2048 AS BIGINT) AS batch_id,
+             |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS batch_tokens,
+             |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+             |FROM c GROUP BY 1, 2 ORDER BY lang, batch_id""".stripMargin)
     )
   )
 }

@@ -1371,6 +1371,209 @@ object RelationalQueries {
              |  LIST_SUM(LIST_TRANSFORM(embedding[1:8], x -> CAST(x AS DOUBLE))) AS sum_first8,
              |  CAST(LEN(LIST_FILTER(embedding, x -> x > 0)) AS BIGINT) AS n_positive
              |FROM embeddings ORDER BY vec_id""".stripMargin)
+    ),
+
+    // ---------------------------------------------------------- analytics
+    "q_sessionize" -> QueryDef(
+      // Batch sessionization: assign every EVENT its (user-scoped) session
+      // sequence number and position — the per-row complement of
+      // q_stream_session's per-window aggregate, and the building block for
+      // funnel/attribution work. Gaps compare in integer MICROSECONDS
+      // (unix_micros / epoch_us) so the 30-min boundary is exact in both
+      // engines — a seconds-truncated diff would disagree with an interval
+      // comparison on sub-second timestamps. One shuffle on user_id; both
+      // window passes and the final row_number reuse the same partitioning.
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        events(s, d)
+          .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
+          .withColumn("brk",
+            when($"prev_us".isNull ||
+              unix_micros($"ts") - $"prev_us" >= 1800000000L, 1L).otherwise(0L))
+          .withColumn("session_seq",
+            sum($"brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("event_seq", row_number().over(
+            Window.partitionBy($"user_id", $"session_seq").orderBy($"ts", $"event_id"))
+            .cast("long"))
+          .select($"event_id", $"user_id", $"session_seq", $"event_seq")
+          .orderBy($"event_id")
+      },
+      Some("""WITH g AS (
+             |  SELECT event_id, user_id, ts,
+             |    CASE WHEN LAG(ts) OVER w IS NULL
+             |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+             |         THEN 1 ELSE 0 END AS brk
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT event_id, user_id, ts,
+             |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+             |  FROM g)
+             |SELECT event_id, user_id, session_seq,
+             |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+             |    ORDER BY ts, event_id) AS BIGINT) AS event_seq
+             |FROM sess ORDER BY event_id""".stripMargin)
+    ),
+
+    "q_stats_corr" -> QueryDef(
+      // Pearson correlation + sample covariance per group, from EXACT
+      // decimal partials (n, Σx, Σy, Σx², Σy², Σxy) — the q_agg_variance
+      // recipe extended to two variables. Built-in corr()/covar_samp()
+      // accumulate doubles in partition order (non-deterministic across
+      // engines and even across runs); exact sums are order-independent and
+      // partial-aggregatable (map-side combine), then ONE double expression
+      // per group computes the statistic identically in both engines.
+      (s, d) => {
+        import s.implicits._
+        val x = dec($"l_quantity", 14, 2)
+        val y = dec($"l_extendedprice", 14, 2)
+        lineitem(s, d)
+          .groupBy($"l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(x).as("sx"), sum(y).as("sy"),
+            sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+          .select($"l_returnflag", $"n",
+            round(
+              ($"n".cast("double") * $"sxy".cast("double") -
+                $"sx".cast("double") * $"sy".cast("double")) /
+                (sqrt($"n".cast("double") * $"sxx".cast("double") -
+                  $"sx".cast("double") * $"sx".cast("double")) *
+                  sqrt($"n".cast("double") * $"syy".cast("double") -
+                    $"sy".cast("double") * $"sy".cast("double"))), 6)
+              .as("corr_qty_price"),
+            round(
+              ($"sxy".cast("double") -
+                $"sx".cast("double") * $"sy".cast("double") / $"n".cast("double")) /
+                ($"n".cast("double") - 1.0), 6)
+              .as("covar_qty_price"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""WITH p AS (
+             |  SELECT l_returnflag, COUNT(*) AS n,
+             |    SUM(CAST(l_quantity AS DECIMAL(14,2))) AS sx,
+             |    SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS sy,
+             |    SUM(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_quantity AS DECIMAL(14,2))) AS sxx,
+             |    SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS syy,
+             |    SUM(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS sxy
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag, n,
+             |  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             |    AS corr_qty_price,
+             |  ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+             |    / (CAST(n AS DOUBLE) - 1.0), 6) AS covar_qty_price
+             |FROM p ORDER BY l_returnflag""".stripMargin)
+    ),
+
+    "q_histogram" -> QueryDef(
+      // Fixed-width histogram of order totals: bucket assignment is pure
+      // map-side arithmetic (floor of a double divide, clamped), the count
+      // is a partial-aggregatable groupBy on ≤ 20 keys — the profile-a-
+      // column primitive that costs one scan + one tiny shuffle at any
+      // scale.
+      (s, d) => {
+        import s.implicits._
+        orders(s, d)
+          .withColumn("bucket",
+            least(lit(19L), greatest(lit(0L), floor($"o_totalprice" / 30000.0d))))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n_orders"), sumMoney($"o_totalprice").as("total_price"))
+          .withColumn("lo", ($"bucket" * 30000L).cast("double"))
+          .select($"bucket", $"lo", $"n_orders", $"total_price")
+          .orderBy($"bucket")
+      },
+      Some("""SELECT CAST(LEAST(19, GREATEST(0, FLOOR(o_totalprice / 30000.0))) AS BIGINT) AS bucket,
+             |  CAST(CAST(LEAST(19, GREATEST(0, FLOOR(o_totalprice / 30000.0))) AS BIGINT) * 30000 AS DOUBLE) AS lo,
+             |  COUNT(*) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+             |FROM orders GROUP BY 1, 2 ORDER BY bucket""".stripMargin)
+    ),
+
+    "q_anomaly_zscore" -> QueryDef(
+      // Per-customer spend outliers: z-score each order against its
+      // customer's mean/stddev, flag z ≥ 1.5. Moments come from the exact
+      // decimal partials (order-independent, map-side combinable); the
+      // stats side is already partitioned by custkey after its groupBy, so
+      // the re-join adds no exchange on that side, and AQE picks broadcast
+      // when the per-key stats table is small. The anomaly-detection shape
+      // for data-quality gates over training corpora.
+      (s, d) => {
+        import s.implicits._
+        val x = dec($"o_totalprice", 14, 2)
+        val stats = orders(s, d)
+          .groupBy($"o_custkey")
+          .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(x * x).as("sxx"))
+          .filter($"n" >= 5)
+          .withColumn("nd", $"n".cast("double"))
+          .withColumn("mean", $"sx".cast("double") / $"nd")
+          .withColumn("varr",
+            ($"sxx".cast("double") - $"sx".cast("double") * $"sx".cast("double") / $"nd") /
+              ($"nd" - 1.0))
+          .filter($"varr" > 0.0)
+          .select($"o_custkey", $"mean", sqrt($"varr").as("std"))
+        orders(s, d)
+          .join(stats, Seq("o_custkey"))
+          .withColumn("z", ($"o_totalprice" - $"mean") / $"std")
+          .filter($"z" >= 1.5)
+          .select($"o_orderkey", $"o_custkey", round($"z", 4).as("z"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""WITH p AS (
+             |  SELECT o_custkey, COUNT(*) AS n,
+             |    SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS sx,
+             |    SUM(CAST(o_totalprice AS DECIMAL(14,2)) * CAST(o_totalprice AS DECIMAL(14,2))) AS sxx
+             |  FROM orders GROUP BY o_custkey),
+             |st AS (
+             |  SELECT o_custkey,
+             |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             |    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+             |      / (CAST(n AS DOUBLE) - 1.0) AS varr
+             |  FROM p WHERE n >= 5),
+             |z AS (
+             |  SELECT o.o_orderkey, o.o_custkey,
+             |    (o.o_totalprice - st.mean) / sqrt(st.varr) AS z
+             |  FROM orders o JOIN st USING (o_custkey)
+             |  WHERE st.varr > 0)
+             |SELECT o_orderkey, o_custkey, ROUND(z, 4) AS z
+             |FROM z WHERE z >= 1.5 ORDER BY o_orderkey""".stripMargin)
+    ),
+
+    "q_incremental_agg" -> QueryDef(
+      // Incremental materialized-view maintenance: the standing aggregate is
+      // kept as mergeable PARTIALS (n, exact decimal sums); a new data slice
+      // computes the same partials over only its rows and a combine step
+      // folds them in — never a recompute over the base. The oracle is the
+      // direct full-table aggregate, certifying combine(base, delta) ≡
+      // recompute. Exact decimal partials make the merge associative to the
+      // bit; finals (avg) derive only at read time. At 100 TB this is the
+      // difference between touching a day of data and touching all of it.
+      (s, d) => {
+        import s.implicits._
+        val cutoff = lit("1996-01-01").cast("timestamp")
+        def partials(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy($"l_returnflag").agg(
+            count(lit(1)).as("n"),
+            sum(dec($"l_quantity")).as("sq"),
+            sum(dec($"l_extendedprice")).as("sp"))
+        val base = partials(lineitem(s, d).filter($"l_shipdate" < cutoff))
+        val delta = partials(lineitem(s, d).filter($"l_shipdate" >= cutoff))
+        base.unionByName(delta)
+          .groupBy($"l_returnflag")
+          .agg(sum($"n").as("n_rows"), sum($"sq").as("sqm"), sum($"sp").as("spm"))
+          .select($"l_returnflag", $"n_rows",
+            $"sqm".cast("double").as("sum_qty"),
+            round($"spm".cast("double") / $"n_rows".cast("double"), 4).as("avg_price"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n_rows,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+             |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             |    / CAST(COUNT(*) AS DOUBLE), 4) AS avg_price
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     )
   )
 }
