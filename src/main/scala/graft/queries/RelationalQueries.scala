@@ -1542,6 +1542,102 @@ object RelationalQueries {
              |FROM z WHERE z >= 1.5 ORDER BY o_orderkey""".stripMargin)
     ),
 
+    "q_graph_pagerank" -> QueryDef(
+      // Fixed-iteration PageRank (3 rounds, d = 0.85) over the undirected
+      // customer↔supplier trade graph — iterative whole-graph analytics
+      // beyond connected components. Every round is one join + one groupBy
+      // on the edge list; per-node contributions quantize to a 1e-14 grid
+      // as SCALED LONGS (round of identical doubles — double→decimal casts
+      // are NOT portable, DuckDB truncates where Spark rounds half-up) so
+      // the per-node sum is exact integer math and accumulation order —
+      // which a distributed shuffle cannot pin — never changes a bit, and
+      // the rank update re-enters double math identically in both engines.
+      // The edge list and degree table persist across rounds; rounds are a
+      // fixed count (no convergence test), so the oracle unrolls the same
+      // three CTE iterations. Undirected degree ≥ 1 means no dangling-mass
+      // term. Top-20 hubs by (rank, id) keep the output bounded.
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        // one trade year scopes the graph (filter lands in the parquet
+        // scan); the iteration cost is linear in edges either way
+        val pairsDf = lineitem(s, d)
+          .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp"))
+          .select($"l_orderkey", $"l_suppkey")
+          .join(orders(s, d).select($"o_orderkey", $"o_custkey"),
+            $"l_orderkey" === $"o_orderkey")
+          // suppliers offset into their own id space so the bipartite node
+          // sets never collide
+          .select($"o_custkey".as("c"), ($"l_suppkey" + 1000000L).as("p"))
+          .distinct()
+        // hash-partition the edge list by src ONCE: every round's
+        // edges⋈contrib join then reuses the persisted partitioning and
+        // shuffles only the node-sized rank table
+        val edges = pairsDf.select($"c".as("src"), $"p".as("dst"))
+          .union(pairsDf.select($"p".as("src"), $"c".as("dst")))
+          .repartition($"src")
+          .persist(MEMORY_AND_DISK)
+        val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+          .select($"src".as("id"), $"deg".cast("double").as("degd"))
+          .persist(MEMORY_AND_DISK)
+        val n = deg.count()
+        val base = 0.15 / n.toDouble
+        var ranks = deg.select($"id", lit(1.0 / n.toDouble).as("r"))
+        for (_ <- 0 until 3) {
+          // contribution quantizes on the NODE table (map-side after a
+          // broadcast of the degree table — co-partitioned shuffle join at
+          // node counts past broadcast range), so the per-round heavy ops
+          // are exactly one edge join + one groupBy
+          val contrib = ranks.join(broadcast(deg), Seq("id"))
+            .select($"id".as("src"),
+              round($"r" / $"degd" * 1.0e14).cast("long").as("contrib"))
+          ranks = edges
+            .join(contrib, Seq("src"))
+            .groupBy($"dst")
+            .agg(sum($"contrib").as("sc"))
+            .select($"dst".as("id"),
+              round(lit(base) + lit(0.85) * ($"sc".cast("double") / 1.0e14), 10).as("r"))
+        }
+        val w = Window.orderBy($"r".desc, $"id")
+        val out = ranks.withColumn("rnk", row_number().over(w).cast("long"))
+          .filter($"rnk" <= 20)
+          .select($"rnk", $"id", $"r")
+          .orderBy($"rnk")
+          .localCheckpoint()
+        edges.unpersist(); deg.unpersist()
+        out
+      },
+      Some {
+        def iter(k: Int): String =
+          s"""r${k + 1} AS (
+             |  SELECT e.dst AS id,
+             |    ROUND(0.15 / (SELECT nd FROM nn) +
+             |      0.85 * (CAST(SUM(CAST(ROUND(r.r / d.degd * 1.0e14) AS BIGINT)) AS DOUBLE) / 1.0e14), 10) AS r
+             |  FROM edges e JOIN r$k r ON r.id = e.src JOIN deg d ON d.id = e.src
+             |  GROUP BY e.dst)""".stripMargin
+        s"""WITH pairs AS (
+           |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey + 1000000 AS p
+           |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           |  WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'),
+           |edges AS (
+           |  SELECT c AS src, p AS dst FROM pairs
+           |  UNION ALL SELECT p, c FROM pairs),
+           |deg AS (
+           |  SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS degd
+           |  FROM edges GROUP BY src),
+           |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM deg),
+           |r0 AS (SELECT id, 1.0 / (SELECT nd FROM nn) AS r FROM deg),
+           |${iter(0)},
+           |${iter(1)},
+           |${iter(2)}
+           |SELECT rnk, id, r FROM (
+           |  SELECT id, r,
+           |    CAST(ROW_NUMBER() OVER (ORDER BY r DESC, id) AS BIGINT) AS rnk
+           |  FROM r3) t
+           |WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+      }
+    ),
+
     "q_incremental_agg" -> QueryDef(
       // Incremental materialized-view maintenance: the standing aggregate is
       // kept as mergeable PARTIALS (n, exact decimal sums); a new data slice
