@@ -1542,6 +1542,62 @@ object RelationalQueries {
              |FROM z WHERE z >= 1.5 ORDER BY o_orderkey""".stripMargin)
     ),
 
+    "q_scd_intervals" -> QueryDef(
+      // SCD type-2 construction: each event becomes a validity interval
+      // [ts, next event's ts) per user via lead() — the change-log →
+      // dimension-history transform every warehouse maintains. The open
+      // current row keeps a NULL valid_to. One shuffle on user_id; interval
+      // assembly is a single window pass over it.
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"valid_from", $"event_id")
+        events(s, d)
+          .select($"event_id", $"user_id", $"event_type", $"ts".as("valid_from"))
+          .withColumn("valid_to", lead($"valid_from", 1).over(w))
+          .withColumn("is_current", $"valid_to".isNull)
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, user_id, event_type, ts AS valid_from,
+             |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+             |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+             |FROM events ORDER BY event_id""".stripMargin)
+    ),
+
+    "q_event_paths" -> QueryDef(
+      // Path analysis: global top-20 event-type transitions (bigrams of
+      // consecutive events per user). lead() over the per-user timeline —
+      // the same single user_id shuffle as sessionization — then a tiny
+      // partial-aggregatable count; the sequence-mining primitive behind
+      // funnel discovery.
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        events(s, d)
+          .select($"user_id", $"ts", $"event_id", $"event_type")
+          .withColumn("next_type", lead($"event_type", 1).over(w))
+          .filter($"next_type".isNotNull)
+          .groupBy($"event_type", $"next_type")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rnk", row_number().over(
+            Window.orderBy($"n".desc, $"event_type", $"next_type")).cast("long"))
+          .filter($"rnk" <= 20)
+          .select($"rnk", $"event_type", $"next_type", $"n")
+          .orderBy($"rnk")
+      },
+      Some("""WITH t AS (
+             |  SELECT event_type,
+             |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+             |  FROM events),
+             |c AS (
+             |  SELECT event_type, next_type, COUNT(*) AS n FROM t
+             |  WHERE next_type IS NOT NULL GROUP BY 1, 2)
+             |SELECT rnk, event_type, next_type, n FROM (
+             |  SELECT event_type, next_type, n,
+             |    CAST(ROW_NUMBER() OVER (ORDER BY n DESC, event_type, next_type) AS BIGINT) AS rnk
+             |  FROM c) x
+             |WHERE rnk <= 20 ORDER BY rnk""".stripMargin)
+    ),
+
     "q_graph_pagerank" -> QueryDef(
       // Fixed-iteration PageRank (3 rounds, d = 0.85) over the undirected
       // customer↔supplier trade graph — iterative whole-graph analytics

@@ -14,6 +14,28 @@ import Q._
   */
 object StreamShapeQueries {
 
+  /** The file-stream source tails a DIRECTORY; the testdata table is a
+    * single parquet file, so expose it through a symlinked temp dir (at
+    * scale the source would already be a date-partitioned prefix). Shared
+    * by every real-readStream query.
+    */
+  private[queries] def streamSourceDir(d: String): String = {
+    val src = java.nio.file.Paths.get(d, "events.parquet").toAbsolutePath
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_stream_events" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    java.nio.file.Files.createDirectories(dir)
+    val link = dir.resolve("events.parquet")
+    // NOFOLLOW: a stale link to a vanished target must be replaced, and
+    // plain exists() would follow it and report false
+    if (java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS)
+        && !java.nio.file.Files.exists(link))
+      java.nio.file.Files.delete(link)
+    if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      java.nio.file.Files.createSymbolicLink(link, src)
+    dir.toString
+  }
+
   val entries: Map[String, QueryDef] = Map(
     "q_stream_tumbling" -> QueryDef(
       (s, d) => {
@@ -114,23 +136,7 @@ object StreamShapeQueries {
       (s, d) => {
         import s.implicits._
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        // The file-stream source tails a DIRECTORY; the testdata table is a
-        // single parquet file, so expose it through a symlinked temp dir
-        // (at scale the source would already be a date-partitioned prefix).
-        val src = java.nio.file.Paths.get(d, "events.parquet").toAbsolutePath
-        val dir = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"),
-          "graft_stream_events" + d.replaceAll("[^A-Za-z0-9]", "_"))
-        java.nio.file.Files.createDirectories(dir)
-        val link = dir.resolve("events.parquet")
-        // NOFOLLOW: a stale link to a vanished target must be replaced, and
-        // plain exists() would follow it and report false
-        if (java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS)
-            && !java.nio.file.Files.exists(link))
-          java.nio.file.Files.delete(link)
-        if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
-          java.nio.file.Files.createSymbolicLink(link, src)
-        val raw = graft.streaming.StreamOps.readEventStream(s, dir.toString)
+        val raw = graft.streaming.StreamOps.readEventStream(s, streamSourceDir(d))
         val ev = graft.tables.Tables.normalizeEventTs(raw)
           .select($"user_id", $"ts", $"event_type")
           .as[graft.streaming.StreamOps.UserEvent]
@@ -165,6 +171,55 @@ object StreamShapeQueries {
       Some("""SELECT user_id, COUNT(*) AS n_events,
              |  CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchases
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+    ),
+
+    "q_stream_join" -> QueryDef(
+      // REAL stream-stream join through the streaming engine: purchases and
+      // signups read as two readStream branches of the event stream, inner-
+      // joined on user within a 2-hour event-time horizon. Both sides are
+      // watermarked, so the join state is GC'd once the range condition can
+      // no longer match — the bounded-state requirement of any 100 TB/day
+      // stream-stream join (unbounded state grows forever). AvailableNow +
+      // memory sink; the oracle is the equivalent batch self-join.
+      (s, d) => {
+        import s.implicits._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val dir = streamSourceDir(d)
+        // one replay week bounds the per-run state volume; the bounded-state
+        // join semantics are identical at any window length
+        def branch(tpe: String) =
+          graft.tables.Tables.normalizeEventTs(
+            graft.streaming.StreamOps.readEventStream(s, dir))
+            .filter($"event_type" === tpe &&
+              $"ts" < lit("2024-01-08").cast("timestamp"))
+            .select($"event_id", $"user_id", $"ts")
+        val joined = graft.streaming.StreamOps.purchasesJoinedToSignups(
+          branch("purchase"), branch("signup"))
+        val name = "q_stream_join_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        // stream-stream join state partitions by the join key; same
+        // right-sizing (and restore discipline) as q_stream_stateful
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val q = graft.streaming.StreamOps.runToMemory(joined, name)
+          q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        val out = s.table(name)
+          .orderBy($"purchase_id", $"signup_ts")
+          .localCheckpoint()
+        s.catalog.dropTempView(name)
+        out
+      },
+      Some("""SELECT p.event_id AS purchase_id, p.user_id,
+             |  p.ts AS purchase_ts, sg.ts AS signup_ts
+             |FROM events p JOIN events sg
+             |  ON p.user_id = sg.user_id
+             |  AND p.event_type = 'purchase' AND sg.event_type = 'signup'
+             |  AND p.ts < TIMESTAMP '2024-01-08' AND sg.ts < TIMESTAMP '2024-01-08'
+             |  AND sg.ts <= p.ts
+             |  AND sg.ts >= p.ts - INTERVAL 2 HOUR
+             |ORDER BY purchase_id, signup_ts""".stripMargin)
     )
   )
 }
