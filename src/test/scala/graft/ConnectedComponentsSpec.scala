@@ -40,6 +40,25 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("driver and distributed paths agree on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 30 + trial * 20
+      val es = Seq.fill(n)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      val df = es.toDF("id_a", "id_b")
+      val viaDriver = ConnectedComponents.labels(spark, df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaLoop = ConnectedComponents.labels(spark, df, driverEdgeThreshold = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaDriver == viaLoop, s"trial $trial: paths disagree")
+      // canonical-label invariant: every label is a member of its own
+      // component and is the minimum id in it
+      val byLbl = viaDriver.groupBy(_._2).view.mapValues(_.keys.min)
+      byLbl.foreach { case (lbl, minId) => assert(lbl == minId) }
+    }
+  }
+
   test("zero edges yields an empty, correctly-typed label frame") {
     import spark.implicits._
     val out = ConnectedComponents.labels(

@@ -56,6 +56,34 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(physical(run("q_join_anti")).contains("LeftAnti"))
   }
 
+  // AQE plans print "== Final Plan ==" followed by an "== Initial Plan =="
+  // echo — count structure only in the final section
+  private def finalSection(plan: String): String =
+    plan.split("== Initial Plan ==").head
+
+  test("q_sessionize runs all window passes on ONE user_id shuffle") {
+    val plan = finalSection(physical(run("q_sessionize")))
+    // both window functions and the per-session row_number must reuse the
+    // same hashpartitioning(user_id...) exchange; extra exchanges mean the
+    // session assignment re-shuffles per pass
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"expected <=1 hash exchange, plan:\n$plan")
+  }
+
+  test("q_histogram aggregates partially before its single shuffle") {
+    val plan = finalSection(physical(run("q_histogram")))
+    assert(plan.contains("HashAggregate"), plan)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"expected <=1 hash exchange, plan:\n$plan")
+  }
+
+  test("q_incremental_agg combines partials without recomputing the base scan twice per branch") {
+    val plan = physical(run("q_incremental_agg"))
+    // two branch scans (base + delta) then a single combine shuffle chain —
+    // no cartesian, no nested-loop anywhere
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q_agg_hash stays inside whole-stage codegen with partial aggregation") {
     val plan = physical(run("q_agg_hash"))
     assert(plan.contains("*(1) HashAggregate"), plan) // *(n) = whole-stage codegen stage
