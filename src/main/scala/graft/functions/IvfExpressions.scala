@@ -65,10 +65,6 @@ object IvfNearestCell {
       cnorms: Array[Double]
   ): Long = {
     val n = v.numElements()
-    var nv = 0.0
-    var i = 0
-    while (i < n) { val x = v.getDouble(i); nv += x * x; i += 1 }
-    val vnorm = math.sqrt(nv)
     var bestNeg = 0.0
     var bestCid = 0L
     var bestSet = false
@@ -76,10 +72,27 @@ object IvfNearestCell {
     while (k < cids.length) {
       val c = cents(k)
       val m = math.min(n, c.length)
+      // CosineSimilarity accumulates BOTH norms only over min(len) — the
+      // vector norm must fold over the same prefix per centroid or ragged
+      // lengths break the documented bit-parity with the composed form
+      // (when m == c.length the centroid norm is the precomputed full fold,
+      // identical IEEE result)
       var dot = 0.0
+      var nv = 0.0
       var j = 0
-      while (j < m) { dot += v.getDouble(j) * c(j); j += 1 }
-      val cos = dot / (vnorm * cnorms(k))
+      while (j < m) {
+        val x = v.getDouble(j)
+        dot += x * c(j); nv += x * x
+        j += 1
+      }
+      val cnorm =
+        if (m == c.length) cnorms(k)
+        else {
+          var s = 0.0; var i = 0
+          while (i < m) { s += c(i) * c(i); i += 1 }
+          math.sqrt(s)
+        }
+      val cos = dot / (math.sqrt(nv) * cnorm)
       // Spark's round(double, 6) passes NaN/Infinity through untouched
       // (BigDecimal.valueOf would throw); mirror that.
       val cos6 =

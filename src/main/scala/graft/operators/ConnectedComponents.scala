@@ -37,11 +37,14 @@ object ConnectedComponents {
   def labels(
       spark: SparkSession,
       pairs: DataFrame,
-      driverEdgeThreshold: Long = 1L << 20
+      driverEdgeThreshold: Long = 1L << 20,
+      knownEdgeCount: Option[Long] = None
   ): DataFrame = {
     import spark.implicits._
     val pr = pairs.toDF("id_a", "id_b")
-    val nPairs = pr.count()
+    // callers that already counted the (checkpointed) pair list pass it in
+    // so the operator doesn't launch a second count job
+    val nPairs = knownEdgeCount.getOrElse(pr.count())
     if (nPairs == 0) {
       spark.emptyDataset[(Long, Long)].toDF("id", "lbl")
     } else if (nPairs <= driverEdgeThreshold) {
@@ -115,7 +118,8 @@ object ConnectedComponents {
     var prevCached: Option[DataFrame] = None
     var rounds = 0
     var converged = false
-    while (!converged && rounds < 50) {
+    val maxRounds = 50
+    while (!converged && rounds < maxRounds) {
       val prop = edges.join(labels.select($"id".as("src"), $"lbl"), Seq("src"))
         .select($"dst".as("id"), $"lbl")
       // coalesce collapses the shuffle output back to the graph-scaled
@@ -136,6 +140,15 @@ object ConnectedComponents {
       labels = merged
       rounds += 1
     }
+    // A fixpoint past the cap would mean silently-wrong labels for nodes
+    // farther than maxRounds hops from their component minimum — fail loudly
+    // instead. Rounds ≈ graph diameter, so 50 covers any realistic near-dup
+    // graph; a genuine >50-diameter graph needs pointer-jumping, not a
+    // bigger cap.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxRounds rounds " +
+          s"($nPairs edges); the graph diameter exceeds the propagation cap")
     // cut the result loose from the loop's caches: eager localCheckpoint
     // materializes the final labels, then the edge cache can go
     val result = labels.localCheckpoint()

@@ -48,6 +48,7 @@ object IvfKMeans {
       cents: Seq[(Long, Seq[Double])],
       vcol: Column
   ): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
     import org.apache.spark.sql.catalyst.expressions.Cast
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
     val cids = cents.map(_._1).toArray
@@ -59,16 +60,13 @@ object IvfKMeans {
       while (i < c.length) { s += c(i) * c(i); i += 1 }
       math.sqrt(s)
     }
-    // temp-function registration is the session's Column-from-Expression
-    // seam (the LshFunctions convention); the builder closure captures THIS
-    // call's centroids, and eager DataFrame analysis resolves it before any
-    // later re-registration.
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "ivf_nearest_cell",
-      exprs => graft.functions.IvfNearestCell(
-        Cast(exprs.head, ArrayType(DoubleType)), cids, mat, cnorms),
-      "scala_udf")
-    org.apache.spark.sql.functions.call_function("ivf_nearest_cell", vcol)
+    // Build the Column DIRECTLY from the expression — a session-global temp
+    // function would bind whichever centroids were registered LAST at
+    // analysis time, silently mis-assigning any deferred or concurrent use
+    // in the same session.
+    GraftColumnBridge.column(graft.functions.IvfNearestCell(
+      Cast(GraftColumnBridge.expression(vcol), ArrayType(DoubleType)),
+      cids, mat, cnorms))
   }
 
   /** Run `iters` Lloyd iterations over `e` (columns `vec_id: Long`,

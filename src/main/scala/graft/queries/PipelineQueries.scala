@@ -637,12 +637,14 @@ object PipelineQueries {
         // without the checkpoint each branch re-runs the whole LSH+verify
         // pipeline.
         val pairs = embeddingDupPairs(s, d).select($"id_a", $"id_b").localCheckpoint()
-        val result = graft.operators.ConnectedComponents.labels(s, pairs)
+        val nPairs = pairs.count()
+        val result = graft.operators.ConnectedComponents.labels(
+          s, pairs, knownEdgeCount = Some(nPairs))
         // re-attach the isolated nodes (own id = own cluster); the label
         // table is bounded by the connected subgraph — broadcast it while it
         // fits so the full corpus never shuffles
         val labelSide =
-          if (pairs.count() < 1000000L) broadcast(result) else result
+          if (nPairs < 1000000L) broadcast(result) else result
         embeddings(s, d).select($"vec_id".as("id"))
           .join(labelSide, Seq("id"), "left_outer")
           .select($"id".as("doc_id"), coalesce($"lbl", $"id").as("cluster_id"))
@@ -1017,19 +1019,25 @@ object PipelineQueries {
       // pair generation + adaptive connected components with a per-cluster
       // top-1 window; only multi-member clusters surface (singletons pass
       // through unchanged in a real pipeline). Label and size tables are
-      // bounded by the connected subgraph — broadcast — so the corpus never
-      // reshuffles.
+      // bounded by the connected subgraph — broadcast while the edge count
+      // says they fit — so the corpus never reshuffles on healthy data.
       (s, d) => {
         import s.implicits._
         val pairs = embeddingDupPairs(s, d).select($"id_a", $"id_b").localCheckpoint()
-        val labels = graft.operators.ConnectedComponents.labels(s, pairs)
+        val nPairs = pairs.count()
+        val labels = graft.operators.ConnectedComponents.labels(
+          s, pairs, knownEdgeCount = Some(nPairs))
+        // label/size tables are bounded by the connected subgraph —
+        // broadcast only while the edge count says they fit (same gate as
+        // q_dedup_clusters; past it the joins fall back to shuffles on id)
+        def gated(df: DataFrame) = if (nPairs < 1000000L) broadcast(df) else df
         val lbl = embeddings(s, d).select($"vec_id".as("id"))
-          .join(broadcast(labels), Seq("id"), "left_outer")
+          .join(gated(labels), Seq("id"), "left_outer")
           .select($"id".as("doc_id"), coalesce($"lbl", $"id").as("cluster_id"))
         val sized = lbl.groupBy($"cluster_id")
           .agg(count(lit(1)).as("n_members"))
           .filter($"n_members" >= 2)
-        val members = lbl.join(broadcast(sized), Seq("cluster_id"))
+        val members = lbl.join(gated(sized), Seq("cluster_id"))
           .join(documents(s, d).select($"doc_id", $"n_chars"), Seq("doc_id"))
         val w = Window.partitionBy($"cluster_id").orderBy($"n_chars".desc, $"doc_id")
         members.withColumn("rk", row_number().over(w))

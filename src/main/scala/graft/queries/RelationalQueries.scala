@@ -1638,13 +1638,16 @@ object RelationalQueries {
           .persist(MEMORY_AND_DISK)
         val n = deg.count()
         val base = 0.15 / n.toDouble
+        // the degree re-attach broadcasts only while the node count says it
+        // fits; past that it degrades to a shuffle join on id (both sides
+        // already hash-partitioned by node from their groupBys)
+        val degSide = if (n < 10000000L) broadcast(deg) else deg
         var ranks = deg.select($"id", lit(1.0 / n.toDouble).as("r"))
         for (_ <- 0 until 3) {
-          // contribution quantizes on the NODE table (map-side after a
-          // broadcast of the degree table — co-partitioned shuffle join at
-          // node counts past broadcast range), so the per-round heavy ops
-          // are exactly one edge join + one groupBy
-          val contrib = ranks.join(broadcast(deg), Seq("id"))
+          // contribution quantizes on the NODE table (map-side under the
+          // broadcast), so the per-round heavy ops are exactly one edge
+          // join + one groupBy
+          val contrib = ranks.join(degSide, Seq("id"))
             .select($"id".as("src"),
               round($"r" / $"degd" * 1.0e14).cast("long").as("contrib"))
           ranks = edges

@@ -27,12 +27,19 @@ object StreamShapeQueries {
     java.nio.file.Files.createDirectories(dir)
     val link = dir.resolve("events.parquet")
     // NOFOLLOW: a stale link to a vanished target must be replaced, and
-    // plain exists() would follow it and report false
-    if (java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS)
-        && !java.nio.file.Files.exists(link))
-      java.nio.file.Files.delete(link)
-    if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
-      java.nio.file.Files.createSymbolicLink(link, src)
+    // plain exists() would follow it and report false. Both the delete and
+    // the create race a concurrent JVM (e.g. Bench and Verify on the same
+    // dataset) between check and act — each loser is benign (the winner
+    // left the identical link), so swallow the specific collisions.
+    try {
+      if (java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS)
+          && !java.nio.file.Files.exists(link))
+        java.nio.file.Files.delete(link)
+    } catch { case _: java.nio.file.NoSuchFileException => () }
+    try {
+      if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+        java.nio.file.Files.createSymbolicLink(link, src)
+    } catch { case _: java.nio.file.FileAlreadyExistsException => () }
     dir.toString
   }
 
@@ -147,10 +154,9 @@ object StreamShapeQueries {
         // per-batch store open/commit). The user-counter state is keyed by
         // user (thousands of tiny entries), so a handful of partitions
         // carries it; the session default (sized for data shuffles) would
-        // spend more on store commits than on data. Restored right after
-        // start — the value is only read when the query launches.
-        // (restored only after awaitTermination — micro-batch planning runs
-        // async after start(), so restoring earlier would race the read)
+        // spend more on store commits than on data. Restored only after
+        // awaitTermination — micro-batch planning runs async after start(),
+        // so restoring earlier would race the read.
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "8")
         try {
