@@ -163,7 +163,10 @@ object StreamShapeQueries {
           val q = graft.streaming.StreamOps.runToMemory(
             graft.streaming.StreamOps.runningUserCounters(ev).toDF(), name)
           q.awaitTermination()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          graft.streaming.StreamOps.releaseStreamingState()
+        }
         // materialize the (tiny) final counters, then drop the memory-sink
         // view so repeated invocations don't retain per-batch output forever
         val out = s.table(name)
@@ -210,7 +213,10 @@ object StreamShapeQueries {
         try {
           val q = graft.streaming.StreamOps.runToMemory(joined, name)
           q.awaitTermination()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          graft.streaming.StreamOps.releaseStreamingState()
+        }
         val out = s.table(name)
           .orderBy($"purchase_id", $"signup_ts")
           .localCheckpoint()

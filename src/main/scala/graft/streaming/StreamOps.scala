@@ -136,6 +136,19 @@ object StreamOps {
     spark.readStream.schema(schema).parquet(path)
   }
 
+  /** Unload every cached state-store provider and stop the maintenance
+    * task. Each streaming run registers providers keyed by its (unique,
+    * per-run) checkpoint location, and the executor-side cache retains
+    * them — with their in-memory state maps — for the life of the JVM.
+    * Long sessions that launch many short streaming queries (a bench
+    * sweep, a test suite) accumulate hundreds of dead providers whose
+    * memory and maintenance churn taxes later queries; releasing after
+    * each terminated query keeps the cache bounded. The next streaming
+    * query transparently reloads what it needs.
+    */
+  def releaseStreamingState(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+
   /** Run any streaming DataFrame to an in-memory table and wait until all
     * currently-available input is processed (test/driver harness).
     */
