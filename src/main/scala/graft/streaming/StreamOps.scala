@@ -136,15 +136,22 @@ object StreamOps {
     spark.readStream.schema(schema).parquet(path)
   }
 
-  /** Unload every cached state-store provider and stop the maintenance
-    * task. Each streaming run registers providers keyed by its (unique,
-    * per-run) checkpoint location, and the executor-side cache retains
-    * them — with their in-memory state maps — for the life of the JVM.
-    * Long sessions that launch many short streaming queries (a bench
-    * sweep, a test suite) accumulate hundreds of dead providers whose
+  /** Unload every state-store provider cached in THIS JVM and stop its
+    * maintenance task. Each streaming run registers providers keyed by its
+    * (unique, per-run) checkpoint location, and the per-JVM cache retains
+    * them — with their in-memory state maps — for the life of the process.
+    * Long local-mode sessions that launch many short streaming queries (a
+    * bench sweep, a test suite) accumulate hundreds of dead providers whose
     * memory and maintenance churn taxes later queries; releasing after
-    * each terminated query keeps the cache bounded. The next streaming
+    * each terminated query keeps the cache bounded, and the next streaming
     * query transparently reloads what it needs.
+    *
+    * Two scope caveats: (1) `StateStore.stop()` acts on the calling JVM
+    * only — on a real cluster each executor holds its own provider cache,
+    * which ages out via that JVM's maintenance policy instead; (2) the stop
+    * is process-global, so call it only when no other streaming query is
+    * active in this JVM (a concurrent query would pay a full state reload
+    * from its checkpoint on the next batch).
     */
   def releaseStreamingState(): Unit =
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
