@@ -63,5 +63,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BoundedTopK(
           Cast(exprs(0), DoubleType), Cast(exprs(1), LongType), exprs(2)).toAggregateExpression()
       }))
+    e.injectFunction((
+      FunctionIdentifier("freq_sketch"),
+      info("freq_sketch",
+        "freq_sketch(item, k) - mergeable SpaceSaving heavy-hitters summary"),
+      (exprs: Seq[Expression]) => {
+        arity("freq_sketch", "freq_sketch(item, k)", 2)(exprs)
+        FreqSketch(Cast(exprs(0), StringType), exprs(1)).toAggregateExpression()
+      }))
   }
 }

@@ -1012,6 +1012,31 @@ object PipelineQueries {
              |FROM fps ORDER BY doc_id, chunk_idx""".stripMargin)
     ),
 
+    "q_heavy_hitters" -> QueryDef(
+      // Frequent items over a high-cardinality key (corpus tokens) via the
+      // mergeable SpaceSaving aggregate: k counters per partition, k-sized
+      // summary merge — the shuffle is O(k × partitions) where an exact
+      // groupBy ships one row per DISTINCT token. Every estimate carries
+      // its error bound (true ∈ [est − err, est]). No oracle, like the HLL
+      // and quantile sketches: counter contents ride partition arrival
+      // order; the guarantees are spec-checked against exact counts instead
+      // (FreqSketchSpec).
+      (s, d) => {
+        import s.implicits._
+        documents(s, d)
+          .select(explode(split($"text", " ")).as("tok"))
+          .agg(graft.functions.FreqSketch.freqSketch(s, $"tok", 32).as("hh"))
+          .select(explode($"hh").as("e"))
+          .select($"e.item".as("token"), $"e.est".as("est"), $"e.err".as("err"))
+          .withColumn("rnk",
+            row_number().over(Window.orderBy($"est".desc, $"token")).cast("long"))
+          .filter($"rnk" <= 10)
+          .select($"rnk", $"token", $"est", $"err")
+          .orderBy($"rnk")
+      },
+      None
+    ),
+
     "q_cluster_canonical" -> QueryDef(
       // The step dedup pipelines actually ship: pick ONE representative per
       // near-dup cluster (longest text wins, lowest doc_id breaks ties) so

@@ -27,7 +27,8 @@ class QueriesSmokeSpec extends AnyFunSuite {
 
   test("every query has an oracle or a documented reason not to") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("q_agg_approx_distinct", "q_agg_approx_quantile", "q_agg_hll_merge"),
+    assert(noOracle == Set("q_agg_approx_distinct", "q_agg_approx_quantile",
+        "q_agg_hll_merge", "q_heavy_hitters"),
       s"unexpected oracle-less: $noOracle")
   }
 
