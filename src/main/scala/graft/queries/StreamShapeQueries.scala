@@ -232,6 +232,48 @@ object StreamShapeQueries {
              |  AND sg.ts <= p.ts
              |  AND sg.ts >= p.ts - INTERVAL 2 HOUR
              |ORDER BY purchase_id, signup_ts""".stripMargin)
+    ),
+
+    "q_stream_dedup" -> QueryDef(
+      // REAL streaming exact-dedup through the engine:
+      // dropDuplicatesWithinWatermark keyed on (user_id, event_type) — state
+      // holds one entry per key and is GC'd once the watermark passes, the
+      // bounded-state form of streaming dedup (plain dropDuplicates grows
+      // state forever at 100 TB/day). AvailableNow processes the replay in
+      // one batch, where within-watermark dedup ≡ global distinct — which
+      // is exactly the batch oracle. Emitted per-key firsts are aggregated
+      // to one deterministic row per key.
+      (s, d) => {
+        import s.implicits._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val ev = graft.tables.Tables.normalizeEventTs(
+          graft.streaming.StreamOps.readEventStream(s, streamSourceDir(d)))
+          .select($"user_id", $"event_type", $"ts")
+        val deduped = graft.streaming.StreamOps.dedupStream(
+          ev, Seq("user_id", "event_type"))
+        val name = "q_stream_dedup_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val q = graft.streaming.StreamOps.runToMemory(
+            deduped.select($"user_id", $"event_type"), name)
+          q.awaitTermination()
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          graft.streaming.StreamOps.releaseStreamingState()
+        }
+        val out = s.table(name)
+          .groupBy($"user_id", $"event_type")
+          .agg(count(lit(1)).as("n_emitted"))
+          .orderBy($"user_id", $"event_type")
+          .localCheckpoint()
+        s.catalog.dropTempView(name)
+        out
+      },
+      Some("""SELECT user_id, event_type, CAST(1 AS BIGINT) AS n_emitted
+             |FROM events GROUP BY user_id, event_type
+             |ORDER BY user_id, event_type""".stripMargin)
     )
   )
 }
