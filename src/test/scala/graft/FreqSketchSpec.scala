@@ -60,6 +60,31 @@ class FreqSketchSpec extends AnyFunSuite {
     assert(merged.sorted.head._1 == "h0")
   }
 
+  test("property: invariants hold for arbitrary streams under arbitrary partition splits") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genCase = for {
+      n <- Gen.choose(0, 400)
+      alpha <- Gen.choose(1, 30) // item universe size: small → heavy collisions
+      items <- Gen.listOfN(n, Gen.choose(0, alpha).map(i => s"i$i"))
+      k <- Gen.choose(2, 12)
+      nSplits <- Gen.choose(1, 5)
+    } yield (items, k, nSplits)
+    val prop = Prop.forAll(genCase) { case (items, k, nSplits) =>
+      val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val chunkSize = math.max(1, math.ceil(items.size / nSplits.toDouble).toInt)
+      val merged = items.grouped(chunkSize).toSeq
+        .map { c => val b = new FreqBuffer(k); c.foreach(b.insert(_)); b }
+        .reduceOption { (a, b) => a.mergeFrom(b); a }
+        .getOrElse(new FreqBuffer(k))
+      merged.sorted.forall { case (it, est, err) =>
+        val t = exact.getOrElse(it, 0L)
+        t <= est && est - err <= t
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("aggregate runs through SQL and the Column API with identical guarantees") {
     import spark.implicits._
     val df = stream(3000).toDF("item").repartition(7)
