@@ -18,32 +18,40 @@ import org.apache.spark.sql.{Column, SparkSession}
   * any item with trueCount > n/k is tracked.
   */
 final class FreqBuffer(val k: Int) {
+  require(k > 0, s"freq_sketch needs a positive counter budget, got k=$k")
   val counts = scala.collection.mutable.HashMap.empty[String, Long]
   val errs = scala.collection.mutable.HashMap.empty[String, Long]
+  // counters ordered by (count, item): head is the eviction victim — O(log k)
+  // per touch instead of an O(k) scan per eviction, which matters because on
+  // a long-tail stream MOST arrivals at capacity are untracked and evict.
+  // The (count, item) order also makes eviction deterministic for a fixed
+  // arrival order.
+  private val byCount = scala.collection.mutable.TreeSet.empty[(Long, String)]
   var n: Long = 0L
 
-  /** min counter by (count, item) — the item tiebreak makes eviction
-    * deterministic for a fixed arrival order
-    */
-  private def minEntry(): (String, Long) = {
-    var bi: String = null; var bc = Long.MaxValue
-    counts.foreach { case (it, c) =>
-      if (c < bc || (c == bc && (bi == null || it < bi))) { bi = it; bc = c }
-    }
-    (bi, bc)
+  /** restore the order index after external mutation of `counts` (deserialize/merge) */
+  private[functions] def reindex(): Unit = {
+    byCount.clear()
+    counts.foreach { case (it, c) => byCount.add((c, it)) }
   }
 
   def insert(item: String, w: Long = 1L): Unit = {
     n += w
     counts.get(item) match {
-      case Some(c) => counts(item) = c + w
+      case Some(c) =>
+        byCount.remove((c, item))
+        counts(item) = c + w
+        byCount.add((c + w, item))
       case None if counts.size < k =>
         counts(item) = w; errs(item) = 0L
+        byCount.add((w, item))
       case None =>
-        val (mi, mc) = minEntry()
+        val (mc, mi) = byCount.head
+        byCount.remove((mc, mi))
         counts.remove(mi); errs.remove(mi)
         counts(item) = mc + w
         errs(item) = mc
+        byCount.add((mc + w, item))
     }
   }
 
@@ -55,7 +63,7 @@ final class FreqBuffer(val k: Int) {
     * unaffected.
     */
   def mergeFrom(o: FreqBuffer): Unit = {
-    val minSelf = if (counts.size >= k) minEntry()._2 else 0L
+    val minSelf = if (counts.size >= k) byCount.head._1 else 0L
     val minOther = if (o.counts.size >= o.k) {
       var m = Long.MaxValue
       o.counts.values.foreach(c => if (c < m) m = c)
@@ -71,6 +79,7 @@ final class FreqBuffer(val k: Int) {
     }.sortBy { case (it, c, _) => (-c, it) }.take(k)
     counts.clear(); errs.clear()
     merged.foreach { case (it, c, e) => counts(it) = c; errs(it) = e }
+    reindex()
     n += o.n
   }
 
@@ -100,7 +109,13 @@ case class FreqSketch(
     inputAggBufferOffset: Int = 0
 ) extends TypedImperativeAggregate[FreqBuffer] {
 
-  private lazy val k: Int = kExpr.eval(InternalRow.empty).asInstanceOf[Number].intValue()
+  private lazy val k: Int = {
+    val v = kExpr.eval(InternalRow.empty)
+    require(v != null, "freq_sketch(item, k): k must be a non-null integer literal")
+    val ki = v.asInstanceOf[Number].intValue()
+    require(ki > 0, s"freq_sketch(item, k): k must be positive, got $ki")
+    ki
+  }
 
   override def children: Seq[Expression] = Seq(item, kExpr)
   override def nullable: Boolean = false
@@ -158,6 +173,7 @@ case class FreqSketch(
       buf.errs(it) = bb.getLong
       i += 1
     }
+    buf.reindex()
     buf
   }
 

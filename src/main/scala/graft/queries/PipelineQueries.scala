@@ -1023,15 +1023,16 @@ object PipelineQueries {
       // (FreqSketchSpec).
       (s, d) => {
         import s.implicits._
+        // the aggregate's output array is already sorted (est DESC, item
+        // ASC — documented), so posexplode yields the rank directly; no
+        // single-partition row_number window needed
         documents(s, d)
           .select(explode(split($"text", " ")).as("tok"))
           .agg(graft.functions.FreqSketch.freqSketch(s, $"tok", 32).as("hh"))
-          .select(explode($"hh").as("e"))
-          .select($"e.item".as("token"), $"e.est".as("est"), $"e.err".as("err"))
-          .withColumn("rnk",
-            row_number().over(Window.orderBy($"est".desc, $"token")).cast("long"))
-          .filter($"rnk" <= 10)
-          .select($"rnk", $"token", $"est", $"err")
+          .select(posexplode($"hh").as(Seq("pos", "e")))
+          .filter($"pos" < 10)
+          .select(($"pos" + 1).cast("long").as("rnk"),
+            $"e.item".as("token"), $"e.est".as("est"), $"e.err".as("err"))
           .orderBy($"rnk")
       },
       None

@@ -259,6 +259,15 @@ object StreamShapeQueries {
           val q = graft.streaming.StreamOps.runToMemory(
             deduped.select($"user_id", $"event_type"), name)
           q.awaitTermination()
+          // The n_emitted=1 oracle relies on the replay landing in ONE
+          // micro-batch (within-watermark dedup ≡ global distinct only
+          // then; a key whose state was GC'd across batches re-emits).
+          // That holds structurally — one source file, no
+          // maxFiles/BytesPerTrigger — but assert it so any future source
+          // chop fails loudly here instead of as a silent oracle mismatch.
+          val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+          require(dataBatches <= 1,
+            s"q_stream_dedup expects a single-batch replay, saw $dataBatches data batches")
         } finally {
           s.conf.set("spark.sql.shuffle.partitions", prevParts)
           graft.streaming.StreamOps.releaseStreamingState()

@@ -60,6 +60,17 @@ class FreqSketchSpec extends AnyFunSuite {
     assert(merged.sorted.head._1 == "h0")
   }
 
+  test("non-positive counter budgets are rejected, not silently wrong") {
+    intercept[IllegalArgumentException] { new FreqBuffer(0) }
+    intercept[IllegalArgumentException] { new FreqBuffer(-3) }
+    import spark.implicits._
+    FreqSketch.register(spark)
+    val e = intercept[Exception] {
+      Seq("a", "b").toDF("item").selectExpr("freq_sketch(item, 0)").collect()
+    }
+    assert(e.getMessage.contains("positive") || e.getCause != null, e.getMessage)
+  }
+
   test("property: invariants hold for arbitrary streams under arbitrary partition splits") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val genCase = for {
