@@ -25,10 +25,24 @@ object Bench {
       require(unknown.isEmpty, s"SPARK_GRAFT_ONLY has unknown queries: $unknown")
     }
     val queries = only.fold(SparkEntry.queries)(ks => SparkEntry.queries.filter(kv => ks(kv._1)))
+    // Synchronous block eviction between executions. clearCache() only
+    // drops CacheManager (Dataset.persist) entries; localCheckpoint blocks
+    // are RDD-level and otherwise wait for the async ContextCleaner to
+    // notice the RDD was GC'd — across 105 queries × 4 executions they
+    // pile up and the eviction/GC churn taxed one mid-suite query 14×
+    // (q_graph_pagerank: 51.4 s in-suite vs 3.7 s isolated, BENCH_r04).
+    // unpersist(blocking = true) removes every leftover block before the
+    // next query starts, so each run sees the same near-empty block
+    // manager regardless of suite position.
+    def deepClean(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
     queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
-      spark.catalog.clearCache()
-      System.gc()
+      deepClean()
     }
     // Median of `trials` runs per query: single-run times swing ±30% from GC /
     // scheduler noise in local mode; the median is stable run-to-run, so the
@@ -46,8 +60,7 @@ object Bench {
       // they pile up across ~360 executions and tax whichever
       // memory-hungry query lands in the pressure window (observed 15x on
       // one query purely from suite ordering).
-      spark.catalog.clearCache()
-      System.gc()
+      deepClean()
       t
     }
     val results = queries.map { case (name, fn) =>

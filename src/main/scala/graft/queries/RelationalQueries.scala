@@ -1612,60 +1612,7 @@ object RelationalQueries {
       // fixed count (no convergence test), so the oracle unrolls the same
       // three CTE iterations. Undirected degree ≥ 1 means no dangling-mass
       // term. Top-20 hubs by (rank, id) keep the output bounded.
-      (s, d) => {
-        import s.implicits._
-        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        // one trade year scopes the graph (filter lands in the parquet
-        // scan); the iteration cost is linear in edges either way
-        val pairsDf = lineitem(s, d)
-          .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp"))
-          .select($"l_orderkey", $"l_suppkey")
-          .join(orders(s, d).select($"o_orderkey", $"o_custkey"),
-            $"l_orderkey" === $"o_orderkey")
-          // suppliers offset into their own id space so the bipartite node
-          // sets never collide
-          .select($"o_custkey".as("c"), ($"l_suppkey" + 1000000L).as("p"))
-          .distinct()
-        // hash-partition the edge list by src ONCE: every round's
-        // edges⋈contrib join then reuses the persisted partitioning and
-        // shuffles only the node-sized rank table
-        val edges = pairsDf.select($"c".as("src"), $"p".as("dst"))
-          .union(pairsDf.select($"p".as("src"), $"c".as("dst")))
-          .repartition($"src")
-          .persist(MEMORY_AND_DISK)
-        val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
-          .select($"src".as("id"), $"deg".cast("double").as("degd"))
-          .persist(MEMORY_AND_DISK)
-        val n = deg.count()
-        val base = 0.15 / n.toDouble
-        // the degree re-attach broadcasts only while the node count says it
-        // fits; past that it degrades to a shuffle join on id (both sides
-        // already hash-partitioned by node from their groupBys)
-        val degSide = if (n < 10000000L) broadcast(deg) else deg
-        var ranks = deg.select($"id", lit(1.0 / n.toDouble).as("r"))
-        for (_ <- 0 until 3) {
-          // contribution quantizes on the NODE table (map-side under the
-          // broadcast), so the per-round heavy ops are exactly one edge
-          // join + one groupBy
-          val contrib = ranks.join(degSide, Seq("id"))
-            .select($"id".as("src"),
-              round($"r" / $"degd" * 1.0e14).cast("long").as("contrib"))
-          ranks = edges
-            .join(contrib, Seq("src"))
-            .groupBy($"dst")
-            .agg(sum($"contrib").as("sc"))
-            .select($"dst".as("id"),
-              round(lit(base) + lit(0.85) * ($"sc".cast("double") / 1.0e14), 10).as("r"))
-        }
-        val w = Window.orderBy($"r".desc, $"id")
-        val out = ranks.withColumn("rnk", row_number().over(w).cast("long"))
-          .filter($"rnk" <= 20)
-          .select($"rnk", $"id", $"r")
-          .orderBy($"rnk")
-          .localCheckpoint()
-        edges.unpersist(); deg.unpersist()
-        out
-      },
+      (s, d) => pageRank(s, d),
       Some {
         def iter(k: Int): String =
           s"""r${k + 1} AS (
@@ -1731,4 +1678,80 @@ object RelationalQueries {
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     )
   )
+
+  /** `q_graph_pagerank` pipeline (see the QueryDef comment above for the
+    * numeric-portability design). Exposed as a def so the plan gate can
+    * inspect the physical plan of the un-materialized pipeline
+    * (`materialize = false`): the QueryDef path localCheckpoints the
+    * result, which collapses its plan to a LogicalRDD scan.
+    */
+  private[graft] def pageRank(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+      materialize: Boolean = true): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // one trade year scopes the graph (filter lands in the parquet
+    // scan); the iteration cost is linear in edges either way
+    val pairsDf = lineitem(s, d)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp"))
+      .select($"l_orderkey", $"l_suppkey")
+      .join(orders(s, d).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      // suppliers offset into their own id space so the bipartite node
+      // sets never collide
+      .select($"o_custkey".as("c"), ($"l_suppkey" + 1000000L).as("p"))
+      .distinct()
+    // hash-partition the edge list by src ONCE: every round's
+    // edges⋈contrib join then reuses the persisted partitioning and
+    // shuffles only the node-sized rank table
+    val edges = pairsDf.select($"c".as("src"), $"p".as("dst"))
+      .union(pairsDf.select($"p".as("src"), $"c".as("dst")))
+      .repartition($"src")
+      .persist(MEMORY_AND_DISK)
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+      .select($"src".as("id"), $"deg".cast("double").as("degd"))
+      .persist(MEMORY_AND_DISK)
+    val n = deg.count()
+    val base = 0.15 / n.toDouble
+    // the degree re-attach broadcasts only while the node count says it
+    // fits; past that it degrades to a shuffle join on id (both sides
+    // already hash-partitioned by node from their groupBys)
+    val degSide = if (n < 10000000L) broadcast(deg) else deg
+    var ranks = deg.select($"id", lit(1.0 / n.toDouble).as("r"))
+    for (_ <- 0 until 3) {
+      // contribution quantizes on the NODE table (map-side under the
+      // broadcast), so the per-round heavy ops are exactly one edge
+      // join + one groupBy
+      val contrib = ranks.join(degSide, Seq("id"))
+        .select($"id".as("src"),
+          round($"r" / $"degd" * 1.0e14).cast("long").as("contrib"))
+      ranks = edges
+        .join(contrib, Seq("src"))
+        .groupBy($"dst")
+        .agg(sum($"contrib").as("sc"))
+        .select($"dst".as("id"),
+          round(lit(base) + lit(0.85) * ($"sc".cast("double") / 1.0e14), 10).as("r"))
+    }
+    // Top-20 via orderBy().limit() → TakeOrderedAndProject: each
+    // partition keeps a 20-row heap and the driver merges heaps — no
+    // single-partition sort of the whole node set (a global
+    // unpartitioned row_number window would move EVERY node's rank to
+    // one task: fine at 16 k nodes, a scale-killer at 100×). The 20
+    // survivors then get ranks from a window that is single-partition
+    // by construction: one constant partition over 20 rows. The partition
+    // key must be NON-foldable (id*0, never null: id is a join key) —
+    // a literal gets constant-folded out of the partitionSpec and the
+    // planner then warns it is moving "all data" to one partition.
+    val top = ranks.orderBy($"r".desc, $"id").limit(20)
+    val w = Window.partitionBy($"id" * 0).orderBy($"r".desc, $"id")
+    val ranked = top.withColumn("rnk", row_number().over(w).cast("long"))
+      .select($"rnk", $"id", $"r")
+      .orderBy($"rnk")
+    if (materialize) {
+      val out = ranked.localCheckpoint()
+      edges.unpersist(); deg.unpersist()
+      out
+    } else ranked
+  }
 }

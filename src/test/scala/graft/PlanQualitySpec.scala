@@ -51,6 +51,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("q_graph_pagerank takes its top-20 via TakeOrderedAndProject, not a global window sort") {
+    // the un-materialized pipeline (the QueryDef localCheckpoints, which
+    // collapses the visible plan to a LogicalRDD scan)
+    val df = queries.RelationalQueries.pageRank(spark, sfDir, materialize = false)
+    try {
+      val plan = physical(df)
+      assert(plan.contains("TakeOrderedAndProject"), plan)
+      // the only Window left ranks the 20 survivors AFTER the limit: it must
+      // sit above TakeOrderedAndProject in the plan text (printed top-down)
+      val winAt = plan.indexOf("Window")
+      val topAt = plan.indexOf("TakeOrderedAndProject")
+      assert(winAt >= 0 && winAt < topAt,
+        s"window must rank post-limit rows only (win@$winAt top@$topAt)\n$plan")
+    } finally spark.catalog.clearCache() // drop the pipeline's edge/deg persists
+  }
+
   test("q_join_semi / q_join_anti produce semi/anti physical joins") {
     assert(physical(run("q_join_semi")).contains("LeftSemi"))
     assert(physical(run("q_join_anti")).contains("LeftAnti"))
