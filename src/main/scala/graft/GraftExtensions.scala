@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types._
@@ -13,6 +13,21 @@ import graft.functions._
   * surface for Spark deployments.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach(e.injectFunction)
+}
+
+/** The single source of truth for every injected function: identifier,
+  * usage, arity guard, and argument coercion live HERE only. Both
+  * registration paths — extension injection above and each function pack's
+  * temp-function `register` (which shadows the injected entry in the
+  * registry) — delegate to the same builder, so a coercion or arity fix in
+  * one path can never silently miss the other (a real round-4 bug:
+  * `sorted_intersect_size` registered via the Column API lacked the
+  * long-array Cast the extension applied, and int-backed arrays hit
+  * `ArrayData.getLong` on int storage).
+  */
+object GraftExtensions {
 
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
@@ -20,56 +35,44 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   // A builder that indexes exprs(i) without checking arity surfaces a wrong-arg
   // SQL call as IndexOutOfBoundsException; fail instead with the expected
   // signature, like the built-in registry does.
-  private def arity(name: String, usage: String, n: Int)(exprs: Seq[Expression]): Unit =
-    require(exprs.length == n,
-      s"$name expects exactly $n argument(s) — usage: $usage — got ${exprs.length}")
+  private def entry(name: String, usage: String, n: Int)(
+      build: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), info(name, usage),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == n,
+          s"$name expects exactly $n argument(s) — usage: $usage — got ${exprs.length}")
+        build(exprs)
+      })
 
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      FunctionIdentifier("cosine_sim"),
-      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two double arrays"),
-      (exprs: Seq[Expression]) => {
-        arity("cosine_sim", "cosine_sim(a, b)", 2)(exprs)
-        CosineSimilarity.normalized(exprs(0), exprs(1))
-      }))
-    e.injectFunction((
-      FunctionIdentifier("hyperplane_sig"),
-      info("hyperplane_sig", "hyperplane_sig(v) - 16 sign-LSH bits of a double array"),
-      (exprs: Seq[Expression]) => {
-        arity("hyperplane_sig", "hyperplane_sig(v)", 1)(exprs)
-        HyperplaneSig(Cast(exprs.head, ArrayType(DoubleType)))
-      }))
-    e.injectFunction((
-      FunctionIdentifier("minhash_sig"),
-      info("minhash_sig", "minhash_sig(hs) - 16 affine minhashes of pre-hashed shingles"),
-      (exprs: Seq[Expression]) => {
-        arity("minhash_sig", "minhash_sig(hs)", 1)(exprs)
-        AffineMinHashSig(Cast(exprs.head, ArrayType(LongType)))
-      }))
-    e.injectFunction((
-      FunctionIdentifier("sorted_intersect_size"),
-      info("sorted_intersect_size",
-        "sorted_intersect_size(a, b) - |A ∩ B| of two sorted distinct long arrays"),
-      (exprs: Seq[Expression]) => {
-        arity("sorted_intersect_size", "sorted_intersect_size(a, b)", 2)(exprs)
-        SortedIntersectSize(
-          Cast(exprs(0), ArrayType(LongType)), Cast(exprs(1), ArrayType(LongType)))
-      }))
-    e.injectFunction((
-      FunctionIdentifier("bounded_topk"),
-      info("bounded_topk", "bounded_topk(score, id, k) - k largest (score,id) pairs per group"),
-      (exprs: Seq[Expression]) => {
-        arity("bounded_topk", "bounded_topk(score, id, k)", 3)(exprs)
-        BoundedTopK(
-          Cast(exprs(0), DoubleType), Cast(exprs(1), LongType), exprs(2)).toAggregateExpression()
-      }))
-    e.injectFunction((
-      FunctionIdentifier("freq_sketch"),
-      info("freq_sketch",
-        "freq_sketch(item, k) - mergeable SpaceSaving heavy-hitters summary"),
-      (exprs: Seq[Expression]) => {
-        arity("freq_sketch", "freq_sketch(item, k)", 2)(exprs)
-        FreqSketch(Cast(exprs(0), StringType), exprs(1)).toAggregateExpression()
-      }))
-  }
+  val builders: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    entry("cosine_sim", "cosine_sim(a, b) - cosine similarity of two double arrays", 2)(
+      exprs => CosineSimilarity.normalized(exprs(0), exprs(1))),
+    entry("hyperplane_sig", "hyperplane_sig(v) - 16 sign-LSH bits of a double array", 1)(
+      exprs => HyperplaneSig(Cast(exprs.head, ArrayType(DoubleType)))),
+    entry("minhash_sig", "minhash_sig(hs) - 16 affine minhashes of pre-hashed shingles", 1)(
+      exprs => AffineMinHashSig(Cast(exprs.head, ArrayType(LongType)))),
+    entry("sorted_intersect_size",
+      "sorted_intersect_size(a, b) - |A ∩ B| of two sorted distinct long arrays", 2)(
+      exprs => SortedIntersectSize(
+        Cast(exprs(0), ArrayType(LongType)), Cast(exprs(1), ArrayType(LongType)))),
+    entry("bounded_topk", "bounded_topk(score, id, k) - k largest (score,id) pairs per group", 3)(
+      exprs => BoundedTopK(
+        Cast(exprs(0), DoubleType), Cast(exprs(1), LongType), exprs(2)).toAggregateExpression()),
+    entry("freq_sketch",
+      "freq_sketch(item, k) - mergeable SpaceSaving heavy-hitters summary", 2)(
+      exprs => FreqSketch(Cast(exprs(0), StringType), exprs(1)).toAggregateExpression())
+  )
+
+  /** The builder for one injected function (test/registration surface). */
+  def builder(name: String): Seq[Expression] => Expression =
+    builders.collectFirst { case (fid, _, b) if fid.funcName == name => b }
+      .getOrElse(throw new IllegalArgumentException(s"no injected function named $name"))
+
+  /** Temp-function registration on an already-built session (the
+    * non-extension path); identical builder to injection by construction.
+    */
+  def registerTemp(spark: SparkSession, names: String*): Unit =
+    names.foreach(n => spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(n, builder(n), "scala_udf"))
 }

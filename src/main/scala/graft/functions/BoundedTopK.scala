@@ -116,13 +116,11 @@ case class BoundedTopK(
 }
 
 object BoundedTopK {
+  /** Delegates to the shared `GraftExtensions` builder (same arity guard
+    * and coercion as extension injection).
+    */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bounded_topk",
-      exprs => BoundedTopK(
-        Cast(exprs(0), DoubleType), Cast(exprs(1), LongType), exprs(2))
-        .toAggregateExpression(),
-      "scala_udf")
+    graft.GraftExtensions.registerTemp(spark, "bounded_topk")
 
   def boundedTopK(spark: SparkSession, score: Column, id: Column, k: Int): Column = {
     register(spark)

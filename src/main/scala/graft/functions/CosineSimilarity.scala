@@ -73,9 +73,12 @@ object CosineSimilarity {
       Cast(b, ArrayType(DoubleType)))
 
   /** Register for SQL + Column use (idempotent per session). */
+  /** Register for SQL + Column use (idempotent per session); delegates to
+    * the shared `GraftExtensions` builder so the temp-function path carries
+    * the same arity guard and coercion as extension injection.
+    */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FunctionName, exprs => normalized(exprs(0), exprs(1)), "scala_udf")
+    graft.GraftExtensions.registerTemp(spark, FunctionName)
 
   /** Column-API surface: `cosineSim($"a", $"b")`. */
   def cosineSim(spark: SparkSession, a: Column, b: Column): Column = {

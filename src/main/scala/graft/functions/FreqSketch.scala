@@ -184,15 +184,11 @@ case class FreqSketch(
 }
 
 object FreqSketch {
+  /** Delegates to the shared `GraftExtensions` builder (same arity guard
+    * and coercion as extension injection).
+    */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "freq_sketch",
-      exprs => {
-        require(exprs.length == 2,
-          "freq_sketch(item, k) expects exactly 2 arguments, got " + exprs.length)
-        FreqSketch(Cast(exprs(0), StringType), exprs(1)).toAggregateExpression()
-      },
-      "scala_udf")
+    graft.GraftExtensions.registerTemp(spark, "freq_sketch")
 
   def freqSketch(spark: SparkSession, item: Column, k: Int): Column = {
     register(spark)

@@ -125,12 +125,11 @@ case class AffineMinHashSig(child: Expression) extends UnaryExpression {
 }
 
 object LshFunctions {
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hyperplane_sig", exprs => HyperplaneSig(Cast(exprs.head, ArrayType(DoubleType))), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sig", exprs => AffineMinHashSig(Cast(exprs.head, ArrayType(LongType))), "scala_udf")
-  }
+  /** Delegates to the shared `GraftExtensions` builders (same arity guard
+    * and coercion as extension injection).
+    */
+  def register(spark: SparkSession): Unit =
+    graft.GraftExtensions.registerTemp(spark, "hyperplane_sig", "minhash_sig")
 
   def hyperplaneSig(spark: SparkSession, v: Column): Column = {
     register(spark)

@@ -61,23 +61,15 @@ case class SortedIntersectSize(left: Expression, right: Expression)
 object SetOps {
   val FunctionName = "sorted_intersect_size"
 
-  /** Register for SQL + Column use (idempotent per session). Applies the
-    * same Cast-to-long-array coercion as `GraftExtensions.injectFunction`
-    * so the two registration paths are interchangeable — this temp function
+  /** Register for SQL + Column use (idempotent per session); delegates to
+    * the shared `GraftExtensions` builder, so this temp function — which
     * shadows the extension-injected one once any Column-API call registers
-    * it, and without the Cast an int-backed array would hit
-    * `ArrayData.getLong` on int storage.
+    * it — carries the identical long-array Cast and arity guard by
+    * construction (without the Cast an int-backed array would hit
+    * `ArrayData.getLong` on int storage).
     */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FunctionName,
-      exprs => {
-        require(exprs.length == 2,
-          s"$FunctionName(a, b) expects exactly 2 array<long> arguments, got ${exprs.length}")
-        SortedIntersectSize(
-          Cast(exprs(0), ArrayType(LongType)), Cast(exprs(1), ArrayType(LongType)))
-      },
-      "scala_udf")
+    graft.GraftExtensions.registerTemp(spark, FunctionName)
 
   /** Column-API surface: `sortedIntersectSize($"a", $"b")` — both arrays must
     * be distinct and sorted ascending.

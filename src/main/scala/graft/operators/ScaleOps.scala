@@ -24,11 +24,23 @@ object ScaleOps {
     * large side; swap in `large.sample(fraction, seed)` with a scaled
     * threshold when even that pass is too dear.
     *
-    * NOTE: construction is EAGER — the `hot.isEmpty` probe below runs the
-    * frequency pre-pass before a plan is returned, and the salted path
-    * recomputes it once at execution. Plan-only consumers (explain dumps,
-    * plan-shape tests) therefore pay a scan of `large` per call; pass
-    * `sampleFraction < 1` to make that probe proportionally cheap.
+    * Two probe modes:
+    *  - `eagerProbe = false` (default): the pre-pass is PART OF the
+    *    returned plan — the hot table feeds both sides through broadcast
+    *    left-joins, so construction runs no job at all (explain dumps and
+    *    plan tests are free, and the whole join is ONE execution with no
+    *    driver sync point). Cold keys still pay only a broadcast-null
+    *    check and a 1-element explode.
+    *  - `eagerProbe = true`: the pre-pass runs ONCE at construction and
+    *    the hot set is collected (≤ |scanned| / threshold keys BY
+    *    CONSTRUCTION — the same small-set bound that justified
+    *    broadcasting it) and baked into the plan as a codegen'd `InSet`
+    *    predicate; with no hot keys the result IS the plain join. The
+    *    right mode when the returned plan is executed many times, or when
+    *    skew is rare enough that skipping the salt machinery usually wins.
+    *    Should the bound still yield an implausibly large set (beyond
+    *    `MaxCollectedHotKeys`), the probes degrade to the deferred
+    *    broadcast-join form instead of collecting.
     *
     * Result is row-identical to `large.join(small, key)` — verified by spec.
     */
@@ -38,7 +50,8 @@ object ScaleOps {
       key: String,
       saltFactor: Int,
       hotKeyThreshold: Long = 100000L,
-      sampleFraction: Double = 1.0
+      sampleFraction: Double = 1.0,
+      eagerProbe: Boolean = false
   ): DataFrame = {
     require(saltFactor > 0 && hotKeyThreshold > 0)
     require(sampleFraction > 0.0 && sampleFraction <= 1.0)
@@ -51,18 +64,60 @@ object ScaleOps {
         (large.sample(withReplacement = false, sampleFraction, seed = 42L),
           math.max(1L, math.ceil(hotKeyThreshold * sampleFraction).toLong))
       else (large, hotKeyThreshold)
-    val hot = src.groupBy(col(key)).agg(count(lit(1)).as("__cnt"))
+    val hotDf = src.groupBy(col(key)).agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") >= thr)
-      .select(col(key), lit(true).as("__hot"))
+      .select(col(key))
+    if (!eagerProbe)
+      return saltedViaJoin(large, small, key, saltFactor,
+        hotDf.withColumn("__hot", lit(true)))
+    // ONE execution of the pre-pass decides all three outcomes: the
+    // limit(max+1) caps what can reach the driver while still detecting
+    // overflow by length.
+    val probe = hotDf.limit(MaxCollectedHotKeys + 1).collect()
     // No hot keys (the common case on healthy data): skip the salt machinery
     // entirely — the plain join is strictly cheaper than salting with an
-    // empty hot set (which still costs two extra joins, a per-row hash and
-    // an explode). The check runs the pre-pass once; on the salted path the
-    // two hot-side probes below compile to the same broadcast exchange, so
-    // execution computes it once more and reuses it — deliberately NOT
-    // persist()ed, which would pin the cache entry for the session with no
-    // lifecycle hook to release it after the caller's action.
-    if (hot.isEmpty) return large.join(small, Seq(key))
+    // empty hot set (which still costs a per-row probe, a hash and an
+    // explode).
+    if (probe.isEmpty) return large.join(small, Seq(key))
+    if (probe.length > MaxCollectedHotKeys) {
+      // Pathological hot-set size: probe via broadcast joins against the
+      // distributed hot table (marker column) instead of collecting.
+      return saltedViaJoin(large, small, key, saltFactor,
+        hotDf.withColumn("__hot", lit(true)))
+    }
+    // Bake the hot set into the plan: both probes become map-side
+    // codegen'd InSet lookups; the executed plan re-scans nothing.
+    val isHot = col(key).isInCollection(probe.map(_.get(0)).toSeq)
+    val salted = large.withColumn("__salt",
+      when(isHot,
+        pmod(hash(struct(large.columns.map(col).toIndexedSeq: _*)), lit(saltFactor)))
+        .otherwise(lit(0)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0),
+        when(isHot, lit(saltFactor - 1)).otherwise(lit(0)))))
+    salted
+      .join(replicated, Seq(key, "__salt"))
+      .drop("__salt")
+  }
+
+  /** Hot-set sizes beyond this fall back to the distributed probe: 2^20
+    * keys ≈ 8–24 MB collected — comfortably a broadcast-sized object, and
+    * reachable only when |scanned| ≥ threshold · 2^20.
+    */
+  val MaxCollectedHotKeys: Int = 1 << 20
+
+  /** Deferred probe: left-join the hot-marker table into both sides
+    * (broadcast-gated by AQE statistics). The two probes compile to one
+    * reused broadcast exchange, so the pre-pass executes exactly once —
+    * inside the join's own execution.
+    */
+  private def saltedViaJoin(
+      large: DataFrame,
+      small: DataFrame,
+      key: String,
+      saltFactor: Int,
+      hot: DataFrame
+  ): DataFrame = {
     val salted = large
       .join(broadcast(hot), Seq(key), "left_outer")
       .withColumn("__salt",

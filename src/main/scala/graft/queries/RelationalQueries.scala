@@ -190,15 +190,17 @@ object RelationalQueries {
     "q_join_salted" -> QueryDef(
       // Skew-safe salted join (graft.operators.ScaleOps): result must be
       // row-identical to the plain equi-join — which is exactly what the
-      // oracle states. lineitem orderkeys are unskewed (≤7 rows each), so the
-      // hot-key pre-pass finds nothing and no row pays the salt: cost is the
-      // plain join + one column-pruned count pass, vs 8× with blanket salting.
+      // oracle states. lineitem orderkeys are unskewed (≤7 rows each), so
+      // the hot set is empty and no row pays the salt. Deferred probe: the
+      // 2%-sampled pre-pass runs INSIDE the join's own execution as a
+      // broadcast (of the empty hot set) — one job, no construction-time
+      // scan, vs 8× wall-clock with blanket salting.
       (s, d) => {
         import s.implicits._
         val li = lineitem(s, d).select($"l_orderkey", $"l_extendedprice")
         val ord = orders(s, d).select($"o_orderkey".as("l_orderkey"), $"o_orderpriority")
         graft.operators.ScaleOps.saltedJoin(li, ord, "l_orderkey", saltFactor = 8,
-          hotKeyThreshold = 1000L, sampleFraction = 0.05)
+          hotKeyThreshold = 1000L, sampleFraction = 0.02)
           .groupBy($"o_orderpriority")
           .agg(count(lit(1)).as("n_items"), sumMoney($"l_extendedprice").as("revenue"))
           .orderBy($"o_orderpriority")

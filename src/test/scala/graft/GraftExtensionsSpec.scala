@@ -44,10 +44,34 @@ class GraftExtensionsSpec extends AnyFunSuite {
       spark.sql("SELECT sorted_intersect_size(array(1L))").head()
     }
     assert(e1.getMessage.contains("sorted_intersect_size"), e1.getMessage)
-    // extension builders: same guarantee through the injection path
-    val builders = new org.apache.spark.sql.SparkSessionExtensions
-    new GraftExtensions().apply(builders) // registers without error; builder
-    // arity guards themselves are unit-checked via the registry path above
+  }
+
+  test("EVERY injected builder rejects wrong arity, naming itself and its usage") {
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+    // no registered function takes 9 args; a builder that indexes exprs(i)
+    // unchecked would throw IndexOutOfBounds on TOO FEW instead, so probe
+    // both directions
+    val none = Seq.empty[Expression]
+    val many = Seq.fill(9)(Literal(1L): Expression)
+    GraftExtensions.builders.foreach { case (fid, _, builder) =>
+      Seq(none, many).foreach { args =>
+        val e = intercept[IllegalArgumentException](builder(args))
+        assert(e.getMessage.contains(fid.funcName), s"${fid.funcName}: ${e.getMessage}")
+        assert(e.getMessage.contains("usage"), s"${fid.funcName}: ${e.getMessage}")
+      }
+    }
+  }
+
+  test("int-backed arrays coerce to long through the temp registration path") {
+    // array(1, 3, 7) is ArrayType(IntegerType): without the shared Cast the
+    // expression hits ArrayData.getLong on int storage (round-4 drift bug)
+    graft.functions.SetOps.register(spark)
+    graft.functions.LshFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT sorted_intersect_size(array(1, 3, 7), array(3, 7, 9)) AS s,
+        |       minhash_sig(array(5, 9))[0] AS m""".stripMargin).head()
+    assert(r.getInt(0) == 2)
+    assert(r.getLong(1) >= 0L)
   }
 
   test("sorted_intersect_size matches size(array_intersect) on sorted distinct sets") {

@@ -17,11 +17,15 @@ class ScaleOpsSpec extends AnyFunSuite {
     val plain = li.join(o, Seq("o_orderkey"))
     // threshold 4 lands mid-distribution: some orderkeys hot, some cold —
     // both paths of the hot/cold split must reproduce the plain join
-    val salted = ScaleOps.saltedJoin(li, o, "o_orderkey", saltFactor = 8,
-      hotKeyThreshold = 4L)
-    assert(salted.count() == plain.count())
-    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
-    assert(!salted.columns.contains("__salt"))
+    // both probe modes must reproduce the plain join exactly
+    Seq(false, true).foreach { eager =>
+      val salted = ScaleOps.saltedJoin(li, o, "o_orderkey", saltFactor = 8,
+        hotKeyThreshold = 4L, eagerProbe = eager)
+      assert(salted.count() == plain.count(), s"eagerProbe=$eager")
+      assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+        s"eagerProbe=$eager")
+      assert(!salted.columns.contains("__salt"))
+    }
   }
 
   test("saltedJoin spreads a pathological hot key across salts") {
@@ -59,7 +63,28 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(replicated.count() === small.count() + 7)
   }
 
-  test("saltedJoin computes the hot-key pre-pass once at execution (exchange reuse)") {
+  test("saltedJoin bakes the hot set into the plan: no pre-pass in the executed join") {
+    import spark.implicits._
+    val large = spark.range(20000).select(lit(1L).as("k"), $"id")
+      .union(spark.range(500).select($"id" + 10L as "k", $"id"))
+    val small = spark.range(500).select(
+      when($"id" === 0, 1L).otherwise($"id" + 10L).as("k"), $"id".as("v"))
+    val joined = ScaleOps.saltedJoin(large, small, "k", saltFactor = 8,
+      hotKeyThreshold = 1000L, eagerProbe = true)
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    // the collected hot set turns both probes into map-side set predicates:
+    // the executed plan must contain neither the frequency pre-pass (its
+    // __cnt aggregate) nor any probe join on a __hot marker — the pre-pass
+    // ran exactly once, at construction
+    assert(!plan.contains("__cnt") && !plan.contains("__hot"),
+      s"expected the hot-key pre-pass to be absent from the executed plan:\n$plan")
+    assert(plan.contains("__salt"), plan)
+    // 20000 hot-key matches (k=1 → id 0) + 499 cold matches
+    assert(joined.count() == 20499L)
+  }
+
+  test("deferred saltedJoin runs its pre-pass inside the join plan, once, reused") {
     import spark.implicits._
     val large = spark.range(20000).select(lit(1L).as("k"), $"id")
       .union(spark.range(500).select($"id" + 10L as "k", $"id"))
@@ -67,14 +92,16 @@ class ScaleOpsSpec extends AnyFunSuite {
       when($"id" === 0, 1L).otherwise($"id" + 10L).as("k"), $"id".as("v"))
     val joined = ScaleOps.saltedJoin(large, small, "k", saltFactor = 8,
       hotKeyThreshold = 1000L)
+    // plan-only consumption must run NO job (the deferred point): assert by
+    // plan inspection — the pre-pass marker sits inside the plan itself
+    val before = joined.queryExecution.executedPlan.toString
+    assert(before.contains("__hot"), before)
     joined.collect()
     val plan = joined.queryExecution.executedPlan.toString
-    // the hot set probes both join sides with identical subplans: the
-    // second probe must reuse the first broadcast, not recompute the
-    // pre-pass (the property that replaces the old persist())
-    assert(plan.contains("ReusedExchange") || plan.contains("TableCacheQueryStage")
-      || plan.contains("ReusedQueryStage"),
-      s"expected broadcast reuse for the hot-key pre-pass in:\n$plan")
+    // the two hot probes share one broadcast of the pre-pass output
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"expected the two hot-marker probes to reuse one broadcast:\n$plan")
+    assert(joined.count() == 20499L)
   }
 
   test("AQE splits a skewed join partition at runtime (OptimizeSkewedJoin)") {
