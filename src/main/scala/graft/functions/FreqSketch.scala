@@ -110,6 +110,11 @@ case class FreqSketch(
 ) extends TypedImperativeAggregate[FreqBuffer] {
 
   private lazy val k: Int = {
+    // check foldability BEFORE eval: a column reference for k would
+    // otherwise surface as an opaque evaluation/cast error
+    require(kExpr.foldable,
+      "freq_sketch(item, k): k must be a non-null integer literal, " +
+        s"got non-foldable expression ${kExpr.sql}")
     val v = kExpr.eval(InternalRow.empty)
     require(v != null, "freq_sketch(item, k): k must be a non-null integer literal")
     val ki = v.asInstanceOf[Number].intValue()

@@ -52,6 +52,25 @@ case class IvfNearestCell(
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+
+  // Case-class equality over Array fields is reference equality, so two
+  // semantically identical instances never compare equal — defeating
+  // Catalyst subexpression elimination and plan-cache reuse for repeated
+  // assignments against the same centroid table. Compare contents.
+  override def equals(other: Any): Boolean = other match {
+    case o: IvfNearestCell =>
+      child == o.child &&
+        java.util.Arrays.equals(cids, o.cids) &&
+        cents.length == o.cents.length &&
+        cents.indices.forall(i => java.util.Arrays.equals(cents(i), o.cents(i))) &&
+        java.util.Arrays.equals(cnorms, o.cnorms)
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(
+    child,
+    Integer.valueOf(java.util.Arrays.hashCode(cids)),
+    Integer.valueOf(java.util.Arrays.deepHashCode(cents.asInstanceOf[Array[AnyRef]])),
+    Integer.valueOf(java.util.Arrays.hashCode(cnorms)))
 }
 
 object IvfNearestCell {

@@ -56,40 +56,69 @@ object ConnectedComponents {
 
   /** Driver-side union-find (path compression + union by rank), for graphs
     * whose edge list fits the driver with room to spare.
+    *
+    * All driver state is PRIMITIVE arrays: edges land as two long arrays,
+    * node ids are index-compressed through one sorted distinct array +
+    * binary search, and parent/rank are int/byte arrays over those
+    * indices. At the 2^20-edge threshold that is ~16 MB of longs plus
+    * ~10 MB of indices — the boxed-HashMap formulation this replaces
+    * realistically cost hundreds of MB at the same threshold (a boxed
+    * entry per node in two maps), which could OOM a default-sized driver.
     */
   private def driverUnionFind(spark: SparkSession, pr: DataFrame): DataFrame = {
     import spark.implicits._
-    val edges = pr.select(col("id_a").cast("long"), col("id_b").cast("long"))
+    val rows = pr.select(col("id_a").cast("long"), col("id_b").cast("long"))
       .as[(Long, Long)].collect()
-    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-    val rank = scala.collection.mutable.HashMap.empty[Long, Int]
-    def find(x: Long): Long = {
+    val m = rows.length
+    val ea = new Array[Long](m); val eb = new Array[Long](m)
+    var i = 0
+    while (i < m) { ea(i) = rows(i)._1; eb(i) = rows(i)._2; i += 1 }
+    // index-compress node ids: sorted distinct array; id → index by search
+    val nodes: Array[Long] = {
+      val all = new Array[Long](2 * m)
+      System.arraycopy(ea, 0, all, 0, m); System.arraycopy(eb, 0, all, m, m)
+      java.util.Arrays.sort(all)
+      var n = 0; var j = 0
+      while (j < all.length) {
+        if (n == 0 || all(j) != all(n - 1)) { all(n) = all(j); n += 1 }
+        j += 1
+      }
+      java.util.Arrays.copyOf(all, n)
+    }
+    def idx(id: Long): Int = java.util.Arrays.binarySearch(nodes, id)
+    val n = nodes.length
+    val parent = Array.tabulate(n)(identity)
+    val rank = new Array[Byte](n) // rank ≤ log2(n) < 127 always
+    def find(x: Int): Int = {
       var root = x
-      while (parent.getOrElse(root, root) != root) root = parent.getOrElse(root, root)
+      while (parent(root) != root) root = parent(root)
       var cur = x
       while (cur != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
       root
     }
-    def union(a: Long, b: Long): Unit = {
-      val ra = find(a); val rb = find(b)
+    i = 0
+    while (i < m) {
+      val ra = find(idx(ea(i))); val rb = find(idx(eb(i)))
       if (ra != rb) {
-        val (hi, lo) =
-          if (rank.getOrElse(ra, 0) >= rank.getOrElse(rb, 0)) (ra, rb) else (rb, ra)
-        parent(lo) = hi
-        if (rank.getOrElse(ra, 0) == rank.getOrElse(rb, 0))
-          rank(hi) = rank.getOrElse(hi, 0) + 1
+        if (rank(ra) > rank(rb)) parent(rb) = ra
+        else if (rank(ra) < rank(rb)) parent(ra) = rb
+        else { parent(rb) = ra; rank(ra) = (rank(ra) + 1).toByte }
       }
+      i += 1
     }
-    edges.foreach { case (a, b) =>
-      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-      union(a, b)
+    // component label = min node id in the component; node ids ascend with
+    // index, so the FIRST index seen per root is the component minimum
+    val lbl = new Array[Long](n)
+    java.util.Arrays.fill(lbl, Long.MinValue)
+    val out = new Array[(Long, Long)](n)
+    i = 0
+    while (i < n) {
+      val r = find(i)
+      if (lbl(r) == Long.MinValue) lbl(r) = nodes(i)
+      out(i) = (nodes(i), lbl(r))
+      i += 1
     }
-    val byRoot = parent.keys.toSeq.groupBy(find)
-    val out = byRoot.valuesIterator.flatMap { members =>
-      val lbl = members.min
-      members.iterator.map(id => (id, lbl))
-    }.toSeq
-    spark.createDataset(out).toDF("id", "lbl")
+    spark.createDataset(out.toSeq).toDF("id", "lbl")
   }
 
   /** Distributed min-label propagation — the ≥ threshold scale path. */

@@ -1016,26 +1016,38 @@ object PipelineQueries {
       // Frequent items over a high-cardinality key (corpus tokens) via the
       // mergeable SpaceSaving aggregate: k counters per partition, k-sized
       // summary merge — the shuffle is O(k × partitions) where an exact
-      // groupBy ships one row per DISTINCT token. Every estimate carries
-      // its error bound (true ∈ [est − err, est]). No oracle, like the HLL
-      // and quantile sketches: counter contents ride partition arrival
-      // order; the guarantees are spec-checked against exact counts instead
-      // (FreqSketchSpec).
+      // groupBy ships one row per DISTINCT token. Counter contents ride
+      // partition arrival order, so the DRIVER-VERIFIED contract is the
+      // Metwally guarantees on the exact top-10 tokens (all of which
+      // exceed the n/k coverage threshold in this corpus): each MUST be
+      // present in the k=32 summary with est − err ≤ true ≤ est —
+      // `sketch_ok` certifies both. The exact count side exists only to
+      // certify the sketch (and is what the oracle states, plus TRUE);
+      // production reads the summary alone. Per-estimate error bounds and
+      // arbitrary-split merge invariance stay property-tested in
+      // FreqSketchSpec.
       (s, d) => {
         import s.implicits._
-        // the aggregate's output array is already sorted (est DESC, item
-        // ASC — documented), so posexplode yields the rank directly; no
-        // single-partition row_number window needed
-        documents(s, d)
-          .select(explode(split($"text", " ")).as("tok"))
-          .agg(graft.functions.FreqSketch.freqSketch(s, $"tok", 32).as("hh"))
-          .select(posexplode($"hh").as(Seq("pos", "e")))
-          .filter($"pos" < 10)
-          .select(($"pos" + 1).cast("long").as("rnk"),
-            $"e.item".as("token"), $"e.est".as("est"), $"e.err".as("err"))
-          .orderBy($"rnk")
+        val toks = documents(s, d).select(explode(split($"text", " ")).as("token"))
+        val sketch = toks
+          .agg(graft.functions.FreqSketch.freqSketch(s, $"token", 32).as("hh"))
+          .select(explode($"hh").as("e"))
+          .select($"e.item".as("token"), $"e.est".as("est"), $"e.err".as("err"))
+        // exact top-10 via TakeOrderedAndProject (ties broken by token)
+        val top10 = toks.groupBy($"token").agg(count(lit(1)).as("n_true"))
+          .orderBy($"n_true".desc, $"token").limit(10)
+        top10.join(broadcast(sketch), Seq("token"), "left_outer")
+          .select($"token", $"n_true",
+            ($"est".isNotNull && $"est" - $"err" <= $"n_true" &&
+              $"n_true" <= $"est").as("sketch_ok"))
+          .orderBy($"n_true".desc, $"token")
       },
-      None
+      Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+             |c AS (
+             |  SELECT token, COUNT(*) AS n_true FROM tok GROUP BY token
+             |  ORDER BY n_true DESC, token LIMIT 10)
+             |SELECT token, n_true, TRUE AS sketch_ok
+             |FROM c ORDER BY n_true DESC, token""".stripMargin)
     ),
 
     "q_cluster_canonical" -> QueryDef(

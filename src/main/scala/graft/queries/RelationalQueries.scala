@@ -451,16 +451,28 @@ object RelationalQueries {
 
     "q_agg_approx_distinct" -> QueryDef(
       // HLL sketch — mergeable partial aggregate, the 100 TB answer to
-      // COUNT(DISTINCT). No oracle (approximate); driver records rows>0.
+      // COUNT(DISTINCT). The estimate itself is engine-internal (no other
+      // engine reproduces it bit-for-bit), so the DRIVER-VERIFIED contract
+      // is the error bound: `hll_ok` certifies the rsd=0.01 estimate lands
+      // within 5% of exact (HLL is order-independent, so the boolean is
+      // deterministic), and the oracle states exact counts + TRUE. The
+      // exact countDistinct here exists only to certify the sketch — a
+      // production rollup reads the sketch alone.
       (s, d) => {
         import s.implicits._
         events(s, d)
           .groupBy($"event_type")
-          .agg(approx_count_distinct($"user_id", 0.01).as("approx_users"),
+          .agg(approx_count_distinct($"user_id", 0.01).as("est"),
+            countDistinct($"user_id").as("n_users_exact"),
             count(lit(1)).as("n_events"))
+          .select($"event_type", $"n_users_exact", $"n_events",
+            (abs($"est" - $"n_users_exact").cast("double")
+              / $"n_users_exact".cast("double") <= 0.05).as("hll_ok"))
           .orderBy($"event_type")
       },
-      None
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users_exact,
+             |  COUNT(*) AS n_events, TRUE AS hll_ok
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
 
     "q_agg_salted" -> QueryDef(
@@ -495,49 +507,90 @@ object RelationalQueries {
       // sketches (hll_union_agg) — never rescanning the input. This is the
       // 100 TB distinct-count architecture: sketches are associative
       // partials, so shard/day/partition sketches roll up to any grain for
-      // the cost of a merge. No oracle (sketch internals are
-      // engine-specific); the spec bounds both estimate levels against
-      // exact countDistinct.
+      // the cost of a merge. Sketch estimates are engine-internal, so the
+      // driver-verified contract is the 5% error bound at BOTH levels —
+      // per-group estimates and the union-merged global — against exact
+      // countDistinct (datasketches lgK=12 → rsd ≈ 1.6%, 3σ < 5%;
+      // order-independent, so the booleans are deterministic). The exact
+      // sides exist only to certify the merge; production reads sketches.
       (s, d) => {
         import s.implicits._
+        def ok(est: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
+          (abs(est - exact).cast("double") / exact.cast("double") <= 0.05)
+            .as("merge_ok")
         val sk = events(s, d)
           .groupBy($"event_type")
-          .agg(hll_sketch_agg($"user_id").as("sk"), count(lit(1)).as("n_events"))
+          .agg(hll_sketch_agg($"user_id").as("sk"),
+            countDistinct($"user_id").as("n_exact"),
+            count(lit(1)).as("n_events"))
           .persist()
-        val per = sk.select($"event_type",
-          hll_sketch_estimate($"sk").as("approx_users"), $"n_events")
-        val merged = sk
-          .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("approx_users"),
-            sum($"n_events").as("n_events"))
-          .select(lit("__all__").as("event_type"), $"approx_users", $"n_events")
+        val per = sk.select($"event_type", $"n_exact".as("n_users_exact"),
+          $"n_events", ok(hll_sketch_estimate($"sk"), $"n_exact"))
+        // The global row is three scalars (union-merged estimate, exact
+        // distinct, event count) — attach them driver-side as a literal
+        // row rather than planning a 1×1 join (whose constant key folds
+        // into a cartesian under the optimizer and trips the plan gate)
+        val m = sk
+          .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est"),
+            sum($"n_events").as("n_events")).head()
+        val nExact = events(s, d)
+          .agg(countDistinct($"user_id").as("n")).head().getLong(0)
+        val merged = Seq((
+          "__all__", nExact, m.getLong(1),
+          math.abs(m.getLong(0) - nExact).toDouble / nExact.toDouble <= 0.05
+        )).toDF("event_type", "n_users_exact", "n_events", "merge_ok")
         per.union(merged).orderBy($"event_type")
       },
-      None
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users_exact,
+             |  COUNT(*) AS n_events, TRUE AS merge_ok
+             |FROM events GROUP BY event_type
+             |UNION ALL
+             |SELECT '__all__', COUNT(DISTINCT user_id), COUNT(*), TRUE FROM events
+             |ORDER BY event_type""".stripMargin)
     ),
 
     "q_agg_approx_quantile" -> QueryDef(
       // Mergeable quantile sketch (approx_percentile) — the 100 TB answer to
       // exact percentile(): partial sketches merge associatively, so no
-      // single-node sort of the whole column. No oracle (sketch contents are
-      // engine-specific); the spec bounds its error against exact
-      // percentile(), driver records rows>0. Emitted as scalar p50/p90/p99
-      // doubles (not an array column) so the compare harness can sort/hash.
+      // single-node sort of the whole column. Estimates are engine-internal
+      // (and ride partition merge order), so the DRIVER-VERIFIED contract is
+      // the rank-error bound: for each quantile q the returned element's
+      // rank interval [count(< est)+1, count(≤ est)] must intersect
+      // [(q−ε)·n, (q+ε)·n] — GK guarantees ε = 1/accuracy = 0.001; checked
+      // at ε = 0.005 for a discreteness cushion. The exact rank counts come
+      // from one broadcast re-join of the 3-row estimate table; the oracle
+      // states group sizes + TRUE per bound.
       (s, d) => {
         import s.implicits._
-        lineitem(s, d)
+        val est = lineitem(s, d)
           .groupBy($"l_returnflag")
           .agg(
             expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)")
               .as("q"),
             count(lit(1)).as("n"))
-          .select($"l_returnflag",
-            element_at($"q", 1).as("p50"),
-            element_at($"q", 2).as("p90"),
-            element_at($"q", 3).as("p99"),
-            $"n")
+          .select($"l_returnflag", element_at($"q", 1).as("p50"),
+            element_at($"q", 2).as("p90"), element_at($"q", 3).as("p99"), $"n")
+        def rankCols(p: org.apache.spark.sql.Column, tag: String) = Seq(
+          sum(when($"l_extendedprice" < p, 1L).otherwise(0L)).as(s"lt$tag"),
+          sum(when($"l_extendedprice" <= p, 1L).otherwise(0L)).as(s"le$tag"))
+        val ranks = lineitem(s, d).select($"l_returnflag", $"l_extendedprice")
+          .join(broadcast(est), Seq("l_returnflag"))
+          .groupBy($"l_returnflag")
+          .agg(max($"n").as("n"),
+            (rankCols($"p50", "50") ++ rankCols($"p90", "90")
+              ++ rankCols($"p99", "99")): _*)
+        val eps = 0.005
+        def ok(q: Double, tag: String) =
+          (($"lt$tag" + 1).cast("double") <= lit(q + eps) * $"n".cast("double") &&
+            $"le$tag".cast("double") >= lit(q - eps) * $"n".cast("double"))
+            .as(s"p${tag}_ok")
+        ranks.select($"l_returnflag", $"n",
+          ok(0.5, "50"), ok(0.9, "90"), ok(0.99, "99"))
           .orderBy($"l_returnflag")
       },
-      None
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+             |  TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     ),
 
     "q_agg_minmax" -> QueryDef(

@@ -25,43 +25,49 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
-  test("every query has an oracle or a documented reason not to") {
+  test("every query has an oracle (the sketch queries oracle their error bounds)") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("q_agg_approx_distinct", "q_agg_approx_quantile",
-        "q_agg_hll_merge", "q_heavy_hitters"),
-      s"unexpected oracle-less: $noOracle")
+    assert(noOracle.isEmpty, s"unexpected oracle-less: $noOracle")
   }
 
-  test("hll sketch estimates (per-group and merged) land within 5% of exact") {
+  test("hll sketch bounds hold and the exact side matches an independent count") {
     import spark.implicits._
     val rows = SparkEntry.queries("q_agg_hll_merge")(spark, sfDir)
-      .select($"event_type", $"approx_users")
-      .as[(String, Long)].collect().toMap
-    val exactPer = graft.tables.Tables.events(spark, sfDir)
-      .groupBy($"event_type")
-      .agg(org.apache.spark.sql.functions.countDistinct($"user_id").as("n"))
-      .as[(String, Long)].collect().toMap
+      .select($"event_type", $"n_users_exact", $"merge_ok")
+      .as[(String, Long, Boolean)].collect()
+    assert(rows.forall(_._3), s"some estimate broke the 5% bound: ${rows.toSeq}")
+    // the query's exact column against a count computed outside the query
     val exactAll = graft.tables.Tables.events(spark, sfDir)
       .select($"user_id").distinct().count()
-    (exactPer + ("__all__" -> exactAll)).foreach { case (k, ex) =>
-      val ap = rows(k)
-      assert(math.abs(ap - ex).toDouble / ex < 0.05, s"$k: approx $ap vs exact $ex")
+    assert(rows.find(_._1 == "__all__").get._2 == exactAll)
+  }
+
+  test("approx quantile rank bounds hold for every group and quantile") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_agg_approx_quantile")(spark, sfDir)
+      .select($"l_returnflag", $"p50_ok", $"p90_ok", $"p99_ok")
+      .as[(String, Boolean, Boolean, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (flag, a, b, c) =>
+      assert(a && b && c, s"$flag: rank bound broken (p50=$a p90=$b p99=$c)")
     }
   }
 
-  test("approx quantile sketch lands within 5% of the exact percentile") {
+  test("heavy-hitter coverage: every oracled top-10 token clears the n/k guarantee") {
     import spark.implicits._
-    val rows = SparkEntry.queries("q_agg_approx_quantile")(spark, sfDir)
-      .select($"l_returnflag", expr("array(p50, p90, p99)"))
-      .as[(String, Seq[Double])].collect().toMap
-    val exact = graft.tables.Tables.lineitem(spark, sfDir)
-      .groupBy($"l_returnflag")
-      .agg(expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("q"))
-      .as[(String, Seq[Double])].collect().toMap
-    exact.foreach { case (flag, qs) =>
-      qs.zip(rows(flag)).foreach { case (ex, ap) =>
-        assert(math.abs(ap - ex) / ex < 0.05, s"$flag: approx $ap vs exact $ex")
-      }
+    // the per-row sketch_ok contract is only guaranteed for items above
+    // n/k; assert the fixture actually keeps the top-10 above it so the
+    // oracle row can never go flaky as testdata evolves
+    val toks = graft.tables.Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split($"text", " ")).as("t"))
+    val n = toks.count()
+    val rows = SparkEntry.queries("q_heavy_hitters")(spark, sfDir)
+      .select($"n_true", $"sketch_ok").as[(Long, Boolean)].collect()
+    assert(rows.length == 10)
+    rows.foreach { case (nTrue, ok) =>
+      assert(nTrue > n / 32, s"top-10 token at $nTrue ≤ n/k ${n / 32}: guarantee void")
+      assert(ok, s"sketch missed or mis-bounded a guaranteed heavy hitter ($nTrue)")
     }
   }
 
