@@ -31,8 +31,12 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // per-query persists are intentionally intra-query; drop leftovers so
-      // 80+ dumps don't accumulate stale cached plans
+      // 105 dumps don't accumulate stale cached plans. localCheckpoint
+      // blocks are RDD-level and survive clearCache — evict synchronously
+      // (same rationale as Bench.deepClean).
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

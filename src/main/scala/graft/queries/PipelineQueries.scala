@@ -919,6 +919,102 @@ object PipelineQueries {
              |FROM documents ORDER BY doc_id""".stripMargin)
     ),
 
+    "q_text_repetition" -> QueryDef(
+      // Intra-document repetition scoring (a standard corpus-quality
+      // signal: templated/boilerplate text repeats n-grams). Per doc:
+      // total vs distinct bigram counts; the repetitive flag is decided by
+      // exact integer cross-multiplication ((total−unique)·20 > total ⇔
+      // ratio > 5%) so no float rounding can diverge between engines.
+      // Map-only — composes with pushdown, no shuffle at any scale.
+      (s, d) => {
+        import s.implicits._
+        documents(s, d)
+          .select($"doc_id", split($"text", " ").as("tok"))
+          .filter(size($"tok") >= 2)
+          .select($"doc_id",
+            (size($"tok") - 1).cast("long").as("n_bigrams"),
+            expr("CAST(size(array_distinct(transform(sequence(0, size(tok)-2), " +
+              "i -> concat_ws(' ', tok[i], tok[i+1])))) AS BIGINT)").as("n_unique"))
+          .withColumn("is_repetitive",
+            ($"n_bigrams" - $"n_unique") * 20 > $"n_bigrams")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+             |b AS (
+             |  SELECT doc_id, CAST(len(tok) - 1 AS BIGINT) AS n_bigrams,
+             |    CAST(len(list_distinct(list_transform(range(0, len(tok)-1),
+             |      i -> array_to_string(tok[i+1:i+2], ' ')))) AS BIGINT) AS n_unique
+             |  FROM t WHERE len(tok) >= 2)
+             |SELECT doc_id, n_bigrams, n_unique,
+             |  (n_bigrams - n_unique) * 20 > n_bigrams AS is_repetitive
+             |FROM b ORDER BY doc_id""".stripMargin)
+    ),
+
+    "q_decontaminate" -> QueryDef(
+      // Train/test decontamination: flag corpus docs sharing any 5-gram
+      // with a benchmark set (docs with doc_id % 31 = 0 stand in for the
+      // eval suite). The benchmark side is SMALL AND FIXED by construction
+      // — explode its distinct 5-grams and broadcast them; the corpus side
+      // is a map-only explode into a broadcast hash join, so the 100 TB
+      // corpus never shuffles and no all-pairs comparison exists.
+      // Self-matches are excluded; hit count per contaminated doc.
+      (s, d) => {
+        import s.implicits._
+        def grams(df: DataFrame) = df
+          .select($"doc_id", split($"text", " ").as("tok"))
+          .filter(size($"tok") >= 5)
+          .select($"doc_id", explode(expr(
+            "array_distinct(transform(sequence(0, size(tok)-5), " +
+              "i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2], tok[i+3], tok[i+4])))"))
+            .as("g"))
+        val needles = grams(documents(s, d).filter(pmod($"doc_id", lit(31)) === 0))
+          .select($"doc_id".as("bench_id"), $"g")
+        grams(documents(s, d))
+          .join(broadcast(needles), Seq("g"))
+          .filter($"doc_id" =!= $"bench_id")
+          .groupBy($"doc_id")
+          .agg(countDistinct($"bench_id").as("n_bench_hits"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+             |g AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(range(0, len(tok)-4),
+             |    i -> array_to_string(tok[i+1:i+5], ' ')))) AS g
+             |  FROM t WHERE len(tok) >= 5),
+             |needles AS (SELECT doc_id AS bench_id, g FROM g WHERE doc_id % 31 = 0)
+             |SELECT c.doc_id, COUNT(DISTINCT n.bench_id) AS n_bench_hits
+             |FROM g c JOIN needles n USING (g)
+             |WHERE c.doc_id != n.bench_id
+             |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin)
+    ),
+
+    "q_dedup_incremental" -> QueryDef(
+      // Incremental-ingest dedup: a new shard (doc_id % 5 = 0 stands in
+      // for today's crawl) keeps only docs whose word-set fingerprint is
+      // absent from the existing corpus — LEFT ANTI join on the
+      // fingerprint, the shape that lets a 100 TB corpus absorb daily
+      // shards by shuffling fingerprints (16 bytes/doc), never documents.
+      // Fingerprint = q_dedup_fuzzy's order/multiplicity-insensitive key.
+      (s, d) => {
+        import s.implicits._
+        val fp = documents(s, d).withColumn("fp",
+          md5(array_join(array_sort(array_distinct(split($"text", " "))), " ")))
+        val corpus = fp.filter(pmod($"doc_id", lit(5)) =!= 0).select($"fp")
+        fp.filter(pmod($"doc_id", lit(5)) === 0)
+          .join(corpus, Seq("fp"), "left_anti")
+          .select($"doc_id", $"fp")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH fp AS (
+             |  SELECT doc_id,
+             |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+             |  FROM documents)
+             |SELECT doc_id, fp FROM fp n
+             |WHERE doc_id % 5 = 0 AND NOT EXISTS (
+             |  SELECT 1 FROM fp c WHERE c.doc_id % 5 != 0 AND c.fp = n.fp)
+             |ORDER BY doc_id""".stripMargin)
+    ),
+
     "q_doc_chunks" -> QueryDef(
       // Training-window chunking: fixed 32-token windows with stride 24
       // (8-token overlap) per document — the context-window packing shape.
