@@ -154,18 +154,14 @@ object StreamShapeQueries {
         // per-batch store open/commit). The user-counter state is keyed by
         // user (thousands of tiny entries), so a handful of partitions
         // carries it; the session default (sized for data shuffles) would
-        // spend more on store commits than on data. Restored only after
-        // awaitTermination — micro-batch planning runs async after start(),
-        // so restoring earlier would race the read.
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        try {
+        // spend more on store commits than on data. The helper restores the
+        // conf only after awaitTermination (micro-batch planning runs async
+        // after start(), so restoring earlier would race the read) and
+        // serializes streaming runs JVM-wide.
+        graft.streaming.StreamOps.withRightSizedStreaming(s, 8) {
           val q = graft.streaming.StreamOps.runToMemory(
             graft.streaming.StreamOps.runningUserCounters(ev).toDF(), name)
           q.awaitTermination()
-        } finally {
-          s.conf.set("spark.sql.shuffle.partitions", prevParts)
-          graft.streaming.StreamOps.releaseStreamingState()
         }
         // materialize the (tiny) final counters, then drop the memory-sink
         // view so repeated invocations don't retain per-batch output forever
@@ -207,15 +203,11 @@ object StreamShapeQueries {
         val name = "q_stream_join_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
         // stream-stream join state partitions by the join key; same
-        // right-sizing (and restore discipline) as q_stream_stateful
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        try {
+        // right-sizing (and restore/serialization discipline) as
+        // q_stream_stateful
+        graft.streaming.StreamOps.withRightSizedStreaming(s, 8) {
           val q = graft.streaming.StreamOps.runToMemory(joined, name)
           q.awaitTermination()
-        } finally {
-          s.conf.set("spark.sql.shuffle.partitions", prevParts)
-          graft.streaming.StreamOps.releaseStreamingState()
         }
         val out = s.table(name)
           .orderBy($"purchase_id", $"signup_ts")
@@ -253,9 +245,7 @@ object StreamShapeQueries {
           ev, Seq("user_id", "event_type"))
         val name = "q_stream_dedup_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        try {
+        graft.streaming.StreamOps.withRightSizedStreaming(s, 8) {
           val q = graft.streaming.StreamOps.runToMemory(
             deduped.select($"user_id", $"event_type"), name)
           q.awaitTermination()
@@ -268,9 +258,6 @@ object StreamShapeQueries {
           val dataBatches = q.recentProgress.count(_.numInputRows > 0)
           require(dataBatches <= 1,
             s"q_stream_dedup expects a single-batch replay, saw $dataBatches data batches")
-        } finally {
-          s.conf.set("spark.sql.shuffle.partitions", prevParts)
-          graft.streaming.StreamOps.releaseStreamingState()
         }
         val out = s.table(name)
           .groupBy($"user_id", $"event_type")

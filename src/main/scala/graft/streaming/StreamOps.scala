@@ -156,6 +156,26 @@ object StreamOps {
   def releaseStreamingState(): Unit =
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
 
+  /** Serialize streaming runs within this JVM and scope the
+    * shuffle-partition override + state release to the critical section.
+    * The conf mutation is session-global and `StateStore.stop()` is
+    * process-global: a concurrent streaming query in the same JVM would be
+    * silently re-planned with the override or pay a full state reload, so
+    * the lock makes the sequential-harness assumption an enforced
+    * invariant instead of a comment.
+    */
+  private val engineLock = new Object
+  def withRightSizedStreaming[T](spark: SparkSession, partitions: Int)(body: => T): T =
+    engineLock.synchronized {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+      try body
+      finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        releaseStreamingState()
+      }
+    }
+
   /** Run any streaming DataFrame to an in-memory table and wait until all
     * currently-available input is processed (test/driver harness).
     */
