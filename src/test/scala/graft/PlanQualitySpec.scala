@@ -72,6 +72,26 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(physical(run("q_join_anti")).contains("LeftAnti"))
   }
 
+  test("q_decontaminate broadcasts the benchmark needles (no corpus shuffle join)") {
+    val plan = physical(run("q_decontaminate"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q_dedup_incremental anti-joins the new shard against corpus fingerprints") {
+    val plan = physical(run("q_dedup_incremental"))
+    assert(plan.contains("LeftAnti"), plan)
+  }
+
+  test("q_text_repetition is map-only: no exchange below the final order") {
+    // exactly one Exchange — the rangepartitioning for the final orderBy;
+    // scoring itself must not shuffle (count the AQE final section only,
+    // not the Initial Plan echo)
+    val plan = finalSection(physical(run("q_text_repetition")))
+    val exchanges = "Exchange".r.findAllIn(plan.replace("ReusedExchange", "")).size
+    assert(exchanges <= 1, s"expected at most the final-sort exchange:\n$plan")
+  }
+
   // AQE plans print "== Final Plan ==" followed by an "== Initial Plan =="
   // echo — count structure only in the final section
   private def finalSection(plan: String): String =
