@@ -136,6 +136,47 @@ object ScaleOps {
       .drop("__salt")
   }
 
+  /** Distributed global ranking — the scale-correct replacement for an
+    * unpartitioned `row_number()` window (which moves EVERY row to one
+    * partition): range-repartition on the sort key so each partition owns a
+    * contiguous key range, rank locally with a partition-local window, and
+    * add broadcast per-partition offsets. Both shuffles are distributed;
+    * the only driver traffic is one count per partition. `order` must be a
+    * total (tie-free) order for the rank to be deterministic.
+    *
+    * The ranged data is materialized ONCE (eager localCheckpoint) and both
+    * the offset pre-pass and the returned plan read those blocks — range
+    * boundary sampling is NOT stable across separate executions (measured:
+    * re-executing the shuffle moved a boundary by ~60 rows and corrupted
+    * ranks), so consistency must come from materialization, not
+    * determinism. Callers should drop the blocks when done (the bench and
+    * verify harnesses evict persistent RDDs between queries).
+    */
+  def withGlobalRank(
+      df: DataFrame,
+      rankCol: String,
+      order: org.apache.spark.sql.Column*
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // explicit partition count: a user-specified repartition is exempt from
+    // AQE coalescing, so the pre-pass and the final execution cannot end up
+    // with different partition ids
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(parts, order: _*)
+    val withPid = ranged.withColumn("__pid", spark_partition_id()).localCheckpoint()
+    val counts = withPid.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft(0L)(_ + _._2).init
+    val offEntries = counts.map(_._1).zip(offsets)
+      .flatMap { case (p, o) => Seq(lit(p), lit(o)) }
+    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+    withPid
+      .withColumn(rankCol,
+        row_number().over(w).cast("long") +
+          element_at(map(offEntries.toIndexedSeq: _*), col("__pid")))
+      .drop("__pid")
+  }
+
   /** Persist a DataFrame as a bucketed+sorted table: equal-bucketed tables
     * joined on the bucket key need no Exchange at all — the join is
     * co-located by layout, the 100 TB answer to repeated fact⋈fact joins on

@@ -1035,11 +1035,28 @@ object RelationalQueries {
     ),
 
     "q_window_ntile" -> QueryDef(
+      // Global quartiles WITHOUT `ntile(4).over(Window.orderBy(...))`: the
+      // unpartitioned ntile window single-partition-sorts the whole table
+      // (the same scale-killer class as pagerank's old global top-k). The
+      // distributed form: exact global rank via ScaleOps.withGlobalRank
+      // (range repartition + partition-local windows + broadcast offsets),
+      // then the standard NTILE bucket formula — first n%k buckets one row
+      // larger — from the rank with exact integer math. Result is
+      // row-identical to ntile(4); the oracle keeps NTILE(4) to state so.
       (s, d) => {
         import s.implicits._
-        val w = Window.orderBy($"o_totalprice".desc, $"o_orderkey")
-        orders(s, d)
-          .withColumn("quartile", ntile(4).over(w).cast("long"))
+        val base = orders(s, d).select($"o_orderkey", $"o_totalprice")
+        val n = base.count()
+        val ranked = graft.operators.ScaleOps.withGlobalRank(
+          base, "rnk", $"o_totalprice".desc, $"o_orderkey")
+        val k = 4L
+        val small = n / k; val big = n % k; val cut = big * (small + 1)
+        val quartile =
+          if (small == 0) $"rnk" // n < k: one row per leading bucket
+          else when($"rnk" <= cut, ($"rnk" + small) / (small + 1))
+            .otherwise(lit(big) + ($"rnk" - cut + small - 1) / small)
+        ranked
+          .withColumn("quartile", quartile.cast("long"))
           .groupBy($"quartile")
           .agg(count(lit(1)).as("n_orders"), sumMoney($"o_totalprice").as("sales"))
           .orderBy($"quartile")
@@ -1633,9 +1650,14 @@ object RelationalQueries {
           .filter($"next_type".isNotNull)
           .groupBy($"event_type", $"next_type")
           .agg(count(lit(1)).as("n"))
+          // top-20 via limit → TakeOrderedAndProject, then rank the 20
+          // survivors in a window that is single-partition by construction
+          // (non-foldable constant key — a literal would fold out of the
+          // partitionSpec; same pattern as pagerank)
+          .orderBy($"n".desc, $"event_type", $"next_type").limit(20)
           .withColumn("rnk", row_number().over(
-            Window.orderBy($"n".desc, $"event_type", $"next_type")).cast("long"))
-          .filter($"rnk" <= 20)
+            Window.partitionBy(length($"event_type") * 0)
+              .orderBy($"n".desc, $"event_type", $"next_type")).cast("long"))
           .select($"rnk", $"event_type", $"next_type", $"n")
           .orderBy($"rnk")
       },

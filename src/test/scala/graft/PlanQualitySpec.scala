@@ -83,6 +83,12 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("LeftAnti"), plan)
   }
 
+  test("q_window_ntile computes global quartiles without a single-partition window") {
+    val plan = physical(run("q_window_ntile"))
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"global ntile must not serialize on one partition:\n$plan")
+  }
+
   test("q_text_repetition is map-only: no exchange below the final order") {
     // exactly one Exchange — the rangepartitioning for the final orderBy;
     // scoring itself must not shuffle (count the AQE final section only,

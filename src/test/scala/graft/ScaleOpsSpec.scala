@@ -104,6 +104,20 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(joined.count() == 20499L)
   }
 
+  test("withGlobalRank assigns exact global ranks without a single-partition window") {
+    import spark.implicits._
+    // scrambled keys so range partitioning has real work to do
+    val df = spark.range(10000)
+      .select((($"id" * 2654435761L) % 1000003L).as("k"), $"id")
+    val ranked = ScaleOps.withGlobalRank(df, "rnk", $"k".asc, $"id".asc)
+    val rows = ranked.orderBy($"k", $"id").select($"rnk").as[Long].collect().toSeq
+    // sorting by the rank's own order must yield exactly 1..n
+    assert(rows == (1L to 10000L), s"head=${rows.take(5)} tail=${rows.takeRight(5)}")
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"global rank must not serialize on one partition:\n$plan")
+  }
+
   test("AQE splits a skewed join partition at runtime (OptimizeSkewedJoin)") {
     import spark.implicits._
     // one key owns ~90% of the left side; thresholds lowered so local data
