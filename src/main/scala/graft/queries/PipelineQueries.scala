@@ -1015,6 +1015,49 @@ object PipelineQueries {
              |ORDER BY doc_id""".stripMargin)
     ),
 
+    "q_embedding_quantize" -> QueryDef(
+      // Scalar int8 quantization of the embedding column — the storage/
+      // serving compression every 100 TB vector store runs (4× smaller
+      // than float32 before ANN). Per-dim min/max from ONE pass (64-row
+      // stats table, broadcast back), then a map-only quantize; at scale
+      // the stats pass is a partial-aggregable shuffle of 64 keys and the
+      // quantize never shuffles. Cross-engine parity is exact: both
+      // engines widen the same parquet floats to identical doubles, apply
+      // the same IEEE (x−mn)·255/(mx−mn) and FLOOR, and the output folds
+      // the codes into integer checksums (count/sum/min/max) so no float
+      // column rides the hash compare.
+      (s, d) => {
+        import s.implicits._
+        val e = embeddings(s, d)
+          .select($"vec_id",
+            posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+              .as(Seq("dim", "x")))
+        val stats = e.groupBy($"dim").agg(min($"x").as("mn"), max($"x").as("mx"))
+        e.join(broadcast(stats), Seq("dim"))
+          .withColumn("q",
+            when($"mx" === $"mn", lit(0L))
+              .otherwise(least(lit(255L),
+                floor(($"x" - $"mn") * 255.0 / ($"mx" - $"mn")))))
+          .groupBy($"vec_id")
+          .agg(count(lit(1)).as("n_dims"), sum($"q").as("q_sum"),
+            min($"q").as("q_min"), max($"q").as("q_max"))
+          .orderBy($"vec_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, r.i AS dim, CAST(embedding[r.i + 1] AS DOUBLE) AS x
+             |  FROM embeddings, range(0, 64) r(i)),
+             |s AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM e GROUP BY dim),
+             |q AS (
+             |  SELECT vec_id,
+             |    CASE WHEN mx = mn THEN 0
+             |         ELSE LEAST(255, CAST(FLOOR((x - mn) * 255.0 / (mx - mn)) AS BIGINT))
+             |    END AS q
+             |  FROM e JOIN s USING (dim))
+             |SELECT vec_id, COUNT(*) AS n_dims, CAST(SUM(q) AS BIGINT) AS q_sum,
+             |  MIN(q) AS q_min, MAX(q) AS q_max
+             |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin)
+    ),
+
     "q_doc_chunks" -> QueryDef(
       // Training-window chunking: fixed 32-token windows with stride 24
       // (8-token overlap) per document — the context-window packing shape.
