@@ -177,6 +177,21 @@ object ScaleOps {
       .drop("__pid")
   }
 
+  /** Standard SQL NTILE bucket from an exact global rank: the first
+    * n % k buckets carry ceil(n/k) rows, the rest floor(n/k) — identical
+    * semantics to `ntile(k)` over a global window, in exact integer math.
+    * Combined with [[withGlobalRank]] this is the distributed form of a
+    * global ntile (no single-partition window at any size).
+    */
+  def ntileFromRank(rank: org.apache.spark.sql.Column, n: Long, k: Long)
+      : org.apache.spark.sql.Column = {
+    require(n >= 0 && k > 0)
+    val small = n / k; val big = n % k; val cut = big * (small + 1)
+    if (small == 0) rank // n < k: one row per leading bucket
+    else when(rank <= cut, (rank + small) / (small + 1))
+      .otherwise(lit(big) + (rank - cut + small - 1) / small)
+  }
+
   /** Persist a DataFrame as a bucketed+sorted table: equal-bucketed tables
     * joined on the bucket key need no Exchange at all — the join is
     * co-located by layout, the 100 TB answer to repeated fact⋈fact joins on

@@ -1049,14 +1049,9 @@ object RelationalQueries {
         val n = base.count()
         val ranked = graft.operators.ScaleOps.withGlobalRank(
           base, "rnk", $"o_totalprice".desc, $"o_orderkey")
-        val k = 4L
-        val small = n / k; val big = n % k; val cut = big * (small + 1)
-        val quartile =
-          if (small == 0) $"rnk" // n < k: one row per leading bucket
-          else when($"rnk" <= cut, ($"rnk" + small) / (small + 1))
-            .otherwise(lit(big) + ($"rnk" - cut + small - 1) / small)
         ranked
-          .withColumn("quartile", quartile.cast("long"))
+          .withColumn("quartile",
+            graft.operators.ScaleOps.ntileFromRank($"rnk", n, 4L).cast("long"))
           .groupBy($"quartile")
           .agg(count(lit(1)).as("n_orders"), sumMoney($"o_totalprice").as("sales"))
           .orderBy($"quartile")

@@ -118,6 +118,24 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"global rank must not serialize on one partition:\n$plan")
   }
 
+  test("withGlobalRank + ntileFromRank reproduce Spark's own ntile exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // sizes around the bucket-remainder edges, incl. n < k and n % k != 0
+    for (n <- Seq(1, 3, 4, 5, 7, 8, 101, 1000); k <- Seq(3, 4, 7)) {
+      val df = spark.range(n).select((($"id" * 7919L) % 104729L).as("v"), $"id")
+      val viaWindow = df.withColumn("t",
+        ntile(k).over(Window.orderBy($"v".desc, $"id")).cast("long"))
+        .select($"v", $"id", $"t")
+      val viaRank = ScaleOps.withGlobalRank(df, "rnk", $"v".desc, $"id".asc)
+        .withColumn("t", ScaleOps.ntileFromRank($"rnk", n.toLong, k.toLong).cast("long"))
+        .select($"v", $"id", $"t")
+      val diff = viaWindow.exceptAll(viaRank).count() + viaRank.exceptAll(viaWindow).count()
+      assert(diff == 0, s"n=$n k=$k: distributed ntile diverged from window ntile")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("AQE splits a skewed join partition at runtime (OptimizeSkewedJoin)") {
     import spark.implicits._
     // one key owns ~90% of the left side; thresholds lowered so local data
