@@ -72,7 +72,6 @@ object CosineSimilarity {
       Cast(a, ArrayType(DoubleType)),
       Cast(b, ArrayType(DoubleType)))
 
-  /** Register for SQL + Column use (idempotent per session). */
   /** Register for SQL + Column use (idempotent per session); delegates to
     * the shared `GraftExtensions` builder so the temp-function path carries
     * the same arity guard and coercion as extension injection.

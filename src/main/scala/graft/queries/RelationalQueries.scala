@@ -191,10 +191,10 @@ object RelationalQueries {
       // Skew-safe salted join (graft.operators.ScaleOps): result must be
       // row-identical to the plain equi-join — which is exactly what the
       // oracle states. lineitem orderkeys are unskewed (≤7 rows each), so
-      // the hot set is empty and no row pays the salt. Deferred probe: the
-      // 2%-sampled pre-pass runs INSIDE the join's own execution as a
-      // broadcast (of the empty hot set) — one job, no construction-time
-      // scan, vs 8× wall-clock with blanket salting.
+      // the 2%-sampled eager pre-pass (one cheap column-pruned job) finds
+      // an EMPTY hot set and the executed join collapses to the plain
+      // equi-join — no per-row probe, no salt hash, no explode. Skewed
+      // keys would scatter across 8 salts; either way rows are identical.
       (s, d) => {
         import s.implicits._
         val li = lineitem(s, d).select($"l_orderkey", $"l_extendedprice")
@@ -518,12 +518,17 @@ object RelationalQueries {
         def ok(est: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
           (abs(est - exact).cast("double") / exact.cast("double") <= 0.05)
             .as("merge_ok")
+        // localCheckpoint, not persist: the sketch table is read by the
+        // driver-side merge head() AND the returned per-group plan, but a
+        // cache entry would outlive the query (pinned until an external
+        // sweep) — checkpoint blocks are dropped by the ContextCleaner as
+        // soon as the plan is unreferenced.
         val sk = events(s, d)
           .groupBy($"event_type")
           .agg(hll_sketch_agg($"user_id").as("sk"),
             countDistinct($"user_id").as("n_exact"),
             count(lit(1)).as("n_events"))
-          .persist()
+          .localCheckpoint()
         val per = sk.select($"event_type", $"n_exact".as("n_users_exact"),
           $"n_events", ok(hll_sketch_estimate($"sk"), $"n_exact"))
         // The global row is three scalars (union-merged estimate, exact
@@ -1051,7 +1056,7 @@ object RelationalQueries {
           base, "rnk", $"o_totalprice".desc, $"o_orderkey")
         ranked
           .withColumn("quartile",
-            graft.operators.ScaleOps.ntileFromRank($"rnk", n, 4L).cast("long"))
+            graft.operators.ScaleOps.ntileFromRank($"rnk", n, 4L))
           .groupBy($"quartile")
           .agg(count(lit(1)).as("n_orders"), sumMoney($"o_totalprice").as("sales"))
           .orderBy($"quartile")
@@ -1648,10 +1653,12 @@ object RelationalQueries {
           // top-20 via limit → TakeOrderedAndProject, then rank the 20
           // survivors in a window that is single-partition by construction
           // (non-foldable constant key — a literal would fold out of the
-          // partitionSpec; same pattern as pagerank)
+          // partitionSpec; same pattern as pagerank). coalesce: event_type
+          // is nullable, and a null key would open a second partition that
+          // restarts rnk at 1.
           .orderBy($"n".desc, $"event_type", $"next_type").limit(20)
           .withColumn("rnk", row_number().over(
-            Window.partitionBy(length($"event_type") * 0)
+            Window.partitionBy(coalesce(length($"event_type") * 0, lit(0)))
               .orderBy($"n".desc, $"event_type", $"next_type")).cast("long"))
           .select($"rnk", $"event_type", $"next_type", $"n")
           .orderBy($"rnk")

@@ -67,6 +67,21 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.catalog.clearCache() // drop the pipeline's edge/deg persists
   }
 
+  test("q_event_paths ranks only post-limit survivors: window above TakeOrderedAndProject") {
+    // the ≤20-row post-limit rank window is explicitly allowed to be
+    // single-partition — what the gate forbids is GLOBAL ranking BEFORE the
+    // limit (a window sort of the whole transition table). Checked
+    // structurally: top-k via TakeOrderedAndProject, and the topmost Window
+    // sits above it in the top-down plan text (the other window, the
+    // per-user lead(), is key-partitioned below the aggregate).
+    val plan = physical(run("q_event_paths"))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    val winAt = plan.indexOf("Window")
+    val topAt = plan.indexOf("TakeOrderedAndProject")
+    assert(winAt >= 0 && winAt < topAt,
+      s"window must rank post-limit rows only (win@$winAt top@$topAt)\n$plan")
+  }
+
   test("q_join_semi / q_join_anti produce semi/anti physical joins") {
     assert(physical(run("q_join_semi")).contains("LeftSemi"))
     assert(physical(run("q_join_anti")).contains("LeftAnti"))

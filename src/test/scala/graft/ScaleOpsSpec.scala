@@ -91,7 +91,7 @@ class ScaleOpsSpec extends AnyFunSuite {
     val small = spark.range(500).select(
       when($"id" === 0, 1L).otherwise($"id" + 10L).as("k"), $"id".as("v"))
     val joined = ScaleOps.saltedJoin(large, small, "k", saltFactor = 8,
-      hotKeyThreshold = 1000L)
+      hotKeyThreshold = 1000L, eagerProbe = false)
     // plan-only consumption must run NO job (the deferred point): assert by
     // plan inspection — the pre-pass marker sits inside the plan itself
     val before = joined.queryExecution.executedPlan.toString
@@ -102,6 +102,73 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
       s"expected the two hot-marker probes to reuse one broadcast:\n$plan")
     assert(joined.count() == 20499L)
+  }
+
+  test("property: eager-probe overflow falls back to the deferred probe, row-identical") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // Correctness must never depend on WHERE the probe lands: when the hot
+    // set exceeds the collect cap, saltedJoin degrades to the deferred
+    // broadcast-probe form — and the rows must still be exactly the plain
+    // join's. maxCollectedHotKeys is shrunk so the real overflow branch
+    // executes at test scale.
+    val gen = for {
+      numHot <- Gen.choose(5, 12)      // distinct hot keys, all > cap of 4
+      rowsPerHot <- Gen.choose(2, 5)
+      saltFactor <- Gen.choose(1, 8)
+    } yield (numHot, rowsPerHot, saltFactor)
+    val prop = Prop.forAllNoShrink(gen) { case (numHot, rowsPerHot, saltFactor) =>
+      val large = spark.range(numHot.toLong * rowsPerHot)
+        .select(($"id" % numHot).as("k"), $"id".as("payload"))
+        .union(spark.range(30).select($"id" + 1000L as "k", $"id".as("payload")))
+      val small = spark.range(numHot.toLong + 15)
+        .select($"id".as("k"), lit("v").as("v"))
+      val plain = large.join(small, Seq("k"))
+      val salted = ScaleOps.saltedJoin(large, small, "k", saltFactor,
+        hotKeyThreshold = rowsPerHot.toLong, eagerProbe = true,
+        maxCollectedHotKeys = 4)
+      // the overflow fallback IS the deferred plan: its __hot marker probe
+      // must be present (an in-set bake would have erased it)
+      val deferred = salted.queryExecution.executedPlan.toString.contains("__hot")
+      val identical = salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty
+      Prop(deferred && identical) :| s"deferred=$deferred identical=$identical"
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: a hot key the sampled probe misses never changes the result") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // The sampled pre-pass only picks which keys SCATTER — a missed hot key
+    // falls through to the plain-join path for that key and must still
+    // match every row. Tiny fractions make misses common; the property
+    // asserts row-identity in every case and that both outcomes (missed →
+    // collapses to plain join, detected → salted plan) actually occurred
+    // across the run.
+    var sawMiss = false; var sawHit = false
+    val gen = for {
+      hotRows <- Gen.choose(60, 200)   // genuinely hot vs threshold below
+      frac <- Gen.oneOf(0.001, 0.01, 0.05, 0.5)
+      saltFactor <- Gen.choose(2, 8)
+    } yield (hotRows, frac, saltFactor)
+    val prop = Prop.forAllNoShrink(gen) { case (hotRows, frac, saltFactor) =>
+      val large = spark.range(hotRows.toLong).select(lit(7L).as("k"), $"id".as("payload"))
+        .union(spark.range(40).select($"id" + 100L as "k", $"id".as("payload")))
+      val small = spark.range(50)
+        .select(when($"id" === 0, 7L).otherwise($"id" + 100L).as("k"), lit("v").as("v"))
+      val plain = large.join(small, Seq("k"))
+      val salted = ScaleOps.saltedJoin(large, small, "k", saltFactor,
+        hotKeyThreshold = 50L, sampleFraction = frac, eagerProbe = true)
+      val plan = salted.queryExecution.executedPlan.toString
+      if (plan.contains("__salt")) sawHit = true else sawMiss = true
+      val identical = salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty
+      Prop(identical) :| s"hotRows=$hotRows frac=$frac identical=$identical"
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+    assert(sawMiss, "no generated case ever missed the hot key — property vacuous")
+    assert(sawHit, "no generated case ever detected the hot key — property vacuous")
   }
 
   test("withGlobalRank assigns exact global ranks without a single-partition window") {
@@ -128,7 +195,7 @@ class ScaleOpsSpec extends AnyFunSuite {
         ntile(k).over(Window.orderBy($"v".desc, $"id")).cast("long"))
         .select($"v", $"id", $"t")
       val viaRank = ScaleOps.withGlobalRank(df, "rnk", $"v".desc, $"id".asc)
-        .withColumn("t", ScaleOps.ntileFromRank($"rnk", n.toLong, k.toLong).cast("long"))
+        .withColumn("t", ScaleOps.ntileFromRank($"rnk", n.toLong, k.toLong))
         .select($"v", $"id", $"t")
       val diff = viaWindow.exceptAll(viaRank).count() + viaRank.exceptAll(viaWindow).count()
       assert(diff == 0, s"n=$n k=$k: distributed ntile diverged from window ntile")
