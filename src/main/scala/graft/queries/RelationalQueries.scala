@@ -190,11 +190,14 @@ object RelationalQueries {
     "q_join_salted" -> QueryDef(
       // Skew-safe salted join (graft.operators.ScaleOps): result must be
       // row-identical to the plain equi-join — which is exactly what the
-      // oracle states. lineitem orderkeys are unskewed (≤7 rows each), so
-      // the 2%-sampled eager pre-pass (one cheap column-pruned job) finds
-      // an EMPTY hot set and the executed join collapses to the plain
-      // equi-join — no per-row probe, no salt hash, no explode. Skewed
-      // keys would scatter across 8 salts; either way rows are identical.
+      // oracle states. Resolution ladder, cheapest first: (1) plan-time
+      // broadcast short-circuit — orders' optimizer stats are under the
+      // broadcast threshold, so the large side never shuffles and skew
+      // cannot hurt; saltedJoin returns the plain join with ZERO pre-pass
+      // jobs. For genuinely large-large joins: (2) the 2%-sampled eager
+      // pre-pass (one column-pruned job) — empty hot set collapses to the
+      // plain join; (3) hot keys scatter across 8 salts. All rungs are
+      // row-identical (spec + ScalaCheck-proven, including degraded paths).
       (s, d) => {
         import s.implicits._
         val li = lineitem(s, d).select($"l_orderkey", $"l_extendedprice")
@@ -1042,21 +1045,20 @@ object RelationalQueries {
     "q_window_ntile" -> QueryDef(
       // Global quartiles WITHOUT `ntile(4).over(Window.orderBy(...))`: the
       // unpartitioned ntile window single-partition-sorts the whole table
-      // (the same scale-killer class as pagerank's old global top-k). The
-      // distributed form: exact global rank via ScaleOps.withGlobalRank
-      // (range repartition + partition-local windows + broadcast offsets),
-      // then the standard NTILE bucket formula — first n%k buckets one row
-      // larger — from the rank with exact integer math. Result is
-      // row-identical to ntile(4); the oracle keeps NTILE(4) to state so.
+      // (the same scale-killer class as pagerank's old global top-k). This
+      // consumer needs quartile AGGREGATES, not per-row ranks, so the
+      // boundary-broadcast form (ScaleOps.withNtileBucket) applies: the 3
+      // exact boundary tuples of the (o_totalprice DESC, o_orderkey) total
+      // order are computed by bounded pre-pass jobs and broadcast as
+      // literals; every row buckets MAP-SIDE — no range repartition, no
+      // localCheckpoint materialization, no full-table shuffle at any
+      // scale. (Per-row-rank consumers keep withGlobalRank+ntileFromRank.)
+      // Result is row-identical to ntile(4); the oracle keeps NTILE(4).
       (s, d) => {
         import s.implicits._
         val base = orders(s, d).select($"o_orderkey", $"o_totalprice")
-        val n = base.count()
-        val ranked = graft.operators.ScaleOps.withGlobalRank(
-          base, "rnk", $"o_totalprice".desc, $"o_orderkey")
-        ranked
-          .withColumn("quartile",
-            graft.operators.ScaleOps.ntileFromRank($"rnk", n, 4L))
+        graft.operators.ScaleOps
+          .withNtileBucket(base, "quartile", "o_totalprice", "o_orderkey", 4)
           .groupBy($"quartile")
           .agg(count(lit(1)).as("n_orders"), sumMoney($"o_totalprice").as("sales"))
           .orderBy($"quartile")

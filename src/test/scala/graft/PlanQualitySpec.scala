@@ -102,6 +102,12 @@ class PlanQualitySpec extends AnyFunSuite {
     val plan = physical(run("q_window_ntile"))
     assert(!plan.contains("Exchange SinglePartition"),
       s"global ntile must not serialize on one partition:\n$plan")
+    // boundary-broadcast form: the returned plan buckets map-side off the
+    // parquet scan — no Window at all, and no localCheckpoint/ExistingRDD
+    // materialization of the table (the old withGlobalRank cost)
+    assert(!plan.contains("ExistingRDD") && !plan.contains("Window"),
+      s"ntile aggregate must bucket map-side from broadcast boundaries:\n$plan")
+    assert(plan.contains("Scan parquet"), plan)
   }
 
   test("q_text_repetition is map-only: no exchange below the final order") {

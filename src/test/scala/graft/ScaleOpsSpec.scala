@@ -20,7 +20,7 @@ class ScaleOpsSpec extends AnyFunSuite {
     // both probe modes must reproduce the plain join exactly
     Seq(false, true).foreach { eager =>
       val salted = ScaleOps.saltedJoin(li, o, "o_orderkey", saltFactor = 8,
-        hotKeyThreshold = 4L, eagerProbe = eager)
+        hotKeyThreshold = 4L, eagerProbe = eager, broadcastShortCircuit = false)
       assert(salted.count() == plain.count(), s"eagerProbe=$eager")
       assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
         s"eagerProbe=$eager")
@@ -37,7 +37,7 @@ class ScaleOpsSpec extends AnyFunSuite {
       when($"id" === 0, 1L).otherwise($"id" + 100L).as("k"),
       lit("x").as("v"))
     val joined = ScaleOps.saltedJoin(hot, dim, "k", saltFactor = 8,
-      hotKeyThreshold = 1000L)
+      hotKeyThreshold = 1000L, broadcastShortCircuit = false)
     // hot key matches all 10000; cold keys 101..1099 match 999 of the 1000
     assert(joined.count() == 10999)
     // the internal salt spread the hot key over >1 partition-key values
@@ -70,7 +70,7 @@ class ScaleOpsSpec extends AnyFunSuite {
     val small = spark.range(500).select(
       when($"id" === 0, 1L).otherwise($"id" + 10L).as("k"), $"id".as("v"))
     val joined = ScaleOps.saltedJoin(large, small, "k", saltFactor = 8,
-      hotKeyThreshold = 1000L, eagerProbe = true)
+      hotKeyThreshold = 1000L, eagerProbe = true, broadcastShortCircuit = false)
     joined.collect()
     val plan = joined.queryExecution.executedPlan.toString
     // the collected hot set turns both probes into map-side set predicates:
@@ -91,7 +91,7 @@ class ScaleOpsSpec extends AnyFunSuite {
     val small = spark.range(500).select(
       when($"id" === 0, 1L).otherwise($"id" + 10L).as("k"), $"id".as("v"))
     val joined = ScaleOps.saltedJoin(large, small, "k", saltFactor = 8,
-      hotKeyThreshold = 1000L, eagerProbe = false)
+      hotKeyThreshold = 1000L, eagerProbe = false, broadcastShortCircuit = false)
     // plan-only consumption must run NO job (the deferred point): assert by
     // plan inspection — the pre-pass marker sits inside the plan itself
     val before = joined.queryExecution.executedPlan.toString
@@ -126,7 +126,7 @@ class ScaleOpsSpec extends AnyFunSuite {
       val plain = large.join(small, Seq("k"))
       val salted = ScaleOps.saltedJoin(large, small, "k", saltFactor,
         hotKeyThreshold = rowsPerHot.toLong, eagerProbe = true,
-        maxCollectedHotKeys = 4)
+        maxCollectedHotKeys = 4, broadcastShortCircuit = false)
       // the overflow fallback IS the deferred plan: its __hot marker probe
       // must be present (an in-set bake would have erased it)
       val deferred = salted.queryExecution.executedPlan.toString.contains("__hot")
@@ -159,7 +159,8 @@ class ScaleOpsSpec extends AnyFunSuite {
         .select(when($"id" === 0, 7L).otherwise($"id" + 100L).as("k"), lit("v").as("v"))
       val plain = large.join(small, Seq("k"))
       val salted = ScaleOps.saltedJoin(large, small, "k", saltFactor,
-        hotKeyThreshold = 50L, sampleFraction = frac, eagerProbe = true)
+        hotKeyThreshold = 50L, sampleFraction = frac, eagerProbe = true,
+        broadcastShortCircuit = false)
       val plan = salted.queryExecution.executedPlan.toString
       if (plan.contains("__salt")) sawHit = true else sawMiss = true
       val identical = salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty
@@ -201,6 +202,44 @@ class ScaleOpsSpec extends AnyFunSuite {
       assert(diff == 0, s"n=$n k=$k: distributed ntile diverged from window ntile")
     }
     spark.catalog.clearCache()
+  }
+
+  test("withNtileBucket reproduces Spark's ntile exactly — ties, narrowing, and all") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // three data shapes: near-unique values, heavy ties (11 distinct values
+    // so boundaries SPLIT tie groups), and constant column (one giant tie);
+    // collectCap=50 forces the iterative narrowing path on the larger sets
+    val shapes: Seq[(String, Int => org.apache.spark.sql.Column)] = Seq(
+      ("unique", _ => (col("id") * 7919L) % 104729L),
+      ("ties", _ => (col("id") * 7919L) % 11L),
+      ("constant", _ => lit(42L))
+    )
+    for ((tag, mk) <- shapes; n <- Seq(1, 7, 101, 2000); k <- Seq(3, 4, 7);
+         cap <- Seq(50, 1 << 20)) {
+      val df = spark.range(n).select(mk(n).cast("double").as("v"), $"id")
+      val viaWindow = df.withColumn("t",
+        ntile(k).over(Window.orderBy($"v".desc, $"id")).cast("long"))
+      val viaBounds = ScaleOps.withNtileBucket(df, "t", "v", "id", k, collectCap = cap)
+      val diff = viaWindow.exceptAll(viaBounds).count() +
+        viaBounds.exceptAll(viaWindow).count()
+      assert(diff == 0, s"shape=$tag n=$n k=$k cap=$cap: diverged from window ntile")
+    }
+  }
+
+  test("orderStatAsc returns the exact order statistic through forced narrowing") {
+    import spark.implicits._
+    // 10k scrambled values with duplicates; cap 100 forces ≥2 narrowing
+    // rounds; checked against a driver-side sort at several ranks
+    val vals = (0 until 10000).map(i => ((i.toLong * 2654435761L) % 997L).toDouble)
+    val df = vals.zipWithIndex.map { case (v, i) => (v, i.toLong) }.toDF("v", "id")
+    val sorted = vals.sorted
+    for (a <- Seq(1L, 17L, 2500L, 5000L, 9999L, 10000L)) {
+      val (v, lt, eq) = ScaleOps.orderStatAsc(df, col("v"), a, 10000L, cap = 100)
+      assert(v.asInstanceOf[Double] == sorted((a - 1).toInt), s"rank $a value")
+      assert(lt == sorted.count(_ < sorted((a - 1).toInt)), s"rank $a lt")
+      assert(eq == sorted.count(_ == sorted((a - 1).toInt)), s"rank $a eq")
+    }
   }
 
   test("AQE splits a skewed join partition at runtime (OptimizeSkewedJoin)") {
