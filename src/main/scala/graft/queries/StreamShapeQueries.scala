@@ -142,11 +142,6 @@ object StreamShapeQueries {
       // state operator end-to-end through the streaming engine.
       (s, d) => {
         import s.implicits._
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val raw = graft.streaming.StreamOps.readEventStream(s, streamSourceDir(d))
-        val ev = graft.tables.Tables.normalizeEventTs(raw)
-          .select($"user_id", $"ts", $"event_type")
-          .as[graft.streaming.StreamOps.UserEvent]
         val name = "q_stream_stateful_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
         // The stateful operator's state-store partition count is pinned from
@@ -154,11 +149,17 @@ object StreamShapeQueries {
         // per-batch store open/commit). The user-counter state is keyed by
         // user (thousands of tiny entries), so a handful of partitions
         // carries it; the session default (sized for data shuffles) would
-        // spend more on store commits than on data. The helper restores the
-        // conf only after awaitTermination (micro-batch planning runs async
-        // after start(), so restoring earlier would race the read) and
-        // serializes streaming runs JVM-wide.
-        graft.streaming.StreamOps.withRightSizedStreaming(s, 8) {
+        // spend more on store commits than on data. The helper restores its
+        // conf overrides (incl. the ns-parquet toggle the source needs at
+        // schema inference, hence construction INSIDE the block) only after
+        // awaitTermination (micro-batch planning runs async after start(),
+        // so restoring earlier would race the read) and serializes
+        // streaming runs JVM-wide.
+        graft.streaming.StreamOps.withRightSizedStreaming(s, 4, noDataBatches = false) {
+          val raw = graft.streaming.StreamOps.readEventStream(s, streamSourceDir(d))
+          val ev = graft.tables.Tables.normalizeEventTs(raw)
+            .select($"user_id", $"ts", $"event_type")
+            .as[graft.streaming.StreamOps.UserEvent]
           val q = graft.streaming.StreamOps.runToMemory(
             graft.streaming.StreamOps.runningUserCounters(ev).toDF(), name)
           q.awaitTermination()
@@ -188,24 +189,24 @@ object StreamShapeQueries {
       // memory sink; the oracle is the equivalent batch self-join.
       (s, d) => {
         import s.implicits._
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val dir = streamSourceDir(d)
-        // one replay week bounds the per-run state volume; the bounded-state
-        // join semantics are identical at any window length
-        def branch(tpe: String) =
-          graft.tables.Tables.normalizeEventTs(
-            graft.streaming.StreamOps.readEventStream(s, dir))
-            .filter($"event_type" === tpe &&
-              $"ts" < lit("2024-01-08").cast("timestamp"))
-            .select($"event_id", $"user_id", $"ts")
-        val joined = graft.streaming.StreamOps.purchasesJoinedToSignups(
-          branch("purchase"), branch("signup"))
         val name = "q_stream_join_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
         // stream-stream join state partitions by the join key; same
         // right-sizing (and restore/serialization discipline) as
-        // q_stream_stateful
-        graft.streaming.StreamOps.withRightSizedStreaming(s, 8) {
+        // q_stream_stateful — construction inside the block so the
+        // ns-parquet toggle is scoped, not session-leaked
+        graft.streaming.StreamOps.withRightSizedStreaming(s, 4, noDataBatches = false) {
+          // one replay week bounds the per-run state volume; the
+          // bounded-state join semantics are identical at any window length
+          def branch(tpe: String) =
+            graft.tables.Tables.normalizeEventTs(
+              graft.streaming.StreamOps.readEventStream(s, dir))
+              .filter($"event_type" === tpe &&
+                $"ts" < lit("2024-01-08").cast("timestamp"))
+              .select($"event_id", $"user_id", $"ts")
+          val joined = graft.streaming.StreamOps.purchasesJoinedToSignups(
+            branch("purchase"), branch("signup"))
           val q = graft.streaming.StreamOps.runToMemory(joined, name)
           q.awaitTermination()
         }
@@ -237,15 +238,14 @@ object StreamShapeQueries {
       // to one deterministic row per key.
       (s, d) => {
         import s.implicits._
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val ev = graft.tables.Tables.normalizeEventTs(
-          graft.streaming.StreamOps.readEventStream(s, streamSourceDir(d)))
-          .select($"user_id", $"event_type", $"ts")
-        val deduped = graft.streaming.StreamOps.dedupStream(
-          ev, Seq("user_id", "event_type"))
         val name = "q_stream_dedup_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
-        graft.streaming.StreamOps.withRightSizedStreaming(s, 8) {
+        graft.streaming.StreamOps.withRightSizedStreaming(s, 4, noDataBatches = false) {
+          val ev = graft.tables.Tables.normalizeEventTs(
+            graft.streaming.StreamOps.readEventStream(s, streamSourceDir(d)))
+            .select($"user_id", $"event_type", $"ts")
+          val deduped = graft.streaming.StreamOps.dedupStream(
+            ev, Seq("user_id", "event_type"))
           val q = graft.streaming.StreamOps.runToMemory(
             deduped.select($"user_id", $"event_type"), name)
           q.awaitTermination()

@@ -156,34 +156,97 @@ object StreamOps {
   def releaseStreamingState(): Unit =
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
 
-  /** Serialize streaming runs within this JVM and scope the
-    * shuffle-partition override + state release to the critical section.
-    * The conf mutation is session-global and `StateStore.stop()` is
-    * process-global: a concurrent streaming query in the same JVM would be
-    * silently re-planned with the override or pay a full state reload, so
-    * the lock makes the sequential-harness assumption an enforced
-    * invariant instead of a comment.
+  /** Serialize streaming runs within this JVM and scope the session-conf
+    * overrides (shuffle partitions, the ns-parquet legacy toggle) + state
+    * release to the critical section. The conf mutations are session-global
+    * and `StateStore.stop()` is process-global: a concurrent streaming
+    * query in the same JVM would be silently re-planned with the override
+    * or pay a full state reload, so the lock makes the sequential-harness
+    * assumption an enforced invariant instead of a comment.
+    *
+    * `spark.sql.legacy.parquet.nanosAsLong` is set for the block because
+    * every streaming read of the ns-timestamp events table needs it at
+    * schema-inference AND micro-batch planning time — so the stream must be
+    * CONSTRUCTED and awaited inside `body`. It is restored (not just unset)
+    * on exit so no setting leaks past a streaming query.
     */
   private val engineLock = new Object
-  def withRightSizedStreaming[T](spark: SparkSession, partitions: Int)(body: => T): T =
+
+  /** @param noDataBatches keep Spark's watermark-finalizing empty
+    *   micro-batch enabled (the default). Queries whose sinks receive every
+    *   row in the DATA batch — inner stream-stream joins,
+    *   dropDuplicatesWithinWatermark, flatMapGroupsWithState with no
+    *   timeout — can pass `false`: the extra batch only re-opens and
+    *   commits every state store to emit nothing (measured ~35% of
+    *   q_stream_join's wall-clock). Watermarked Append-mode AGGREGATES must
+    *   keep `true` — their results only emit when the watermark passes, in
+    *   exactly that no-data batch.
+    */
+  def withRightSizedStreaming[T](
+      spark: SparkSession, partitions: Int, noDataBatches: Boolean = true
+  )(body: => T): T =
     engineLock.synchronized {
+      val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+      val NoDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+      // pre-state via getAll, NOT getOption: getOption surfaces the global
+      // DEFAULT for unset keys, and "restoring" that would pin the default
+      // as an explicit session override — itself a conf leak
+      val explicit = spark.conf.getAll
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      val prevNanos = explicit.get(NanosKey)
+      val prevNoData = explicit.get(NoDataKey)
       spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+      spark.conf.set(NanosKey, "true")
+      spark.conf.set(NoDataKey, noDataBatches.toString)
       try body
       finally {
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        Seq(NanosKey -> prevNanos, NoDataKey -> prevNoData).foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None)    => spark.conf.unset(k)
+        }
         releaseStreamingState()
       }
     }
 
+  /** Per-process checkpoint root on the fastest writable volume: tmpfs
+    * (`/dev/shm`) when present, else the JVM temp dir. Every micro-batch
+    * fsyncs offset/commit logs and state snapshots into the checkpoint, and
+    * Spark's auto-created temp checkpoints land on `java.io.tmpdir` — a real
+    * disk on this host — so short AvailableNow replays pay disk latency per
+    * run. Memory-backed checkpoints are CORRECT here because these are
+    * one-shot throwaway replays (unique name per run, never resumed); a
+    * production continuous query must point its checkpoint at durable
+    * storage instead — that is what crash-recovery reads (see
+    * DurableCdcSpec). Purged recursively on JVM exit.
+    */
+  lazy val fastCheckpointRoot: String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base =
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val p = base.resolve("graft_ckpt_p" + ProcessHandle.current().pid())
+    java.nio.file.Files.createDirectories(p)
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(p.toFile)
+    }
+    p.toString
+  }
+
   /** Run any streaming DataFrame to an in-memory table and wait until all
-    * currently-available input is processed (test/driver harness).
+    * currently-available input is processed (test/driver harness). The
+    * checkpoint goes under [[fastCheckpointRoot]] keyed by the (unique)
+    * query name.
     */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append): StreamingQuery = {
     df.writeStream
       .outputMode(mode)
       .format("memory")
       .queryName(name)
+      .option("checkpointLocation", s"$fastCheckpointRoot/$name")
       .trigger(Trigger.AvailableNow())
       .start()
   }

@@ -134,6 +134,29 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("no session conf differs before/after any streaming query") {
+    // the round-5 advisor flagged the ns-parquet legacy toggle leaking
+    // session-globally from the real-stream queries; it is now scoped
+    // inside withRightSizedStreaming alongside shuffle.partitions. Steady-
+    // state the session first (the batch events accessor documents a
+    // one-way set of the same toggle), then every q_stream_* entry must
+    // leave the full session conf bit-identical.
+    val sfDir = "/root/testdata/sf0.001"
+    graft.tables.Tables.events(spark, sfDir).limit(1).collect()
+    val streamKeys = graft.SparkEntry.queries.keys.filter(_.startsWith("q_stream_"))
+    assert(streamKeys.size == 6)
+    streamKeys.toSeq.sorted.foreach { name =>
+      val before = spark.conf.getAll
+      graft.SparkEntry.queries(name)(spark, sfDir).collect()
+      val after = spark.conf.getAll
+      assert(after == before, {
+        val diff = (before.toSet diff after.toSet) ++ (after.toSet diff before.toSet)
+        s"$name leaked session conf: $diff"
+      })
+    }
+    spark.catalog.clearCache()
+  }
+
   test("flatMapGroupsWithState keeps running per-user counters across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
