@@ -45,12 +45,28 @@ object ScenarioMain {
     println("[full-load] table statistics:")
     fl.tableStatistics().show(truncate = false)
 
+    // Durable-by-default: every CDC-applying runner in this scenario gets a
+    // durable state dir, so the apply path exercised here is the
+    // distributed parquet-snapshot merge (DurableCdcState.mergeBatch →
+    // CdcApply.run) — the in-memory driver-side double in TaskRunner stays
+    // test-only by construction. SPARK_GRAFT_STATE_ROOT pins the root
+    // (restart-resumable); default is a fresh temp root per run.
+    val stateRoot = sys.env.get("SPARK_GRAFT_STATE_ROOT")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse(Files.createTempDirectory("graft-scenario-state"))
+    Files.createDirectories(stateRoot)
+    def stateDirFor(name: String): Option[String] = {
+      val d = stateRoot.resolve(name)
+      Files.createDirectories(d)
+      Some(d.toString)
+    }
+
     // --- E2: CDC ------------------------------------------------------------
     val cdcDir = Files.createTempDirectory("graft-scenario-cdc")
     val ckpt = Files.createTempDirectory("graft-scenario-ckpt")
     val cdcSink = new MemoryEventSink
     val cdc = new TaskRunner(spark, SelectionRules.referenceTables,
-      Seq(SelectionRule("%", "%", "include")), cdcSink)
+      Seq(SelectionRule("%", "%", "include")), cdcSink, stateDirFor("cdc"))
     val q = cdc.startCdc(cdcDir.toString, ckpt.toString)
     Files.writeString(cdcDir.resolve("cdc0000000001.csv"), ReferenceFixtures.cdcFile1)
     Thread.sleep(100)
@@ -69,7 +85,8 @@ object ScenarioMain {
 
     // --- full-load-and-cdc: loaded rows seed the apply state ---------------
     val flc = new TaskRunner(spark, SelectionRules.referenceTables,
-      Seq(SelectionRule("%", "%", "include")), new MemoryEventSink)
+      Seq(SelectionRule("%", "%", "include")), new MemoryEventSink,
+      stateDirFor("full-load-and-cdc"))
     flc.runFullLoadAndSeedCdc(root.toString)
     flc.processCdcBatchRecords(
       graft.cdc.CdcParser.parseLines(ReferenceFixtures.cdcFile1.linesIterator.toSeq)
@@ -92,8 +109,8 @@ object ScenarioMain {
     println(s"[sharded] events=${sharded.all.size} (expect 16) across ${sharded.shards} shards: " +
       (0 until sharded.shards).map(i => s"shard$i=${sharded.shard(i).size}").mkString(", "))
 
-    // --- durable CDC: distributed parquet state + restart recovery ---------
-    val stateDir = Files.createTempDirectory("graft-scenario-state").toString
+    // --- durable CDC: restart recovery on the same state dir ---------------
+    val stateDir = stateDirFor("restart-demo").get
     val d1 = new TaskRunner(spark, SelectionRules.referenceTables,
       Seq(SelectionRule("%", "%", "include")), new MemoryEventSink, Some(stateDir))
     d1.processCdcBatchRecords(

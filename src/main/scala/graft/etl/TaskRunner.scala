@@ -289,9 +289,17 @@ final class TaskRunner(
   /** Start the CDC task: controls first (task starts before data exists,
     * run.py:189-190), then tail `cdcPath` one file per trigger to preserve
     * the change order.
+    *
+    * `emitStartControls = false` is the RESUME form (run.py:79-104 restarts
+    * a stopped task): the file-stream checkpoint in `checkpointDir` skips
+    * every already-committed file, and re-emitting create-table controls on
+    * resume would duplicate them in the event stream — DMS emits table
+    * controls once per task, not once per process.
     */
-  def startCdc(cdcPath: String, checkpointDir: String): StreamingQuery = {
-    emitCdcStartControls()
+  def startCdc(
+      cdcPath: String, checkpointDir: String, emitStartControls: Boolean = true
+  ): StreamingQuery = {
+    if (emitStartControls) emitCdcStartControls()
     val stream = spark.readStream
       .option("maxFilesPerTrigger", 1)
       .text(cdcPath)

@@ -66,7 +66,7 @@ object PipelineQueries {
     * after dedup via the persisted e (at 100 TB this is the difference
     * between shuffling keys and shuffling payloads).
     */
-  private def embeddingDupPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def embeddingDupPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = embeddings(s, d)
       .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))

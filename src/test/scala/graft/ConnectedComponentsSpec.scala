@@ -59,6 +59,28 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed Pregel path labels the REAL LSH pair graph identically to union-find") {
+    // ConnectedComponentsSpec's random graphs prove path equivalence in the
+    // abstract; this runs the distributed min-label propagation end-to-end
+    // against the actual banded-LSH near-dup pair graph q_dedup_clusters
+    // feeds it (driverEdgeThreshold = 0 forces the Pregel path the subcritical
+    // fixture would otherwise never take).
+    val sfDir = "/root/testdata/sf0.001"
+    val pairs = graft.queries.PipelineQueries
+      .embeddingDupPairs(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("id_a"),
+        org.apache.spark.sql.functions.col("id_b"))
+      .localCheckpoint()
+    assert(pairs.count() > 0, "fixture LSH graph unexpectedly empty")
+    val viaDriver = ConnectedComponents.labels(spark, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaPregel = ConnectedComponents.labels(spark, pairs, driverEdgeThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver == viaPregel,
+      s"paths disagree on the real pair graph (${pairs.count()} edges)")
+    spark.catalog.clearCache()
+  }
+
   test("zero edges yields an empty, correctly-typed label frame") {
     import spark.implicits._
     val out = ConnectedComponents.labels(
