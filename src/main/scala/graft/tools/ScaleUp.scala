@@ -1,0 +1,126 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-factor multiplier for the TESTDATA corpus: emits
+  * `factor` disjoint id-offset shards of the source tables — every shard an
+  * exact copy of the source distribution with all join/graph key columns
+  * offset by `shard × 10^7`, so join fan-outs, per-key frequency histograms,
+  * dup fractions, and text/embedding content scale linearly while
+  * cross-shard keys never collide (the reference corpus keeps every id
+  * below 10^7, and pagerank's +10^6 supplier node-id shift stays inside a
+  * shard's range). Dimension tables (region, nation) are fixed, TPC-H
+  * style.
+  *
+  * Purpose: a data-dominated bench point (sf1 = 10 × sf0.1) for
+  * BENCH_SCALING.md. The driver's sf ≤ 0.1 corpora are overhead-bound;
+  * correctness stays oracled at sf0.01 — this data feeds wall-clock
+  * scaling only. No RNG anywhere: output is byte-stable across runs.
+  *
+  * Layout parity with TESTDATA: one parquet FILE per table (written via a
+  * temp dir, then the single part-file is moved to `<dst>/<table>.parquet`)
+  * with 8 MB row groups so a 100+ MB fact table still scans with real
+  * parallelism (a default 128 MB single row group would serialize the
+  * scan).
+  *
+  * Usage: `runMain graft.tools.ScaleUp [srcDir] [dstDir] [factor]`.
+  */
+object ScaleUp {
+  /** id-bearing columns per table; offsetting keeps intra-shard joins exact */
+  val offsetCols: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id")
+  )
+  val fixedDims: Seq[String] = Seq("region", "nation")
+  val ShardOffset: Long = 10000000L
+
+  def scaleTable(spark: SparkSession, df: DataFrame, table: String, factor: Int): DataFrame =
+    if (fixedDims.contains(table)) df
+    else {
+      import spark.implicits._
+      val copies = df.crossJoin(
+        broadcast(spark.range(factor.toLong).select($"id".as("__shard"))))
+      val withIds = offsetCols(table)
+        .foldLeft(copies)((acc, c) =>
+          acc.withColumn(c, col(c) + $"__shard" * ShardOffset))
+      // Content decorrelation across shards — without it every document and
+      // embedding would be content-identical to its 9 shard copies, turning
+      // the corpus into a degenerate 90%-duplicate set whose near-dup pair
+      // count grows QUADRATICALLY in the factor (cluster sizes × factor)
+      // instead of linearly like a real 10× corpus. Both transforms are
+      // shard-uniform, so WITHIN-shard similarity structure (the thing the
+      // dedup operators measure) is preserved exactly:
+      //  - documents.text: per-shard alphabet rotation (1:1 translate —
+      //    lengths, whitespace, punctuation, and within-shard shingle
+      //    overlaps unchanged; cross-shard shingle overlap drops to ~0)
+      //  - embeddings.embedding: per-shard deterministic sign flips
+      //    (within-shard cosines exactly preserved — both vectors flip the
+      //    same components; cross-shard cosine decorrelates to ~0)
+      val decorrelated = table match {
+        case "documents" =>
+          val lower = "abcdefghijklmnopqrstuvwxyz"
+          val upper = lower.toUpperCase
+          def rot(s: String, k: Int) = s.drop(k) + s.take(k)
+          (1 until factor).foldLeft(when(lit(false), $"text")) {
+            case (acc, k) =>
+              acc.when($"__shard" === k,
+                translate($"text", lower + upper, rot(lower, k) + rot(upper, k)))
+          } match {
+            case chain =>
+              withIds.withColumn("text", chain.otherwise($"text"))
+          }
+        case "embeddings" =>
+          withIds.withColumn("embedding",
+            when($"__shard" === 0, $"embedding").otherwise(
+              zip_with($"embedding",
+                sequence(lit(0), size($"embedding") - 1),
+                (x, i) => when(pmod(hash(i, $"__shard"), lit(2)) === 0, x).otherwise(-x))))
+        case _ => withIds
+      }
+      decorrelated.drop("__shard")
+    }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("/root/repo/.localdata/sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scaleup")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // events.ts is ns parquet; read as long (written back as long — the
+      // Tables.normalizeEventTs accessor handles both representations)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dstPath = java.nio.file.Paths.get(dst)
+    java.nio.file.Files.createDirectories(dstPath)
+    (fixedDims ++ offsetCols.keys.toSeq.sorted).foreach { t =>
+      val out = scaleTable(spark, spark.read.parquet(s"$src/$t.parquet"), t, factor)
+      val tmp = dstPath.resolve(s"__tmp_$t")
+      out.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", (8 * 1024 * 1024).toString)
+        .parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(p =>
+        p.getFileName.toString.startsWith("part-")).findFirst().get()
+      java.nio.file.Files.move(part, dstPath.resolve(s"$t.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+      }
+      rmTree(tmp.toFile)
+      println(s"[scaleup] $t -> $dst/$t.parquet")
+    }
+    spark.stop()
+  }
+}
