@@ -1182,19 +1182,33 @@ object PipelineQueries {
       // summary merge — the shuffle is O(k × partitions) where an exact
       // groupBy ships one row per DISTINCT token. Counter contents ride
       // partition arrival order, so the DRIVER-VERIFIED contract is the
-      // Metwally guarantees on the exact top-10 tokens (all of which
-      // exceed the n/k coverage threshold in this corpus): each MUST be
-      // present in the k=32 summary with est − err ≤ true ≤ est —
-      // `sketch_ok` certifies both. The exact count side exists only to
-      // certify the sketch (and is what the oracle states, plus TRUE);
-      // production reads the summary alone. Per-estimate error bounds and
-      // arbitrary-split merge invariance stay property-tested in
-      // FreqSketchSpec.
+      // Metwally THEOREM on the exact top-10 tokens, stated with its real
+      // precondition: any item with true count STRICTLY ABOVE the n/k
+      // coverage threshold must be present in the k=32 summary with
+      // est − err ≤ true ≤ est; below the threshold the theorem promises
+      // nothing and `sketch_ok` is vacuously true. (The earlier unguarded
+      // form silently assumed every top-10 token cleared the threshold —
+      // true of the small corpora, false at the sf1 scale point, where the
+      // vocabulary grows 10× and top counts do not.) The exact count side
+      // exists only to certify the sketch (the oracle states it, plus
+      // TRUE); production reads the summary alone. Per-estimate error
+      // bounds and arbitrary-split merge invariance stay property-tested
+      // in FreqSketchSpec.
       (s, d) => {
         import s.implicits._
         val toks = documents(s, d).select(explode(split($"text", " ")).as("token"))
-        val sketch = toks
-          .agg(graft.functions.FreqSketch.freqSketch(s, $"token", 32).as("hh"))
+        // ONE pass builds the sketch AND the exact token total for n/k;
+        // the 1-row result is localCheckpointed so the driver-read total
+        // and the broadcast sketch rows share a single execution, and the
+        // threshold rides the plan as a literal (a joined n_total column
+        // would go NULL exactly for summary-MISSING tokens — the case the
+        // guard must classify)
+        val agg = toks
+          .agg(graft.functions.FreqSketch.freqSketch(s, $"token", 32).as("hh"),
+            count(lit(1)).as("n_total"))
+          .localCheckpoint()
+        val nTotal = agg.select($"n_total").head().getLong(0)
+        val sketch = agg
           .select(explode($"hh").as("e"))
           .select($"e.item".as("token"), $"e.est".as("est"), $"e.err".as("err"))
         // exact top-10 via TakeOrderedAndProject (ties broken by token)
@@ -1202,8 +1216,9 @@ object PipelineQueries {
           .orderBy($"n_true".desc, $"token").limit(10)
         top10.join(broadcast(sketch), Seq("token"), "left_outer")
           .select($"token", $"n_true",
-            ($"est".isNotNull && $"est" - $"err" <= $"n_true" &&
-              $"n_true" <= $"est").as("sketch_ok"))
+            (!($"n_true" > lit(nTotal) / 32L) ||
+              ($"est".isNotNull && $"est" - $"err" <= $"n_true" &&
+                $"n_true" <= $"est")).as("sketch_ok"))
           .orderBy($"n_true".desc, $"token")
       },
       Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),

@@ -26,11 +26,15 @@ object RelationalQueries {
           .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice", $"l_returnflag")
           .filter($"l_quantity" > 30 && $"l_returnflag" === "R")
           .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
-          .orderBy($"l_orderkey", $"l_linenumber")
+          // ORDER BY the full projected row: (l_orderkey, l_linenumber) is
+          // NOT a key of this corpus (dup pairs exist at every sf), and a
+          // non-total dump order is engine-nondeterministic — invisible at
+          // oracle scale, caught by the sf1 sweep
+          .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
       },
       Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
              |FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R'
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+             |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin)
     ),
 
     "q_pred_pushdown_scan" -> QueryDef(
@@ -71,11 +75,13 @@ object RelationalQueries {
         lineitem(s, d)
           .join(broadcast(part(s, d)), $"l_partkey" === $"p_partkey")
           .select($"l_orderkey", $"l_linenumber", $"p_brand", $"p_retailprice")
-          .orderBy($"l_orderkey", $"l_linenumber")
+          // full-row ORDER BY: dup (l_orderkey, l_linenumber) pairs exist,
+          // see q_scan_project_filter
+          .orderBy($"l_orderkey", $"l_linenumber", $"p_brand", $"p_retailprice")
       },
       Some("""SELECT l_orderkey, l_linenumber, p_brand, p_retailprice
              |FROM lineitem JOIN part ON l_partkey = p_partkey
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+             |ORDER BY l_orderkey, l_linenumber, p_brand, p_retailprice""".stripMargin)
     ),
 
     "q_join_multiway" -> QueryDef(
@@ -417,8 +423,12 @@ object RelationalQueries {
             sum(dec($"l_extendedprice")).cast("double").as("sum_base_price"),
             sum(dec($"l_extendedprice") * (one - dec($"l_discount", 4, 2)))
               .cast("double").as("sum_disc_price"),
-            sum(dec($"l_extendedprice") * (one - dec($"l_discount", 4, 2)) * (one + dec($"l_tax", 4, 2)))
-              .cast("double").as("sum_charge"),
+            // micro-unit BIGINT, not double: this scale-6 decimal sum
+            // exceeds 2^53 scaled units at sf1+, where decimal->double
+            // casts diverge by 1 ulp between engines; x1e6 is exactly
+            // integral, so truncating and rounding casts agree everywhere
+            (sum(dec($"l_extendedprice") * (one - dec($"l_discount", 4, 2)) * (one + dec($"l_tax", 4, 2)))
+              * lit(1000000L)).cast("long").as("sum_charge_micros"),
             (sum(dec($"l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
             (sum(dec($"l_extendedprice")).cast("double") / count(lit(1))).as("avg_price"),
             (sum(dec($"l_discount", 4, 2)).cast("double") / count(lit(1))).as("avg_disc"),
@@ -429,7 +439,7 @@ object RelationalQueries {
              |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
              |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
              |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) * 1000000 AS BIGINT) AS sum_charge_micros,
              |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
              |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
              |  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -779,7 +789,9 @@ object RelationalQueries {
             Array($"l_orderkey", $"l_linenumber"),
             Array($"l_quantity", $"l_discount", $"l_tax"),
             "metric", "val")
-          .orderBy($"l_orderkey", $"l_linenumber", $"metric")
+          // val in the ORDER BY: (l_orderkey, l_linenumber) is not a key,
+          // so (key, metric) alone is not total — see q_scan_project_filter
+          .orderBy($"l_orderkey", $"l_linenumber", $"metric", $"val")
       },
       Some("""SELECT l_orderkey, l_linenumber, metric, val FROM (
              |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, CAST(l_quantity AS DOUBLE) AS val FROM lineitem
@@ -787,7 +799,7 @@ object RelationalQueries {
              |  SELECT l_orderkey, l_linenumber, 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem
              |  UNION ALL
              |  SELECT l_orderkey, l_linenumber, 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem) t
-             |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin)
+             |ORDER BY l_orderkey, l_linenumber, metric, val""".stripMargin)
     ),
 
     "q_window_range" -> QueryDef(

@@ -82,6 +82,12 @@ object ScaleUp {
               zip_with($"embedding",
                 sequence(lit(0), size($"embedding") - 1),
                 (x, i) => when(pmod(hash(i, $"__shard"), lit(2)) === 0, x).otherwise(-x))))
+        case "events" =>
+          // the source carries ns timestamps (read here as ns longs); write
+          // µs TIMESTAMP — exactly the truncation every reader
+          // (Tables.normalizeEventTs, the DuckDB oracle) applies anyway, and
+          // it lets oracle SQL run directly against the scaled corpus
+          withIds.withColumn("ts", timestamp_micros(expr("ts div 1000")))
         case _ => withIds
       }
       decorrelated.drop("__shard")
