@@ -98,23 +98,44 @@ object ScaleOps {
     // single-pass job — a limit(cap+1).collect() here would trip Spark's
     // incremental CollectLimit escalation (1→4→16→… partition attempts,
     // each a separate job) precisely in the empty-hot-set common case,
-    // which must stay the cheap one.
-    val nHot = hotDf.count()
-    // No hot keys (the common case on healthy data): skip the salt machinery
-    // entirely — the plain join is strictly cheaper than salting with an
-    // empty hot set (which still costs a per-row probe, a hash and an
-    // explode).
-    if (nHot == 0) return large.join(small, Seq(key))
-    if (nHot > maxCollectedHotKeys) {
-      // Pathological hot-set size: probe via broadcast joins against the
-      // distributed hot table (marker column) instead of collecting.
-      return saltedViaJoin(large, small, key, saltFactor,
-        hotDf.withColumn("__hot", lit(true)))
+    // which must stay the cheap one. Persisting hotDf pins the count and
+    // the (skew-only) collect to ONE execution of the frequency aggregate:
+    // without it the collect would re-run the full groupBy over `large`,
+    // and a source mutated between the two jobs could even change the set.
+    hotDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nHot = hotDf.count()
+      // No hot keys (the common case on healthy data): skip the salt
+      // machinery entirely — the plain join is strictly cheaper than salting
+      // with an empty hot set (which still costs a per-row probe, a hash and
+      // an explode).
+      if (nHot == 0) return large.join(small, Seq(key))
+      if (nHot > maxCollectedHotKeys) {
+        // Pathological hot-set size: probe via broadcast joins against the
+        // distributed hot table (marker column) instead of collecting. The
+        // finally-unpersist below only drops the CACHE — the returned plan
+        // recomputes the (pathological-case) pre-pass inside its own
+        // execution, exactly like the deferred mode.
+        return saltedViaJoin(large, small, key, saltFactor,
+          hotDf.withColumn("__hot", lit(true)))
+      }
+      // Known-bounded hot set: collect it (served from the persisted blocks,
+      // not a re-scan) and bake it into the plan: both probes become
+      // map-side codegen'd InSet lookups; the executed plan re-scans nothing.
+      collectAndSalt(large, small, key, saltFactor, hotDf)
+    } finally {
+      hotDf.unpersist(blocking = false); ()
     }
-    // Known-bounded hot set: collect it (second pre-pass job — only ever
-    // paid when skew exists, where the join itself dwarfs it) and bake it
-    // into the plan: both probes become map-side codegen'd InSet lookups;
-    // the executed plan re-scans nothing.
+  }
+
+  /** Collected-probe body of the eager path (hot set known to fit the cap). */
+  private def collectAndSalt(
+      large: DataFrame,
+      small: DataFrame,
+      key: String,
+      saltFactor: Int,
+      hotDf: DataFrame
+  ): DataFrame = {
     val probe = hotDf.collect()
     val isHot = col(key).isInCollection(probe.map(_.get(0)).toSeq)
     val salted = large.withColumn("__salt",
@@ -290,9 +311,19 @@ object ScaleOps {
       val p = a.toDouble / n
       Seq(math.max(0.0, p - pad), p, math.min(1.0, p + pad))
     }.distinct
-    val cands = df
-      .agg(percentile_approx(c, array(probs.map(lit): _*), lit(Acc)).as("q"))
-      .head().getSeq[Any](0).distinct
+    // Fail fast on null/NaN values — they are invisible to percentile_approx
+    // and to every `<`/`===` probe below, so such rows would silently land in
+    // bucket 1 while the boundary ranks (computed from the FULL count) drift
+    // off the probe counts. The check rides the first real scan for free.
+    val firstScan = df
+      .agg(percentile_approx(c, array(probs.map(lit): _*), lit(Acc)).as("q"),
+        sum(when(c.isNull || isnan(c.cast("double")), 1L).otherwise(0L)).as("__bad"))
+      .head()
+    val nBad = if (firstScan.isNullAt(1)) 0L else firstScan.getLong(1)
+    require(nBad == 0L,
+      s"withNtileBucket requires a non-null, non-NaN '$valueCol' " +
+        s"(found $nBad offending rows of $n) — filter or impute them first")
+    val cands = firstScan.getSeq[Any](0).distinct
     val cntCols = cands.flatMap(v => Seq(
       sum(when(c < lit(v), 1L).otherwise(0L)),
       sum(when(c === lit(v), 1L).otherwise(0L))))

@@ -83,15 +83,26 @@ object PipelineQueries {
     * blocks), not smaller buckets. The oracle pins the 4-bit semantics —
     * its corpus (sf ≤ 0.1, n ≤ 4096) always takes the 4-bit branch, so the
     * adaptive policy is invisible to correctness runs by construction.
+    *
+    * `bandBits` pins the band width explicitly (4, 8, or 16), making the
+    * adaptive policy an overridable DEFAULT rather than an implicit function
+    * of corpus size: a correctness harness can hold 4-bit semantics at any
+    * scale (accepting the quadratic candidate cost that entails), so the
+    * oracle divergence above the 4-bit threshold is opt-in, not silent —
+    * and results stop being a discontinuous function of a single insert
+    * crossing an occupancy threshold when the caller pins a width.
     */
-  private[graft] def embeddingDupPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def embeddingDupPairs(
+      s: SparkSession, d: String, bandBits: Option[Int] = None): DataFrame = {
     import s.implicits._
+    bandBits.foreach(b => require(b == 4 || b == 8 || b == 16,
+      s"bandBits must divide the 16-plane signature evenly (4, 8 or 16; got $b)"))
     val e = embeddings(s, d)
       .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("sig16", graft.functions.LshFunctions.hyperplaneSig(s, $"v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = e.count() // materializes the persist it would pay anyway
-    val bits = if (n <= 4096L) 4 else if (n <= 65536L) 8 else 16
+    val bits = bandBits.getOrElse(if (n <= 4096L) 4 else if (n <= 65536L) 8 else 16)
     val nBands = 16 / bits
     val bands = e.select($"vec_id",
       explode(expr(

@@ -41,7 +41,16 @@ object ScaleUp {
   val fixedDims: Seq[String] = Seq("region", "nation")
   val ShardOffset: Long = 10000000L
 
-  def scaleTable(spark: SparkSession, df: DataFrame, table: String, factor: Int): DataFrame =
+  def scaleTable(spark: SparkSession, df: DataFrame, table: String, factor: Int): DataFrame = {
+    // The document decorrelation has only 25 distinct non-identity alphabet
+    // rotations: beyond 26 shards some shard PAIR would share a rotation and
+    // its cross-shard near-dup pairs would reappear — the quadratic growth
+    // this transform exists to prevent. Fail loudly instead of silently
+    // producing a corpus whose dup fraction no longer scales linearly.
+    require(factor >= 1 && factor <= 26,
+      s"ScaleUp factor must be in [1, 26] (got $factor): only 25 distinct " +
+        "alphabet rotations exist for cross-shard document decorrelation; " +
+        "scale further by re-running ScaleUp on its own output")
     if (fixedDims.contains(table)) df
     else {
       import spark.implicits._
@@ -67,7 +76,13 @@ object ScaleUp {
         case "documents" =>
           val lower = "abcdefghijklmnopqrstuvwxyz"
           val upper = lower.toUpperCase
-          def rot(s: String, k: Int) = s.drop(k) + s.take(k)
+          // 1 + (k-1) % 25 is never 0 mod 26, so every non-zero shard gets a
+          // genuine (non-identity) rotation; distinctness across shards is
+          // guaranteed by the factor <= 26 precondition above
+          def rot(s: String, k: Int) = {
+            val r = 1 + (k - 1) % 25
+            s.drop(r) + s.take(r)
+          }
           (1 until factor).foldLeft(when(lit(false), $"text")) {
             case (acc, k) =>
               acc.when($"__shard" === k,
@@ -92,6 +107,7 @@ object ScaleUp {
       }
       decorrelated.drop("__shard")
     }
+  }
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
@@ -117,8 +133,16 @@ object ScaleUp {
       out.coalesce(1).write.mode("overwrite")
         .option("parquet.block.size", (8 * 1024 * 1024).toString)
         .parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).filter(p =>
-        p.getFileName.toString.startsWith("part-")).findFirst().get()
+      val listing = java.nio.file.Files.list(tmp)
+      val part =
+        try {
+          val found = listing.filter(p =>
+            p.getFileName.toString.startsWith("part-")).findFirst()
+          if (!found.isPresent)
+            throw new IllegalStateException(
+              s"parquet write for table '$t' produced no part- file under $tmp")
+          found.get()
+        } finally listing.close()
       java.nio.file.Files.move(part, dstPath.resolve(s"$t.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       def rmTree(f: java.io.File): Unit = {

@@ -25,6 +25,30 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("pinned LSH band width reproduces (4-bit) or narrows (8-bit) the adaptive result") {
+    import spark.implicits._
+    // the oracle corpus sits below the 4-bit occupancy threshold, so pinning
+    // bandBits = 4 must be bit-identical to the adaptive default — the pin
+    // exists so a harness can hold 4-bit semantics at ANY scale
+    val adaptive = graft.queries.PipelineQueries.embeddingDupPairs(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSet
+    val pinned4 = graft.queries.PipelineQueries
+      .embeddingDupPairs(spark, sfDir, bandBits = Some(4))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pinned4 == adaptive, "bandBits=4 diverged from the adaptive default at oracle scale")
+    // an 8-bit band is the conjunction of its two 4-bit halves, so its
+    // candidate set — and thus its reported pairs — is a subset
+    val pinned8 = graft.queries.PipelineQueries
+      .embeddingDupPairs(spark, sfDir, bandBits = Some(8))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pinned8.subsetOf(adaptive),
+      s"8-bit bands reported pairs outside the 4-bit set: ${pinned8 -- adaptive}")
+    intercept[IllegalArgumentException] {
+      graft.queries.PipelineQueries.embeddingDupPairs(spark, sfDir, bandBits = Some(5))
+    }
+    spark.catalog.clearCache()
+  }
+
   test("every query has an oracle (the sketch queries oracle their error bounds)") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle.isEmpty, s"unexpected oracle-less: $noOracle")

@@ -227,6 +227,21 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("withNtileBucket fails fast on null or NaN values instead of misbucketing") {
+    import spark.implicits._
+    val withNull = Seq((Some(1.0), 1L), (None, 2L), (Some(3.0), 3L))
+      .toDF("v", "id")
+    val exNull = intercept[IllegalArgumentException] {
+      ScaleOps.withNtileBucket(withNull, "t", "v", "id", 2)
+    }
+    assert(exNull.getMessage.contains("non-null"), exNull.getMessage)
+    val withNan = Seq((1.0, 1L), (Double.NaN, 2L), (3.0, 3L)).toDF("v", "id")
+    val exNan = intercept[IllegalArgumentException] {
+      ScaleOps.withNtileBucket(withNan, "t", "v", "id", 2)
+    }
+    assert(exNan.getMessage.contains("non-NaN"), exNan.getMessage)
+  }
+
   test("orderStatAsc returns the exact order statistic through forced narrowing") {
     import spark.implicits._
     // 10k scrambled values with duplicates; cap 100 forces ≥2 narrowing

@@ -47,6 +47,23 @@ class ScaleUpSpec extends AnyFunSuite {
     assert(sameWords.isEmpty, s"cross-shard shingle overlap: $sameWords")
   }
 
+  test("factor beyond the 25 distinct rotations is rejected, and the last legal shard still rotates") {
+    import spark.implicits._
+    val src = Seq((1L, "abcdef", "en", "s", 6L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    // factor 27 would hand shard 26 the identity rotation (or a repeat) —
+    // silently reintroducing quadratic cross-shard dup growth; fail loudly
+    val ex = intercept[IllegalArgumentException] {
+      ScaleUp.scaleTable(spark, src, "documents", 27)
+    }
+    assert(ex.getMessage.contains("26"), ex.getMessage)
+    // at the max legal factor every non-zero shard is a genuine rotation:
+    // all 26 texts (identity + 25 rotations) are pairwise distinct
+    val out = ScaleUp.scaleTable(spark, src, "documents", 26)
+      .select($"text").as[String].collect()
+    assert(out.length == 26 && out.distinct.length == 26,
+      s"expected 26 pairwise-distinct rotations, got ${out.distinct.length}")
+  }
+
   test("embedding sign-flips preserve within-shard cosine, break cross-shard") {
     import spark.implicits._
     val a = Array(1.0f, 2.0f, 3.0f, 4.0f, 5.0f, 6.0f, 7.0f, 8.0f)
