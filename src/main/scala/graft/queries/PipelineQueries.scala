@@ -151,6 +151,18 @@ object PipelineQueries {
        |    ROUND(list_sum(list_transform(range(1, 65), i -> a.v[i] * c.v[i])) / (a.nrm * c.nrm), 4) AS cos4
        |  FROM cand JOIN n a ON a.vec_id = id_a JOIN n c ON c.vec_id = id_b)""".stripMargin
 
+  /** Distinct word 5-grams per document (docs under 5 tokens drop) — the
+    * shared shingling of the decontamination shapes: map-only explode, no
+    * shuffle of its own.
+    */
+  private def grams5(df: DataFrame): DataFrame = df
+    .select(col("doc_id"), split(col("text"), " ").as("tok"))
+    .filter(size(col("tok")) >= 5)
+    .select(col("doc_id"), explode(expr(
+      "array_distinct(transform(sequence(0, size(tok)-5), " +
+        "i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2], tok[i+3], tok[i+4])))"))
+      .as("g"))
+
   val entries: Map[String, QueryDef] = Map(
     // ---------------------------------------------------------- dedup
     "q_dedup_exact" -> QueryDef(
@@ -996,16 +1008,9 @@ object PipelineQueries {
       // Self-matches are excluded; hit count per contaminated doc.
       (s, d) => {
         import s.implicits._
-        def grams(df: DataFrame) = df
-          .select($"doc_id", split($"text", " ").as("tok"))
-          .filter(size($"tok") >= 5)
-          .select($"doc_id", explode(expr(
-            "array_distinct(transform(sequence(0, size(tok)-5), " +
-              "i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2], tok[i+3], tok[i+4])))"))
-            .as("g"))
-        val needles = grams(documents(s, d).filter(pmod($"doc_id", lit(31)) === 0))
+        val needles = grams5(documents(s, d).filter(pmod($"doc_id", lit(31)) === 0))
           .select($"doc_id".as("bench_id"), $"g")
-        grams(documents(s, d))
+        grams5(documents(s, d))
           .join(broadcast(needles), Seq("g"))
           .filter($"doc_id" =!= $"bench_id")
           .groupBy($"doc_id")
@@ -1332,6 +1337,295 @@ object PipelineQueries {
              |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS batch_tokens,
              |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
              |FROM c GROUP BY 1, 2 ORDER BY lang, batch_id""".stripMargin)
+    ),
+
+    "q_decontaminate_bloom" -> QueryDef(
+      // Bloom-filter decontamination — the CONSTANT-SIZE broadcast variant
+      // of q_decontaminate: the benchmark 5-grams fold into a 2^16-bit
+      // Bloom bitmap (1041 longs of 63 usable bits = 8 KB, k = 2 md5-derived
+      // hashes; 63-bit words because DuckDB overflow-checks 1 << 63, and the
+      // oracle must rebuild the identical bitmap), built
+      // by one bounded distributed aggregate (≤1041 rows collected) and
+      // baked into the plan as a literal array, so the corpus probe is
+      // MAP-ONLY codegen'd bit tests: no join, no corpus shuffle, and the
+      // broadcast stays 8 KB whether the eval suite has 10^3 or 10^8
+      // n-grams (the exact-set join's broadcast grows linearly and
+      // eventually can't ship). The price is false positives (docs flagged
+      // without a real shared 5-gram — visible here as bloom_hit &&
+      // !exact_hit rows); false NEGATIVES are structurally impossible, and
+      // the oracle proves it: DuckDB rebuilds the identical bitmap from
+      // scratch in SQL, so any construction/probe bug breaks the hash
+      // compare, and every exact_hit row must carry bloom_hit = true.
+      (s, d) => {
+        import s.implicits._
+        def h(col: org.apache.spark.sql.Column, off: Int) =
+          conv(substring(col, off, 8), 16, 10).cast("long") % 65536
+        val benchGrams = grams5(documents(s, d).filter(pmod($"doc_id", lit(31)) === 0))
+          .select($"g").distinct()
+        val wordRows = benchGrams
+          .withColumn("mh", md5($"g"))
+          .select(explode(array(h($"mh", 1), h($"mh", 9))).as("bit"))
+          .groupBy(expr("bit div 63").as("w"))
+          .agg(expr("bit_or(shiftleft(1L, CAST(bit % 63 AS INT)))").as("word"))
+          .collect() // bounded by construction: ≤ 1041 rows, 16 B each
+        val words = Array.fill(1041)(0L)
+        wordRows.foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+        val bm = array(words.toIndexedSeq.map(lit): _*)
+        val probe = grams5(documents(s, d).filter(pmod($"doc_id", lit(31)) =!= 0))
+          .withColumn("mh", md5($"g"))
+          .withColumn("h1", h($"mh", 1))
+          .withColumn("h2", h($"mh", 9))
+          .withColumn("bloom_g",
+            (element_at(bm, ($"h1" / 63).cast("int") + 1)
+              .bitwiseAND(expr("shiftleft(1L, CAST(h1 % 63 AS INT))")) =!= 0) &&
+            (element_at(bm, ($"h2" / 63).cast("int") + 1)
+              .bitwiseAND(expr("shiftleft(1L, CAST(h2 % 63 AS INT))")) =!= 0))
+          .join(broadcast(benchGrams.withColumn("bench_g", lit(true))),
+            Seq("g"), "left_outer")
+        probe
+          .groupBy($"doc_id")
+          .agg(sum(when($"bloom_g", 1L).otherwise(0L)).as("n_bloom_grams"),
+            expr("bool_or(bloom_g)").as("bloom_hit"),
+            expr("bool_or(coalesce(bench_g, false))").as("exact_hit"))
+          .filter($"bloom_hit" || $"exact_hit")
+          .select($"doc_id", $"n_bloom_grams", $"bloom_hit", $"exact_hit")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+             |g AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(range(0, len(tok)-4),
+             |    i -> array_to_string(tok[i+1:i+5], ' ')))) AS g
+             |  FROM t WHERE len(tok) >= 5),
+             |bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 31 = 0),
+             |bits AS (
+             |  SELECT unnest([('0x' || substring(md5(g), 1, 8))::BIGINT % 65536,
+             |                 ('0x' || substring(md5(g), 9, 8))::BIGINT % 65536]) AS bit
+             |  FROM bg),
+             |words AS (
+             |  SELECT bit // 63 AS w, bit_or(1::BIGINT << CAST(bit % 63 AS INT)) AS word
+             |  FROM bits GROUP BY 1),
+             |probe AS (
+             |  SELECT doc_id, g,
+             |    ('0x' || substring(md5(g), 1, 8))::BIGINT % 65536 AS h1,
+             |    ('0x' || substring(md5(g), 9, 8))::BIGINT % 65536 AS h2
+             |  FROM g WHERE doc_id % 31 != 0),
+             |f AS (
+             |  SELECT p.doc_id,
+             |    (w1.word IS NOT NULL AND (w1.word & (1::BIGINT << CAST(p.h1 % 63 AS INT))) != 0
+             |     AND w2.word IS NOT NULL AND (w2.word & (1::BIGINT << CAST(p.h2 % 63 AS INT))) != 0) AS bloom_g,
+             |    EXISTS (SELECT 1 FROM bg WHERE bg.g = p.g) AS bench_g
+             |  FROM probe p
+             |  LEFT JOIN words w1 ON w1.w = p.h1 // 63
+             |  LEFT JOIN words w2 ON w2.w = p.h2 // 63)
+             |SELECT doc_id, CAST(SUM(CASE WHEN bloom_g THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_grams,
+             |  bool_or(bloom_g) AS bloom_hit, bool_or(bench_g) AS exact_hit
+             |FROM f GROUP BY doc_id
+             |HAVING bool_or(bloom_g) OR bool_or(bench_g)
+             |ORDER BY doc_id""".stripMargin)
+    ),
+
+    "q_sample_quota" -> QueryDef(
+      // Per-source quota sampling (domain caps, the Gopher/C4-style "no
+      // domain may dominate the corpus" rule): keep at most 15 docs per
+      // source, selected by a deterministic md5 order so the sample is
+      // reproducible across engines and runs. Uses the bounded_topk
+      // partial-aggregable TypedImperativeAggregate, so map-side partials
+      // carry ≤15 rows per source and only k×sources rows shuffle — a
+      // row_number() window would shuffle and sort the ENTIRE corpus per
+      // source (and a hot domain is precisely where quota sampling
+      // matters). The 48-bit hash key fits a double exactly (< 2^53), so
+      // the DESC-on-negated-hash order is bit-identical to the oracle's
+      // ASC hash order.
+      (s, d) => {
+        import s.implicits._
+        documents(s, d)
+          .withColumn("hkey",
+            conv(substring(md5($"doc_id".cast("string")), 1, 12), 16, 10)
+              .cast("double"))
+          .groupBy($"source")
+          .agg(graft.functions.BoundedTopK
+            .boundedTopK(s, -$"hkey", $"doc_id", 15).as("topk"))
+          .select($"source", posexplode($"topk"))
+          .select($"source", ($"pos" + 1).cast("long").as("rnk"),
+            $"col.id".as("doc_id"))
+          .orderBy($"source", $"rnk")
+      },
+      Some("""SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id FROM (
+             |  SELECT source, doc_id,
+             |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+             |      ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT,
+             |      doc_id) AS rnk
+             |  FROM documents) t
+             |WHERE rnk <= 15 ORDER BY source, rnk""".stripMargin)
+    ),
+
+    "q_knn_graph" -> QueryDef(
+      // k-NN graph construction (k = 2) over the WHOLE embedding corpus —
+      // the precursor to semantic dedup / clustering (SemDeDup-style):
+      // every vector's 2 nearest bucket-mates by exact cosine, candidates
+      // bounded by the same 8-bit hyperplane-LSH bucketing as
+      // q_similarity_ann_lsh. Unlike the query-side-broadcast ANN shapes,
+      // BOTH sides are the full corpus: the self-join is a shuffle
+      // equi-join on bucket (Σ occupancy² pairs, occupancy-bounded — never
+      // all-pairs), and the top-2 window partitions by vector, so every
+      // stage distributes. Because candidate pairs grow as Σ occupancy²,
+      // the bucket width is occupancy-adaptive like embeddingDupPairs:
+      // 8 bits up to 2^16 vectors, the full 16-bit signature beyond —
+      // the oracle corpus (n ≤ 4096) always takes the 8-bit branch, so
+      // the policy is invisible to correctness runs by construction; past
+      // ~10^6 vectors the extension is a wider multi-word signature.
+      (s, d) => {
+        import s.implicits._
+        val eraw = embeddings(s, d)
+          .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+          .withColumn("sig16", graft.functions.LshFunctions.hyperplaneSig(s, $"v"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = eraw.count() // materializes the persist it would pay anyway
+        val bits = if (n <= 65536L) 8 else 16
+        val e = eraw.withColumn("bucket", pmod($"sig16", lit(1 << bits)))
+        val scored = e.select($"vec_id", $"v", $"bucket")
+          .join(e.select($"vec_id".as("nbr_id"), $"v".as("nv"), $"bucket"), Seq("bucket"))
+          .filter($"vec_id" =!= $"nbr_id")
+          .withColumn("sim4",
+            round(graft.functions.CosineSimilarity.cosineSim(s, $"v", $"nv"), 4))
+        val w = Window.partitionBy($"vec_id").orderBy($"sim4".desc, $"nbr_id")
+        scored.withColumn("rnk", row_number().over(w))
+          .filter($"rnk" <= 2)
+          .select($"vec_id", $"rnk".cast("long").as("rnk"), $"nbr_id", $"sim4")
+          .orderBy($"vec_id", $"rnk")
+      },
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+              |b AS (
+              |  SELECT vec_id, v,
+              |    CAST(list_sum(list_transform(range(0, 8), p ->
+              |      CASE WHEN list_sum(list_transform(range(0, 64),
+              |          i -> v[i + 1] * CAST((([${PipelineQueries.lshA.mkString(",")}]::BIGINT[])[p + 1] * (i + 1)
+              |                              + ([${PipelineQueries.lshB.mkString(",")}]::BIGINT[])[p + 1]) % 1009 - 504 AS DOUBLE))) > 0
+              |           THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS bucket
+              |  FROM e),
+              |n AS (SELECT vec_id, v, bucket, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM b),
+              |s AS (
+              |  SELECT q.vec_id, c.vec_id AS nbr_id,
+              |    ROUND(list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 4) AS sim4
+              |  FROM n q JOIN n c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
+              |SELECT vec_id, rnk, nbr_id, sim4 FROM (
+              |  SELECT vec_id, nbr_id, sim4,
+              |    CAST(ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim4 DESC, nbr_id) AS BIGINT) AS rnk
+              |  FROM s) t
+              |WHERE rnk <= 2 ORDER BY vec_id, rnk""".stripMargin)
+    ),
+
+    "q_similarity_recall" -> QueryDef(
+      // ANN quality evaluation — recall@3 of the LSH-bucketed index against
+      // exact brute force for the 10 query vectors: the measurement every
+      // production vector pipeline runs before trusting an approximate
+      // index. Both retrievals are the library's own shapes (broadcast
+      // query side; bucket equi-join for the ANN arm), the comparison is an
+      // equi-join on (q_id, c_id) + counting — integers only, no float
+      // ratio rides the hash compare. At 100 TB the exact arm runs on a
+      // SAMPLED query set (recall estimation), which is exactly this plan
+      // with a different query predicate.
+      (s, d) => {
+        import s.implicits._
+        val e = embeddings(s, d)
+          .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+          .withColumn("bucket", graft.functions.LshFunctions.hyperplaneSig(s, $"v") % 256)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val q = e.filter($"vec_id" < 10)
+          .select($"vec_id".as("q_id"), $"v".as("qv"), $"bucket".as("qbucket"))
+        def top3(joined: DataFrame): DataFrame = {
+          val w = Window.partitionBy($"q_id").orderBy($"sim4".desc, $"c_id")
+          joined
+            .withColumn("sim4",
+              round(graft.functions.CosineSimilarity.cosineSim(s, $"qv", $"cv"), 4))
+            .withColumn("rnk", row_number().over(w))
+            .filter($"rnk" <= 3)
+            .select($"q_id", $"c_id")
+        }
+        val cand = e.select($"vec_id".as("c_id"), $"v".as("cv"), $"bucket")
+        val exact = top3(cand.join(broadcast(q), $"q_id" =!= $"c_id"))
+        val ann = top3(cand.join(broadcast(q), $"qbucket" === $"bucket" && $"q_id" =!= $"c_id"))
+        val nExact = exact.groupBy($"q_id").agg(count(lit(1)).as("n_exact"))
+        val nAnn = ann.groupBy($"q_id").agg(count(lit(1)).as("n_ann"))
+        val nHit = exact.join(ann, Seq("q_id", "c_id"))
+          .groupBy($"q_id").agg(count(lit(1)).as("n_hit"))
+        nExact
+          .join(nAnn, Seq("q_id"), "left_outer")
+          .join(nHit, Seq("q_id"), "left_outer")
+          .select($"q_id", $"n_exact",
+            coalesce($"n_ann", lit(0L)).as("n_ann"),
+            coalesce($"n_hit", lit(0L)).as("n_hit"))
+          .orderBy($"q_id")
+      },
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+              |b AS (
+              |  SELECT vec_id, v,
+              |    CAST(list_sum(list_transform(range(0, 8), p ->
+              |      CASE WHEN list_sum(list_transform(range(0, 64),
+              |          i -> v[i + 1] * CAST((([${PipelineQueries.lshA.mkString(",")}]::BIGINT[])[p + 1] * (i + 1)
+              |                              + ([${PipelineQueries.lshB.mkString(",")}]::BIGINT[])[p + 1]) % 1009 - 504 AS DOUBLE))) > 0
+              |           THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS bucket
+              |  FROM e),
+              |n AS (SELECT vec_id, v, bucket, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM b),
+              |ex AS (
+              |  SELECT q_id, c_id FROM (
+              |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+              |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+              |        ROUND(list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 4) DESC,
+              |        c.vec_id) AS rnk
+              |    FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id) t
+              |  WHERE rnk <= 3),
+              |an AS (
+              |  SELECT q_id, c_id FROM (
+              |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+              |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+              |        ROUND(list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 4) DESC,
+              |        c.vec_id) AS rnk
+              |    FROM n q JOIN n c ON q.bucket = c.bucket AND q.vec_id < 10 AND q.vec_id <> c.vec_id) t
+              |  WHERE rnk <= 3)
+              |SELECT ex.q_id, COUNT(*) AS n_exact,
+              |  COALESCE(MAX(a.n_ann), 0) AS n_ann,
+              |  CAST(SUM(CASE WHEN an.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+              |FROM ex
+              |LEFT JOIN an ON an.q_id = ex.q_id AND an.c_id = ex.c_id
+              |LEFT JOIN (SELECT q_id, COUNT(*) AS n_ann FROM an GROUP BY q_id) a ON a.q_id = ex.q_id
+              |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin)
+    ),
+
+    "q_corpus_profile" -> QueryDef(
+      // Per-source corpus profiling — the dataset-card numbers every corpus
+      // release publishes (docs, chars, tokens, languages, vocabulary per
+      // domain). Two bounded-key aggregations: the scalar stats partial-
+      // aggregate map-side; the vocabulary needs one (source, token)
+      // distinct shuffle — cardinality-bounded by true vocab size, not
+      // corpus size. Integer-only output, so the hash compare is exact.
+      (s, d) => {
+        import s.implicits._
+        val docs = documents(s, d)
+        val base = docs.groupBy($"source").agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("total_chars"),
+          countDistinct($"lang").as("n_langs"),
+          sum(size(split($"text", " ")).cast("long")).as("total_tokens"))
+        val vocab = docs
+          .select($"source", explode(array_distinct(split($"text", " "))).as("tok"))
+          .groupBy($"source").agg(countDistinct($"tok").as("vocab"))
+        base.join(vocab, Seq("source")).orderBy($"source")
+      },
+      Some("""WITH base AS (
+             |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             |    COUNT(DISTINCT lang) AS n_langs,
+             |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+             |  FROM documents GROUP BY source),
+             |v AS (
+             |  SELECT source, COUNT(DISTINCT tok) AS vocab FROM (
+             |    SELECT source, unnest(list_distinct(string_split(text, ' '))) AS tok
+             |    FROM documents) t
+             |  GROUP BY source)
+             |SELECT base.source, n_docs, total_chars, n_langs, total_tokens, vocab
+             |FROM base JOIN v USING (source) ORDER BY source""".stripMargin)
     )
   )
 }

@@ -244,9 +244,10 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("no declared query plans a cartesian product; NLJ only where intended") {
     // q_similarity_topk is the deliberate brute-force exact baseline: its
-    // non-equi (q_id <> c_id) broadcast join IS the operator. Everything
-    // else must key its joins.
-    val allowNlj = Set("q_similarity_topk")
+    // non-equi (q_id <> c_id) broadcast join IS the operator; the recall
+    // evaluation re-runs that exact arm to measure the ANN arm against it.
+    // Everything else must key its joins.
+    val allowNlj = Set("q_similarity_topk", "q_similarity_recall")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
