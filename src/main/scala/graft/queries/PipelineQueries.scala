@@ -1362,6 +1362,10 @@ object PipelineQueries {
           conv(substring(col, off, 8), 16, 10).cast("long") % 65536
         val benchGrams = grams5(documents(s, d).filter(pmod($"doc_id", lit(31)) === 0))
           .select($"g").distinct()
+          // used twice (bitmap build + exact-hit arm); persisting saves the
+          // second benchmark-side scan of documents — the bitmap collect
+          // below materializes it
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val wordRows = benchGrams
           .withColumn("mh", md5($"g"))
           .select(explode(array(h($"mh", 1), h($"mh", 9))).as("bit"))
