@@ -25,6 +25,24 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("bloom decontamination never false-negatives and its false-positive rate is sane") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_decontaminate_bloom")(spark, sfDir)
+      .select($"doc_id", $"bloom_hit", $"exact_hit")
+      .as[(Long, Boolean, Boolean)].collect()
+    assert(rows.nonEmpty)
+    // structural Bloom guarantee: an exact shared 5-gram MUST set both bits
+    val falseNeg = rows.filter { case (_, bloom, exact) => exact && !bloom }
+    assert(falseNeg.isEmpty, s"bloom false negatives: ${falseNeg.map(_._1).toSeq}")
+    // and the 2^16-bit / k=2 sizing keeps false positives a small minority
+    // of the corpus (they are the price of the constant-size broadcast)
+    val nCorpus = graft.tables.Tables.documents(spark, sfDir)
+      .filter(expr("doc_id % 31 != 0")).count()
+    val nFp = rows.count { case (_, bloom, exact) => bloom && !exact }
+    assert(nFp.toDouble / nCorpus < 0.2,
+      s"$nFp bloom false positives over $nCorpus docs — bitmap sizing broken")
+  }
+
   test("pinned LSH band width reproduces (4-bit) or narrows (8-bit) the adaptive result") {
     import spark.implicits._
     // the oracle corpus sits below the 4-bit occupancy threshold, so pinning
