@@ -1344,7 +1344,10 @@ object PipelineQueries {
       // of q_decontaminate: the benchmark 5-grams fold into a 2^16-bit
       // Bloom bitmap (1041 longs of 63 usable bits = 8 KB, k = 2 md5-derived
       // hashes; 63-bit words because DuckDB overflow-checks 1 << 63, and the
-      // oracle must rebuild the identical bitmap), built
+      // oracle must rebuild the identical bitmap — md5 is likewise the
+      // parity contract, not the fast choice: without a cross-engine
+      // oracle, codegen'd xxhash64 probes the same plan ~3-5× cheaper and
+      // the swap is one function name), built
       // by one bounded distributed aggregate (≤1041 rows collected) and
       // baked into the plan as a literal array, so the corpus probe is
       // MAP-ONLY codegen'd bit tests: no join, no corpus shuffle, and the
