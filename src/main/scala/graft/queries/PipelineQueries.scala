@@ -163,6 +163,116 @@ object PipelineQueries {
         "i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2], tok[i+3], tok[i+4])))"))
       .as("g"))
 
+  /** Bloom-filter decontamination (the engine behind `q_decontaminate_bloom`).
+    *
+    * The bitmap SIZE is occupancy-adaptive — the same policy family as the
+    * LSH band widths: a FIXED 2^16-bit filter saturates once the benchmark
+    * outgrows it (measured at sf1: 80,735 grams × 2 bits into 65,536 →
+    * ~86% bits set → the probe flagged ALL 48,386 corpus docs, 98% false
+    * positives — parity with the oracle held, usefulness didn't). The
+    * policy keeps ≥64 bits per benchmark gram: m = max(2^16,
+    * next-pow2(64·n)), which pins the k=2 PER-GRAM false-positive rate at
+    * (1−e^(−1/32))² ≈ 1e-3 — chosen at the DOC level: a 50-gram document
+    * probes 50 times, so per-gram 1e-3 ≈ 5% worst-case doc-level false
+    * flags (per-gram 1.4% would compound to ~50%, uselessly aggressive
+    * false-dropping). Capped at 2^32 (the probes are 32-bit md5
+    * words); past ~2^28 grams the extension is wider hashes (more md5
+    * hex), not a denser filter. Because the sizing rule is pure arithmetic
+    * on the benchmark gram count, the DuckDB oracle COMPUTES THE SAME
+    * POLICY in SQL — unlike the pinned-band-width trio there is no scale
+    * point where oracle and engine diverge.
+    *
+    * Probe mechanism switches on bitmap size:
+    *  - ≤ `LiteralProbeMaxWords` (2^20 bits = 133 KB): the bitmap bakes
+    *    into the plan as a literal array → MAP-ONLY codegen'd bit tests,
+    *    no join, no corpus shuffle.
+    *  - beyond: two broadcast left-outer joins on the 63-bit word index —
+    *    still no corpus shuffle, and the broadcast is the words table
+    *    (m/63 rows), bounded by the policy at ~2 MB per 2^27 bits.
+    * Both mechanisms are row-identical (spec-proven via `forceJoinProbe`).
+    *
+    * `mBitsOverride` pins the bitmap size explicitly (a power of two), the
+    * same opt-out the band-width policy exposes.
+    */
+  private[graft] def bloomDecontaminate(
+      s: SparkSession,
+      d: String,
+      mBitsOverride: Option[Long] = None,
+      forceJoinProbe: Boolean = false
+  ): DataFrame = {
+    import s.implicits._
+    mBitsOverride.foreach(m => require(m >= 64 && (m & (m - 1)) == 0 && m <= (1L << 32),
+      s"mBitsOverride must be a power of two in [64, 2^32] (got $m)"))
+    val benchGrams = grams5(documents(s, d).filter(pmod($"doc_id", lit(31)) === 0))
+      .select($"g").distinct()
+      // used three times (sizing count, bitmap build, exact-hit arm);
+      // the count materializes the persist
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nGrams = benchGrams.count()
+    val mBits = mBitsOverride.getOrElse {
+      var m = 1L << 16
+      while (m < 64L * nGrams && m < (1L << 32)) m <<= 1
+      m
+    }
+    def h(c: org.apache.spark.sql.Column, off: Int) =
+      conv(substring(c, off, 8), 16, 10).cast("long") % mBits
+    val wordsDf = benchGrams
+      .withColumn("mh", md5($"g"))
+      .select(explode(array(h($"mh", 1), h($"mh", 9))).as("bit"))
+      .groupBy(expr("bit div 63").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, CAST(bit % 63 AS INT)))").as("word"))
+    val probeBase = grams5(documents(s, d).filter(pmod($"doc_id", lit(31)) =!= 0))
+      .withColumn("mh", md5($"g"))
+      .withColumn("h1", h($"mh", 1))
+      .withColumn("h2", h($"mh", 9))
+    val nWords = ((mBits + 62) / 63).toInt
+    val probed =
+      if (nWords <= LiteralProbeMaxWords && !forceJoinProbe) {
+        val words = Array.fill(nWords)(0L)
+        wordsDf.collect() // bounded: ≤ nWords ≤ 2^20/63 rows, 16 B each
+          .foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+        // ONE Literal node holding the whole array — a CreateArray of 16k
+        // child literals costs measurable analysis + constant folding on
+        // every plan construction (benched +50% on this query at sf0.1)
+        val bm = typedlit(words.toIndexedSeq)
+        probeBase.withColumn("bloom_g",
+          (element_at(bm, ($"h1" / 63).cast("int") + 1)
+            .bitwiseAND(expr("shiftleft(1L, CAST(h1 % 63 AS INT))")) =!= 0) &&
+          (element_at(bm, ($"h2" / 63).cast("int") + 1)
+            .bitwiseAND(expr("shiftleft(1L, CAST(h2 % 63 AS INT))")) =!= 0))
+      } else {
+        probeBase
+          .withColumn("w1", expr("h1 div 63"))
+          .withColumn("w2", expr("h2 div 63"))
+          .join(broadcast(wordsDf.select($"w".as("w1"), $"word".as("word1"))),
+            Seq("w1"), "left_outer")
+          .join(broadcast(wordsDf.select($"w".as("w2"), $"word".as("word2"))),
+            Seq("w2"), "left_outer")
+          .withColumn("bloom_g",
+            (coalesce($"word1", lit(0L))
+              .bitwiseAND(expr("shiftleft(1L, CAST(h1 % 63 AS INT))")) =!= 0) &&
+            (coalesce($"word2", lit(0L))
+              .bitwiseAND(expr("shiftleft(1L, CAST(h2 % 63 AS INT))")) =!= 0))
+      }
+    probed
+      .join(broadcast(benchGrams.withColumn("bench_g", lit(true))),
+        Seq("g"), "left_outer")
+      .groupBy($"doc_id")
+      .agg(sum(when($"bloom_g", 1L).otherwise(0L)).as("n_bloom_grams"),
+        expr("bool_or(bloom_g)").as("bloom_hit"),
+        expr("bool_or(coalesce(bench_g, false))").as("exact_hit"))
+      .filter($"bloom_hit" || $"exact_hit")
+      .select($"doc_id", $"n_bloom_grams", $"bloom_hit", $"exact_hit")
+      .orderBy($"doc_id")
+  }
+
+  /** Literal-probe cap: 2^20 bits / 63 ≈ 16.6k words ≈ 133 KB of plan
+    * literals (folded once by ConstantFolding). Beyond this the bitmap
+    * probes via broadcast word-index joins instead of plan literals —
+    * multi-MB array literals are where analysis/codegen plan size hurts.
+    */
+  private[graft] val LiteralProbeMaxWords: Int = (((1L << 20) + 62) / 63).toInt
+
   val entries: Map[String, QueryDef] = Map(
     // ---------------------------------------------------------- dedup
     "q_dedup_exact" -> QueryDef(
@@ -1340,81 +1450,44 @@ object PipelineQueries {
     ),
 
     "q_decontaminate_bloom" -> QueryDef(
-      // Bloom-filter decontamination — the CONSTANT-SIZE broadcast variant
-      // of q_decontaminate: the benchmark 5-grams fold into a 2^16-bit
-      // Bloom bitmap (1041 longs of 63 usable bits = 8 KB, k = 2 md5-derived
-      // hashes; 63-bit words because DuckDB overflow-checks 1 << 63, and the
-      // oracle must rebuild the identical bitmap — md5 is likewise the
-      // parity contract, not the fast choice: without a cross-engine
-      // oracle, codegen'd xxhash64 probes the same plan ~3-5× cheaper and
-      // the swap is one function name), built
-      // by one bounded distributed aggregate (≤1041 rows collected) and
-      // baked into the plan as a literal array, so the corpus probe is
-      // MAP-ONLY codegen'd bit tests: no join, no corpus shuffle, and the
-      // broadcast stays 8 KB whether the eval suite has 10^3 or 10^8
-      // n-grams (the exact-set join's broadcast grows linearly and
-      // eventually can't ship). The price is false positives (docs flagged
-      // without a real shared 5-gram — visible here as bloom_hit &&
-      // !exact_hit rows); false NEGATIVES are structurally impossible, and
-      // the oracle proves it: DuckDB rebuilds the identical bitmap from
-      // scratch in SQL, so any construction/probe bug breaks the hash
+      // Bloom-filter decontamination — the BOUNDED-broadcast variant of
+      // q_decontaminate: benchmark 5-grams fold into a Bloom bitmap (k = 2
+      // md5-derived hashes over 63-bit words — DuckDB overflow-checks
+      // 1 << 63, and the oracle must rebuild the identical bitmap; md5 is
+      // likewise the parity contract, not the fast choice: without a
+      // cross-engine oracle, codegen'd xxhash64 probes the same plan ~3-5×
+      // cheaper and the swap is one function name). The bitmap is sized by
+      // the occupancy-adaptive policy and probed map-side via plan
+      // literals (or broadcast word joins past the literal cap) — see
+      // [[bloomDecontaminate]] for the policy, the saturation measurement
+      // that forced it, and the mechanism switch. False negatives are
+      // structurally impossible and the oracle proves it: DuckDB recomputes
+      // the same sizing policy and bitmap from scratch in SQL at EVERY
+      // scale, so any construction/probe/sizing bug breaks the hash
       // compare, and every exact_hit row must carry bloom_hit = true.
-      (s, d) => {
-        import s.implicits._
-        def h(col: org.apache.spark.sql.Column, off: Int) =
-          conv(substring(col, off, 8), 16, 10).cast("long") % 65536
-        val benchGrams = grams5(documents(s, d).filter(pmod($"doc_id", lit(31)) === 0))
-          .select($"g").distinct()
-          // used twice (bitmap build + exact-hit arm); persisting saves the
-          // second benchmark-side scan of documents — the bitmap collect
-          // below materializes it
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val wordRows = benchGrams
-          .withColumn("mh", md5($"g"))
-          .select(explode(array(h($"mh", 1), h($"mh", 9))).as("bit"))
-          .groupBy(expr("bit div 63").as("w"))
-          .agg(expr("bit_or(shiftleft(1L, CAST(bit % 63 AS INT)))").as("word"))
-          .collect() // bounded by construction: ≤ 1041 rows, 16 B each
-        val words = Array.fill(1041)(0L)
-        wordRows.foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
-        val bm = array(words.toIndexedSeq.map(lit): _*)
-        val probe = grams5(documents(s, d).filter(pmod($"doc_id", lit(31)) =!= 0))
-          .withColumn("mh", md5($"g"))
-          .withColumn("h1", h($"mh", 1))
-          .withColumn("h2", h($"mh", 9))
-          .withColumn("bloom_g",
-            (element_at(bm, ($"h1" / 63).cast("int") + 1)
-              .bitwiseAND(expr("shiftleft(1L, CAST(h1 % 63 AS INT))")) =!= 0) &&
-            (element_at(bm, ($"h2" / 63).cast("int") + 1)
-              .bitwiseAND(expr("shiftleft(1L, CAST(h2 % 63 AS INT))")) =!= 0))
-          .join(broadcast(benchGrams.withColumn("bench_g", lit(true))),
-            Seq("g"), "left_outer")
-        probe
-          .groupBy($"doc_id")
-          .agg(sum(when($"bloom_g", 1L).otherwise(0L)).as("n_bloom_grams"),
-            expr("bool_or(bloom_g)").as("bloom_hit"),
-            expr("bool_or(coalesce(bench_g, false))").as("exact_hit"))
-          .filter($"bloom_hit" || $"exact_hit")
-          .select($"doc_id", $"n_bloom_grams", $"bloom_hit", $"exact_hit")
-          .orderBy($"doc_id")
-      },
+      (s, d) => bloomDecontaminate(s, d),
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
              |g AS (
              |  SELECT doc_id, unnest(list_distinct(list_transform(range(0, len(tok)-4),
              |    i -> array_to_string(tok[i+1:i+5], ' ')))) AS g
              |  FROM t WHERE len(tok) >= 5),
              |bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 31 = 0),
+             |p AS (
+             |  SELECT CASE WHEN 64 * COUNT(*) <= 65536 THEN 65536::BIGINT
+             |              WHEN CEIL(LOG2(64.0 * COUNT(*))) >= 32 THEN (1::BIGINT << 32)
+             |              ELSE (1::BIGINT << CAST(CEIL(LOG2(64.0 * COUNT(*))) AS INT)) END AS mbits
+             |  FROM bg),
              |bits AS (
-             |  SELECT unnest([('0x' || substring(md5(g), 1, 8))::BIGINT % 65536,
-             |                 ('0x' || substring(md5(g), 9, 8))::BIGINT % 65536]) AS bit
+             |  SELECT unnest([('0x' || substring(md5(g), 1, 8))::BIGINT % (SELECT mbits FROM p),
+             |                 ('0x' || substring(md5(g), 9, 8))::BIGINT % (SELECT mbits FROM p)]) AS bit
              |  FROM bg),
              |words AS (
              |  SELECT bit // 63 AS w, bit_or(1::BIGINT << CAST(bit % 63 AS INT)) AS word
              |  FROM bits GROUP BY 1),
              |probe AS (
              |  SELECT doc_id, g,
-             |    ('0x' || substring(md5(g), 1, 8))::BIGINT % 65536 AS h1,
-             |    ('0x' || substring(md5(g), 9, 8))::BIGINT % 65536 AS h2
+             |    ('0x' || substring(md5(g), 1, 8))::BIGINT % (SELECT mbits FROM p) AS h1,
+             |    ('0x' || substring(md5(g), 9, 8))::BIGINT % (SELECT mbits FROM p) AS h2
              |  FROM g WHERE doc_id % 31 != 0),
              |f AS (
              |  SELECT p.doc_id,

@@ -43,6 +43,31 @@ class QueriesSmokeSpec extends AnyFunSuite {
       s"$nFp bloom false positives over $nCorpus docs — bitmap sizing broken")
   }
 
+  test("bloom probe mechanisms are row-identical; the sizing override validates and bites") {
+    import spark.implicits._
+    // the literal-array probe (small bitmaps) and the broadcast word-join
+    // probe (bitmaps past the literal cap) must be the same operator
+    val viaLiteral = graft.queries.PipelineQueries.bloomDecontaminate(spark, sfDir)
+    val viaJoin = graft.queries.PipelineQueries
+      .bloomDecontaminate(spark, sfDir, forceJoinProbe = true)
+    assert(viaLiteral.exceptAll(viaJoin).isEmpty && viaJoin.exceptAll(viaLiteral).isEmpty,
+      "literal-probe and join-probe mechanisms diverged")
+    // a non-power-of-two override is rejected
+    intercept[IllegalArgumentException] {
+      graft.queries.PipelineQueries.bloomDecontaminate(spark, sfDir, mBitsOverride = Some(1000L))
+    }
+    // a deliberately undersized bitmap saturates: more false flags than the
+    // adaptive default, while the exact-hit rows stay identical
+    val tiny = graft.queries.PipelineQueries
+      .bloomDecontaminate(spark, sfDir, mBitsOverride = Some(1024L))
+    assert(tiny.count() > viaLiteral.count(),
+      "an 8x-undersized bitmap should flag strictly more docs")
+    val exactDefault = viaLiteral.filter($"exact_hit").select($"doc_id")
+    val exactTiny = tiny.filter($"exact_hit").select($"doc_id")
+    assert(exactDefault.exceptAll(exactTiny).isEmpty && exactTiny.exceptAll(exactDefault).isEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("pinned LSH band width reproduces (4-bit) or narrows (8-bit) the adaptive result") {
     import spark.implicits._
     // the oracle corpus sits below the 4-bit occupancy threshold, so pinning
