@@ -1706,6 +1706,102 @@ object PipelineQueries {
              |  GROUP BY source)
              |SELECT base.source, n_docs, total_chars, n_langs, total_tokens, vocab
              |FROM base JOIN v USING (source) ORDER BY source""".stripMargin)
+    ),
+
+    "q_dedup_substring" -> QueryDef(
+      // Exact substring-level dedup (the Lee et al. 2021 "Deduplicating
+      // Training Data" shape): any 20-token window appearing in ≥2 distinct
+      // docs marks a substring-level duplication — catches boilerplate and
+      // quotation overlap that document-level fingerprints miss (two docs
+      // can share a 20-token run while their word SETS differ enough to
+      // dodge MinHash). Windows fingerprint via codegen'd xxhash64 DIRECTLY
+      // over the token-array slice — no per-window string rebuild, an
+      // 8-byte shuffle key (array_distinct keeps within-doc repetition from
+      // inflating counts). The dup test is a count-over-wfp WINDOW, not a
+      // self-join back onto the window table: one exchange on the
+      // fingerprint serves both the count and the flag (the join
+      // formulation planned a BroadcastHashJoin over the full EXPLODED
+      // window side at sf1 — post-explode cardinality is invisible to
+      // plan-time stats, and shipping 1.75M rows as a broadcast benched
+      // 19 s; the window form is 3.8 s, and at 100 TB it degrades
+      // gracefully into exactly the shuffle the aggregate already pays).
+      // The fingerprint never reaches the output (only equality-class
+      // COUNTS do), so the oracle is free to group windows by md5 instead —
+      // identical counts as long as neither hash collides (64-bit birthday
+      // at sf1's 1.75M windows ≈ 1e-7; a 100 TB corpus would move to a
+      // 128-bit fingerprint, e.g. two seeded xxhash64 words, same plan).
+      // Integer-only output, hash-exact across engines.
+      (s, d) => {
+        import s.implicits._
+        documents(s, d)
+          .select($"doc_id", split($"text", " ").as("tok"))
+          .filter(size($"tok") >= 20)
+          .select($"doc_id", explode(expr(
+            "array_distinct(transform(sequence(0, size(tok)-20), " +
+              "w -> xxhash64(slice(tok, w+1, 20))))")).as("wfp"))
+          // (doc_id, wfp) is distinct by construction → count counts docs
+          .withColumn("nd", count(lit(1)).over(Window.partitionBy($"wfp")))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_windows"),
+            sum(when($"nd" >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+          .withColumn("dup_flag", $"n_dup_windows" > 0)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+             |w AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(range(0, len(tok)-19),
+             |    i -> md5(array_to_string(tok[i+1:i+20], ' '))))) AS wfp
+             |  FROM t WHERE len(tok) >= 20),
+             |c AS (SELECT wfp, COUNT(*) AS nd FROM w GROUP BY wfp)
+             |SELECT doc_id, COUNT(*) AS n_windows,
+             |  CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+             |  SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) > 0 AS dup_flag
+             |FROM w JOIN c USING (wfp)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
+    "q_text_novelty" -> QueryDef(
+      // Reference-corpus n-gram novelty scoring — the count-based skeleton
+      // of KenLM-style quality filtering (CCNet/Gopher): build bigram
+      // frequencies from the held-out reference split (doc_id % 31 = 0,
+      // the same split decontamination treats as the benchmark), then
+      // score every corpus doc by how familiar its bigrams are. The output
+      // is the exact integer sufficient statistics (total bigrams, unseen
+      // bigrams, summed reference frequency) — a downstream filter divides
+      // and thresholds however it likes; keeping floats out of the result
+      // makes the cross-engine hash exact. Scale shape: the reference
+      // table is vocabulary-bounded (bigram TYPES, not tokens) and the
+      // score is one equi-join on the bigram key + a per-doc partial
+      // aggregate — corpus text never shuffles, only (doc_id, bg) pairs.
+      (s, d) => {
+        import s.implicits._
+        val big = documents(s, d)
+          .select($"doc_id", split($"text", " ").as("tok"))
+          .filter(size($"tok") >= 2)
+          .select($"doc_id", explode(expr(
+            "transform(sequence(0, size(tok)-2), i -> concat_ws(' ', tok[i], tok[i+1]))")).as("bg"))
+        val ref = big.filter(pmod($"doc_id", lit(31)) === 0)
+          .groupBy($"bg").agg(count(lit(1)).as("ref_freq"))
+        big.filter(pmod($"doc_id", lit(31)) =!= 0)
+          .join(ref, Seq("bg"), "left_outer")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(when($"ref_freq".isNull, 1L).otherwise(0L)).as("n_unseen"),
+            sum(coalesce($"ref_freq", lit(0L))).as("ref_freq_sum"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+             |b AS (
+             |  SELECT doc_id, unnest(list_transform(range(0, len(tok)-1),
+             |    i -> tok[i+1] || ' ' || tok[i+2])) AS bg
+             |  FROM t WHERE len(tok) >= 2),
+             |r AS (SELECT bg, COUNT(*) AS ref_freq FROM b WHERE doc_id % 31 = 0 GROUP BY bg)
+             |SELECT doc_id, COUNT(*) AS n_bigrams,
+             |  CAST(SUM(CASE WHEN ref_freq IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+             |  CAST(SUM(COALESCE(ref_freq, 0)) AS BIGINT) AS ref_freq_sum
+             |FROM b LEFT JOIN r USING (bg)
+             |WHERE doc_id % 31 != 0
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     )
   )
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{array, explode, expr, split}
 import graft.cdc.{CdcApply, CdcParser}
 import graft.etl.ReferenceFixtures
 
@@ -66,6 +66,36 @@ class QueriesSmokeSpec extends AnyFunSuite {
     val exactTiny = tiny.filter($"exact_hit").select($"doc_id")
     assert(exactDefault.exceptAll(exactTiny).isEmpty && exactTiny.exceptAll(exactDefault).isEmpty)
     spark.catalog.clearCache()
+  }
+
+  test("substring dedup matches an independent pair-join formulation; novelty stats are consistent") {
+    import spark.implicits._
+    // independent formulation: a doc is substring-duplicated iff it appears
+    // in some cross-doc pair sharing a 20-token window (self-join on the
+    // window fingerprint — the shape the aggregate formulation avoids)
+    val win = graft.tables.Tables.documents(spark, sfDir)
+      .select($"doc_id", split($"text", " ").as("tok"))
+      .filter(expr("size(tok) >= 20"))
+      .select($"doc_id", explode(expr(
+        // deliberately a DIFFERENT fingerprint than the query's xxhash64 —
+        // equality-class counts must agree across any injective-enough hash
+        "array_distinct(transform(sequence(0, size(tok)-20), " +
+          "w -> md5(concat_ws(' ', slice(tok, w+1, 20)))))")).as("wfp"))
+    val viaPairs = win.as("a").join(win.as("b"), "wfp")
+      .filter($"a.doc_id" =!= $"b.doc_id")
+      .select(explode(array($"a.doc_id", $"b.doc_id")).as("doc_id"))
+      .distinct().as[Long].collect().toSet
+    assert(viaPairs.nonEmpty, "corpus lost its shared-20-token-run fixture docs")
+    val flagged = SparkEntry.queries("q_dedup_substring")(spark, sfDir)
+      .filter($"dup_flag").select($"doc_id").as[Long].collect().toSet
+    assert(flagged == viaPairs,
+      s"flag sets diverge: only-agg=${flagged -- viaPairs} only-pairs=${viaPairs -- flagged}")
+    // novelty: reference docs excluded; each seen bigram contributes >= 1
+    val nov = SparkEntry.queries("q_text_novelty")(spark, sfDir)
+      .select($"doc_id", $"n_bigrams", $"n_unseen", $"ref_freq_sum")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(nov.nonEmpty && nov.forall(_._1 % 31 != 0))
+    assert(nov.forall { case (_, nb, nu, rs) => nu <= nb && rs >= nb - nu })
   }
 
   test("pinned LSH band width reproduces (4-bit) or narrows (8-bit) the adaptive result") {
