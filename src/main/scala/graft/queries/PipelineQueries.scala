@@ -193,12 +193,25 @@ object PipelineQueries {
     *
     * `mBitsOverride` pins the bitmap size explicitly (a power of two), the
     * same opt-out the band-width policy exposes.
+    *
+    * `fastHash = true` is the PRODUCTION hash path: the two probe values
+    * come from seeded codegen'd xxhash64 instead of md5-hex words. md5 is
+    * only the cross-engine parity contract (DuckDB must rebuild the
+    * identical bitmap); a deployment that doesn't need DuckDB-reproducible
+    * flags gets the same plan, the same false-negative-free guarantee, and
+    * the same sizing policy with a cheaper probe (measured via
+    * `graft.tools.BloomHashBench` at sf1: 8.0 s → 5.6 s, 1.42× — the hash
+    * is real but NOT dominant; the gram explode and aggregates are the
+    * floor, so the old "3-5× cheaper" folklore overstated it). Flagged docs
+    * can differ ONLY in the false-positive minority (different hash,
+    * different collisions); exact_hit rows are hash-independent.
     */
   private[graft] def bloomDecontaminate(
       s: SparkSession,
       d: String,
       mBitsOverride: Option[Long] = None,
-      forceJoinProbe: Boolean = false
+      forceJoinProbe: Boolean = false,
+      fastHash: Boolean = false
   ): DataFrame = {
     import s.implicits._
     mBitsOverride.foreach(m => require(m >= 64 && (m & (m - 1)) == 0 && m <= (1L << 32),
@@ -214,17 +227,30 @@ object PipelineQueries {
       while (m < 64L * nGrams && m < (1L << 32)) m <<= 1
       m
     }
-    def h(c: org.apache.spark.sql.Column, off: Int) =
-      conv(substring(c, off, 8), 16, 10).cast("long") % mBits
-    val wordsDf = benchGrams
-      .withColumn("mh", md5($"g"))
-      .select(explode(array(h($"mh", 1), h($"mh", 9))).as("bit"))
-      .groupBy(expr("bit div 63").as("w"))
-      .agg(expr("bit_or(shiftleft(1L, CAST(bit % 63 AS INT)))").as("word"))
-    val probeBase = grams5(documents(s, d).filter(pmod($"doc_id", lit(31)) =!= 0))
-      .withColumn("mh", md5($"g"))
-      .withColumn("h1", h($"mh", 1))
-      .withColumn("h2", h($"mh", 9))
+    // two probe hashes per gram: md5 hex words (oracle-reproducible) or
+    // seeded xxhash64 (production; mBits is a power of two ≤ 2^32 so the
+    // pmod keeps the same uniformity)
+    def hashes(g: org.apache.spark.sql.Column): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =
+      if (fastHash)
+        (pmod(xxhash64(g), lit(mBits)), pmod(xxhash64(lit(1), g), lit(mBits)))
+      else {
+        val mh = md5(g)
+        def w(off: Int) = conv(substring(mh, off, 8), 16, 10).cast("long") % mBits
+        (w(1), w(9))
+      }
+    val wordsDf = {
+      val (b1, b2) = hashes($"g")
+      benchGrams
+        .select(explode(array(b1, b2)).as("bit"))
+        .groupBy(expr("bit div 63").as("w"))
+        .agg(expr("bit_or(shiftleft(1L, CAST(bit % 63 AS INT)))").as("word"))
+    }
+    val probeBase = {
+      val (p1, p2) = hashes($"g")
+      grams5(documents(s, d).filter(pmod($"doc_id", lit(31)) =!= 0))
+        .withColumn("h1", p1)
+        .withColumn("h2", p2)
+    }
     val nWords = ((mBits + 62) / 63).toInt
     val probed =
       if (nWords <= LiteralProbeMaxWords && !forceJoinProbe) {
@@ -1454,9 +1480,9 @@ object PipelineQueries {
       // q_decontaminate: benchmark 5-grams fold into a Bloom bitmap (k = 2
       // md5-derived hashes over 63-bit words — DuckDB overflow-checks
       // 1 << 63, and the oracle must rebuild the identical bitmap; md5 is
-      // likewise the parity contract, not the fast choice: without a
-      // cross-engine oracle, codegen'd xxhash64 probes the same plan ~3-5×
-      // cheaper and the swap is one function name). The bitmap is sized by
+      // likewise the parity contract, not the fast choice: the
+      // `fastHash = true` xxhash64 path measures 1.42× end-to-end at sf1
+      // via graft.tools.BloomHashBench). The bitmap is sized by
       // the occupancy-adaptive policy and probed map-side via plan
       // literals (or broadcast word joins past the literal cap) — see
       // [[bloomDecontaminate]] for the policy, the saturation measurement

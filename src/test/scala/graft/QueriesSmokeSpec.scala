@@ -65,6 +65,15 @@ class QueriesSmokeSpec extends AnyFunSuite {
     val exactDefault = viaLiteral.filter($"exact_hit").select($"doc_id")
     val exactTiny = tiny.filter($"exact_hit").select($"doc_id")
     assert(exactDefault.exceptAll(exactTiny).isEmpty && exactTiny.exceptAll(exactDefault).isEmpty)
+    // the production xxhash64 path keeps the structural guarantees: exact
+    // hits are hash-independent and can never escape the bloom flag
+    val fast = graft.queries.PipelineQueries
+      .bloomDecontaminate(spark, sfDir, fastHash = true)
+    assert(fast.filter($"exact_hit" && !$"bloom_hit").isEmpty,
+      "fast-hash bloom produced a false negative")
+    val exactFast = fast.filter($"exact_hit").select($"doc_id")
+    assert(exactDefault.exceptAll(exactFast).isEmpty && exactFast.exceptAll(exactDefault).isEmpty,
+      "exact-hit rows must not depend on the probe hash")
     spark.catalog.clearCache()
   }
 
