@@ -1828,6 +1828,42 @@ object PipelineQueries {
              |FROM b LEFT JOIN r USING (bg)
              |WHERE doc_id % 31 != 0
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
+    "q_source_overlap" -> QueryDef(
+      // Cross-source duplication matrix — the provenance audit a dataset
+      // card publishes: for every source pair, how many word-set
+      // fingerprints (q_dedup_fuzzy's order/multiplicity-insensitive key)
+      // appear in BOTH sources, and how many docs each side contributes to
+      // the overlap. The self-join key is the fingerprint, whose per-key
+      // fan-out is bounded by the number of SOURCES (a handful), never by
+      // corpus size — so unlike a doc-level pair join this stays a
+      // data-proportional shuffle at 100 TB with a #sources²-bounded
+      // output. Integer-only result, hash-exact.
+      (s, d) => {
+        import s.implicits._
+        val fpSrc = documents(s, d)
+          .select(md5(array_join(array_sort(array_distinct(split($"text", " "))), " ")).as("fp"),
+            $"source")
+          .groupBy($"fp", $"source").agg(count(lit(1)).as("n_docs"))
+        fpSrc.as("a").join(fpSrc.as("b"),
+            col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+          .agg(count(lit(1)).as("n_shared_fps"),
+            sum(col("a.n_docs")).as("n_docs_a"),
+            sum(col("b.n_docs")).as("n_docs_b"))
+          .orderBy($"source_a", $"source_b")
+      },
+      Some("""WITH fs AS (
+             |  SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+             |    source, COUNT(*) AS n_docs
+             |  FROM documents GROUP BY 1, 2)
+             |SELECT a.source AS source_a, b.source AS source_b,
+             |  COUNT(*) AS n_shared_fps,
+             |  CAST(SUM(a.n_docs) AS BIGINT) AS n_docs_a,
+             |  CAST(SUM(b.n_docs) AS BIGINT) AS n_docs_b
+             |FROM fs a JOIN fs b ON a.fp = b.fp AND a.source < b.source
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     )
   )
 }
