@@ -222,11 +222,7 @@ object PipelineQueries {
       // the count materializes the persist
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nGrams = benchGrams.count()
-    val mBits = mBitsOverride.getOrElse {
-      var m = 1L << 16
-      while (m < 64L * nGrams && m < (1L << 32)) m <<= 1
-      m
-    }
+    val mBits = mBitsOverride.getOrElse(bloomPolicyBits(nGrams))
     // two probe hashes per gram: md5 hex words (oracle-reproducible) or
     // seeded xxhash64 (production; mBits is a power of two ≤ 2^32 so the
     // pmod keeps the same uniformity)
@@ -298,6 +294,43 @@ object PipelineQueries {
     * multi-MB array literals are where analysis/codegen plan size hurts.
     */
   private[graft] val LiteralProbeMaxWords: Int = (((1L << 20) + 62) / 63).toInt
+
+  /** The occupancy-adaptive bitmap sizing policy: ≥64 bits per benchmark
+    * gram (next power of two), floored at 2^16, capped at 2^32 — see
+    * [[bloomDecontaminate]] for the derivation and the saturation
+    * measurement that forced it.
+    */
+  private[graft] def bloomPolicyBits(nGrams: Long): Long = {
+    var m = 1L << 16
+    while (m < 64L * nGrams && m < (1L << 32)) m <<= 1
+    m
+  }
+
+  /** Collects the benchmark Bloom bitmap as a words array (md5 probe
+    * hashes, 63-bit words): the broadcast-sketch form the STREAMING
+    * decontamination filter bakes into its stateless plan. Unlike the
+    * batch probe there is no join fallback past [[LiteralProbeMaxWords]] —
+    * a stateless stream projection cannot probe via joins — so the literal
+    * grows with the policy (1 MB at sf1's 2^23 bits; past ~2^27 bits the
+    * production stream path is a broadcast-variable filter UDF, not a plan
+    * literal). Returns (mBits, words).
+    */
+  private[graft] def benchBloomWords(s: SparkSession, d: String): (Long, Array[Long]) = {
+    import s.implicits._
+    val benchGrams = grams5(documents(s, d).filter(pmod($"doc_id", lit(31)) === 0))
+      .select($"g").distinct()
+    val mBits = bloomPolicyBits(benchGrams.count())
+    def h(c: org.apache.spark.sql.Column, off: Int) =
+      conv(substring(c, off, 8), 16, 10).cast("long") % mBits
+    val words = Array.fill(((mBits + 62) / 63).toInt)(0L)
+    benchGrams
+      .withColumn("mh", md5($"g"))
+      .select(explode(array(h($"mh", 1), h($"mh", 9))).as("bit"))
+      .groupBy(expr("bit div 63").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, CAST(bit % 63 AS INT)))").as("word"))
+      .collect().foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    (mBits, words)
+  }
 
   val entries: Map[String, QueryDef] = Map(
     // ---------------------------------------------------------- dedup

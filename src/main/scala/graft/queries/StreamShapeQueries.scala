@@ -19,13 +19,13 @@ object StreamShapeQueries {
     * scale the source would already be a date-partitioned prefix). Shared
     * by every real-readStream query.
     */
-  private[queries] def streamSourceDir(d: String): String = {
-    val src = java.nio.file.Paths.get(d, "events.parquet").toAbsolutePath
+  private[queries] def streamSourceDir(d: String, table: String = "events"): String = {
+    val src = java.nio.file.Paths.get(d, s"$table.parquet").toAbsolutePath
     val dir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      "graft_stream_events" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      s"graft_stream_$table" + d.replaceAll("[^A-Za-z0-9]", "_"))
     java.nio.file.Files.createDirectories(dir)
-    val link = dir.resolve("events.parquet")
+    val link = dir.resolve(s"$table.parquet")
     // NOFOLLOW: a stale link to a vanished target must be replaced, and
     // plain exists() would follow it and report false. Both the delete and
     // the create race a concurrent JVM (e.g. Bench and Verify on the same
@@ -270,6 +270,85 @@ object StreamShapeQueries {
       Some("""SELECT user_id, event_type, CAST(1 AS BIGINT) AS n_emitted
              |FROM events GROUP BY user_id, event_type
              |ORDER BY user_id, event_type""".stripMargin)
+    ),
+
+    "q_stream_decontaminate" -> QueryDef(
+      // STREAM-SIDE decontamination: every incoming corpus doc is probed
+      // against the benchmark Bloom bitmap inside a STATELESS stream
+      // projection — `exists()` over the doc's 5-gram array with the
+      // bitmap baked as one plan literal. No state store, no watermark,
+      // no stream-static join: the ingest-firehose filter shape, where a
+      // constant-size sketch rides the plan and each doc is flagged the
+      // moment it arrives (the batch variant q_decontaminate_bloom is the
+      // backfill twin — same bitmap policy, same hashes, same flags).
+      // The oracle recomputes the sizing policy and bitmap in SQL, so
+      // construction, policy and probe are all hash-verified at every
+      // scale; false negatives remain structurally impossible.
+      (s, d) => {
+        import s.implicits._
+        val (mBits, words) = graft.queries.PipelineQueries.benchBloomWords(s, d)
+        val bm = typedlit(words.toIndexedSeq)
+        // dynamic 1L << (h % 63) as a 63-entry mask literal — the Scala DSL
+        // shiftleft only takes a literal shift, and a lambda-bound column
+        // can't ride an expr() string
+        val masks = typedlit((0 until 63).map(1L << _))
+        def bitTest(h: org.apache.spark.sql.Column) =
+          element_at(bm, (h / 63).cast("int") + 1)
+            .bitwiseAND(element_at(masks, (h % 63).cast("int") + 1)) =!= 0
+        def hw(g: org.apache.spark.sql.Column, off: Int) =
+          conv(substring(md5(g), off, 8), 16, 10).cast("long") % mBits
+        val name = "q_stream_decon_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        graft.streaming.StreamOps.withRightSizedStreaming(s, 4, noDataBatches = false) {
+          val flagged = graft.streaming.StreamOps
+            .readEventStream(s, streamSourceDir(d, "documents"))
+            .filter(pmod($"doc_id", lit(31)) =!= 0)
+            .select($"doc_id", split($"text", " ").as("tok"))
+            .filter(size($"tok") >= 5)
+            .withColumn("grams", expr(
+              "array_distinct(transform(sequence(0, size(tok)-5), " +
+                "i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2], tok[i+3], tok[i+4])))"))
+            .select($"doc_id", size($"grams").cast("long").as("n_grams"),
+              exists($"grams", g => bitTest(hw(g, 1)) && bitTest(hw(g, 9))).as("bloom_hit"))
+          val q = graft.streaming.StreamOps.runToMemory(flagged, name)
+          q.awaitTermination()
+        }
+        val out = s.table(name).orderBy($"doc_id").localCheckpoint()
+        s.catalog.dropTempView(name)
+        out
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+             |g AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(range(0, len(tok)-4),
+             |    i -> array_to_string(tok[i+1:i+5], ' ')))) AS g
+             |  FROM t WHERE len(tok) >= 5),
+             |bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 31 = 0),
+             |p AS (
+             |  SELECT CASE WHEN 64 * COUNT(*) <= 65536 THEN 65536::BIGINT
+             |              WHEN CEIL(LOG2(64.0 * COUNT(*))) >= 32 THEN (1::BIGINT << 32)
+             |              ELSE (1::BIGINT << CAST(CEIL(LOG2(64.0 * COUNT(*))) AS INT)) END AS mbits
+             |  FROM bg),
+             |bits AS (
+             |  SELECT unnest([('0x' || substring(md5(g), 1, 8))::BIGINT % (SELECT mbits FROM p),
+             |                 ('0x' || substring(md5(g), 9, 8))::BIGINT % (SELECT mbits FROM p)]) AS bit
+             |  FROM bg),
+             |words AS (
+             |  SELECT bit // 63 AS w, bit_or(1::BIGINT << CAST(bit % 63 AS INT)) AS word
+             |  FROM bits GROUP BY 1),
+             |probe AS (
+             |  SELECT doc_id, g,
+             |    ('0x' || substring(md5(g), 1, 8))::BIGINT % (SELECT mbits FROM p) AS h1,
+             |    ('0x' || substring(md5(g), 9, 8))::BIGINT % (SELECT mbits FROM p) AS h2
+             |  FROM g WHERE doc_id % 31 != 0),
+             |f AS (
+             |  SELECT p.doc_id,
+             |    COALESCE(w1.word, 0) & (1::BIGINT << CAST(p.h1 % 63 AS INT)) != 0 AND
+             |    COALESCE(w2.word, 0) & (1::BIGINT << CAST(p.h2 % 63 AS INT)) != 0 AS hit
+             |  FROM probe p
+             |  LEFT JOIN words w1 ON p.h1 // 63 = w1.w
+             |  LEFT JOIN words w2 ON p.h2 // 63 = w2.w)
+             |SELECT doc_id, COUNT(*) AS n_grams, BOOL_OR(hit) AS bloom_hit
+             |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     )
   )
 }

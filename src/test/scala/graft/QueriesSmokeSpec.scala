@@ -74,6 +74,13 @@ class QueriesSmokeSpec extends AnyFunSuite {
     val exactFast = fast.filter($"exact_hit").select($"doc_id")
     assert(exactDefault.exceptAll(exactFast).isEmpty && exactFast.exceptAll(exactDefault).isEmpty,
       "exact-hit rows must not depend on the probe hash")
+    // the stateless STREAMING probe shares bitmap policy + hashes with the
+    // batch query, so their bloom_hit doc sets must be identical
+    val streamHits = SparkEntry.queries("q_stream_decontaminate")(spark, sfDir)
+      .filter($"bloom_hit").select($"doc_id").as[Long].collect().toSet
+    val batchHits = viaLiteral.filter($"bloom_hit").select($"doc_id").as[Long].collect().toSet
+    assert(streamHits == batchHits,
+      s"stream/batch bloom flags diverge: only-stream=${streamHits -- batchHits} only-batch=${batchHits -- streamHits}")
     spark.catalog.clearCache()
   }
 
