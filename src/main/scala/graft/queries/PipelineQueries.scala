@@ -1897,6 +1897,42 @@ object PipelineQueries {
              |  CAST(SUM(b.n_docs) AS BIGINT) AS n_docs_b
              |FROM fs a JOIN fs b ON a.fp = b.fp AND a.source < b.source
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
+    "q_split_assign" -> QueryDef(
+      // Deterministic train/val/test split assignment + stratification
+      // audit: each doc hashes to a bucket in [0,100) via md5(doc_id) —
+      // content-independent, so re-running over a grown corpus never
+      // reassigns an existing doc (the property that keeps eval sets
+      // frozen across releases) — with buckets 0 → val, 1 → test,
+      // rest → train (~98/1/1). Output is the per-(source, split) audit
+      // table a release publishes: map-only assignment, one bounded-key
+      // aggregate, integer-only columns.
+      (s, d) => {
+        import s.implicits._
+        documents(s, d)
+          .withColumn("bucket",
+            conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+              .cast("long") % 100)
+          .withColumn("split",
+            when($"bucket" === 0, lit("val"))
+              .when($"bucket" === 1, lit("test"))
+              .otherwise(lit("train")))
+          .groupBy($"source", $"split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split($"text", " ")).cast("long")).as("n_tokens"),
+            min($"doc_id").as("first_doc"))
+          .orderBy($"source", $"split")
+      },
+      Some("""WITH a AS (
+             |  SELECT source,
+             |    CASE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+             |      WHEN 0 THEN 'val' WHEN 1 THEN 'test' ELSE 'train' END AS split,
+             |    doc_id, len(string_split(text, ' ')) AS n_tok
+             |  FROM documents)
+             |SELECT source, split, COUNT(*) AS n_docs,
+             |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens, MIN(doc_id) AS first_doc
+             |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     )
   )
 }
