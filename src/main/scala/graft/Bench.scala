@@ -85,7 +85,9 @@ object Bench {
       "q_agg_hash", "q_join_multiway", "q_join_theta_range", "q_cdc_apply_scale",
       "q_dedup_minhash_lsh", "q_dedup_ngram_jaccard", "q_dedup_clusters",
       "q_dedup_embedding", "q_similarity_ann_lsh", "q_similarity_ann_ivf",
-      "q_stream_stateful", "q_text_tfidf", "q_window_rank", "q_multimodal_features")
+      "q_stream_stateful", "q_text_tfidf", "q_window_rank", "q_multimodal_features",
+      "q_decontaminate_bloom", "q_dedup_substring", "q_stream_decontaminate",
+      "q_knn_graph")
     val headlineResults = results.toSeq.filter(kv => headline.contains(kv._1))
     val compactJson =
       s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","n_queries":${results.size},""" +
