@@ -1933,6 +1933,158 @@ object PipelineQueries {
              |SELECT source, split, COUNT(*) AS n_docs,
              |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens, MIN(doc_id) AS first_doc
              |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
+    "q_mix_weights" -> QueryDef(
+      // Data-mixture reweighting — the per-domain sampling weights a
+      // training run derives before drawing batches (the uniform-target
+      // initialization DoReMi and "balanced mixture" ablations start
+      // from): actual token share per source vs the uniform target,
+      // weight = target/actual, epochs = ceil(weight) (how many passes of
+      // an undersized domain the sampler needs), oversample flag for
+      // sources that would repeat. Every ratio is EXACT integer division
+      // in ppm — no float ever enters the result, so the hash compare is
+      // exact by construction. Scale shape: one bounded-key (#sources)
+      // partial aggregate; the one-row totals collect to the driver and
+      // bake into the final projection as literals (the tf-idf scalar
+      // pattern) — the corpus never shuffles and nothing joins. At 100 TB
+      // the 1e6 * total_tokens product
+      // approaches int64 range (~2e13 tokens × 1e6), so the production
+      // variant lifts the three products to DECIMAL(38,0) — same plan,
+      // same exact-integer semantics.
+      (s, d) => {
+        import s.implicits._
+        val perSrc = documents(s, d)
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split($"text", " ")).cast("long")).as("n_tokens"))
+        // the totals are ONE row of exact longs — collect and bake as plan
+        // literals (the suite's tf-idf corpus-count pattern) instead of
+        // joining: the final pass stays a pure bounded-key aggregate with
+        // no join of any shape
+        perSrc.persist()
+        val tot = perSrc.agg(sum($"n_tokens"), count(lit(1))).head
+        val totalTokens = tot.getLong(0)
+        val nSources = tot.getLong(1)
+        perSrc
+          .withColumn("share_ppm",
+            expr(s"(1000000L * n_tokens) DIV ${totalTokens}L"))
+          .withColumn("weight_ppm",
+            expr(s"(1000000L * ${totalTokens}L) DIV (${nSources}L * n_tokens)"))
+          .withColumn("epochs", expr("(weight_ppm + 999999L) DIV 1000000L"))
+          .withColumn("oversample_flag", $"weight_ppm" > 1000000L)
+          .select($"source", $"n_docs", $"n_tokens", $"share_ppm",
+            $"weight_ppm", $"epochs", $"oversample_flag")
+          .orderBy($"source")
+      },
+      Some("""WITH s AS (
+             |  SELECT source, COUNT(*) AS n_docs,
+             |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY source),
+             |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             |  COUNT(*) AS n_sources FROM s),
+             |w AS (
+             |  SELECT source, n_docs, n_tokens,
+             |    CAST((1000000 * n_tokens) // total_tokens AS BIGINT) AS share_ppm,
+             |    CAST((1000000 * total_tokens) // (n_sources * n_tokens) AS BIGINT) AS weight_ppm
+             |  FROM s, t)
+             |SELECT source, n_docs, n_tokens, share_ppm, weight_ppm,
+             |  CAST((weight_ppm + 999999) // 1000000 AS BIGINT) AS epochs,
+             |  weight_ppm > 1000000 AS oversample_flag
+             |FROM w ORDER BY source""".stripMargin)
+    ),
+
+    "q_label_cohesion" -> QueryDef(
+      // Embedding-space label audit — the mislabel/outlier sweep a
+      // labeled-data release runs (cleanlab-style, by nearest-centroid):
+      // per-label centroid directions, then every vector's cosine to its
+      // own centroid vs the best OTHER centroid; best-other ≥ own flags a
+      // suspected mislabel. Determinism discipline: components quantize
+      // to scaled integers via floor(x*1e6 + 0.5) (identical IEEE double
+      // steps in both engines — no round() semantics in play), and the
+      // centroid is the per-label integer SUM vector, exact and
+      // order-independent with no division anywhere (cosine is scale-
+      // invariant, so sum ≡ mean as a direction). The only floats are the
+      // final cosines, computed by the same left-to-right fold as the
+      // oracle and rounded to 4 dp like q_knn_graph. Scale shape: the
+      // centroid aggregate is bounded by #labels × 64 dims and partial-
+      // aggregates map-side; the collected centroids bake into the scoring
+      // pass as plan literals (the IvfKMeans pattern), so scoring is pure
+      // map — no join, no fan-out rows, the corpus never shuffles. At
+      // 100 TB the int64 component sums hold to ~9e12 vectors per label
+      // (|x| ≤ ~1 → ~1e6/component); beyond that, DECIMAL(38,0) partials.
+      (s, d) => {
+        import s.implicits._
+        val eq = embeddings(s, d)
+          .select($"vec_id", $"label",
+            expr("transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000 + 0.5))")
+              .as("vq"))
+        eq.persist()
+        // centroid sums are bounded (#labels × 64 dims): collect, sort by
+        // label, and bake as plan literals — the IvfKMeans centroid
+        // pattern. Scoring then needs no join at all: one map-side pass
+        // computes all #labels cosines per row and reduces own/best-other
+        // inside the row.
+        val centRows = eq
+          .select($"label", posexplode($"vq").as(Seq("pos", "x")))
+          .groupBy($"label", $"pos").agg(sum($"x").as("sx"))
+          .groupBy($"label")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, sx))), p -> CAST(p.sx AS DOUBLE))")
+            .as("cv"))
+          .orderBy($"label")
+          .collect()
+        val centLit = array(centRows.map { r =>
+          struct(lit(r.getInt(0)).as("l"),
+            array(r.getSeq[Double](1).map(lit): _*).as("cv"))
+        }: _*)
+        // + 0.0 normalizes the -0.0 a tiny negative cosine rounds to in
+        // IEEE engines (DuckDB) but not BigDecimal ones (Spark)
+        val sims = transform(centLit, c =>
+          struct(c.getField("l").as("l"),
+            (round(graft.functions.CosineSimilarity.cosineSim(s,
+              expr("transform(vq, x -> CAST(x AS DOUBLE))"), c.getField("cv")), 4) + lit(0.0))
+              .as("s")))
+        eq.withColumn("sims", sims)
+          .withColumn("own_sim4", expr("filter(sims, x -> x.l = label)[0].s"))
+          // strict > keeps the FIRST (lowest-label) entry on 4-dp ties —
+          // the same tiebreak the window formulation would use
+          .withColumn("best", expr(
+            "aggregate(filter(sims, x -> x.l != label), " +
+              "struct(CAST(-2.0 AS DOUBLE) AS s, -1 AS l), " +
+              "(acc, x) -> IF(x.s > acc.s, struct(x.s AS s, x.l AS l), acc))"))
+          .select($"vec_id", $"own_sim4",
+            $"best.l".as("best_other_label"), $"best.s".as("best_other_sim4"))
+          .withColumn("mislabel_flag", $"best_other_sim4" >= $"own_sim4")
+          .orderBy($"vec_id")
+      },
+      Some("""WITH eq AS (
+             |  SELECT vec_id, label,
+             |    list_transform(embedding,
+             |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS vq
+             |  FROM embeddings),
+             |cs AS (
+             |  SELECT label, i, CAST(SUM(vq[i]) AS BIGINT) AS sx
+             |  FROM eq, range(1, 65) r(i) GROUP BY label, i),
+             |cent AS (
+             |  SELECT label AS c_label, list(CAST(sx AS DOUBLE) ORDER BY i) AS cv
+             |  FROM cs GROUP BY label),
+             |sc AS (
+             |  SELECT e.vec_id, e.label, c.c_label,
+             |    ROUND(list_sum(list_transform(range(1, 65), i -> CAST(e.vq[i] AS DOUBLE) * c.cv[i]))
+             |      / (sqrt(list_sum(list_transform(e.vq, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+             |         sqrt(list_sum(list_transform(c.cv, x -> x * x)))), 4) + 0.0 AS sim4
+             |  FROM eq e, cent c)
+             |SELECT vec_id, o.sim4 AS own_sim4, b.c_label AS best_other_label,
+             |  b.sim4 AS best_other_sim4, b.sim4 >= o.sim4 AS mislabel_flag
+             |FROM (SELECT vec_id, sim4 FROM sc WHERE label = c_label) o
+             |JOIN (
+             |  SELECT vec_id, c_label, sim4 FROM (
+             |    SELECT vec_id, c_label, sim4,
+             |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim4 DESC, c_label) AS rnk
+             |    FROM sc WHERE label <> c_label) t
+             |  WHERE rnk = 1) b
+             |USING (vec_id)
+             |ORDER BY vec_id""".stripMargin)
     )
   )
 }

@@ -205,4 +205,63 @@ class QueriesSmokeSpec extends AnyFunSuite {
     val local = CdcApply.runLocal(recs)
     assert(dist == local)
   }
+
+  test("mix weights match a driver-side exact-integer recompute; shares telescope") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_mix_weights")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    // independent path: per-doc token counts folded on the driver
+    val toks = graft.tables.Tables.documents(spark, sfDir)
+      .select($"source", split($"text", " "))
+      .as[(String, Seq[String])].collect()
+      .groupBy(_._1).view
+      .mapValues(ds => (ds.length.toLong, ds.map(_._2.length.toLong).sum)).toMap
+    val total = toks.values.map(_._2).sum
+    val nSrc = toks.size.toLong
+    rows.foreach { case (src, nDocs, nTok, share, weight, epochs, flag) =>
+      val (eDocs, eTok) = toks(src)
+      assert(nDocs == eDocs && nTok == eTok, src)
+      assert(share == 1000000L * eTok / total, src)
+      assert(weight == 1000000L * total / (nSrc * eTok), src)
+      assert(epochs == (weight + 999999L) / 1000000L, src)
+      assert(flag == (weight > 1000000L), src)
+    }
+    // floor loss only: the ppm shares sum to within n_sources of 1e6
+    val shareSum = rows.map(_._4).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - nSrc, shareSum)
+  }
+
+  test("label cohesion matches a driver-side centroid recompute row for row") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q_label_cohesion")(spark, sfDir)
+      .as[(Long, Double, Int, Double, Boolean)].collect().toSeq
+    assert(got.nonEmpty)
+    // independent path: quantize, sum centroids, and score entirely on the
+    // driver with the same left-to-right IEEE fold the Expression codegens
+    val eq = graft.tables.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label", $"embedding")
+      .as[(Long, Int, Seq[Float])].collect()
+      .map { case (id, l, v) =>
+        (id, l, v.map(x => math.floor(x.toDouble * 1000000 + 0.5)).toArray)
+      }
+    val cents: Seq[(Int, Array[Double])] = eq.groupBy(_._2).view.mapValues { vs =>
+      val s = new Array[Double](64)
+      vs.foreach(v => v._3.indices.foreach(i => s(i) += v._3(i)))
+      s
+    }.toSeq.sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < 64) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val r = dot / (math.sqrt(na) * math.sqrt(nb))
+      BigDecimal(r).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    }
+    val want = eq.map { case (id, l, v) =>
+      val sims = cents.map { case (cl, cv) => (cl, cos(v, cv)) }
+      val own = sims.find(_._1 == l).get._2
+      val (bl, bs) = sims.filter(_._1 != l).maxBy { case (cl, s) => (s, -cl) }
+      (id, own, bl, bs, bs >= own)
+    }.sortBy(_._1).toSeq
+    assert(got == want)
+  }
 }
