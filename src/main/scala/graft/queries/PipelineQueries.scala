@@ -1994,6 +1994,53 @@ object PipelineQueries {
              |FROM w ORDER BY source""".stripMargin)
     ),
 
+    "q_corpus_integrity" -> QueryDef(
+      // Referential-integrity / embedding-coverage audit — the release gate
+      // that catches a half-built vector index before anything downstream
+      // trusts it (at sf≥0.1 the corpus genuinely has docs without
+      // embeddings, so the check is live, not vacuous): per source, doc
+      // count, distinct-id count (dup-key detection), docs with and
+      // without a vector; vectors matching no document surface on a
+      // synthetic '~orphan_vecs' row (binary-collation '~' sorts it last
+      // in both engines). Scale shape: one equi-join on the id (the vector
+      // side carries ONLY the 8-byte id) + a bounded-key (#sources)
+      // aggregate; countDistinct shuffles keyed (source, doc_id) partials.
+      // Integer-only output, hash-exact.
+      (s, d) => {
+        import s.implicits._
+        val docs = documents(s, d).select($"doc_id", $"source")
+        val vecs = embeddings(s, d).select($"vec_id")
+        val j = docs.join(vecs, docs("doc_id") === vecs("vec_id"), "full_outer")
+        val perSrc = j.filter($"doc_id".isNotNull)
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct($"doc_id").as("n_unique_ids"),
+            sum(when($"vec_id".isNotNull, 1L).otherwise(0L)).as("n_with_vec"),
+            sum(when($"vec_id".isNull, 1L).otherwise(0L)).as("n_without_vec"))
+        val orphans = j.filter($"doc_id".isNull)
+          .agg(count(lit(1)).as("n_docs"))
+          .select(lit("~orphan_vecs").as("source"), $"n_docs",
+            lit(0L).as("n_unique_ids"), lit(0L).as("n_with_vec"),
+            lit(0L).as("n_without_vec"))
+        perSrc.unionByName(orphans).orderBy($"source")
+      },
+      Some("""WITH j AS (
+             |  SELECT d.doc_id, d.source, e.vec_id
+             |  FROM documents d FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id),
+             |p AS (
+             |  SELECT source, COUNT(*) AS n_docs,
+             |    COUNT(DISTINCT doc_id) AS n_unique_ids,
+             |    CAST(SUM(CASE WHEN vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_vec,
+             |    CAST(SUM(CASE WHEN vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_without_vec
+             |  FROM j WHERE doc_id IS NOT NULL GROUP BY source),
+             |o AS (
+             |  SELECT '~orphan_vecs' AS source, COUNT(*) AS n_docs,
+             |    CAST(0 AS BIGINT) AS n_unique_ids, CAST(0 AS BIGINT) AS n_with_vec,
+             |    CAST(0 AS BIGINT) AS n_without_vec
+             |  FROM j WHERE doc_id IS NULL)
+             |SELECT * FROM p UNION ALL SELECT * FROM o ORDER BY source""".stripMargin)
+    ),
+
     "q_label_cohesion" -> QueryDef(
       // Embedding-space label audit — the mislabel/outlier sweep a
       // labeled-data release runs (cleanlab-style, by nearest-centroid):
