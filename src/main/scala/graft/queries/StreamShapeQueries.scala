@@ -349,6 +349,115 @@ object StreamShapeQueries {
              |  LEFT JOIN words w2 ON p.h2 // 63 = w2.w)
              |SELECT doc_id, COUNT(*) AS n_grams, BOOL_OR(hit) AS bloom_hit
              |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
+    "q_stream_ingest_dedup" -> QueryDef(
+      // CONTINUOUS corpus ingestion with a durable fingerprint store — the
+      // production "absorb daily shards" loop run as a real multi-batch
+      // stream: each micro-batch dedups within itself (groupBy fingerprint,
+      // min doc_id — deterministic, unlike dropDuplicates), LEFT ANTI joins
+      // against corpus fingerprints ∪ the durable store (so a later shard
+      // never re-admits an earlier shard's doc), emits the survivors, and
+      // appends their fingerprints to the store. This is the reference's
+      // foreachBatch CDC-apply pattern (O6) pointed at corpus curation, and
+      // the streaming twin of q_dedup_incremental. The replay is forced to
+      // TWO ordered micro-batches (two shard files split by doc_id parity,
+      // modification times staggered, maxFilesPerTrigger=1) and asserted —
+      // cross-batch suppression is the behavior under test, so a
+      // single-batch replay must fail loudly, not silently pass. State is
+      // nothing but the fingerprint store (16-byte keys in parquet): no
+      // state store, no watermark; at 100 TB the store is bucketed by
+      // fingerprint so the per-batch anti-join co-locates, and per-batch
+      // cost is shard + matched store partitions — never the corpus.
+      (s, d) => {
+        import s.implicits._
+        def fpCol = md5(array_join(array_sort(array_distinct(split($"text", " "))), " "))
+        val corpusFps = documents(s, d)
+          .filter(pmod($"doc_id", lit(31)) === 0)
+          .select(fpCol.as("fp")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        corpusFps.count() // materialize once; every micro-batch reuses it
+        val runId = java.util.UUID.randomUUID().toString.replace("-", "")
+        val base = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), s"graft_ingest_$runId")
+        val srcDir = base.resolve("src")
+        val storeDir = base.resolve("store").toString
+        val outDir = base.resolve("out").toString
+        java.nio.file.Files.createDirectories(srcDir)
+        val newDocs = documents(s, d)
+          .filter(pmod($"doc_id", lit(31)) =!= 0).select($"doc_id", $"text")
+        (0 to 1).foreach { b =>
+          val stage = base.resolve(s"stage$b")
+          newDocs.filter(pmod($"doc_id", lit(2)) === b)
+            .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+          val listing = java.nio.file.Files.list(stage)
+          val part =
+            try listing.filter(p => p.getFileName.toString.startsWith("part-")
+              && p.getFileName.toString.endsWith(".parquet")).findFirst()
+              .orElseThrow(() => new IllegalStateException(s"no part file in $stage"))
+            finally listing.close()
+          val dst = srcDir.resolve(s"shard$b.parquet")
+          java.nio.file.Files.move(part, dst)
+          // staggered mtimes pin batch ORDER: the file source processes
+          // oldest-first, so shard0 is always micro-batch 0
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + b * 60000L))
+        }
+        val schema = s.read.parquet(srcDir.toString).schema
+        graft.streaming.StreamOps.withRightSizedStreaming(s, 4, noDataBatches = false) {
+          val stream = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+          val q = stream.writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+              val inBatch = batch.select(col("doc_id"), fpCol.as("fp"))
+                .groupBy(col("fp"))
+                .agg(min(col("doc_id")).as("doc_id"),
+                  count(lit(1)).as("n_dup_in_shard"))
+              val seen =
+                if (java.nio.file.Files.exists(java.nio.file.Paths.get(storeDir)))
+                  corpusFps.union(s.read.parquet(storeDir))
+                else corpusFps
+              // materialize BEFORE touching the store: the second write
+              // below must not re-plan the anti-join against a store this
+              // batch just appended to
+              val fresh = inBatch.join(seen, Seq("fp"), "left_anti")
+                .select(col("doc_id"), col("fp"), col("n_dup_in_shard"))
+                .localCheckpoint()
+              fresh.write.mode("append").parquet(outDir)
+              fresh.select(col("fp")).write.mode("append").parquet(storeDir)
+              ()
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .option("checkpointLocation",
+              s"${graft.streaming.StreamOps.fastCheckpointRoot}/ingest_$runId")
+            .start()
+          q.awaitTermination()
+          val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+          require(dataBatches == 2,
+            s"q_stream_ingest_dedup expects a 2-batch replay, saw $dataBatches")
+        }
+        val out = s.read.parquet(outDir).orderBy($"doc_id").localCheckpoint()
+        corpusFps.unpersist(blocking = false)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(base.toFile)
+        out
+      },
+      Some("""WITH nd AS (
+             |  SELECT doc_id, doc_id % 2 AS b,
+             |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+             |  FROM documents WHERE doc_id % 31 <> 0),
+             |corpus AS (
+             |  SELECT DISTINCT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+             |  FROM documents WHERE doc_id % 31 = 0),
+             |sh AS (SELECT fp, b, MIN(doc_id) AS doc_id,
+             |  COUNT(*) AS n_dup_in_shard FROM nd GROUP BY fp, b),
+             |fb AS (SELECT fp, MIN(b) AS mb FROM sh GROUP BY fp)
+             |SELECT s.doc_id, s.fp, s.n_dup_in_shard
+             |FROM sh s JOIN fb ON s.fp = fb.fp AND s.b = fb.mb
+             |WHERE s.fp NOT IN (SELECT fp FROM corpus)
+             |ORDER BY s.doc_id""".stripMargin)
     )
   )
 }

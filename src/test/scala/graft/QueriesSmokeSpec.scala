@@ -232,6 +232,40 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(shareSum <= 1000000L && shareSum > 1000000L - nSrc, shareSum)
   }
 
+  test("stream ingest dedup suppresses cross-batch and corpus fingerprints") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q_stream_ingest_dedup")(spark, sfDir)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    // batch-side ground truth: (doc_id, parity-batch, fingerprint)
+    val fpExpr = expr("md5(array_join(array_sort(array_distinct(split(text, ' '))), ' '))")
+    val nd = graft.tables.Tables.documents(spark, sfDir)
+      .filter(expr("doc_id % 31 != 0"))
+      .select($"doc_id", fpExpr.as("fp")).as[(Long, String)].collect()
+    val corpus = graft.tables.Tables.documents(spark, sfDir)
+      .filter(expr("doc_id % 31 = 0"))
+      .select(fpExpr).as[String].collect().toSet
+    val byFp = nd.groupBy(_._2)
+    // exactly one emission per surviving fingerprint, none from the corpus
+    assert(got.map(_._2).distinct.size == got.size)
+    assert(got.forall(r => !corpus.contains(r._2)))
+    // every cross-parity fingerprint must be live in this corpus (else the
+    // test is vacuous) and emit from batch 0 with that batch's min doc_id
+    val crossFps = byFp.filter { case (fp, ds) =>
+      !corpus.contains(fp) && ds.map(_._1 % 2).distinct.size == 2
+    }
+    assert(crossFps.nonEmpty, "corpus has no cross-batch duplicate to exercise")
+    crossFps.foreach { case (fp, ds) =>
+      val row = got.find(_._2 == fp).get
+      assert(row._1 % 2 == 0, s"$fp must emit from batch 0, got doc ${row._1}")
+      assert(row._1 == ds.filter(_._1 % 2 == 0).map(_._1).min, fp)
+      // in-shard dup count covers ONLY the emitting batch
+      assert(row._3 == ds.count(_._1 % 2 == 0), fp)
+    }
+    // completeness: one row for every non-corpus fingerprint
+    assert(got.size == byFp.keys.count(fp => !corpus.contains(fp)))
+  }
+
   test("label cohesion matches a driver-side centroid recompute row for row") {
     import spark.implicits._
     val got = SparkEntry.queries("q_label_cohesion")(spark, sfDir)
