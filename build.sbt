@@ -31,3 +31,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Extra forked-JVM flags for A/B experiments without editing this file
+// (e.g. SPARK_GRAFT_JAVA_OPTS="-XX:ReservedCodeCacheSize=1g").
+javaOptions ++= sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
+  .flatMap(_.split("\\s+").filter(_.nonEmpty))

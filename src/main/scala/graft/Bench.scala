@@ -38,12 +38,48 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
+      // finished streaming replays leave checkpoint state on tmpfs (= RAM)
+      // that nothing else reclaims until JVM exit
+      graft.streaming.StreamOps.purgeCheckpoints()
       System.gc()
+    }
+    // JIT/codegen telemetry (stderr, driver-invisible): 123 queries × 4
+    // executions of unique codegen'd plans stress the JVM code cache — when
+    // CodeHeap fills, the sweeper flushes hot nmethods and compute-heavy
+    // queries quietly run 5× slower (the BENCH_r04/r07 in-suite-vs-isolated
+    // pathology). These lines are the evidence trail for that failure mode.
+    def poolStats(): String = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(p => p.getName.contains("CodeHeap") || p.getName.contains("Metaspace"))
+        .map { p =>
+          val u = p.getUsage
+          val max = if (u.getMax > 0) s"${u.getMax / 1048576}M" else "?"
+          s"${p.getName.replace("CodeHeap '", "").replace("'", "").replace(" ", "_")}=${u.getUsed / 1048576}M/$max"
+        }.mkString(" ")
     }
     queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
       deepClean()
     }
+    System.err.println(s"[bench] after warmup: ${poolStats()}")
+    // Host-speed calibration: a pinned in-memory sort+agg (no I/O, no data-
+    // size dependence) emitted with every bench JSON, so cross-round
+    // comparisons are calibrated ratios (query_sec / calib_sec) instead of
+    // unverifiable "host drift" claims. Median of 3, measured after warmup
+    // under the same JVM state the trials see.
+    def calibrateOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 20000000L, 1L, 8)
+        .selectExpr("id % 9973 AS k", "id AS v")
+        .groupBy("k")
+        .agg(org.apache.spark.sql.functions.sum("v"),
+          org.apache.spark.sql.functions.avg("v"),
+          org.apache.spark.sql.functions.max("v"))
+        .orderBy("k").count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calib = Seq.fill(3)(calibrateOnce()).sorted.apply(1)
     // Median of `trials` runs per query: single-run times swing ±30% from GC /
     // scheduler noise in local mode; the median is stable run-to-run, so the
     // reported total tracks the engine, not the JVM's mood.
@@ -63,17 +99,21 @@ object Bench {
       deepClean()
       t
     }
+    var done = 0
     val results = queries.map { case (name, fn) =>
       val ts = Seq.fill(trials)(timeOnce(fn)).sorted
+      done += 1
+      if (done % 15 == 0) System.err.println(s"[bench] after $done queries: ${poolStats()}")
       name -> ts(ts.length / 2)
     }
+    System.err.println(s"[bench] after trials: ${poolStats()}")
     def toJson(rs: Seq[(String, Double)]): String =
       rs.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
         .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val fullJson =
-      s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","queries":${toJson(results.toSeq)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","calib_sec":${f"$calib%.4f"},"queries":${toJson(results.toSeq)},"sf":"$sfDir"}"""
     // The driver captures only a bounded tail of sbt's stdout and parses the
     // last JSON line it finds. The full per-query map (~90 entries, ~3 KB)
     // overflows that buffer and the line arrives truncated → parsed:null in
@@ -87,11 +127,15 @@ object Bench {
       "q_dedup_embedding", "q_similarity_ann_lsh", "q_similarity_ann_ivf",
       "q_stream_stateful", "q_text_tfidf", "q_window_rank", "q_multimodal_features",
       "q_decontaminate_bloom", "q_dedup_substring", "q_stream_decontaminate",
-      "q_knn_graph")
+      // pagerank + cluster_canonical: the two localCheckpoint-heavy queries
+      // the r4/r7 in-suite measurement pathology taxed — in the compact
+      // output so a recurrence is visible in the official number, not just
+      // the detail file
+      "q_knn_graph", "q_graph_pagerank", "q_cluster_canonical")
     val headlineResults = results.toSeq.filter(kv => headline.contains(kv._1))
     val compactJson =
       s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","n_queries":${results.size},""" +
-        s""""queries":${toJson(headlineResults)},"sf":"$sfDir","detail":"/tmp/bench.json"}"""
+        s""""calib_sec":${f"$calib%.4f"},"queries":${toJson(headlineResults)},"sf":"$sfDir","detail":"/tmp/bench.json"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/bench.json"), fullJson)
     println(fullJson)
     spark.stop()

@@ -320,6 +320,16 @@ object PipelineQueries {
     val benchGrams = grams5(documents(s, d).filter(pmod($"doc_id", lit(31)) === 0))
       .select($"g").distinct()
     val mBits = bloomPolicyBits(benchGrams.count())
+    // Fail-fast cap: the policy can size up to 2^32 bits (~68M longs,
+    // ~545 MB as one plan literal) but a stateless stream plan literal
+    // stops being viable far earlier. Past 2^27 bits (~2 MB literal /
+    // ~2^21 benchmark grams) the production stream path is a broadcast-
+    // variable filter UDF, not a plan literal — refuse loudly instead of
+    // OOMing the driver on collect.
+    require(mBits <= (1L << 27),
+      s"benchBloomWords: policy sized the bitmap at $mBits bits (> 2^27); " +
+        "a plan-literal bitmap this large would OOM the driver — use a " +
+        "broadcast-variable filter UDF for the stream probe at this scale")
     def h(c: org.apache.spark.sql.Column, off: Int) =
       conv(substring(c, off, 8), 16, 10).cast("long") % mBits
     val words = Array.fill(((mBits + 62) / 63).toInt)(0L)
@@ -613,8 +623,11 @@ object PipelineQueries {
           .select($"vec_id".as("q_id"), $"v".as("qv"))
         val scored = e.select($"vec_id".as("c_id"), $"v".as("cv"))
           .join(broadcast(q), $"q_id" =!= $"c_id")
+          // + 0.0 normalizes the -0.0 a tiny negative cosine rounds to in
+          // IEEE engines (DuckDB) but not BigDecimal ones (Spark) — invisible
+          // until a sparse bucket's best candidate lands in (-5e-5, 0)
           .withColumn("sim4",
-            round(graft.functions.CosineSimilarity.cosineSim(s, $"qv", $"cv"), 4))
+            round(graft.functions.CosineSimilarity.cosineSim(s, $"qv", $"cv"), 4) + lit(0.0))
         val w = Window.partitionBy($"q_id").orderBy($"sim4".desc, $"c_id")
         scored.withColumn("rnk", row_number().over(w))
           .filter($"rnk" <= 5)
@@ -627,7 +640,7 @@ object PipelineQueries {
              |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
              |s AS (
              |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-             |    ROUND(list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 4) AS sim4
+             |    ROUND(list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 4) + 0.0 AS sim4
              |  FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
              |SELECT q_id, rnk, c_id, sim4 FROM (
              |  SELECT q_id, c_id, sim4,
@@ -653,8 +666,11 @@ object PipelineQueries {
         val scored = e.select($"vec_id".as("c_id"), $"v".as("cv"), $"bucket")
           .join(broadcast(q), Seq("bucket"))
           .filter($"q_id" =!= $"c_id")
+          // + 0.0 normalizes the -0.0 a tiny negative cosine rounds to in
+          // IEEE engines (DuckDB) but not BigDecimal ones (Spark) — invisible
+          // until a sparse bucket's best candidate lands in (-5e-5, 0)
           .withColumn("sim4",
-            round(graft.functions.CosineSimilarity.cosineSim(s, $"qv", $"cv"), 4))
+            round(graft.functions.CosineSimilarity.cosineSim(s, $"qv", $"cv"), 4) + lit(0.0))
         val w = Window.partitionBy($"q_id").orderBy($"sim4".desc, $"c_id")
         scored.withColumn("rnk", row_number().over(w))
           .filter($"rnk" <= 3)
@@ -674,7 +690,7 @@ object PipelineQueries {
               |n AS (SELECT vec_id, v, bucket, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM b),
               |s AS (
               |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-              |    ROUND(list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 4) AS sim4
+              |    ROUND(list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 4) + 0.0 AS sim4
               |  FROM n q JOIN n c ON q.bucket = c.bucket AND q.vec_id < 10 AND q.vec_id <> c.vec_id)
               |SELECT q_id, rnk, c_id, sim4 FROM (
               |  SELECT q_id, c_id, sim4,
@@ -709,8 +725,11 @@ object PipelineQueries {
         val scored = e.select($"vec_id".as("c_id"), $"v".as("cv"), $"bucket")
           .join(broadcast(q), Seq("bucket"))
           .filter($"q_id" =!= $"c_id")
+          // + 0.0 normalizes the -0.0 a tiny negative cosine rounds to in
+          // IEEE engines (DuckDB) but not BigDecimal ones (Spark) — invisible
+          // until a sparse bucket's best candidate lands in (-5e-5, 0)
           .withColumn("sim4",
-            round(graft.functions.CosineSimilarity.cosineSim(s, $"qv", $"cv"), 4))
+            round(graft.functions.CosineSimilarity.cosineSim(s, $"qv", $"cv"), 4) + lit(0.0))
         val w = Window.partitionBy($"q_id").orderBy($"sim4".desc, $"c_id")
         scored.withColumn("rnk", row_number().over(w))
           .filter($"rnk" <= 3)
@@ -735,7 +754,7 @@ object PipelineQueries {
               |n AS (SELECT vec_id, v, bucket, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM b),
               |s AS (
               |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-              |    ROUND(list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 4) AS sim4
+              |    ROUND(list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 4) + 0.0 AS sim4
               |  FROM n q JOIN n c ON q.bucket = c.bucket AND q.vec_id < 10 AND q.vec_id <> c.vec_id)
               |SELECT q_id, rnk, c_id, sim4 FROM (
               |  SELECT q_id, c_id, sim4,
@@ -781,8 +800,11 @@ object PipelineQueries {
         val scored = assigned
           .join(broadcast(probes), Seq("cell"))
           .filter($"q_id" =!= $"c_id")
+          // + 0.0 normalizes the -0.0 a tiny negative cosine rounds to in
+          // IEEE engines (DuckDB) but not BigDecimal ones (Spark) — invisible
+          // until a sparse bucket's best candidate lands in (-5e-5, 0)
           .withColumn("sim4",
-            round(graft.functions.CosineSimilarity.cosineSim(s, $"qv", $"cv"), 4))
+            round(graft.functions.CosineSimilarity.cosineSim(s, $"qv", $"cv"), 4) + lit(0.0))
         val w = Window.partitionBy($"q_id").orderBy($"sim4".desc, $"c_id")
         scored.withColumn("rnk", row_number().over(w))
           .filter($"rnk" <= 3)
@@ -809,7 +831,7 @@ object PipelineQueries {
              |probes AS (SELECT vec_id AS q_id, cid AS cell FROM asg WHERE vec_id < 10 AND rk <= 2),
              |s AS (
              |  SELECT p.q_id, ce.vec_id AS c_id,
-             |    ROUND(list_sum(list_transform(range(1, 65), i -> q.v[i] * cv.v[i])) / (q.nrm * cv.nrm), 4) AS sim4
+             |    ROUND(list_sum(list_transform(range(1, 65), i -> q.v[i] * cv.v[i])) / (q.nrm * cv.nrm), 4) + 0.0 AS sim4
              |  FROM probes p
              |  JOIN cells ce ON ce.cell = p.cell AND ce.vec_id <> p.q_id
              |  JOIN n cv ON cv.vec_id = ce.vec_id
@@ -1625,8 +1647,9 @@ object PipelineQueries {
         val scored = e.select($"vec_id", $"v", $"bucket")
           .join(e.select($"vec_id".as("nbr_id"), $"v".as("nv"), $"bucket"), Seq("bucket"))
           .filter($"vec_id" =!= $"nbr_id")
+          // + 0.0: -0.0 parity normalization, same as the sim4 queries above
           .withColumn("sim4",
-            round(graft.functions.CosineSimilarity.cosineSim(s, $"v", $"nv"), 4))
+            round(graft.functions.CosineSimilarity.cosineSim(s, $"v", $"nv"), 4) + lit(0.0))
         val w = Window.partitionBy($"vec_id").orderBy($"sim4".desc, $"nbr_id")
         scored.withColumn("rnk", row_number().over(w))
           .filter($"rnk" <= 2)
@@ -1646,7 +1669,7 @@ object PipelineQueries {
               |n AS (SELECT vec_id, v, bucket, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM b),
               |s AS (
               |  SELECT q.vec_id, c.vec_id AS nbr_id,
-              |    ROUND(list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 4) AS sim4
+              |    ROUND(list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 4) + 0.0 AS sim4
               |  FROM n q JOIN n c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
               |SELECT vec_id, rnk, nbr_id, sim4 FROM (
               |  SELECT vec_id, nbr_id, sim4,
@@ -2080,6 +2103,14 @@ object PipelineQueries {
             .as("cv"))
           .orderBy($"label")
           .collect()
+        // Degenerate label sets have no engine/oracle-consistent answer:
+        // with a single label (or a NULL label) the Spark fold would emit
+        // sentinel rows (best_other_label = -1, best_other_sim4 = -2.0)
+        // while the oracle's inner joins drop those rows entirely. Fail
+        // loudly instead of silently diverging from the oracle.
+        require(centRows.length >= 2 && centRows.forall(!_.isNullAt(0)),
+          s"q_label_cohesion needs >= 2 distinct non-null labels " +
+            s"(got ${centRows.length}${if (centRows.exists(_.isNullAt(0))) ", incl. NULL" else ""})")
         val centLit = array(centRows.map { r =>
           struct(lit(r.getInt(0)).as("l"),
             array(r.getSeq[Double](1).map(lit): _*).as("cv"))

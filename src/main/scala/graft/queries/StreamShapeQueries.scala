@@ -365,10 +365,19 @@ object StreamShapeQueries {
       // modification times staggered, maxFilesPerTrigger=1) and asserted —
       // cross-batch suppression is the behavior under test, so a
       // single-batch replay must fail loudly, not silently pass. State is
-      // nothing but the fingerprint store (16-byte keys in parquet): no
-      // state store, no watermark; at 100 TB the store is bucketed by
-      // fingerprint so the per-batch anti-join co-locates, and per-batch
-      // cost is shard + matched store partitions — never the corpus.
+      // nothing but the fingerprint store — a catalog table BUCKETED BY fp
+      // (so the per-batch anti-join co-locates on the store side: zero
+      // Exchange under the bucketed scan, gated in PlanQualitySpec) and
+      // partitioned by the batch id that wrote each row. foreachBatch is
+      // at-least-once, so both writes are retry-safe WITHOUT transactions:
+      // survivors OVERWRITE their own out/batch=<id> partition (idempotent),
+      // and the anti-join reads only store partitions with batch <
+      // currentBatchId — a half-complete earlier attempt of THIS batch may
+      // already have appended its fps, and without that filter the retry
+      // would suppress its own survivors and emit nothing. Store-side
+      // duplicate fps from such an attempt are harmless: the store is a
+      // set probed by anti-join. Per-batch cost is shard + pruned store
+      // partitions — never the corpus.
       (s, d) => {
         import s.implicits._
         def fpCol = md5(array_join(array_sort(array_distinct(split($"text", " "))), " "))
@@ -381,7 +390,7 @@ object StreamShapeQueries {
         val base = java.nio.file.Paths.get(
           System.getProperty("java.io.tmpdir"), s"graft_ingest_$runId")
         val srcDir = base.resolve("src")
-        val storeDir = base.resolve("store").toString
+        val storeTable = s"graft_fp_store_$runId"
         val outDir = base.resolve("out").toString
         java.nio.file.Files.createDirectories(srcDir)
         val newDocs = documents(s, d)
@@ -408,23 +417,32 @@ object StreamShapeQueries {
           val stream = s.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
           val q = stream.writeStream
-            .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
               val inBatch = batch.select(col("doc_id"), fpCol.as("fp"))
                 .groupBy(col("fp"))
                 .agg(min(col("doc_id")).as("doc_id"),
                   count(lit(1)).as("n_dup_in_shard"))
-              val seen =
-                if (java.nio.file.Files.exists(java.nio.file.Paths.get(storeDir)))
-                  corpusFps.union(s.read.parquet(storeDir))
-                else corpusFps
-              // materialize BEFORE touching the store: the second write
-              // below must not re-plan the anti-join against a store this
-              // batch just appended to
-              val fresh = inBatch.join(seen, Seq("fp"), "left_anti")
+              val noCorpus = inBatch.join(corpusFps, Seq("fp"), "left_anti")
+              // batch < batchId: retry safety (see header comment) — and
+              // partition pruning keeps a retried batch from even reading
+              // its own half-written store partition
+              val fresh = (if (s.catalog.tableExists(storeTable))
+                  noCorpus.join(
+                    s.table(storeTable).where(col("batch") < batchId)
+                      .select(col("fp")),
+                    Seq("fp"), "left_anti")
+                else noCorpus)
                 .select(col("doc_id"), col("fp"), col("n_dup_in_shard"))
+                // one materialization feeds both writes: the store append
+                // below must not trigger a re-plan of the anti-join
                 .localCheckpoint()
-              fresh.write.mode("append").parquet(outDir)
-              fresh.select(col("fp")).write.mode("append").parquet(storeDir)
+              // idempotent: a checkpoint-driven retry OVERWRITES its own
+              // partition instead of double-appending (foreachBatch is
+              // at-least-once)
+              fresh.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+              fresh.select(col("fp")).withColumn("batch", lit(batchId))
+                .write.partitionBy("batch").bucketBy(4, "fp").sortBy("fp")
+                .mode("append").format("parquet").saveAsTable(storeTable)
               ()
             }
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -436,7 +454,12 @@ object StreamShapeQueries {
           require(dataBatches == 2,
             s"q_stream_ingest_dedup expects a 2-batch replay, saw $dataBatches")
         }
-        val out = s.read.parquet(outDir).orderBy($"doc_id").localCheckpoint()
+        // partition discovery adds the batch column back; drop it so the
+        // output schema (and the oracle) stay batch-layout-independent
+        val out = s.read.parquet(outDir)
+          .select($"doc_id", $"fp", $"n_dup_in_shard")
+          .orderBy($"doc_id").localCheckpoint()
+        s.sql(s"DROP TABLE IF EXISTS $storeTable")
         corpusFps.unpersist(blocking = false)
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()

@@ -238,13 +238,24 @@ object StreamOps {
       else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     val p = base.resolve("graft_ckpt_p" + ProcessHandle.current().pid())
     java.nio.file.Files.createDirectories(p)
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(p.toFile)
-    }
+    sys.addShutdownHook { rmTree(p.toFile) }
     p.toString
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+  }
+
+  /** Delete every finished query's checkpoint under [[fastCheckpointRoot]].
+    * Safe whenever no stream is active: every checkpoint here belongs to a
+    * one-shot AvailableNow replay with a unique name that is never resumed.
+    * The bench harness calls this between queries — on tmpfs these dirs are
+    * RAM, and across a 123-query × 4-execution suite the leftover state
+    * snapshots otherwise accumulate for the whole run.
+    */
+  def purgeCheckpoints(): Unit = {
+    val root = java.nio.file.Paths.get(fastCheckpointRoot).toFile
+    Option(root.listFiles()).foreach(_.foreach(rmTree))
   }
 
   /** Run any streaming DataFrame to an in-memory table and wait until all

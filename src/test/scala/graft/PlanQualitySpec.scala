@@ -260,6 +260,47 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("ingest fingerprint store: bucketed-by-fp scan anti-joins with zero store-side Exchange") {
+    // The q_stream_ingest_dedup store contract at 100 TB: the per-batch
+    // anti-join must co-locate on the STORE side — the store is written
+    // bucketed by fp (partitioned by writer batch), so only the incoming
+    // shard shuffles, never the accumulated store. Gate reproduces the
+    // store layout (two appends → multiple files per bucket, exactly the
+    // state a real ingest run leaves) and asserts the executed anti-join
+    // carries exactly ONE Exchange — the probe side's.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    val tbl = "graft_fp_store_gate"
+    try {
+      // at real scale neither side broadcasts — force the shuffle shape
+      keys.foreach(conf.set(_, "-1"))
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      (0 to 1).foreach { b =>
+        spark.range(b * 500, b * 500 + 500)
+          .select(md5(col("id").cast("string")).as("fp"),
+            lit(b.toLong).as("batch"))
+          .write.partitionBy("batch").bucketBy(4, "fp").sortBy("fp")
+          .mode("append").format("parquet").saveAsTable(tbl)
+      }
+      val probe = spark.range(0, 200)
+        .select(md5((col("id") * 3).cast("string")).as("fp"))
+      val store = spark.table(tbl).where(col("batch") < 2L).select(col("fp"))
+      val fresh = probe.join(store, Seq("fp"), "left_anti")
+      val plan = finalSection(physical(fresh))
+      assert(plan.contains("LeftAnti"), plan)
+      val exchanges = "Exchange".r.findAllIn(plan.replace("ReusedExchange", "")).size
+      assert(exchanges == 1,
+        s"expected exactly the probe-side exchange (store co-located by bucketing):\n$plan")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      saved.foreach { case (k, Some(v)) => conf.set(k, v)
+                      case (k, None)    => conf.unset(k) }
+    }
+  }
+
   test("q_join_theta_range keeps the equi key as the join key (range as post-filter)") {
     val plan = physical(run("q_join_theta_range"))
     // joined on user_id (hash-partitionable); the ts band must not force NLJ
