@@ -39,8 +39,11 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       // finished streaming replays leave checkpoint state on tmpfs (= RAM)
-      // that nothing else reclaims until JVM exit
-      graft.streaming.StreamOps.purgeCheckpoints()
+      // that nothing else reclaims until JVM exit. The env guard exists only
+      // to A/B-attribute in-suite measurement regressions to this exact
+      // accumulation — never set it for an official run.
+      if (!sys.env.contains("SPARK_GRAFT_NO_CKPT_PURGE"))
+        graft.streaming.StreamOps.purgeCheckpoints()
       System.gc()
     }
     // JIT/codegen telemetry (stderr, driver-invisible): 123 queries × 4
@@ -56,7 +59,19 @@ object Bench {
           val u = p.getUsage
           val max = if (u.getMax > 0) s"${u.getMax / 1048576}M" else "?"
           s"${p.getName.replace("CodeHeap '", "").replace("'", "").replace(" ", "_")}=${u.getUsed / 1048576}M/$max"
-        }.mkString(" ")
+        }.mkString(" ") + s" ckpt_tmpfs=${ckptMb()}M"
+    }
+    // bytes currently parked under the streaming checkpoint root (tmpfs = RAM)
+    def ckptMb(): Long = {
+      val root = java.nio.file.Paths.get(graft.streaming.StreamOps.fastCheckpointRoot)
+      if (!java.nio.file.Files.isDirectory(root)) 0L
+      else {
+        val s = java.nio.file.Files.walk(root)
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(p => try java.nio.file.Files.size(p) catch { case _: Throwable => 0L })
+          .sum() / 1048576
+        finally s.close()
+      }
     }
     queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }

@@ -80,9 +80,10 @@ object PipelineQueries {
     * width, while weak 0.45-cosine pairs are only exhaustively enumerable
     * at small n. Beyond ~10⁶ vectors the single-long signature caps out;
     * the extension path is a multi-word signature (array<long> of plane
-    * blocks), not smaller buckets. The oracle pins the 4-bit semantics —
-    * its corpus (sf ≤ 0.1, n ≤ 4096) always takes the 4-bit branch, so the
-    * adaptive policy is invisible to correctness runs by construction.
+    * blocks), not smaller buckets. The oracle COMPUTES THE SAME POLICY in
+    * SQL (count-driven CTE, see [[embPairsCtes]]), so engine and oracle
+    * agree at every scale — the sf1 replay runs the 8-bit branch on both
+    * sides, with no N/A divergence point anywhere.
     *
     * `bandBits` pins the band width explicitly (4, 8, or 16), making the
     * adaptive policy an overridable DEFAULT rather than an implicit function
@@ -123,10 +124,13 @@ object PipelineQueries {
 
   /** Oracle-side CTE chain producing `scored (id_a, id_b, cos4)` — the SQL
     * twin of [[embeddingDupPairs]] (before the ≥ 0.45 threshold), shared by
-    * the pair-reporting and clustering oracles. Pins the 4-bit band width:
-    * every oracle corpus (sf ≤ 0.1 ⇒ n ≤ 4096 vectors) takes the 4-bit
-    * branch of the occupancy-adaptive policy, so this text IS the executed
-    * semantics wherever correctness is checked.
+    * the pair-reporting and clustering oracles. COMPUTES THE SAME
+    * occupancy-adaptive band-width policy as the engine (4/8/16 bits by
+    * corpus count, in the `pol` CTE) — the bloomPolicyBits pattern: because
+    * the policy is pure arithmetic on a COUNT, oracle and engine agree at
+    * EVERY scale, with no pinned-constant divergence point. (The pinned
+    * 4-bit oracle this replaces was itself quadratic past sf0.1 — DuckDB
+    * exceeded 110 GB on the sf1 candidate set the adaptive widths avoid.)
     */
   private val embPairsCtes: String =
     s"""e AS (
@@ -139,9 +143,16 @@ object PipelineQueries {
        |                              + ([${PipelineQueries.lshB.mkString(",")}]::BIGINT[])[p + 1]) % 1009 - 504 AS DOUBLE))) > 0
        |           THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS sig16
        |  FROM e),
+       |pol AS (
+       |  SELECT CASE WHEN COUNT(*) <= 4096 THEN 4
+       |              WHEN COUNT(*) <= 65536 THEN 8
+       |              ELSE 16 END AS bits
+       |  FROM e),
        |bands AS (
-       |  SELECT vec_id, v, t.b AS band, (sig16 >> (t.b * 4)) % 16 AS bkey
-       |  FROM b, (SELECT unnest(range(0, 4)) AS b) t),
+       |  SELECT vec_id, v, t.b AS band,
+       |    (sig16 >> (t.b * (SELECT bits FROM pol))) % (1 << (SELECT bits FROM pol)) AS bkey
+       |  FROM b, (SELECT unnest(range(0, 4)) AS b) t
+       |  WHERE t.b < 16 // (SELECT bits FROM pol)),
        |cand AS (
        |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
        |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id),
@@ -1632,9 +1643,9 @@ object PipelineQueries {
       // stage distributes. Because candidate pairs grow as Σ occupancy²,
       // the bucket width is occupancy-adaptive like embeddingDupPairs:
       // 8 bits up to 2^16 vectors, the full 16-bit signature beyond —
-      // the oracle corpus (n ≤ 4096) always takes the 8-bit branch, so
-      // the policy is invisible to correctness runs by construction; past
-      // ~10^6 vectors the extension is a wider multi-word signature.
+      // and the oracle computes the SAME count-driven policy in SQL (pol
+      // CTE), so engine and oracle agree at every scale; past ~10^6
+      // vectors the extension is a wider multi-word signature.
       (s, d) => {
         import s.implicits._
         val eraw = embeddings(s, d)
@@ -1660,13 +1671,15 @@ object PipelineQueries {
               |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
               |b AS (
               |  SELECT vec_id, v,
-              |    CAST(list_sum(list_transform(range(0, 8), p ->
+              |    CAST(list_sum(list_transform(range(0, 16), p ->
               |      CASE WHEN list_sum(list_transform(range(0, 64),
               |          i -> v[i + 1] * CAST((([${PipelineQueries.lshA.mkString(",")}]::BIGINT[])[p + 1] * (i + 1)
               |                              + ([${PipelineQueries.lshB.mkString(",")}]::BIGINT[])[p + 1]) % 1009 - 504 AS DOUBLE))) > 0
-              |           THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS bucket
+              |           THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS sig16
               |  FROM e),
-              |n AS (SELECT vec_id, v, bucket, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM b),
+              |pol AS (SELECT CASE WHEN COUNT(*) <= 65536 THEN 8 ELSE 16 END AS bits FROM e),
+              |n AS (SELECT vec_id, v, sig16 % (1 << (SELECT bits FROM pol)) AS bucket,
+              |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM b),
               |s AS (
               |  SELECT q.vec_id, c.vec_id AS nbr_id,
               |    ROUND(list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 4) + 0.0 AS sim4
