@@ -24,7 +24,11 @@ import org.apache.spark.sql.functions._
   * parallelism (a default 128 MB single row group would serialize the
   * scan).
   *
-  * Usage: `runMain graft.tools.ScaleUp [srcDir] [dstDir] [factor]`.
+  * Usage: `runMain graft.tools.ScaleUp [srcDir] [dstDir] [factor] [maskSeed]`.
+  * Pass a non-zero maskSeed when re-scaling ScaleUp's own output (wide-
+  * branch corpora like sf4 = 4 × sf1); the shard stride is derived from
+  * the source's id span automatically so pass-composed id spaces stay
+  * disjoint.
   */
 object ScaleUp {
   /** id-bearing columns per table; offsetting keeps intra-shard joins exact */
@@ -41,7 +45,16 @@ object ScaleUp {
   val fixedDims: Seq[String] = Seq("region", "nation")
   val ShardOffset: Long = 10000000L
 
-  def scaleTable(spark: SparkSession, df: DataFrame, table: String, factor: Int): DataFrame = {
+  /** `stride` must clear the SOURCE's id span ([[strideFor]]): offsets
+    * compose additively across ScaleUp passes, so re-scaling with the
+    * default stride lands sub-shards (i,k) and (k,i) on the SAME ids —
+    * 80k rows / 26k distinct vec_ids in the first sf4 attempt. The driver
+    * corpora (ids < 10^7) keep the original stride, so single-pass output
+    * (sf1) is byte-stable. */
+  def scaleTable(spark: SparkSession, df: DataFrame, table: String, factor: Int,
+      maskSeed: Int = 0, stride: Long = ShardOffset): DataFrame = {
+    require(stride >= ShardOffset && stride % ShardOffset == 0,
+      s"stride must be a multiple of ShardOffset covering the source id span (got $stride)")
     // The document decorrelation has only 25 distinct non-identity alphabet
     // rotations: beyond 26 shards some shard PAIR would share a rotation and
     // its cross-shard near-dup pairs would reappear — the quadratic growth
@@ -50,7 +63,12 @@ object ScaleUp {
     require(factor >= 1 && factor <= 26,
       s"ScaleUp factor must be in [1, 26] (got $factor): only 25 distinct " +
         "alphabet rotations exist for cross-shard document decorrelation; " +
-        "scale further by re-running ScaleUp on its own output")
+        "scale further by re-running ScaleUp on its own output with a " +
+        "non-zero maskSeed (arg 4). Caveat: rotations COMPOSE additively, " +
+        "so past 26 total sub-shards some document sub-shard pairs " +
+        "necessarily share a rotation — document DISTINCT-gram counts grow " +
+        "sub-linearly from there (total gram volume still scales exactly); " +
+        "embedding decorrelation stays exact via the pass-distinct mask seed")
     if (fixedDims.contains(table)) df
     else {
       import spark.implicits._
@@ -58,7 +76,7 @@ object ScaleUp {
         broadcast(spark.range(factor.toLong).select($"id".as("__shard"))))
       val withIds = offsetCols(table)
         .foldLeft(copies)((acc, c) =>
-          acc.withColumn(c, col(c) + $"__shard" * ShardOffset))
+          acc.withColumn(c, col(c) + $"__shard" * stride))
       // Content decorrelation across shards — without it every document and
       // embedding would be content-identical to its 9 shard copies, turning
       // the corpus into a degenerate 90%-duplicate set whose near-dup pair
@@ -92,27 +110,57 @@ object ScaleUp {
               withIds.withColumn("text", chain.otherwise($"text"))
           }
         case "embeddings" =>
+          // maskSeed matters when RE-scaling ScaleUp output: composed flip
+          // masks are XORs, and with the same hash both passes, sub-shards
+          // (i,k) and (k,i) compose to the IDENTICAL mask — every shared
+          // base vector becomes an artificial cross-shard exact duplicate
+          // (2000 × 6 colliding pairs at factor 4×10 — enough to dominate
+          // the dedup-pair mass). A pass-distinct seed makes second-pass
+          // masks independent draws, so composed masks collide with
+          // probability ~2^-64 per dimension pattern instead.
           withIds.withColumn("embedding",
             when($"__shard" === 0, $"embedding").otherwise(
               zip_with($"embedding",
                 sequence(lit(0), size($"embedding") - 1),
-                (x, i) => when(pmod(hash(i, $"__shard"), lit(2)) === 0, x).otherwise(-x))))
+                (x, i) =>
+                  when(pmod(
+                    if (maskSeed == 0) hash(i, $"__shard")
+                    else hash(i, $"__shard", lit(maskSeed)), lit(2)) === 0, x)
+                    .otherwise(-x))))
         case "events" =>
-          // the source carries ns timestamps (read here as ns longs); write
-          // µs TIMESTAMP — exactly the truncation every reader
+          // the driver source carries ns timestamps (read here as ns longs);
+          // write µs TIMESTAMP — exactly the truncation every reader
           // (Tables.normalizeEventTs, the DuckDB oracle) applies anyway, and
-          // it lets oracle SQL run directly against the scaled corpus
-          withIds.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          // it lets oracle SQL run directly against the scaled corpus. A
+          // ScaleUp-produced source (re-scaling .localdata output, the
+          // sanctioned way past factor 26) is already µs TIMESTAMP — keep it.
+          if (withIds.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+            withIds.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          else withIds
         case _ => withIds
       }
       decorrelated.drop("__shard")
     }
   }
 
+  /** Smallest ShardOffset multiple strictly above every id the offset
+    * columns carry — the stride that keeps a further ScaleUp pass's id
+    * spaces disjoint from the source's. */
+  def strideFor(spark: SparkSession, src: String): Long = {
+    val maxId = offsetCols.toSeq.flatMap { case (t, cols) =>
+      val df = spark.read.parquet(s"$src/$t.parquet")
+      cols.map(c => df.agg(max(col(c).cast("long"))).head().getLong(0))
+    }.max
+    ShardOffset * (maxId / ShardOffset + 1)
+  }
+
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/root/repo/.localdata/sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    // Non-zero when RE-scaling ScaleUp output (see the embeddings branch);
+    // 0 keeps the original sf1 corpus byte-stable.
+    val maskSeed = args.lift(3).map(_.toInt).getOrElse(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -127,8 +175,14 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("WARN")
     val dstPath = java.nio.file.Paths.get(dst)
     java.nio.file.Files.createDirectories(dstPath)
+    // One stride for ALL tables (cross-table joins must offset in lockstep),
+    // derived from the source's actual id span: ShardOffset for the driver
+    // corpora (sf1 output stays byte-stable), 10 × ShardOffset when
+    // re-scaling sf1, and so on.
+    val stride = strideFor(spark, src)
+    println(s"[scaleup] stride=$stride (source id span)")
     (fixedDims ++ offsetCols.keys.toSeq.sorted).foreach { t =>
-      val out = scaleTable(spark, spark.read.parquet(s"$src/$t.parquet"), t, factor)
+      val out = scaleTable(spark, spark.read.parquet(s"$src/$t.parquet"), t, factor, maskSeed, stride)
       val tmp = dstPath.resolve(s"__tmp_$t")
       out.coalesce(1).write.mode("overwrite")
         .option("parquet.block.size", (8 * 1024 * 1024).toString)

@@ -87,4 +87,41 @@ class ScaleUpSpec extends AnyFunSuite {
     // the same vector in different shards is decorrelated (not near-dup)
     assert(cos(out(1L), out(ScaleUp.ShardOffset + 1L)) < 0.9)
   }
+
+  test("re-scaling composes safely: stride keeps ids disjoint, mask seed kills symmetric dups") {
+    import spark.implicits._
+    // Two traps pinned by sf4's first (invalid) generation:
+    //  1. offsets compose ADDITIVELY, so a second pass at the default
+    //     stride lands sub-shards (i,k) and (k,i) on the SAME ids
+    //     (80k rows / 26k distinct vec_ids);
+    //  2. flip masks compose by XOR, so with the same hash both passes,
+    //     (i,k) and (k,i) get IDENTICAL masks — artificial cross-shard
+    //     exact-duplicate vectors.
+    // The fix: a second-pass stride covering the first pass's id span,
+    // and a pass-distinct mask seed.
+    val v = Array.tabulate(8)(i => math.sin(i + 1).toFloat)
+    val src = Seq((1L, v, 0)).toDF("vec_id", "embedding", "label")
+    val so = ScaleUp.ShardOffset
+    def rescale(seed: Int, stride2: Long) = {
+      val pass1 = ScaleUp.scaleTable(spark, src, "embeddings", 3)
+      ScaleUp.scaleTable(spark, pass1, "embeddings", 3, maskSeed = seed, stride = stride2)
+        .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    }
+    // default stride: (i=1,k=2) and (i=2,k=1) both offset by 3 × so — collision
+    val naive = rescale(0, so)
+    assert(naive.length == 9 && naive.map(_._1).distinct.length < 9,
+      "expected the documented id collision at default stride")
+    // stride covering pass1's span (3 shards): 9 disjoint id spaces
+    val strided = rescale(7, 3 * so).toMap
+    assert(strided.size == 9, "stride must keep all composed id spaces disjoint")
+    // and NO composed sub-shard pair shares a flip mask (no exact-dup content)
+    val distinctContents = strided.values.map(_.toSeq).toSet
+    assert(distinctContents.size == 9,
+      "pass-distinct mask seed must make all composed masks distinct")
+    // seed 0 at the safe stride still exhibits the XOR-symmetry dup —
+    // the trap the seed exists for (and why seed 0 is reserved for pass 1)
+    val unseeded = rescale(0, 3 * so).toMap
+    assert(unseeded.values.map(_.toSeq).toSet.size < 9,
+      "without the seed, symmetric sub-shards must collide in content (trap documentation)")
+  }
 }
