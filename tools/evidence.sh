@@ -62,11 +62,13 @@ SPARK_GRAFT_CPUS="$CPUS" sbt -batch "runMain graft.Verify $PWD/.localdata/sf1 $O
   2>&1 | tee "$OUT/verify_sf1.log" | grep -E "\[verify\]|error" || true
 ! grep -q "\[verify\].*failed" "$OUT/verify_sf1.log"
 # Per-query with timeouts: a few oracles (recursive CC closure, minhash
-# verify) legitimately need minutes in DuckDB at sf1; anything past the
-# timeout is reported, not silently dropped.
+# verify) legitimately need minutes in DuckDB at sf1 — the adaptive-band
+# CC oracles measured 9-14 min in round 8, hence the 1500 s default;
+# anything past the timeout is reported, not silently dropped.
+SF1_TIMEOUT="${SF1_TIMEOUT:-1500}"
 : > "$OUT/selfcheck_sf1.log"
 for q in $(python3 -c "import json;print(' '.join(sorted(json.load(open('$OUT/verify_sf1/oracle_sql.json')))))"); do
-  if timeout 600 python3 tools/selfcheck.py "$PWD/.localdata/sf1" "$OUT/verify_sf1" "$q" \
+  if timeout "$SF1_TIMEOUT" python3 tools/selfcheck.py "$PWD/.localdata/sf1" "$OUT/verify_sf1" "$q" \
       | tail -1 >> "$OUT/selfcheck_sf1.log"; then :; else
     echo "== TIMEOUT/ERR $q" >> "$OUT/selfcheck_sf1.log"
   fi
