@@ -15,7 +15,8 @@ object SparkEntry {
   /** All declared queries, from every category module. */
   private def allDefs: Map[String, QueryDef] =
     RelationalQueries.entries ++ CdcQueries.entries ++
-      StreamShapeQueries.entries ++ PipelineQueries.entries
+      StreamShapeQueries.entries ++ PipelineQueries.entries ++
+      CorpusOpsQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

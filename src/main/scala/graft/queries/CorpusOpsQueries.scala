@@ -1,0 +1,242 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.tables.Tables._
+
+/** Corpus-curation operators a training-data release pipeline runs between
+  * raw ingest and tokenization: composite quality gating, batch-shape
+  * (padding-waste) audit, snapshot diffing, rarity scoring against the
+  * corpus unigram model, and tokenizer-training pair statistics.
+  *
+  * Determinism discipline (the cross-engine hash gate): every rule is
+  * integer arithmetic — ratio thresholds are expressed as cross-multiplied
+  * integer comparisons (`3·n ≤ sum_len` instead of `sum_len/n ≥ 3`), so no
+  * float ever decides a boolean. The only doubles emitted are 4-dp rounded
+  * ratios of exact int64s, always non-negative (no -0.0 normalization
+  * needed, unlike the cosine queries).
+  *
+  * Scale shapes (100 TB):
+  * - quality gate / length buckets: map-side per-doc rules + a bounded-key
+  *   groupBy (20 sources / ≤7 buckets) — partial-aggregated, no data shuffle.
+  * - snapshot diff: full-outer equi-join on the PK; at scale both snapshots
+  *   are bucketed by doc_id so the diff co-locates with zero exchange.
+  * - token rarity: the two-pass unigram-LM shape — vocab counts (bounded by
+  *   true vocabulary, not corpus size) then an equi-join of exploded tokens
+  *   against it; AQE broadcasts the vocab side while it fits.
+  * - BPE pairs: pair stats are computed over DISTINCT words weighted by
+  *   word frequency — the classic tokenizer-training optimization: the char
+  *   fan-out is vocabulary-bounded, not corpus-bounded.
+  */
+object CorpusOpsQueries {
+
+  val entries: Map[String, QueryDef] = Map(
+
+    "q_quality_gopher" -> QueryDef(
+      // Gopher-style composite quality rules (Rae et al. 2021 §A1.1 shape):
+      // word-count bounds, mean-word-length bounds, single-token dominance
+      // (repetition), and minimum distinct-stopword presence — reported as a
+      // per-source rule-failure profile, the dataset-card table a curation
+      // run publishes before deciding per-source filtering.
+      (s, d) => {
+        import s.implicits._
+        val rules = documents(s, d)
+          .select($"doc_id", $"source", split($"text", " ").as("tok"))
+          .withColumn("n_tokens", size($"tok").cast("long"))
+          .withColumn("sum_len", expr("aggregate(tok, 0L, (a, x) -> a + length(x))"))
+          .withColumn("top_cnt", expr(
+            "CAST(array_max(transform(array_distinct(tok), t -> size(filter(tok, x -> x = t)))) AS BIGINT)"))
+          .withColumn("n_stop", expr(
+            "size(filter(array('the','a','of','and','to','in'), w -> array_contains(tok, w)))"))
+          // integer cross-multiplication: no float decides a rule
+          .withColumn("f_wordcount", !$"n_tokens".between(40L, 100000L))
+          .withColumn("f_wordlen",
+            $"sum_len" < $"n_tokens" * 3L || $"sum_len" > $"n_tokens" * 10L)
+          .withColumn("f_repetition", $"top_cnt" * 5L > $"n_tokens")
+          .withColumn("f_stopword", $"n_stop" < 2)
+        rules.groupBy($"source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when($"f_wordcount", 1L).otherwise(0L)).as("n_fail_wordcount"),
+            sum(when($"f_wordlen", 1L).otherwise(0L)).as("n_fail_wordlen"),
+            sum(when($"f_repetition", 1L).otherwise(0L)).as("n_fail_repetition"),
+            sum(when($"f_stopword", 1L).otherwise(0L)).as("n_fail_stopword"),
+            sum(when(!$"f_wordcount" && !$"f_wordlen" && !$"f_repetition" && !$"f_stopword",
+              1L).otherwise(0L)).as("n_pass"))
+          .orderBy($"source")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, source, string_split(text, ' ') AS tok FROM documents),
+             |r AS (
+             |  SELECT source,
+             |    CAST(len(tok) AS BIGINT) AS n_tokens,
+             |    CAST(list_sum(list_transform(tok, x -> len(x))) AS BIGINT) AS sum_len,
+             |    CAST(list_max(list_transform(list_distinct(tok), w -> len(list_filter(tok, x -> x = w)))) AS BIGINT) AS top_cnt,
+             |    len(list_filter(['the','a','of','and','to','in'], w -> list_contains(tok, w))) AS n_stop
+             |  FROM t),
+             |f AS (
+             |  SELECT source,
+             |    NOT (n_tokens BETWEEN 40 AND 100000) AS f_wordcount,
+             |    (sum_len < n_tokens * 3 OR sum_len > n_tokens * 10) AS f_wordlen,
+             |    top_cnt * 5 > n_tokens AS f_repetition,
+             |    n_stop < 2 AS f_stopword
+             |  FROM r)
+             |SELECT source, COUNT(*) AS n_docs,
+             |  CAST(SUM(CASE WHEN f_wordcount THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_wordcount,
+             |  CAST(SUM(CASE WHEN f_wordlen THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_wordlen,
+             |  CAST(SUM(CASE WHEN f_repetition THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_repetition,
+             |  CAST(SUM(CASE WHEN f_stopword THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stopword,
+             |  CAST(SUM(CASE WHEN NOT f_wordcount AND NOT f_wordlen AND NOT f_repetition AND NOT f_stopword THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+             |FROM f GROUP BY source ORDER BY source""".stripMargin)
+    ),
+
+    "q_length_buckets" -> QueryDef(
+      // Sequence-length bucket histogram + padding-waste audit: docs are
+      // assigned to the power-of-two context bucket their token count needs,
+      // and each bucket reports how many pad tokens a fixed-shape training
+      // batch would burn. The bucket ladder is an explicit CASE (identical
+      // branch semantics in both engines — no float log2 at exact powers of
+      // two). waste_ratio4 is the ratio of two exact int64s.
+      (s, d) => {
+        import s.implicits._
+        documents(s, d)
+          .select(size(split($"text", " ")).cast("long").as("n_tokens"))
+          .withColumn("bucket",
+            when($"n_tokens" <= 16L, 16L).when($"n_tokens" <= 32L, 32L)
+              .when($"n_tokens" <= 64L, 64L).when($"n_tokens" <= 128L, 128L)
+              .when($"n_tokens" <= 256L, 256L).when($"n_tokens" <= 512L, 512L)
+              .otherwise(1024L))
+          .groupBy($"bucket")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum($"n_tokens").as("total_tokens"))
+          .withColumn("pad_tokens", $"bucket" * $"n_docs" - $"total_tokens")
+          .withColumn("waste_ratio4",
+            round($"pad_tokens".cast("double") / ($"bucket" * $"n_docs"), 4))
+          .orderBy($"bucket")
+      },
+      Some("""WITH t AS (
+             |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+             |b AS (
+             |  SELECT CASE WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32
+             |              WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128
+             |              WHEN n_tokens <= 256 THEN 256 WHEN n_tokens <= 512 THEN 512
+             |              ELSE 1024 END AS bucket,
+             |         n_tokens
+             |  FROM t),
+             |g AS (
+             |  SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_docs,
+             |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+             |  FROM b GROUP BY bucket)
+             |SELECT bucket, n_docs, total_tokens,
+             |  bucket * n_docs - total_tokens AS pad_tokens,
+             |  ROUND(CAST(bucket * n_docs - total_tokens AS DOUBLE) / (bucket * n_docs), 4) AS waste_ratio4
+             |FROM g ORDER BY bucket""".stripMargin)
+    ),
+
+    "q_corpus_diff" -> QueryDef(
+      // Dataset-versioning diff between two corpus snapshots: full-outer
+      // join on the PK, md5 content fingerprints decide changed vs
+      // unchanged, and the per-source added/removed/changed/unchanged
+      // counts are the release-notes table a dataset version bump ships.
+      // Snapshots are derived deterministically from the one documents
+      // table (A = even doc_ids, B = doc_ids % 3 = 0, with every 12th doc's
+      // text revised) so the oracle sees the identical inputs. At 100 TB
+      // both snapshots are bucketed by doc_id and the diff co-locates.
+      (s, d) => {
+        import s.implicits._
+        val docs = documents(s, d)
+        val snapA = docs.filter($"doc_id" % 2 === 0)
+          .select($"doc_id", $"source".as("source_a"), md5($"text").as("fp_a"))
+        val snapB = docs.filter($"doc_id" % 3 === 0)
+          .select($"doc_id", $"source".as("source_b"),
+            md5(when($"doc_id" % 12 === 0, upper($"text")).otherwise($"text")).as("fp_b"))
+        snapA.join(snapB, Seq("doc_id"), "full_outer")
+          .withColumn("status",
+            when($"fp_a".isNull, "added").when($"fp_b".isNull, "removed")
+              .when($"fp_a" =!= $"fp_b", "changed").otherwise("unchanged"))
+          .groupBy(coalesce($"source_a", $"source_b").as("source"), $"status")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy($"source", $"status")
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id, source AS source_a, md5(text) AS fp_a
+             |  FROM documents WHERE doc_id % 2 = 0),
+             |b AS (
+             |  SELECT doc_id, source AS source_b,
+             |    md5(CASE WHEN doc_id % 12 = 0 THEN upper(text) ELSE text END) AS fp_b
+             |  FROM documents WHERE doc_id % 3 = 0),
+             |j AS (
+             |  SELECT COALESCE(a.source_a, b.source_b) AS source,
+             |    CASE WHEN a.fp_a IS NULL THEN 'added'
+             |         WHEN b.fp_b IS NULL THEN 'removed'
+             |         WHEN a.fp_a <> b.fp_b THEN 'changed'
+             |         ELSE 'unchanged' END AS status
+             |  FROM a FULL OUTER JOIN b USING (doc_id))
+             |SELECT source, status, COUNT(*) AS n_docs
+             |FROM j GROUP BY source, status ORDER BY source, status""".stripMargin)
+    ),
+
+    "q_token_rarity" -> QueryDef(
+      // Per-doc rarity against the corpus unigram model — the
+      // perplexity-proxy scoring pass a quality-filter pipeline runs
+      // without a trained LM: pass 1 builds the vocabulary frequency table
+      // (bounded by true vocabulary, partial-aggregated), pass 2 joins each
+      // doc's tokens back against it. min_freq is the doc's rarest token;
+      // mean_freq4 its average token frequency — exact int64 sufficient
+      // statistics, one 4-dp division at the end.
+      (s, d) => {
+        import s.implicits._
+        val toks = documents(s, d)
+          .select($"doc_id", explode(split($"text", " ")).as("tok"))
+        val freq = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+        // vocab side is vocabulary-bounded, corpus-independent: AQE turns
+        // this into a broadcast join at runtime while it fits
+        toks.join(freq, Seq("tok"))
+          .groupBy($"doc_id")
+          .agg(
+            count(lit(1)).as("n_tokens"),
+            min($"cnt").as("min_freq"),
+            round(sum($"cnt").cast("double") / count(lit(1)), 4).as("mean_freq4"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |fr AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok)
+             |SELECT doc_id, COUNT(*) AS n_tokens, MIN(cnt) AS min_freq,
+             |  ROUND(CAST(SUM(cnt) AS DOUBLE) / COUNT(*), 4) AS mean_freq4
+             |FROM tk JOIN fr USING (tok)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
+    "q_bpe_pairs" -> QueryDef(
+      // The first BPE merge iteration (Sennrich et al. 2016 shape): count
+      // adjacent character pairs across the corpus and rank the merge
+      // candidates. Computed the way tokenizer trainers actually do it —
+      // over DISTINCT words weighted by word frequency, so the character
+      // fan-out is vocabulary-bounded (the corpus-sized explode never
+      // happens). Top-20 with a deterministic (count DESC, pair ASC) rank.
+      (s, d) => {
+        import s.implicits._
+        val w = documents(s, d)
+          .select(explode(split($"text", " ")).as("tok"))
+          .groupBy($"tok").agg(count(lit(1)).as("wcnt"))
+          .filter(length($"tok") >= 2)
+        w.select($"wcnt",
+            explode(expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+              .as("pair"))
+          .groupBy($"pair").agg(sum($"wcnt").as("cnt"))
+          .orderBy($"cnt".desc, $"pair")
+          .limit(20)
+      },
+      Some("""WITH tk AS (
+             |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+             |w AS (
+             |  SELECT tok, COUNT(*) AS wcnt FROM tk GROUP BY tok HAVING len(tok) >= 2),
+             |p AS (
+             |  SELECT substring(tok, CAST(i AS INT), 2) AS pair, wcnt FROM (
+             |    SELECT tok, wcnt, unnest(range(1, len(tok))) AS i FROM w))
+             |SELECT pair, CAST(SUM(wcnt) AS BIGINT) AS cnt
+             |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin)
+    )
+  )
+}
