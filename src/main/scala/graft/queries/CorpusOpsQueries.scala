@@ -237,6 +237,102 @@ object CorpusOpsQueries {
              |    SELECT tok, wcnt, unnest(range(1, len(tok))) AS i FROM w))
              |SELECT pair, CAST(SUM(wcnt) AS BIGINT) AS cnt
              |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin)
+    ),
+
+    "q_semdedup" -> QueryDef(
+      // SemDeDup (Abbas et al. 2023): semantic dedup by k-means coarse
+      // clustering + within-cluster exact-cosine near-dup detection, with
+      // the greedy lowest-id-keeps drop rule. The piece the banded-LSH
+      // dedup (q_dedup_embedding) can't express: LSH recall decays with
+      // band width, while SemDeDup's within-cell comparison is EXACT for
+      // any pair the coarse quantizer co-locates.
+      //
+      // Scale shape: K is count-adaptive (K = ceil(n/256)) so expected cell
+      // occupancy stays ~256 and within-cell pairs stay O(n) — ~128 pairs
+      // per vector regardless of corpus size (the quadratic-per-cell cost
+      // is bounded by the quantizer, which is the SemDeDup design point).
+      // Clustering reuses IvfKMeans: 2 pinned Lloyd iterations, centroids
+      // baked as plan literals so assignment is pure map-side codegen. The
+      // pair join shuffles each vector payload once per side into its cell
+      // partition (2n rows), strictly cheaper than re-attaching vectors to
+      // the ~128n candidate pairs by id. The oracle replays the SAME
+      // count-driven K policy and Lloyd iterations in SQL (pol CTE — the
+      // q_dedup_embedding band-policy pattern), so engine and oracle agree
+      // at every scale.
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.IvfKMeans
+        val e = embeddings(s, d)
+          .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = e.count() // materializes the persist it would pay anyway
+        val k = math.max(1L, math.ceil(n / 256.0).toLong)
+        // K plan-literal centroids: collect is K×64 doubles, bounded by the
+        // cap. Past it (~262k vectors) the production path is a
+        // hierarchical coarse quantizer or a centroid-table join — fail
+        // fast instead of silently building a multi-MB literal plan.
+        require(k <= 1024L,
+          s"q_semdedup caps K at 1024 plan-literal centroids (n=$n needs K=$k); " +
+            "beyond that, use a hierarchical quantizer / centroid-table join")
+        val seeds: Seq[(Long, Seq[Double])] =
+          e.filter($"vec_id" % 97 === 0).orderBy($"vec_id").limit(k.toInt)
+            .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+        val cents = IvfKMeans.train(s, e, seeds, iters = 2)
+        val assigned = e
+          .withColumn("cell", IvfKMeans.assignCell(s, cents, $"v"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val pairs = assigned.select($"cell", $"vec_id".as("id_a"), $"v".as("va"))
+          .join(assigned.select($"cell", $"vec_id".as("id_b"), $"v".as("vb")), Seq("cell"))
+          .filter($"id_a" < $"id_b")
+          .filter(round(graft.functions.CosineSimilarity.cosineSim(s, $"va", $"vb"), 4) >= 0.45)
+          .select($"cell", $"id_a", $"id_b")
+        val cellStats = assigned.groupBy($"cell").agg(count(lit(1)).as("n_vecs"))
+        val pairStats = pairs.groupBy($"cell").agg(
+          count(lit(1)).as("n_dup_pairs"),
+          countDistinct($"id_b").as("n_dropped"))
+        cellStats.join(pairStats, Seq("cell"), "left_outer")
+          .select($"cell", $"n_vecs",
+            coalesce($"n_dup_pairs", lit(0L)).as("n_dup_pairs"),
+            coalesce($"n_dropped", lit(0L)).as("n_dropped"))
+          .orderBy($"cell")
+      },
+      Some(s"""WITH e AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+             |n AS (
+             |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+             |pol AS (SELECT CAST(CEIL(COUNT(*) / 256.0) AS BIGINT) AS k FROM e),
+             |c0 AS (
+             |  SELECT cid, cv, cnrm FROM (
+             |    SELECT vec_id AS cid, v AS cv, nrm AS cnrm,
+             |      ROW_NUMBER() OVER (ORDER BY vec_id) AS rk
+             |    FROM n WHERE vec_id % 97 = 0) s, pol
+             |  WHERE s.rk <= pol.k),
+             |${PipelineQueries.lloydIterSql(0)},
+             |${PipelineQueries.lloydIterSql(1)},
+             |asg AS (
+             |  SELECT vec_id, cid,
+             |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos6 DESC, cid) AS rk
+             |  FROM (
+             |    SELECT n.vec_id, c.cid,
+             |      ROUND(list_sum(list_transform(range(1, 65), i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm), 6) AS cos6
+             |    FROM n, c2 c)),
+             |cells AS (SELECT vec_id, cid AS cell FROM asg WHERE rk = 1),
+             |pr AS (
+             |  SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b
+             |  FROM cells a
+             |  JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+             |  JOIN n na ON na.vec_id = a.vec_id
+             |  JOIN n nb ON nb.vec_id = b.vec_id
+             |  WHERE ROUND(list_sum(list_transform(range(1, 65), i -> na.v[i] * nb.v[i]))
+             |          / (na.nrm * nb.nrm), 4) >= 0.45),
+             |cs AS (SELECT cell, COUNT(*) AS n_vecs FROM cells GROUP BY cell),
+             |ps AS (
+             |  SELECT cell, COUNT(*) AS n_dup_pairs, COUNT(DISTINCT id_b) AS n_dropped
+             |  FROM pr GROUP BY cell)
+             |SELECT cell, n_vecs,
+             |  COALESCE(n_dup_pairs, 0) AS n_dup_pairs,
+             |  COALESCE(n_dropped, 0) AS n_dropped
+             |FROM cs LEFT JOIN ps USING (cell) ORDER BY cell""".stripMargin)
     )
   )
 }

@@ -41,7 +41,7 @@ object PipelineQueries {
     * 6-dp cosine argmax with lowest-cid tiebreak, same decimal(38,12)
     * exact sums divided as doubles and rounded to 6 dp.
     */
-  private def lloydIterSql(k: Int): String =
+  private[queries] def lloydIterSql(k: Int): String =
     s"""asg$k AS (
        |  SELECT vec_id, cid AS cell FROM (
        |    SELECT n.vec_id, c.cid,

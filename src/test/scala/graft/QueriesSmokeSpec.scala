@@ -298,4 +298,23 @@ class QueriesSmokeSpec extends AnyFunSuite {
     }.sortBy(_._1).toSeq
     assert(got == want)
   }
+
+  test("semdedup cells partition the corpus and the drop rule is internally consistent") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_semdedup")(spark, sfDir)
+      .select($"cell", $"n_vecs", $"n_dup_pairs", $"n_dropped")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    // the cells PARTITION the corpus: every vector lands in exactly one
+    val total = graft.tables.Tables.embeddings(spark, sfDir).count()
+    assert(rows.map(_._2).sum == total,
+      s"cell n_vecs sums to ${rows.map(_._2).sum}, corpus has $total")
+    rows.foreach { case (cell, nVecs, nPairs, nDropped) =>
+      // each dropped vector is the id_b of >= 1 dup pair, and every cell
+      // keeps at least one representative (id_a of the lowest pair survives)
+      assert(nDropped <= nPairs, s"cell $cell: dropped $nDropped > pairs $nPairs")
+      assert(nDropped < nVecs, s"cell $cell: dropped every vector")
+      assert(nPairs <= nVecs * (nVecs - 1) / 2, s"cell $cell: pairs exceed all-pairs")
+    }
+  }
 }
