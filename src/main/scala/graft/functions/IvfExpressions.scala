@@ -74,8 +74,29 @@ case class IvfNearestCell(
 }
 
 object IvfNearestCell {
+
+  /** Max distance 6-dp HALF_UP rounding can move a double: the shortest-
+    * decimal step of `BigDecimal.valueOf` shifts by ≤ ulp/2 (≈1e-16 for
+    * |cos| ≤ 1) and setScale(6) by ≤ 5e-7. Two raw cosines further apart
+    * than 2× this bound (plus slack) therefore CANNOT invert or tie after
+    * rounding — so only candidates within the window of the raw max need
+    * the exact (expensive) rounding.
+    */
+  private final val Round6Window = 2.5e-6
+
   /** Shared kernel for interpreted eval and codegen (one virtual call per
     * row; the loop body JITs the same either way).
+    *
+    * Two passes over the K centroids: pass 1 is the pure-double hot loop
+    * (raw cosines into a scratch array, tracking the raw non-NaN max);
+    * pass 2 applies Spark's exact `round(_, 6)` semantics — BigDecimal
+    * HALF_UP on the shortest decimal representation — ONLY to candidates
+    * within [[Round6Window]] of the raw max (normally exactly one), then
+    * picks min (-cos6, cid). Bit-identical to rounding every candidate
+    * (the window bound above), but drops the per-row BigDecimal count from
+    * K to ~1: at K=313 the all-K BigDecimal formulation measured 15 s per
+    * 80k-row assignment pass — ~90% of q_semdedup's sf4 runtime — vs
+    * ~0.6 s for this form.
     */
   def nearest(
       v: ArrayData,
@@ -84,11 +105,12 @@ object IvfNearestCell {
       cnorms: Array[Double]
   ): Long = {
     val n = v.numElements()
-    var bestNeg = 0.0
-    var bestCid = 0L
-    var bestSet = false
+    val kk = cids.length
+    val raw = new Array[Double](kk)
+    var rawBest = Double.NaN
+    var anyNonNaN = false
     var k = 0
-    while (k < cids.length) {
+    while (k < kk) {
       val c = cents(k)
       val m = math.min(n, c.length)
       // CosineSimilarity accumulates BOTH norms only over min(len) — the
@@ -112,16 +134,41 @@ object IvfNearestCell {
           math.sqrt(s)
         }
       val cos = dot / (math.sqrt(nv) * cnorm)
-      // Spark's round(double, 6) passes NaN/Infinity through untouched
-      // (BigDecimal.valueOf would throw); mirror that.
-      val cos6 =
-        if (java.lang.Double.isNaN(cos) || java.lang.Double.isInfinite(cos)) cos
-        else java.math.BigDecimal.valueOf(cos)
-          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-      val neg = -cos6
-      val cmp = java.lang.Double.compare(neg, bestNeg)
-      if (!bestSet || cmp < 0 || (cmp == 0 && cids(k) < bestCid)) {
-        bestNeg = neg; bestCid = cids(k); bestSet = true
+      raw(k) = cos
+      if (!java.lang.Double.isNaN(cos) && (!anyNonNaN || cos > rawBest)) {
+        rawBest = cos; anyNonNaN = true
+      }
+      k += 1
+    }
+    // All-NaN row: every rounded candidate compares equal (NaN), so the
+    // original all-K loop's tiebreak reduces to the lowest cid.
+    if (!anyNonNaN) {
+      var best = cids(0); k = 1
+      while (k < kk) { if (cids(k) < best) best = cids(k); k += 1 }
+      return best
+    }
+    // ±Infinity: rawBest - window stays +Inf for a +Inf max (only +Inf
+    // candidates qualify) and -Inf never qualifies next to any finite cos —
+    // matching the all-K form, where round passes infinities through.
+    val cut = rawBest - Round6Window
+    var bestNeg = 0.0
+    var bestCid = 0L
+    var bestSet = false
+    k = 0
+    while (k < kk) {
+      val cos = raw(k)
+      if (!java.lang.Double.isNaN(cos) && cos >= cut) {
+        // Spark's round(double, 6) passes NaN/Infinity through untouched
+        // (BigDecimal.valueOf would throw); mirror that.
+        val cos6 =
+          if (java.lang.Double.isInfinite(cos)) cos
+          else java.math.BigDecimal.valueOf(cos)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        val neg = -cos6
+        val cmp = java.lang.Double.compare(neg, bestNeg)
+        if (!bestSet || cmp < 0 || (cmp == 0 && cids(k) < bestCid)) {
+          bestNeg = neg; bestCid = cids(k); bestSet = true
+        }
       }
       k += 1
     }
