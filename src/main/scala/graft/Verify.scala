@@ -24,11 +24,18 @@ object Verify {
       require(unknown.isEmpty, s"SPARK_GRAFT_ONLY has unknown queries: $unknown")
     }
     val queries = only.fold(SparkEntry.queries)(ks => SparkEntry.queries.filter(kv => ks(kv._1)))
+    // A thrown query must NOT silently vanish from the correctness artifact
+    // (a missing parquet dump reads as "absent", not "failed"). Record every
+    // failure and dump them as errors.json so entry count always reconciles
+    // against the declared query count.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name FAILED: $msg")
+        errors(name) = s"${e.getClass.getSimpleName}: $msg".take(500)
       }
       // per-query persists are intentionally intra-query; drop leftovers so
       // 105 dumps don't accumulate stale cached plans. localCheckpoint
@@ -53,6 +60,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    // Exit 0 even on per-query failures — a nonzero exit could abort the
+    // driver's whole compare and lose the 120+ good dumps. errors.json +
+    // the stderr banner are the explicit failure record.
+    if (errors.nonEmpty)
+      System.err.println(
+        s"[verify] ${errors.size}/${queries.size} queries FAILED: " +
+          errors.keys.mkString(", "))
     spark.stop()
   }
 }

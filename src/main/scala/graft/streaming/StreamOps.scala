@@ -144,7 +144,11 @@ object StreamOps {
     val nanos = spark.conf.getAll.getOrElse("spark.sql.legacy.parquet.nanosAsLong", "unset")
     val schema = schemaCache.computeIfAbsent((path, nanos),
       _ => spark.read.parquet(path).schema)
-    spark.readStream.schema(schema).parquet(path)
+    // Normalize ts → TimestampType here, BEFORE any caller attaches a
+    // watermark: a TIMESTAMP_NTZ (or ns-long) ts fails analysis with
+    // EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE. Idempotent, no-op without `ts`.
+    graft.tables.Tables.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(path))
   }
 
   /** Unload every state-store provider cached in THIS JVM and stop its

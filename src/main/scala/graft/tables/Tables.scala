@@ -31,14 +31,32 @@ object Tables {
     normalizeEventTs(table(s, d, "events"))
   }
 
-  /** ns-long → µs-timestamp normalization with the LongType guard, shared by
-    * the batch accessor above and streaming reads of the same table.
+  /** Normalize `ts` to session-TZ TimestampType regardless of how the parquet
+    * writer encoded it. Three representations have shown up across driver data
+    * regenerations, and every events-reading operator (window lag, sessionize,
+    * watermarked streams) must see the same type:
+    *   - LongType: ns-int64 (nanosAsLong read of ns parquet) → truncate to µs
+    *     with integer `div` (exact on int64; double division would lose
+    *     precision at 1e18), matching DuckDB's ns→µs truncation.
+    *   - TimestampNTZType: µs parquet with isAdjustedToUTC=0. The session TZ
+    *     is pinned UTC, so casting to TimestampType relabels the same µs
+    *     instant — exact, and DuckDB reads the naive value identically, so
+    *     oracle parity is preserved. Watermarks/unix_micros require this cast.
+    *   - TimestampType: already normalized → no-op.
+    * Idempotent and a no-op on frames without a `ts` column, so it is safe to
+    * apply unconditionally at every accessor (batch and stream).
     */
-  def normalizeEventTs(raw: DataFrame): DataFrame =
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else raw
+  def normalizeEventTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    raw.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
