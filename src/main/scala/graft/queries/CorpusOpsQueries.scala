@@ -333,6 +333,138 @@ object CorpusOpsQueries {
              |  COALESCE(n_dup_pairs, 0) AS n_dup_pairs,
              |  COALESCE(n_dropped, 0) AS n_dropped
              |FROM cs LEFT JOIN ps USING (cell) ORDER BY cell""".stripMargin)
+    ),
+
+    "q_dedup_paragraph" -> QueryDef(
+      // CCNet-style paragraph-level dedup (Wenzek et al. 2020 §3.1 shape):
+      // dedup at sub-document granularity, so boilerplate shared across
+      // otherwise-distinct pages is removed WITHOUT dropping whole docs —
+      // the piece doc-level dedup (q_dedup_exact .. q_semdedup) can't
+      // express. Paragraph := consecutive 10-token chunk (the synthetic
+      // corpus has no newlines; the chunking rule is the engine-portable
+      // stand-in for split-on-blank-line). Keep-first rule: the corpus-wide
+      // first occurrence (doc_id, then position) of each chunk hash wins;
+      // every later occurrence is dropped; docs whose chunks ALL lose
+      // disappear (fully-boilerplate pages). Output per surviving doc:
+      // chunk counts before/after and an md5 fingerprint of the retained
+      // text (order-preserving reassembly), so the hash gate certifies the
+      // exact post-dedup corpus, not just its size.
+      //
+      // Scale shape (100 TB): chunking is map-side (one pass, no data
+      // blowup beyond token count); the keep-first decision is ONE shuffle
+      // on the 16-byte chunk hash (window over md5(chunk)); reassembly is
+      // one shuffle back on doc_id. No similarity joins, no candidate
+      // pairs — this is the linear-cost dedup tier that runs before any
+      // LSH family. At cluster scale the md5 partitioning is uniform by
+      // construction (no salting needed).
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val chunks = documents(s, d)
+          .select($"doc_id", posexplode(expr(
+            "transform(sequence(0, (size(split(text, ' ')) - 1) div 10), " +
+              "i -> array_join(slice(split(text, ' '), i * 10 + 1, 10), ' '))"))
+            .as(Seq("chunk_idx", "chunk")))
+        chunks
+          .withColumn("n_chunks", count(lit(1)).over(Window.partitionBy($"doc_id")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(md5($"chunk")).orderBy($"doc_id", $"chunk_idx")))
+          .filter($"rn" === 1)
+          .groupBy($"doc_id")
+          .agg(
+            first($"n_chunks").as("n_chunks"),
+            count(lit(1)).as("n_kept"),
+            expr("md5(array_join(transform(array_sort(collect_list(struct(chunk_idx, chunk))), x -> x.chunk), ' '))")
+              .as("kept_fp"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+             |c AS (
+             |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+             |         array_to_string(tok[i*10+1 : i*10+10], ' ') AS chunk
+             |  FROM t, UNNEST(range((len(tok)-1)//10 + 1)) AS u(i)),
+             |w AS (
+             |  SELECT doc_id, chunk_idx, chunk,
+             |         COUNT(*) OVER (PARTITION BY doc_id) AS n_chunks,
+             |         ROW_NUMBER() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, chunk_idx) AS rn
+             |  FROM c)
+             |SELECT doc_id, CAST(MIN(n_chunks) AS BIGINT) AS n_chunks,
+             |       COUNT(*) AS n_kept,
+             |       md5(string_agg(chunk, ' ' ORDER BY chunk_idx)) AS kept_fp
+             |FROM w WHERE rn = 1
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
+    "q_sample_temperature" -> QueryDef(
+      // Temperature-scaled mixture resampling (the multinomial source-
+      // rebalancing of multilingual/multi-domain training sets, Conneau &
+      // Lample 2019 §3.1 shape, alpha = 0.5): big sources are downsampled
+      // toward p_i ∝ n_i^alpha while the total token budget is preserved,
+      // and membership is decided per doc by a deterministic md5 threshold
+      // — reproducible across engines, runs, and cluster layouts (unlike
+      // rand()-based sampling). Distinct from q_sample_quota (hard per-
+      // source CAP) and q_mix_weights (REPORTS weights): this op actually
+      // draws the rebalanced corpus.
+      //
+      // Determinism discipline: weights are integer-quantized BEFORE any
+      // sum — w_i = round(sqrt(n_i)) is exact in both engines (IEEE sqrt is
+      // correctly rounded, and sqrt(int) can never land on a .5 tie), so
+      // sum(w), the per-source threshold thr_i = min(16^6, w_i*N*16^6 div
+      // (sum(w)*n_i)) and the keep predicate (6-hex-digit md5 prefix <
+      // printf-%06x threshold) are all integer arithmetic — no float ever
+      // decides membership. int64 headroom: w*N*16^6 < 2^63 through ~1e8
+      // docs/source; past that the same formula runs in DECIMAL(38,0).
+      //
+      // Scale shape (100 TB): the per-source table is bounded by #sources,
+      // so the scalar totals are a window over ~20 rows (one tiny
+      // exchange), the threshold join broadcasts, and the keep predicate
+      // is map-side codegen over the corpus — no corpus shuffle at all
+      // until the final bounded-key count.
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val docs = documents(s, d)
+        val thr = docs.groupBy($"source").agg(count(lit(1)).as("n"))
+          .withColumn("w", round(sqrt($"n")).cast("long"))
+          .withColumn("sw", sum($"w").over(Window.partitionBy(lit(1))))
+          .withColumn("tot", sum($"n").over(Window.partitionBy(lit(1))))
+          .withColumn("thr",
+            least(lit(16777216L), expr("(w * tot * 16777216) div (sw * n)")))
+          .select($"source", $"n".as("n_before"), $"thr")
+        docs.select($"doc_id", $"source")
+          .join(broadcast(thr), Seq("source"))
+          .filter($"thr" === 16777216L ||
+            substring(md5($"doc_id".cast("string")), 1, 6) <
+              format_string("%06x", $"thr"))
+          .groupBy($"source")
+          .agg(
+            first($"n_before").as("n_before"),
+            count(lit(1)).as("n_after"),
+            first($"thr").as("thr"))
+          .withColumn("rate4", round($"thr".cast("double") / 16777216d, 4))
+          .select($"source", $"n_before", $"n_after", $"thr", $"rate4")
+          .orderBy($"source")
+      },
+      Some("""WITH n AS (
+             |  SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+             |w AS (
+             |  SELECT source, n, CAST(round(sqrt(n)) AS BIGINT) AS w FROM n),
+             |t AS (
+             |  SELECT source, n AS n_before,
+             |    CAST(LEAST(16777216,
+             |      (w * (SUM(n) OVER ()) * 16777216) // ((SUM(w) OVER ()) * n))
+             |      AS BIGINT) AS thr
+             |  FROM w),
+             |k AS (
+             |  SELECT d.source, t.n_before, t.thr
+             |  FROM documents d JOIN t ON d.source = t.source
+             |  WHERE t.thr = 16777216
+             |     OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) < printf('%06x', t.thr))
+             |SELECT source, CAST(MIN(n_before) AS BIGINT) AS n_before,
+             |       COUNT(*) AS n_after, CAST(MIN(thr) AS BIGINT) AS thr,
+             |       ROUND(CAST(MIN(thr) AS DOUBLE) / 16777216, 4) AS rate4
+             |FROM k GROUP BY source ORDER BY source""".stripMargin)
     )
   )
 }

@@ -650,6 +650,41 @@ object RelationalQueries {
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     ),
 
+    "q_agg_mode" -> QueryDef(
+      // Per-group mode with an explicit deterministic tie-break (smallest
+      // value wins). Built-in mode() in both engines leaves ties
+      // implementation-defined, so the operator is expressed as the
+      // portable count + rank form: two hash aggregations (both partial-
+      // aggregated — the first on (group, value), bounded by distinct
+      // values; the second a bounded-key window input) and one window over
+      // the tiny (group × distinct-value) table — the corpus itself is
+      // never sorted or re-shuffled.
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        orders(s, d)
+          .groupBy($"o_orderpriority", $"o_orderstatus")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"o_orderpriority")
+              .orderBy($"cnt".desc, $"o_orderstatus")))
+          .filter($"rn" === 1)
+          .select($"o_orderpriority", $"o_orderstatus".as("mode_status"),
+            $"cnt".as("mode_cnt"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""WITH c AS (
+             |  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
+             |  FROM orders GROUP BY o_orderpriority, o_orderstatus),
+             |r AS (
+             |  SELECT o_orderpriority, o_orderstatus, cnt,
+             |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+             |                       ORDER BY cnt DESC, o_orderstatus) AS rn
+             |  FROM c)
+             |SELECT o_orderpriority, o_orderstatus AS mode_status, cnt AS mode_cnt
+             |FROM r WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin)
+    ),
+
     "q_pivot" -> QueryDef(
       // Relational pivot: per-nation sales spread across the 5 market
       // segments as columns (explicit value list keeps the schema static —
