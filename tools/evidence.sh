@@ -39,7 +39,8 @@ fi
 echo "== [2/4] correctness at sf0.01 (Verify -> DuckDB)"
 SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $OUT/verify_sf001" \
   2>&1 | tee "$OUT/verify_sf001.log" | grep -E "\[verify\]|error" || true
-! grep -q "\[verify\].*failed" "$OUT/verify_sf001.log"
+# Verify now writes an explicit per-query failure record; empty = all dumped
+python3 -c "import json,sys;sys.exit(1 if json.load(open('$OUT/verify_sf001/errors.json')) else 0)"
 python3 tools/selfcheck.py /root/testdata/sf0.01 "$OUT/verify_sf001" \
   2>&1 | tee "$OUT/selfcheck_sf001.log" | tail -3
 grep -qE "^== [0-9]+ pass, 0 fail" "$OUT/selfcheck_sf001.log"
@@ -60,7 +61,7 @@ if [ ! -f .localdata/sf1/documents.parquet ]; then
 fi
 SPARK_GRAFT_CPUS="$CPUS" sbt -batch "runMain graft.Verify $PWD/.localdata/sf1 $OUT/verify_sf1" \
   2>&1 | tee "$OUT/verify_sf1.log" | grep -E "\[verify\]|error" || true
-! grep -q "\[verify\].*failed" "$OUT/verify_sf1.log"
+python3 -c "import json,sys;sys.exit(1 if json.load(open('$OUT/verify_sf1/errors.json')) else 0)"
 # Per-query with timeouts: a few oracles (recursive CC closure, minhash
 # verify) legitimately need minutes in DuckDB at sf1 — the adaptive-band
 # CC oracles measured 9-14 min in round 8, hence the 1500 s default;
