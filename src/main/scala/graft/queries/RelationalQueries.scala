@@ -319,6 +319,95 @@ object RelationalQueries {
              |ORDER BY e.event_id""".stripMargin)
     ),
 
+    "q_join_asof_nearest" -> QueryDef(
+      // Nearest-neighbor as-of join (pandas merge_asof direction='nearest'):
+      // each purchase pairs with the CLOSEST signup in time, either
+      // direction, ties to the earlier one. Same no-join shape as
+      // q_join_asof (backward-only): union both streams, ONE shuffle on
+      // user_id, then two window passes over the SAME sort order (Catalyst
+      // runs them in a single Window sort) — last-non-null carries the
+      // latest earlier signup forward, first-non-null carries the next
+      // later signup backward. No pair explosion; the tie-break and all
+      // distance arithmetic are exact µs int64 (no float decides the pick).
+      // Direction is intentionally NOT a column: when a signup shares the
+      // purchase's exact µs timestamp the two engines attribute the zero-
+      // distance match to different sides (row-order vs predicate
+      // semantics) while agreeing on the chosen timestamp and distance.
+      (s, d) => {
+        import s.implicits._
+        val e = events(s, d).filter($"event_type".isin("purchase", "signup"))
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        e.withColumn("signup_ts", when($"event_type" === "signup", $"ts"))
+          .withColumn("back_ts", last($"signup_ts", ignoreNulls = true).over(back))
+          .withColumn("fwd_ts", first($"signup_ts", ignoreNulls = true).over(fwd))
+          .filter($"event_type" === "purchase")
+          .withColumn("nearest_signup_ts",
+            when($"back_ts".isNull, $"fwd_ts")
+              .when($"fwd_ts".isNull, $"back_ts")
+              .when(unix_micros($"ts") - unix_micros($"back_ts") <=
+                unix_micros($"fwd_ts") - unix_micros($"ts"), $"back_ts")
+              .otherwise($"fwd_ts"))
+          .withColumn("diff_us",
+            abs(unix_micros($"nearest_signup_ts") - unix_micros($"ts")))
+          .select($"event_id", $"user_id", $"ts".as("purchase_ts"),
+            $"nearest_signup_ts", $"diff_us")
+          .orderBy($"event_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT e.event_id, e.user_id, e.ts,
+             |    (SELECT max(s.ts) FROM events s
+             |     WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+             |       AND s.ts <= e.ts) AS back_ts,
+             |    (SELECT min(s.ts) FROM events s
+             |     WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+             |       AND s.ts > e.ts) AS fwd_ts
+             |  FROM events e WHERE e.event_type = 'purchase'),
+             |n AS (
+             |  SELECT event_id, user_id, ts,
+             |    CASE WHEN back_ts IS NULL THEN fwd_ts
+             |         WHEN fwd_ts IS NULL THEN back_ts
+             |         WHEN epoch_us(ts) - epoch_us(back_ts)
+             |              <= epoch_us(fwd_ts) - epoch_us(ts) THEN back_ts
+             |         ELSE fwd_ts END AS nearest_signup_ts
+             |  FROM p)
+             |SELECT event_id, user_id, ts AS purchase_ts, nearest_signup_ts,
+             |  abs(epoch_us(nearest_signup_ts) - epoch_us(ts)) AS diff_us
+             |FROM n ORDER BY event_id""".stripMargin)
+    ),
+
+    "q_skew_profile" -> QueryDef(
+      // Join-key skew diagnostics — the pre-flight a 100 TB join runs
+      // before choosing salting/AQE-skew handling: per-key cardinalities
+      // collapsed into power-of-two occupancy buckets (floor(log2 n) =
+      // length(bin(n))-1, exact integer — no float log), per-bucket key
+      // and row counts plus min/max occupancy. Complements q_heavy_hitters
+      // (point list of top keys) with the distribution's SHAPE: a long
+      // right tail here is the signal that the key needs salting. One
+      // partial-aggregated shuffle on the key, then a ≤64-key aggregate.
+      (s, d) => {
+        import s.implicits._
+        events(s, d)
+          .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+          .withColumn("bucket", (length(bin($"cnt")) - 1).cast("long"))
+          .groupBy($"bucket")
+          .agg(
+            count(lit(1)).as("n_keys"),
+            sum($"cnt").as("n_rows"),
+            min($"cnt").as("min_cnt"),
+            max($"cnt").as("max_cnt"))
+          .orderBy($"bucket")
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
+             |b AS (
+             |  SELECT CAST(length(bin(cnt)) - 1 AS BIGINT) AS bucket, cnt FROM c)
+             |SELECT bucket, COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             |  MIN(cnt) AS min_cnt, MAX(cnt) AS max_cnt
+             |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)
+    ),
+
     "q_funnel_conversion" -> QueryDef(
       // Product-analytics funnel: per user, first signup → purchases within
       // the next hour. The signup side collapses to one row per user BEFORE
