@@ -465,6 +465,52 @@ object CorpusOpsQueries {
              |       COUNT(*) AS n_after, CAST(MIN(thr) AS BIGINT) AS thr,
              |       ROUND(CAST(MIN(thr) AS DOUBLE) / 16777216, 4) AS rate4
              |FROM k GROUP BY source ORDER BY source""".stripMargin)
+    ),
+
+    "q_vocab_oov" -> QueryDef(
+      // Tokenizer-vocabulary coverage audit (the release gate before
+      // freezing a vocab): build the top-50 corpus vocabulary with a
+      // deterministic tie-break (count DESC, token ASC — the cutoff is
+      // reproducible across engines), then report per source how many
+      // token occurrences fall outside it. oov_ppm is exact integer
+      // parts-per-million — no float decides anything. Distinct from
+      // q_token_rarity (per-DOC score against the full unigram model):
+      // this is the per-SOURCE out-of-vocabulary rate against a CAPPED
+      // vocab, the number that sizes a byte-fallback budget.
+      //
+      // Scale shape (100 TB): token explode is map-side; the vocab agg is
+      // true-vocabulary-bounded and partial-aggregated; the top-50 cut is
+      // a TakeOrdered on the bounded vocab table; the membership join
+      // broadcasts 50 rows; the final agg is bounded by #sources.
+      (s, d) => {
+        import s.implicits._
+        val tok = documents(s, d)
+          .select($"source", explode(split($"text", " ")).as("tok"))
+        val vocab = tok.groupBy($"tok").agg(count(lit(1)).as("c"))
+          .orderBy($"c".desc, $"tok").limit(50)
+          .select($"tok", lit(1L).as("in_vocab"))
+        tok.join(broadcast(vocab), Seq("tok"), "left_outer")
+          .groupBy($"source")
+          .agg(
+            count(lit(1)).as("n_tokens"),
+            sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"))
+          .withColumn("oov_ppm", expr("n_oov * 1000000 div n_tokens"))
+          .orderBy($"source")
+      },
+      Some("""WITH tk AS (
+             |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |v AS (
+             |  SELECT tok FROM (
+             |    SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok)
+             |  ORDER BY c DESC, tok LIMIT 50),
+             |j AS (
+             |  SELECT tk.source, (v.tok IS NOT NULL) AS in_vocab
+             |  FROM tk LEFT JOIN v ON tk.tok = v.tok)
+             |SELECT source, COUNT(*) AS n_tokens,
+             |  CAST(SUM(CASE WHEN NOT in_vocab THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+             |  CAST(SUM(CASE WHEN NOT in_vocab THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+             |    // COUNT(*) AS oov_ppm
+             |FROM j GROUP BY source ORDER BY source""".stripMargin)
     )
   )
 }

@@ -774,6 +774,43 @@ object RelationalQueries {
              |FROM r WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin)
     ),
 
+    "q_percentile_disc" -> QueryDef(
+      // Discrete (non-interpolated) per-group quantiles — the value
+      // actually present in the data at each cut, which interpolating
+      // percentile/quantile_cont can't provide. Built-in disc variants
+      // differ at boundary indices between engines, so both sides use the
+      // same portable definition: smallest value whose cume_dist reaches
+      // p. The p-comparisons are float-safe: cume_dist is a correctly-
+      // rounded k/n division and p ∈ {.25,.5,.75} are exactly
+      // representable, so k/n ≥ p can only flip if the true ratio equals p
+      // — where the division is exact. One shuffle+sort on the group key;
+      // at 100 TB the approximate path is q_agg_approx_quantile, this is
+      // the exact-audit form.
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"l_returnflag").orderBy($"l_quantity")
+        lineitem(s, d).select($"l_returnflag", $"l_quantity")
+          .withColumn("cd", cume_dist().over(w))
+          .groupBy($"l_returnflag")
+          .agg(
+            min(when($"cd" >= 0.25, $"l_quantity")).as("p25_disc"),
+            min(when($"cd" >= 0.5, $"l_quantity")).as("p50_disc"),
+            min(when($"cd" >= 0.75, $"l_quantity")).as("p75_disc"),
+            count(lit(1)).as("n"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""WITH c AS (
+             |  SELECT l_returnflag, l_quantity,
+             |    cume_dist() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cd
+             |  FROM lineitem)
+             |SELECT l_returnflag,
+             |  MIN(CASE WHEN cd >= 0.25 THEN l_quantity END) AS p25_disc,
+             |  MIN(CASE WHEN cd >= 0.5 THEN l_quantity END) AS p50_disc,
+             |  MIN(CASE WHEN cd >= 0.75 THEN l_quantity END) AS p75_disc,
+             |  COUNT(*) AS n
+             |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+
     "q_pivot" -> QueryDef(
       // Relational pivot: per-nation sales spread across the 5 market
       // segments as columns (explicit value list keeps the schema static —
