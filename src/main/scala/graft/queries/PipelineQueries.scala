@@ -471,6 +471,94 @@ object PipelineQueries {
               |FROM pairs WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin)
     ),
 
+    "q_dedup_containment" -> QueryDef(
+      // Containment-based near-dup classification — the measure Jaccard
+      // dedup is structurally blind to: a short doc fully quoted inside a
+      // long one has containment |A∩B|/min(|A|,|B|) ≈ 1 while Jaccard
+      // |A∩B|/|A∪B| stays far below any dedup threshold. Candidate
+      // generation must therefore NOT be Jaccard-tuned MinHash bands
+      // (band collision probability ~j^4 → short-in-long pairs are
+      // structurally unreachable); instead it is the PPJoin-family
+      // inverted-index form: candidates = docs sharing a RARE shingle
+      // (2 ≤ doc-frequency ≤ 8). A contained doc shares its ENTIRE
+      // shingle set with its container, so any rare shingle in the small
+      // doc recalls the pair deterministically; the df cap bounds the
+      // per-shingle fan-out at C(8,2)=28 pairs, keeping candidate count
+      // linear in corpus size (rare shingles dominate real vocabularies
+      // by Zipf). Verification is exact containment via the codegen'd
+      // sorted two-pointer intersect; both thresholds are integer
+      // cross-multiplications (5·ov ≥ 4·min(sz) for θ=0.8;
+      // 3·ov < sz_a+sz_b flags pairs Jaccard<0.5 dedup would MISS) — no
+      // float decides membership. Shingle hashing is shared verbatim with
+      // q_dedup_minhash_lsh (md5→48-bit grams), so both engines hash
+      // identically and a collision merges the same pair on both sides.
+      (s, d) => {
+        import s.implicits._
+        val sh = documents(s, d)
+          .select($"doc_id", $"text")
+          .repartition($"doc_id")
+          .select($"doc_id", split($"text", " ").as("tok"))
+          .filter(size($"tok") >= 3)
+          .select($"doc_id", array_distinct(
+            expr("transform(sequence(0, size(tok)-3), i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2]))")
+          ).as("shingles"))
+          .select($"doc_id",
+            expr("transform(shingles, g -> CAST(conv(substring(md5(g), 1, 12), 16, 10) AS BIGINT) % 2147483647)")
+              .as("hs"))
+          .withColumn("hsd", array_sort(array_distinct($"hs")))
+          .withColumn("sz", size($"hsd"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ex = sh.select($"doc_id", explode($"hsd").as("h"))
+        val rare = ex.groupBy($"h").agg(count(lit(1)).as("df"))
+          .filter($"df".between(2L, 8L)).select($"h")
+        val exr = ex.join(rare, Seq("h"))
+        val cand = exr.as("x")
+          .join(exr.as("y"), Seq("h"))
+          .filter(col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        cand
+          .join(sh.select($"doc_id".as("doc_a"), $"hsd".as("h_a"), $"sz".as("sz_a")), Seq("doc_a"))
+          .join(sh.select($"doc_id".as("doc_b"), $"hsd".as("h_b"), $"sz".as("sz_b")), Seq("doc_b"))
+          .withColumn("ov", graft.functions.SetOps.sortedIntersectSize(s, $"h_a", $"h_b"))
+          .withColumn("min_sz", least($"sz_a", $"sz_b"))
+          .filter($"ov" * 5L >= $"min_sz" * 4L)
+          .withColumn("containment", round($"ov".cast("double") / $"min_sz", 4))
+          .withColumn("jaccard_missed", $"ov" * 3L < $"sz_a" + $"sz_b")
+          .select($"doc_a", $"doc_b", $"containment", $"jaccard_missed")
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+              |sh AS (
+              |  SELECT doc_id, list_distinct(list_transform(range(0, len(tok)-2),
+              |    i -> tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3])) AS shingles
+              |  FROM toks WHERE len(tok) >= 3),
+              |hsz AS (
+              |  SELECT doc_id,
+              |    list_distinct(list_transform(shingles,
+              |      g -> ('0x' || substring(md5(g), 1, 12))::BIGINT % 2147483647)) AS hsd
+              |  FROM sh),
+              |ex AS (SELECT doc_id, unnest(hsd) AS h FROM hsz),
+              |rare AS (
+              |  SELECT h FROM (SELECT h, COUNT(*) AS df FROM ex GROUP BY h)
+              |  WHERE df BETWEEN 2 AND 8),
+              |cand AS (
+              |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+              |  FROM ex x JOIN rare r ON x.h = r.h
+              |       JOIN ex y ON y.h = r.h AND x.doc_id < y.doc_id),
+              |pairs AS (
+              |  SELECT doc_a, doc_b,
+              |    len(list_intersect(a.hsd, b.hsd)) AS ov,
+              |    LEAST(len(a.hsd), len(b.hsd)) AS min_sz,
+              |    len(a.hsd) AS sz_a, len(b.hsd) AS sz_b
+              |  FROM cand JOIN hsz a ON a.doc_id = doc_a JOIN hsz b ON b.doc_id = doc_b)
+              |SELECT doc_a, doc_b,
+              |  ROUND(CAST(ov AS DOUBLE) / min_sz, 4) AS containment,
+              |  ov * 3 < sz_a + sz_b AS jaccard_missed
+              |FROM pairs WHERE ov * 5 >= min_sz * 4
+              |ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
     "q_dedup_ngram_jaccard" -> QueryDef(
       // Exact n-gram Jaccard near-dup join via PREFIX FILTERING (the
       // PPJoin/AllPairs candidate rule): order each doc's shingle set by

@@ -94,6 +94,26 @@ class Round9OpsSpec extends AnyFunSuite {
       s"F < P must win the 1-1 tie: $out")
   }
 
+  test("q_dedup_containment: short-doc-inside-long-doc fires the jaccard_missed flag") {
+    // A (30 unique tokens) is fully quoted at the head of B (A + 70 more
+    // unique tokens): containment = 1.0 while Jaccard = 28/98 << 0.5.
+    // Jaccard-tuned MinHash bands structurally cannot recall this pair
+    // (band collision ~j^4); the rare-shingle inverted index must — and
+    // no sf* corpus contains such a pair (measured 0 flags at sf0.01 and
+    // sf1), so only this fixture proves the flag is live.
+    val a = (1 to 30).map(i => s"a$i").mkString(" ")
+    val b = a + " " + (1 to 70).map(i => s"b$i").mkString(" ")
+    val c = (1 to 40).map(i => s"c$i").mkString(" ")
+    val dir = docsDir(Seq(
+      (1L, a, "en", "s0", 0L), (2L, b, "en", "s0", 0L), (3L, c, "en", "s0", 0L)))
+    val out = SparkEntry.queries("q_dedup_containment")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out.keySet == Set((1L, 2L)), s"exactly the contained pair: $out")
+    assert(out((1L, 2L)) == ((1.0, true)),
+      s"containment 1.0 and Jaccard-missed must both hold: ${out((1L, 2L))}")
+  }
+
   test("q_skew_profile: exact power-of-two buckets") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_r9sk").toString
