@@ -100,4 +100,90 @@ object IvfKMeans {
     }
     cents
   }
+
+  /** Join twin of [[assignCell]] for centroid counts past the plan-literal
+    * cap: `cents` is a DataFrame `(cid: Long, cv: Array[Double])` instead of
+    * a collected Seq, and assignment is a broadcast nested-loop join —
+    * every vector meets every centroid map-side (no shuffle of `e`), with
+    * the argmax folded into a partial-aggregating `min(struct(-cos6, cid))`
+    * per vector, so the n×K pair stream is consumed in-stage and never
+    * materialized. The plan carries ONE `cosine_sim` node regardless of K
+    * (the property [[graft.functions.IvfNearestCell]] buys the literal
+    * path).
+    *
+    * Bit-parity with the literal path: `cosine_sim` accumulates dot/|v|²/|c|²
+    * left-to-right in doubles exactly like `IvfNearestCell`'s kernel (which
+    * precomputes |c| with the same fold), `round(_, 6)` is the same
+    * BigDecimal HALF_UP, and the packed-long argmax (see the body) is the
+    * same (-cos6, lowest-cid) tiebreak with NaN ordered greatest — an
+    * all-NaN row degenerates to the lowest cid in both forms. (Sole
+    * theoretical gap: the packing quantizes ±0.0 cosines to the same key
+    * where the kernel's `Double.compare` orders -0.0 < 0.0 — reachable only
+    * when a best cosine rounds to exactly ±0.0 AND ties another centroid
+    * across the zero sign, which float data never exercises; the
+    * q_semdedup/q_semdedup_table parity spec would catch it.)
+    *
+    * Scale ceiling: the centroid table is BROADCAST, so K is bounded by
+    * executor memory (~520 B/centroid at dim 64 → K = 10⁶ is ~0.5 GB).
+    * With the SemDeDup K = ⌈n/256⌉ policy that covers corpora to ~5×10⁸
+    * vectors; past that the production shape is hierarchical — assign to
+    * √K coarse cells via the literal path, then per-coarse-cell sub-tables.
+    */
+  def assignCellsJoin(spark: SparkSession, e: DataFrame, cents: DataFrame): DataFrame = {
+    import spark.implicits._
+    // The natural argmax — min(struct(-cos6, cid)) — has a struct agg
+    // buffer, which HashAggregate can't hold: the planner falls back to
+    // SortAggregate and SORTS the n×K pair stream (measured: 76 GB of
+    // spill at n=312k, K=1219). Instead pack the ordering into ONE long:
+    // cos6 is exactly a 6-dp decimal, so round(-cos6·10⁶) quantizes it
+    // EXACTLY (distinct cos6 ⇒ distinct longs, equal ⇒ equal), and
+    // key = negs·2⁴¹ + cid is lexicographic (negs, cid) for 0 ≤ cid < 2⁴¹.
+    // min(long) partial-aggregates map-side — the pair stream is consumed
+    // in-stage, nothing is sorted or materialized. NaN cosines (zero-norm
+    // vectors) map to negs = 2·10⁶ — strictly worse than any real cosine,
+    // so an all-NaN row degenerates to the lowest cid, as in the kernel.
+    val maxCid = cents.agg(max($"cid")).head.getLong(0)
+    require(maxCid >= 0 && maxCid < (1L << 41),
+      s"assignCellsJoin packs cid into 41 bits (max cid $maxCid out of range)")
+    val cos6 = round(graft.functions.CosineSimilarity.cosineSim(spark, $"v", $"cv"), 6)
+    val negs = when(isnan(cos6), lit(2000000L))
+      .otherwise(round(-cos6 * 1e6).cast("long"))
+    val cells = e.crossJoin(broadcast(cents))
+      .groupBy($"vec_id")
+      .agg(min(negs * (1L << 41) + $"cid").as("k"))
+      .select($"vec_id", pmod($"k", lit(1L << 41)).as("cell"))
+    // re-attach the vector payload by the skinny (vec_id, cell) frame —
+    // AQE broadcasts it while it fits (16 B/row), shuffle-joins beyond
+    e.join(cells, Seq("vec_id"))
+      .select($"vec_id", $"v", $"cell")
+  }
+
+  /** Table twin of [[train]]: Lloyd refinement with the centroids held as a
+    * DataFrame end-to-end — assignment via [[assignCellsJoin]], mean update
+    * identical to [[train]]'s (exact decimal(38,12) sums, order-independent,
+    * rounded to 6 dp), but never collected to the driver, so K is bounded by
+    * the broadcast ceiling instead of the plan-literal cap. Each iteration
+    * is localCheckpoint'd: K×dim rows materialize once and the lineage
+    * (which otherwise doubles per iteration) is truncated.
+    *
+    * Bit-parity with [[train]]: when both run on the same seeds, every
+    * iteration's assignment matches (see [[assignCellsJoin]]) and the
+    * decimal-sum mean is order-independent, so the trained centroid SETS are
+    * identical — `q_semdedup_table`'s oracle is byte-for-byte `q_semdedup`'s.
+    */
+  def trainTable(spark: SparkSession, e: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    import spark.implicits._
+    var cents = seeds.select($"cid", $"cv").localCheckpoint()
+    for (_ <- 0 until iters) {
+      cents = assignCellsJoin(spark, e, cents)
+        .select($"cell", posexplode($"v").as(Seq("i", "x")))
+        .groupBy($"cell", $"i")
+        .agg(round(sum($"x".cast("decimal(38,12)")).cast("double") / count(lit(1)), 6).as("mx"))
+        .groupBy($"cell")
+        .agg(expr("transform(array_sort(collect_list(struct(i, mx))), s -> s.mx)").as("cv"))
+        .select($"cell".as("cid"), $"cv")
+        .localCheckpoint()
+    }
+    cents
+  }
 }

@@ -29,6 +29,121 @@ import graft.tables.Tables._
   */
 object CorpusOpsQueries {
 
+  /** Shared SemDeDup body (Abbas et al. 2023): k-means coarse clustering +
+    * within-cluster exact-cosine near-dup detection with the greedy
+    * lowest-id-keeps drop rule. The piece the banded-LSH dedup
+    * (q_dedup_embedding) can't express: LSH recall decays with band width,
+    * while SemDeDup's within-cell comparison is EXACT for any pair the
+    * coarse quantizer co-locates.
+    *
+    * Scale shape: K is count-adaptive (K = ceil(n/256)) so expected cell
+    * occupancy stays ~256 and within-cell pairs stay O(n) — ~128 pairs per
+    * vector regardless of corpus size (the quadratic-per-cell cost is
+    * bounded by the quantizer, which is the SemDeDup design point). Two
+    * assignment strategies, bit-identical results (`Round10OpsSpec` proves
+    * it, and both keys share one oracle):
+    *  - K ≤ 1024: centroids baked as plan literals, assignment is pure
+    *    map-side codegen ([[graft.operators.IvfKMeans.assignCell]]).
+    *  - K > 1024 (or `forceTable`): centroids stay a DataFrame, training
+    *    and assignment go through the broadcast nested-loop join twin
+    *    ([[graft.operators.IvfKMeans.assignCellsJoin]]/`trainTable`) — no
+    *    driver collect, no multi-MB literal plan; K is bounded only by the
+    *    ~0.5 GB/10⁶-centroid broadcast ceiling (≈5×10⁸ vectors under the
+    *    n/256 policy; past that, hierarchical coarse assignment — see the
+    *    twin's scaladoc). `tools.SemDedupScaleProof` exercises this branch
+    *    end-to-end past the 262k-vector literal cap.
+    * The pair join shuffles each vector payload once per side into its cell
+    * partition (2n rows), strictly cheaper than re-attaching vectors to the
+    * ~128n candidate pairs by id. The oracle replays the SAME count-driven
+    * K policy and Lloyd iterations in SQL (pol CTE — the q_dedup_embedding
+    * band-policy pattern), so engine and oracle agree at every scale.
+    */
+  private def semdedup(
+      s: org.apache.spark.sql.SparkSession, d: String, forceTable: Boolean
+  ): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import graft.operators.IvfKMeans
+    val e = embeddings(s, d)
+      .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = e.count() // materializes the persist it would pay anyway
+    val k = math.max(1L, math.ceil(n / 256.0).toLong)
+    // Broadcast ceiling for the centroid-table path (not a plan-size cap):
+    // 2×10⁶ centroids ≈ 1 GB broadcast at dim 64 — past that, assignment
+    // must go hierarchical (coarse literal cells → per-cell sub-tables).
+    require(k <= 2000000L,
+      s"q_semdedup centroid table exceeds the broadcast ceiling (n=$n needs K=$k > 2e6); " +
+        "shard the quantizer hierarchically: literal coarse cells, per-cell sub-tables")
+    val seedPool = e.filter($"vec_id" % 97 === 0).orderBy($"vec_id").limit(k.toInt)
+    val assigned = (if (k <= 1024L && !forceTable) {
+      // plan-literal fast path: collect is K×64 doubles, bounded by the cap
+      val seeds: Seq[(Long, Seq[Double])] =
+        seedPool.collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val cents = IvfKMeans.train(s, e, seeds, iters = 2)
+      e.withColumn("cell", IvfKMeans.assignCell(s, cents, $"v"))
+    } else {
+      val seeds = seedPool.select($"vec_id".as("cid"), $"v".as("cv"))
+      val cents = IvfKMeans.trainTable(s, e, seeds, iters = 2)
+      IvfKMeans.assignCellsJoin(s, e, cents)
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = assigned.select($"cell", $"vec_id".as("id_a"), $"v".as("va"))
+      .join(assigned.select($"cell", $"vec_id".as("id_b"), $"v".as("vb")), Seq("cell"))
+      .filter($"id_a" < $"id_b")
+      .filter(round(graft.functions.CosineSimilarity.cosineSim(s, $"va", $"vb"), 4) >= 0.45)
+      .select($"cell", $"id_a", $"id_b")
+    val cellStats = assigned.groupBy($"cell").agg(count(lit(1)).as("n_vecs"))
+    val pairStats = pairs.groupBy($"cell").agg(
+      count(lit(1)).as("n_dup_pairs"),
+      countDistinct($"id_b").as("n_dropped"))
+    cellStats.join(pairStats, Seq("cell"), "left_outer")
+      .select($"cell", $"n_vecs",
+        coalesce($"n_dup_pairs", lit(0L)).as("n_dup_pairs"),
+        coalesce($"n_dropped", lit(0L)).as("n_dropped"))
+      .orderBy($"cell")
+  }
+
+  /** One oracle for both SemDeDup keys: the two assignment strategies are
+    * bit-identical, so the SQL replay (count-driven K policy + pinned Lloyd
+    * iterations) certifies either. */
+  private val semdedupOracleSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |pol AS (SELECT CAST(CEIL(COUNT(*) / 256.0) AS BIGINT) AS k FROM e),
+       |c0 AS (
+       |  SELECT cid, cv, cnrm FROM (
+       |    SELECT vec_id AS cid, v AS cv, nrm AS cnrm,
+       |      ROW_NUMBER() OVER (ORDER BY vec_id) AS rk
+       |    FROM n WHERE vec_id % 97 = 0) s, pol
+       |  WHERE s.rk <= pol.k),
+       |${PipelineQueries.lloydIterSql(0)},
+       |${PipelineQueries.lloydIterSql(1)},
+       |asg AS (
+       |  SELECT vec_id, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos6 DESC, cid) AS rk
+       |  FROM (
+       |    SELECT n.vec_id, c.cid,
+       |      ROUND(list_sum(list_transform(range(1, 65), i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm), 6) AS cos6
+       |    FROM n, c2 c)),
+       |cells AS (SELECT vec_id, cid AS cell FROM asg WHERE rk = 1),
+       |pr AS (
+       |  SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM cells a
+       |  JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN n na ON na.vec_id = a.vec_id
+       |  JOIN n nb ON nb.vec_id = b.vec_id
+       |  WHERE ROUND(list_sum(list_transform(range(1, 65), i -> na.v[i] * nb.v[i]))
+       |          / (na.nrm * nb.nrm), 4) >= 0.45),
+       |cs AS (SELECT cell, COUNT(*) AS n_vecs FROM cells GROUP BY cell),
+       |ps AS (
+       |  SELECT cell, COUNT(*) AS n_dup_pairs, COUNT(DISTINCT id_b) AS n_dropped
+       |  FROM pr GROUP BY cell)
+       |SELECT cell, n_vecs,
+       |  COALESCE(n_dup_pairs, 0) AS n_dup_pairs,
+       |  COALESCE(n_dropped, 0) AS n_dropped
+       |FROM cs LEFT JOIN ps USING (cell) ORDER BY cell""".stripMargin
+
   val entries: Map[String, QueryDef] = Map(
 
     "q_quality_gopher" -> QueryDef(
@@ -239,100 +354,19 @@ object CorpusOpsQueries {
              |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin)
     ),
 
+    // see `semdedup` above: count-adaptive plan-literal path (K ≤ 1024)
     "q_semdedup" -> QueryDef(
-      // SemDeDup (Abbas et al. 2023): semantic dedup by k-means coarse
-      // clustering + within-cluster exact-cosine near-dup detection, with
-      // the greedy lowest-id-keeps drop rule. The piece the banded-LSH
-      // dedup (q_dedup_embedding) can't express: LSH recall decays with
-      // band width, while SemDeDup's within-cell comparison is EXACT for
-      // any pair the coarse quantizer co-locates.
-      //
-      // Scale shape: K is count-adaptive (K = ceil(n/256)) so expected cell
-      // occupancy stays ~256 and within-cell pairs stay O(n) — ~128 pairs
-      // per vector regardless of corpus size (the quadratic-per-cell cost
-      // is bounded by the quantizer, which is the SemDeDup design point).
-      // Clustering reuses IvfKMeans: 2 pinned Lloyd iterations, centroids
-      // baked as plan literals so assignment is pure map-side codegen. The
-      // pair join shuffles each vector payload once per side into its cell
-      // partition (2n rows), strictly cheaper than re-attaching vectors to
-      // the ~128n candidate pairs by id. The oracle replays the SAME
-      // count-driven K policy and Lloyd iterations in SQL (pol CTE — the
-      // q_dedup_embedding band-policy pattern), so engine and oracle agree
-      // at every scale.
-      (s, d) => {
-        import s.implicits._
-        import graft.operators.IvfKMeans
-        val e = embeddings(s, d)
-          .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val n = e.count() // materializes the persist it would pay anyway
-        val k = math.max(1L, math.ceil(n / 256.0).toLong)
-        // K plan-literal centroids: collect is K×64 doubles, bounded by the
-        // cap. Past it (~262k vectors) the production path is a
-        // hierarchical coarse quantizer or a centroid-table join — fail
-        // fast instead of silently building a multi-MB literal plan.
-        require(k <= 1024L,
-          s"q_semdedup caps K at 1024 plan-literal centroids (n=$n needs K=$k); " +
-            "beyond that, use a hierarchical quantizer / centroid-table join")
-        val seeds: Seq[(Long, Seq[Double])] =
-          e.filter($"vec_id" % 97 === 0).orderBy($"vec_id").limit(k.toInt)
-            .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
-        val cents = IvfKMeans.train(s, e, seeds, iters = 2)
-        val assigned = e
-          .withColumn("cell", IvfKMeans.assignCell(s, cents, $"v"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val pairs = assigned.select($"cell", $"vec_id".as("id_a"), $"v".as("va"))
-          .join(assigned.select($"cell", $"vec_id".as("id_b"), $"v".as("vb")), Seq("cell"))
-          .filter($"id_a" < $"id_b")
-          .filter(round(graft.functions.CosineSimilarity.cosineSim(s, $"va", $"vb"), 4) >= 0.45)
-          .select($"cell", $"id_a", $"id_b")
-        val cellStats = assigned.groupBy($"cell").agg(count(lit(1)).as("n_vecs"))
-        val pairStats = pairs.groupBy($"cell").agg(
-          count(lit(1)).as("n_dup_pairs"),
-          countDistinct($"id_b").as("n_dropped"))
-        cellStats.join(pairStats, Seq("cell"), "left_outer")
-          .select($"cell", $"n_vecs",
-            coalesce($"n_dup_pairs", lit(0L)).as("n_dup_pairs"),
-            coalesce($"n_dropped", lit(0L)).as("n_dropped"))
-          .orderBy($"cell")
-      },
-      Some(s"""WITH e AS (
-             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-             |n AS (
-             |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
-             |pol AS (SELECT CAST(CEIL(COUNT(*) / 256.0) AS BIGINT) AS k FROM e),
-             |c0 AS (
-             |  SELECT cid, cv, cnrm FROM (
-             |    SELECT vec_id AS cid, v AS cv, nrm AS cnrm,
-             |      ROW_NUMBER() OVER (ORDER BY vec_id) AS rk
-             |    FROM n WHERE vec_id % 97 = 0) s, pol
-             |  WHERE s.rk <= pol.k),
-             |${PipelineQueries.lloydIterSql(0)},
-             |${PipelineQueries.lloydIterSql(1)},
-             |asg AS (
-             |  SELECT vec_id, cid,
-             |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos6 DESC, cid) AS rk
-             |  FROM (
-             |    SELECT n.vec_id, c.cid,
-             |      ROUND(list_sum(list_transform(range(1, 65), i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm), 6) AS cos6
-             |    FROM n, c2 c)),
-             |cells AS (SELECT vec_id, cid AS cell FROM asg WHERE rk = 1),
-             |pr AS (
-             |  SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b
-             |  FROM cells a
-             |  JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
-             |  JOIN n na ON na.vec_id = a.vec_id
-             |  JOIN n nb ON nb.vec_id = b.vec_id
-             |  WHERE ROUND(list_sum(list_transform(range(1, 65), i -> na.v[i] * nb.v[i]))
-             |          / (na.nrm * nb.nrm), 4) >= 0.45),
-             |cs AS (SELECT cell, COUNT(*) AS n_vecs FROM cells GROUP BY cell),
-             |ps AS (
-             |  SELECT cell, COUNT(*) AS n_dup_pairs, COUNT(DISTINCT id_b) AS n_dropped
-             |  FROM pr GROUP BY cell)
-             |SELECT cell, n_vecs,
-             |  COALESCE(n_dup_pairs, 0) AS n_dup_pairs,
-             |  COALESCE(n_dropped, 0) AS n_dropped
-             |FROM cs LEFT JOIN ps USING (cell) ORDER BY cell""".stripMargin)
+      (s, d) => semdedup(s, d, forceTable = false),
+      Some(semdedupOracleSql)
+    ),
+
+    // Same operator forced through the centroid-table broadcast-join path
+    // (the K > 1024 production branch), gated at every sf by the SAME
+    // oracle — the cross-engine hash match certifies the two assignment
+    // strategies are bit-identical where they overlap.
+    "q_semdedup_table" -> QueryDef(
+      (s, d) => semdedup(s, d, forceTable = true),
+      Some(semdedupOracleSql)
     ),
 
     "q_dedup_paragraph" -> QueryDef(
