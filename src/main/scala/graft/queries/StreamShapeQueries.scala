@@ -352,119 +352,31 @@ object StreamShapeQueries {
     ),
 
     "q_stream_ingest_dedup" -> QueryDef(
-      // CONTINUOUS corpus ingestion with a durable fingerprint store — the
-      // production "absorb daily shards" loop run as a real multi-batch
-      // stream: each micro-batch dedups within itself (groupBy fingerprint,
-      // min doc_id — deterministic, unlike dropDuplicates), LEFT ANTI joins
-      // against corpus fingerprints ∪ the durable store (so a later shard
-      // never re-admits an earlier shard's doc), emits the survivors, and
-      // appends their fingerprints to the store. This is the reference's
-      // foreachBatch CDC-apply pattern (O6) pointed at corpus curation, and
-      // the streaming twin of q_dedup_incremental. The replay is forced to
-      // TWO ordered micro-batches (two shard files split by doc_id parity,
-      // modification times staggered, maxFilesPerTrigger=1) and asserted —
-      // cross-batch suppression is the behavior under test, so a
-      // single-batch replay must fail loudly, not silently pass. State is
-      // nothing but the fingerprint store — a catalog table BUCKETED BY fp
-      // (so the per-batch anti-join co-locates on the store side: zero
-      // Exchange under the bucketed scan, gated in PlanQualitySpec) and
-      // partitioned by the batch id that wrote each row. foreachBatch is
-      // at-least-once, so both writes are retry-safe WITHOUT transactions:
-      // survivors OVERWRITE their own out/batch=<id> partition (idempotent),
-      // and the anti-join reads only store partitions with batch <
-      // currentBatchId — a half-complete earlier attempt of THIS batch may
-      // already have appended its fps, and without that filter the retry
-      // would suppress its own survivors and emit nothing. Store-side
-      // duplicate fps from such an attempt are harmless: the store is a
-      // set probed by anti-join. Per-batch cost is shard + pruned store
-      // partitions — never the corpus.
+      // CONTINUOUS corpus ingestion with a durable fingerprint store — see
+      // graft.streaming.IngestDedup for the full operator contract (batch
+      // dedup → corpus ∪ store anti-join → idempotent dual write; bucketed
+      // zero-Exchange store scan gated in PlanQualitySpec; depth/pruning/
+      // retry proven at 4 batches in IngestDedupDepthSpec). Here the replay
+      // runs at TWO ordered micro-batches (doc_id parity shards) against
+      // the DuckDB oracle, which replays the same min-shard-wins rule.
       (s, d) => {
         import s.implicits._
-        def fpCol = md5(array_join(array_sort(array_distinct(split($"text", " "))), " "))
+        import graft.streaming.IngestDedup
         val corpusFps = documents(s, d)
           .filter(pmod($"doc_id", lit(31)) === 0)
-          .select(fpCol.as("fp")).distinct()
+          .select(IngestDedup.fpCol($"text").as("fp")).distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         corpusFps.count() // materialize once; every micro-batch reuses it
-        val runId = java.util.UUID.randomUUID().toString.replace("-", "")
-        val base = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"), s"graft_ingest_$runId")
-        val srcDir = base.resolve("src")
-        val storeTable = s"graft_fp_store_$runId"
-        val outDir = base.resolve("out").toString
-        java.nio.file.Files.createDirectories(srcDir)
         val newDocs = documents(s, d)
           .filter(pmod($"doc_id", lit(31)) =!= 0).select($"doc_id", $"text")
-        (0 to 1).foreach { b =>
-          val stage = base.resolve(s"stage$b")
-          newDocs.filter(pmod($"doc_id", lit(2)) === b)
-            .coalesce(1).write.mode("overwrite").parquet(stage.toString)
-          val listing = java.nio.file.Files.list(stage)
-          val part =
-            try listing.filter(p => p.getFileName.toString.startsWith("part-")
-              && p.getFileName.toString.endsWith(".parquet")).findFirst()
-              .orElseThrow(() => new IllegalStateException(s"no part file in $stage"))
-            finally listing.close()
-          val dst = srcDir.resolve(s"shard$b.parquet")
-          java.nio.file.Files.move(part, dst)
-          // staggered mtimes pin batch ORDER: the file source processes
-          // oldest-first, so shard0 is always micro-batch 0
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + b * 60000L))
-        }
-        val schema = s.read.parquet(srcDir.toString).schema
-        graft.streaming.StreamOps.withRightSizedStreaming(s, 4, noDataBatches = false) {
-          val stream = s.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
-          val q = stream.writeStream
-            .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-              val inBatch = batch.select(col("doc_id"), fpCol.as("fp"))
-                .groupBy(col("fp"))
-                .agg(min(col("doc_id")).as("doc_id"),
-                  count(lit(1)).as("n_dup_in_shard"))
-              val noCorpus = inBatch.join(corpusFps, Seq("fp"), "left_anti")
-              // batch < batchId: retry safety (see header comment) — and
-              // partition pruning keeps a retried batch from even reading
-              // its own half-written store partition
-              val fresh = (if (s.catalog.tableExists(storeTable))
-                  noCorpus.join(
-                    s.table(storeTable).where(col("batch") < batchId)
-                      .select(col("fp")),
-                    Seq("fp"), "left_anti")
-                else noCorpus)
-                .select(col("doc_id"), col("fp"), col("n_dup_in_shard"))
-                // one materialization feeds both writes: the store append
-                // below must not trigger a re-plan of the anti-join
-                .localCheckpoint()
-              // idempotent: a checkpoint-driven retry OVERWRITES its own
-              // partition instead of double-appending (foreachBatch is
-              // at-least-once)
-              fresh.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-              fresh.select(col("fp")).withColumn("batch", lit(batchId))
-                .write.partitionBy("batch").bucketBy(4, "fp").sortBy("fp")
-                .mode("append").format("parquet").saveAsTable(storeTable)
-              ()
-            }
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .option("checkpointLocation",
-              s"${graft.streaming.StreamOps.fastCheckpointRoot}/ingest_$runId")
-            .start()
-          q.awaitTermination()
-          val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-          require(dataBatches == 2,
-            s"q_stream_ingest_dedup expects a 2-batch replay, saw $dataBatches")
-        }
+        val run = IngestDedup.runIngest(s, newDocs, corpusFps, nShards = 2)
         // partition discovery adds the batch column back; drop it so the
         // output schema (and the oracle) stay batch-layout-independent
-        val out = s.read.parquet(outDir)
+        val out = s.read.parquet(run.outDir)
           .select($"doc_id", $"fp", $"n_dup_in_shard")
           .orderBy($"doc_id").localCheckpoint()
-        s.sql(s"DROP TABLE IF EXISTS $storeTable")
+        IngestDedup.cleanup(s, run)
         corpusFps.unpersist(blocking = false)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(base.toFile)
         out
       },
       Some("""WITH nd AS (

@@ -1,0 +1,151 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Continuous corpus ingestion with a durable fingerprint store — the
+  * production "absorb daily shards" loop run as a real multi-batch stream:
+  * each micro-batch dedups within itself (groupBy fingerprint, min doc_id —
+  * deterministic, unlike dropDuplicates), LEFT ANTI joins against corpus
+  * fingerprints ∪ the durable store (so a later shard never re-admits an
+  * earlier shard's doc), emits the survivors, and appends their
+  * fingerprints to the store. This is the reference's foreachBatch
+  * CDC-apply pattern (O6, `run.py` flow) pointed at corpus curation, and
+  * the streaming twin of q_dedup_incremental.
+  *
+  * State is nothing but the fingerprint store — a catalog table BUCKETED BY
+  * fp (so the per-batch anti-join co-locates on the store side: zero
+  * Exchange under the bucketed scan, gated in PlanQualitySpec) and
+  * partitioned by the batch id that wrote each row. foreachBatch is
+  * at-least-once, so both writes are retry-safe WITHOUT transactions:
+  * survivors OVERWRITE their own out/batch=<id> partition (idempotent), and
+  * the anti-join reads only store partitions with batch < currentBatchId —
+  * a half-complete earlier attempt of THIS batch may already have appended
+  * its fps, and without that filter the retry would suppress its own
+  * survivors and emit nothing. Store-side duplicate fps from such an
+  * attempt are harmless: the store is a set probed by anti-join. Per-batch
+  * cost is shard + pruned store partitions — never the corpus.
+  *
+  * `q_stream_ingest_dedup` runs this at 2 shards against the DuckDB oracle;
+  * `IngestDedupDepthSpec` replays it at 4 ordered batches, measures the
+  * store-scan file counts per batch (partition pruning, including a
+  * retried batch skipping its own half-written partition), and re-applies
+  * a completed batch to prove the overwrite-idempotency claim.
+  */
+object IngestDedup {
+
+  /** Order/multiplicity-insensitive doc fingerprint (the q_dedup_exact key). */
+  def fpCol(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(split(text, " "))), " "))
+
+  /** One micro-batch of the ingest loop (the foreachBatch body; also
+    * invoked directly by the depth spec's retry simulation).
+    */
+  def applyBatch(
+      s: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      corpusFps: DataFrame,
+      storeTable: String,
+      outDir: String
+  ): Unit = {
+    val inBatch = batch.select(col("doc_id"), fpCol(col("text")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        count(lit(1)).as("n_dup_in_shard"))
+    val noCorpus = inBatch.join(corpusFps, Seq("fp"), "left_anti")
+    // batch < batchId: retry safety (see header comment) — and partition
+    // pruning keeps a retried batch from even reading its own half-written
+    // store partition
+    val fresh = (if (s.catalog.tableExists(storeTable))
+        noCorpus.join(
+          s.table(storeTable).where(col("batch") < batchId)
+            .select(col("fp")),
+          Seq("fp"), "left_anti")
+      else noCorpus)
+      .select(col("doc_id"), col("fp"), col("n_dup_in_shard"))
+      // one materialization feeds both writes: the store append below must
+      // not trigger a re-plan of the anti-join
+      .localCheckpoint()
+    // idempotent: a checkpoint-driven retry OVERWRITES its own partition
+    // instead of double-appending (foreachBatch is at-least-once)
+    fresh.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    fresh.select(col("fp")).withColumn("batch", lit(batchId))
+      .write.partitionBy("batch").bucketBy(4, "fp").sortBy("fp")
+      .mode("append").format("parquet").saveAsTable(storeTable)
+    ()
+  }
+
+  /** Handle to a completed ingest replay; `outDir`/`storeTable` stay live
+    * until [[cleanup]] so callers (the depth spec) can inspect them. */
+  final case class IngestRun(
+      outDir: String,
+      storeTable: String,
+      srcDir: java.nio.file.Path,
+      base: java.nio.file.Path)
+
+  /** Split `newDocs` into `nShards` ordered shard files (doc_id mod
+    * nShards; modification times staggered so the file source processes
+    * shard b as micro-batch b) and replay them as a REAL multi-batch stream
+    * (maxFilesPerTrigger=1, AvailableNow). The batch count is asserted —
+    * cross-batch suppression is the behavior under test, so a collapsed
+    * replay must fail loudly, not silently pass.
+    */
+  def runIngest(
+      s: SparkSession,
+      newDocs: DataFrame,
+      corpusFps: DataFrame,
+      nShards: Int
+  ): IngestRun = {
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_ingest_$runId")
+    val srcDir = base.resolve("src")
+    val storeTable = s"graft_fp_store_$runId"
+    val outDir = base.resolve("out").toString
+    java.nio.file.Files.createDirectories(srcDir)
+    (0 until nShards).foreach { b =>
+      val stage = base.resolve(s"stage$b")
+      newDocs.filter(pmod(col("doc_id"), lit(nShards)) === b)
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val listing = java.nio.file.Files.list(stage)
+      val part =
+        try listing.filter(p => p.getFileName.toString.startsWith("part-")
+          && p.getFileName.toString.endsWith(".parquet")).findFirst()
+          .orElseThrow(() => new IllegalStateException(s"no part file in $stage"))
+        finally listing.close()
+      val dst = srcDir.resolve(s"shard$b.parquet")
+      java.nio.file.Files.move(part, dst)
+      // staggered mtimes pin batch ORDER: the file source processes
+      // oldest-first, so shard b is always micro-batch b
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + b * 60000L))
+    }
+    val schema = s.read.parquet(srcDir.toString).schema
+    StreamOps.withRightSizedStreaming(s, 4, noDataBatches = false) {
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          applyBatch(s, batch, batchId, corpusFps, storeTable, outDir)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation",
+          s"${StreamOps.fastCheckpointRoot}/ingest_$runId")
+        .start()
+      q.awaitTermination()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches == nShards,
+        s"ingest-dedup expects a $nShards-batch replay, saw $dataBatches")
+    }
+    IngestRun(outDir, storeTable, srcDir, base)
+  }
+
+  def cleanup(s: SparkSession, run: IngestRun): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS ${run.storeTable}")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(run.base.toFile)
+  }
+}

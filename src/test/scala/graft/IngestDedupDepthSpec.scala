@@ -1,0 +1,122 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+import graft.streaming.IngestDedup
+
+/** Depth proof for the ingest-dedup loop (q_stream_ingest_dedup runs it at
+  * 2 batches against the DuckDB oracle; this spec runs the SAME machinery
+  * at 4 ordered micro-batches) covering the three claims the operator's
+  * contract makes but a 2-batch replay can't prove:
+  *   1. cross-batch suppression at depth — a fingerprint admitted in batch
+  *      0 stays suppressed in batches 1, 2 AND 3;
+  *   2. store-scan partition pruning — the `batch < batchId` anti-join
+  *      reads EXACTLY the prefix partitions at every depth (file-level scan
+  *      metrics), even when later partitions exist — which is also why a
+  *      RETRIED batch never reads its own half-written partition;
+  *   3. overwrite idempotency — re-applying a completed batch (foreachBatch
+  *      is at-least-once) reproduces byte-identical survivors and output.
+  */
+class IngestDedupDepthSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+
+  // shard = doc_id % 4; fingerprints are over SORTED DISTINCT words, so
+  // "words common corpus corpus" == "corpus common words"
+  private val corpusText = "corpus common words"
+  private val docs = Seq(
+    4L  -> "alpha beta",                  // fpA shard 0 — survivor
+    5L  -> "beta alpha",                  // fpA shard 1 — cross-batch dup
+    6L  -> "alpha beta alpha",            // fpA shard 2 — cross-batch dup
+    7L  -> "beta beta alpha",             // fpA shard 3 — cross-batch dup
+    8L  -> corpusText,                    // corpus fp shard 0 — suppressed
+    13L -> "words common corpus corpus",  // corpus fp shard 1 — suppressed
+    16L -> corpusText,                    // corpus fp shard 0 — suppressed
+    9L  -> "bravo charlie",               // fpB shard 1 — survivor (min id)
+    21L -> "charlie bravo",               // fpB shard 1 — in-shard dup
+    10L -> "bravo charlie bravo",         // fpB shard 2 — cross-batch dup
+    14L -> "foxtrot golf",                // fpF shard 2 — survivor
+    11L -> "delta echo",                  // fpD shard 3 — survivor
+    12L -> "epsilon zeta")                // fpE shard 0 — survivor
+
+  private def fixture() = {
+    import spark.implicits._
+    val newDocs = docs.toDF("doc_id", "text")
+    val corpusFps = Seq(corpusText).toDF("text")
+      .select(IngestDedup.fpCol($"text").as("fp"))
+    (newDocs, corpusFps)
+  }
+
+  private def prunedStoreScanFiles(storeTable: String, batchLt: Long): Long = {
+    val df = spark.table(storeTable)
+      .where(col("batch") < lit(batchLt)).select(col("fp"))
+    df.collect() // no shuffle -> no AQE wrapper; the scan is in executedPlan
+    df.queryExecution.executedPlan
+      .collect { case f: FileSourceScanExec => f.metrics("numFiles").value }.sum
+  }
+
+  private def filesInPartition(location: String, b: Long): Long = {
+    val dir = java.nio.file.Paths.get(location.stripPrefix("file:"), s"batch=$b")
+    val listing = java.nio.file.Files.list(dir)
+    try listing.filter { p =>
+      val n = p.getFileName.toString
+      !n.startsWith("_") && !n.startsWith(".") // _SUCCESS and .crc sidecars
+    }.count()
+    finally listing.close()
+  }
+
+  test("4-batch replay: cross-batch suppression at depth, pruned store reads, idempotent retry") {
+    import spark.implicits._
+    val (newDocs, corpusFps) = fixture()
+    val run = IngestDedup.runIngest(spark, newDocs, corpusFps, nShards = 4)
+    try {
+      // --- 1. cross-batch suppression at depth -------------------------
+      val out = spark.read.parquet(run.outDir)
+        .select($"doc_id", $"n_dup_in_shard").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(out == Set((4L, 1L), (9L, 2L), (14L, 1L), (11L, 1L), (12L, 1L)),
+        s"expected one survivor per fingerprint from its FIRST batch: $out")
+
+      // --- 2. store-scan partition pruning at every depth --------------
+      val location = spark.sql(s"DESC FORMATTED ${run.storeTable}")
+        .filter($"col_name" === "Location").head.getString(1)
+      val perPartition = (0L to 3L).map(b => filesInPartition(location, b))
+      assert(perPartition.forall(_ > 0), s"every batch must have appended: $perPartition")
+      (1L to 4L).foreach { b =>
+        val scanned = prunedStoreScanFiles(run.storeTable, b)
+        val expected = perPartition.take(b.toInt).sum
+        assert(scanned == expected,
+          s"batch<$b must scan exactly the prefix partitions' files " +
+            s"($expected), saw $scanned — pruning regressed")
+      }
+      // the retry-pruning property in particular: with all 4 partitions on
+      // disk, a retried batch 1 (filter batch < 1) touches ONLY partition 0
+      assert(prunedStoreScanFiles(run.storeTable, 1L) == perPartition.head)
+
+      // --- 3. overwrite idempotency under at-least-once retry ----------
+      val before = spark.read.parquet(s"${run.outDir}/batch=1")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val shard1 = newDocs.filter(pmod($"doc_id", lit(4)) === 1)
+      IngestDedup.applyBatch(spark, shard1, 1L, corpusFps,
+        run.storeTable, run.outDir)
+      val after = spark.read.parquet(s"${run.outDir}/batch=1")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(after == before,
+        s"retried batch must overwrite its partition with identical survivors: $before vs $after")
+      // the retry double-appended batch=1 fps to the store — harmless by
+      // design (the store is a SET probed by anti-join): a later batch
+      // still suppresses exactly the same fingerprints
+      val wouldBe = shard1.select($"doc_id", IngestDedup.fpCol($"text").as("fp"))
+        .join(spark.table(run.storeTable).where($"batch" < 2).select($"fp"),
+          Seq("fp"), "left_semi")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(wouldBe == Set(5L, 9L, 21L),
+        s"store set semantics changed under duplicate fps: $wouldBe")
+      // and the full output across batches is unchanged
+      val outAfter = spark.read.parquet(run.outDir)
+        .select($"doc_id", $"n_dup_in_shard").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(outAfter == out)
+    } finally IngestDedup.cleanup(spark, run)
+  }
+}

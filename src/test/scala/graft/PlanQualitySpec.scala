@@ -246,8 +246,12 @@ class PlanQualitySpec extends AnyFunSuite {
     // q_similarity_topk is the deliberate brute-force exact baseline: its
     // non-equi (q_id <> c_id) broadcast join IS the operator; the recall
     // evaluation re-runs that exact arm to measure the ANN arm against it.
-    // Everything else must key its joins.
-    val allowNlj = Set("q_similarity_topk", "q_similarity_recall")
+    // q_semdedup_table's vectors × centroid-table cross join is likewise
+    // the operator (the K > 1024 assignment path — every vector meets
+    // every broadcast centroid, consumed in-stage by the packed-long
+    // argmax; see IvfKMeans.assignCellsJoin). Everything else must key
+    // its joins.
+    val allowNlj = Set("q_similarity_topk", "q_similarity_recall", "q_semdedup_table")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
