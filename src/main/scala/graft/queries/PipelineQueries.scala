@@ -481,11 +481,19 @@ object PipelineQueries {
       // structurally unreachable); instead it is the PPJoin-family
       // inverted-index form: candidates = docs sharing a RARE shingle
       // (2 ≤ doc-frequency ≤ 8). A contained doc shares its ENTIRE
-      // shingle set with its container, so any rare shingle in the small
-      // doc recalls the pair deterministically; the df cap bounds the
-      // per-shingle fan-out at C(8,2)=28 pairs, keeping candidate count
-      // linear in corpus size (rare shingles dominate real vocabularies
-      // by Zipf). Verification is exact containment via the codegen'd
+      // shingle set with its container, so recall is deterministic UNDER
+      // THE PRECONDITION that the contained doc owns at least one shingle
+      // with df in [2, 8] — a doc quoted into MORE than 8 containers has
+      // every shingle above the cap and generates zero candidates here.
+      // That blind spot is deliberate tiering, not a loss: heavily-
+      // replicated boilerplate is exactly what the LINEAR tiers remove
+      // first (q_dedup_paragraph drops the quoted block from every later
+      // doc; q_dedup_exact collapses whole-doc copies) — proven by the
+      // hand-off test in Round10OpsSpec — while this operator targets the
+      // low-multiplicity short-in-long quotes those tiers can't see. The
+      // df cap is what bounds per-shingle fan-out at C(8,2)=28 pairs,
+      // keeping candidate count linear in corpus size (rare shingles
+      // dominate real vocabularies by Zipf). Verification is exact containment via the codegen'd
       // sorted two-pointer intersect; both thresholds are integer
       // cross-multiplications (5·ov ≥ 4·min(sz) for θ=0.8;
       // 3·ov < sz_a+sz_b flags pairs Jaccard<0.5 dedup would MISS) — no

@@ -47,6 +47,54 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(dupPairs > 0, s"expected planted near-dup pairs to be found")
   }
 
+  private def docsDir(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r10docs").toString
+    rows.map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("dedup tier hand-off: boilerplate quoted in 20+ containers escapes containment's df band but falls to the linear tiers") {
+    // q_dedup_containment keeps only shingles with df in [2,8] — a short
+    // doc quoted into 20 containers has EVERY shingle above the cap and
+    // generates zero candidates (the documented precondition). The linear
+    // tiers are where that mass is removed: q_dedup_paragraph drops the
+    // quoted chunk from every doc after the first, and q_dedup_exact
+    // collapses whole-doc copies.
+    val quote = (0 until 10).map(i => s"quote$i").mkString(" ")
+    val containers = (2L to 21L).map(n =>
+      n -> ((0 until 10).map(i => s"uniq${n}w$i").mkString(" ") + " " + quote))
+    val rows = Seq(1L -> quote) ++ containers ++ Seq(22L -> containers.head._2)
+    val dir = docsDir(rows)
+
+    // blind spot: no containment pair involves the quoted short doc 1 —
+    // all its shingles have df = 22 > 8
+    val cont = SparkEntry.queries("q_dedup_containment")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!cont.exists(p => p._1 == 1L || p._2 == 1L),
+      s"doc 1 must be invisible to the df-banded index: ${cont.toSeq}")
+    // sanity: the operator does work on this fixture where the df band
+    // holds — the exact-copy pair (2, 22) shares rare prefix shingles
+    assert(cont.contains((2L, 22L)), s"expected the (2,22) pair: ${cont.toSeq}")
+
+    // paragraph tier: doc 1 keeps the quote chunk (first occurrence);
+    // every container loses it (n_kept 1 of 2); the whole-doc copy 22
+    // loses BOTH chunks and vanishes
+    val para = SparkEntry.queries("q_dedup_paragraph")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(para(1L) == ((1L, 1L)))
+    (2L to 21L).foreach(n => assert(para(n) == ((2L, 1L)), s"doc $n: ${para.get(n)}"))
+    assert(!para.contains(22L), "fully-duplicate doc 22 must vanish")
+
+    // exact tier: docs 2 and 22 collapse into one group under doc 2
+    val exact = SparkEntry.queries("q_dedup_exact")(spark, dir)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(exact(2L) == 2L, s"docs 2+22 must form one exact group: $exact")
+    assert(!exact.contains(22L))
+  }
+
   test("IvfKMeans.trainTable reproduces IvfKMeans.train centroids exactly") {
     import spark.implicits._
     import graft.operators.IvfKMeans
