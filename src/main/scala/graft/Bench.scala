@@ -155,9 +155,18 @@ object Bench {
       rs.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
         .mkString("{", ",", "}")
+    // Two totals, both published in the COMPACT line (not just the detail
+    // file): "value" stays the corrected total (per-query min of in-suite
+    // and isolated — the one-sided-contamination-robust estimator), and
+    // "suite_total" is the uncorrected in-suite sum, so the correction's
+    // magnitude is visible without opening the detail file. The isolated
+    // child runs under more favorable conditions (parent stopped, fresh
+    // code cache), so the gap between the two is an upper bound on what
+    // the re-measure step bought.
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val suiteTotal = if (suiteResults.nonEmpty) suiteResults.values.sum else 0.0
     val fullJson =
-      s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","calib_sec":${f"$calib%.4f"},"queries":${toJson(results.toSeq)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.4f"},"suite_total":${f"$suiteTotal%.4f"},"unit":"sec","calib_sec":${f"$calib%.4f"},"queries":${toJson(results.toSeq)},"sf":"$sfDir"}"""
     // The driver captures only a bounded tail of sbt's stdout and parses the
     // last JSON line it finds. The full per-query map (~90 entries, ~3 KB)
     // overflows that buffer and the line arrives truncated → parsed:null in
@@ -192,7 +201,7 @@ object Bench {
     val fullJsonWithEvidence = fullJson.dropRight(1) +
       s""","remeasured":$remeasuredJson}"""
     val compactJson =
-      s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","n_queries":${results.size},""" +
+      s"""{"metric":"total","value":${f"$total%.4f"},"suite_total":${f"$suiteTotal%.4f"},"unit":"sec","n_queries":${results.size},""" +
         s""""calib_sec":${f"$calib%.4f"},"n_remeasured":${isolated.size},""" +
         s""""queries":${toJson(headlineResults)},"sf":"$sfDir","detail":"$detailPath"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), fullJsonWithEvidence)

@@ -63,13 +63,18 @@ object Verify {
     val errJson = errors
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
-    // Exit 0 even on per-query failures — a nonzero exit could abort the
-    // driver's whole compare and lose the 120+ good dumps. errors.json +
-    // the stderr banner are the explicit failure record.
     if (errors.nonEmpty)
       System.err.println(
         s"[verify] ${errors.size}/${queries.size} queries FAILED: " +
           errors.keys.mkString(", "))
     spark.stop()
+    // Default contract: fail-on-error (any caller keying on exit status —
+    // CI, driver automation — must not read a partially-failed run as
+    // success). A harness that prefers to keep the good dumps and inspect
+    // errors.json itself (evidence.sh does) opts into exit-0 explicitly
+    // via SPARK_GRAFT_VERIFY_SOFT_FAIL=1; errors.json + the stderr banner
+    // remain the detailed record either way.
+    if (errors.nonEmpty && !sys.env.get("SPARK_GRAFT_VERIFY_SOFT_FAIL").contains("1"))
+      sys.exit(2)
   }
 }

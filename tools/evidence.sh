@@ -37,7 +37,7 @@ else
 fi
 
 echo "== [2/4] correctness at sf0.01 (Verify -> DuckDB)"
-SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $OUT/verify_sf001" \
+SPARK_GRAFT_VERIFY_SOFT_FAIL=1 SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $OUT/verify_sf001" \
   2>&1 | tee "$OUT/verify_sf001.log" | grep -E "\[verify\]|error" || true
 # Verify now writes an explicit per-query failure record; empty = all dumped
 python3 -c "import json,sys;sys.exit(1 if json.load(open('$OUT/verify_sf001/errors.json')) else 0)"
@@ -59,7 +59,7 @@ if [ ! -f .localdata/sf1/documents.parquet ]; then
   echo "   regenerating sf1 corpus"
   SPARK_GRAFT_CPUS=16 sbt -batch "runMain graft.tools.ScaleUp" >/dev/null
 fi
-SPARK_GRAFT_CPUS="$CPUS" sbt -batch "runMain graft.Verify $PWD/.localdata/sf1 $OUT/verify_sf1" \
+SPARK_GRAFT_VERIFY_SOFT_FAIL=1 SPARK_GRAFT_CPUS="$CPUS" sbt -batch "runMain graft.Verify $PWD/.localdata/sf1 $OUT/verify_sf1" \
   2>&1 | tee "$OUT/verify_sf1.log" | grep -E "\[verify\]|error" || true
 python3 -c "import json,sys;sys.exit(1 if json.load(open('$OUT/verify_sf1/errors.json')) else 0)"
 # Per-query with timeouts: a few oracles (recursive CC closure, minhash

@@ -28,8 +28,12 @@ SCAN_GLOBS = [
     "build.sbt",
     "project/*.sbt",
     "project/*.scala",
-    "README.md",
+    "*.md",
 ]
+
+# Self-referential outputs: the scanner's own pattern literals and the scan
+# artifact's recorded hits would self-match; everything else ships.
+EXCLUDED = ["tools/leakcheck.py", "LEAKCHECK.json"]
 
 PATTERNS = {
     # imports of non-public namespaces (anything not spark/scala/java/graft)
@@ -65,10 +69,9 @@ PATTERNS = {
 
 
 def main() -> int:
-    # The scanner's own pattern literals would self-match; exclude it.
-    self_path = Path(__file__).resolve()
+    excluded = {(ROOT / e).resolve() for e in EXCLUDED}
     files = sorted({p for g in SCAN_GLOBS for p in ROOT.glob(g)
-                    if p.is_file() and p.resolve() != self_path})
+                    if p.is_file() and p.resolve() not in excluded})
     sha = hashlib.sha256()
     hits = {k: [] for k in PATTERNS}
     for path in files:
@@ -89,6 +92,8 @@ def main() -> int:
     out = {
         "round": int(sys.argv[1]) if len(sys.argv) > 1 else None,
         "generated_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "scan_globs": SCAN_GLOBS,
+        "excluded": EXCLUDED,
         "git_commit": commit,
         "n_files_scanned": len(files),
         "input_sha256": sha.hexdigest(),
