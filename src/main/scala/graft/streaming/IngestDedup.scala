@@ -104,15 +104,25 @@ object IngestDedup {
     val storeTable = s"graft_fp_store_$runId"
     val outDir = base.resolve("out").toString
     java.nio.file.Files.createDirectories(srcDir)
+    // Single-pass staging: repartition on the shard value so every shard's
+    // rows land in exactly one task, then partitionBy writes one file per
+    // shard dir in one parallel job. (The previous per-shard loop paid
+    // nShards full scans, each squeezed through coalesce(1) — the scan
+    // itself went single-threaded.) Hash collisions between shard values
+    // only co-locate two shards in one task; partitionBy still splits them
+    // into their own dirs, so the one-file-per-shard invariant the ordered
+    // replay needs (maxFilesPerTrigger=1 ⇒ file b = micro-batch b) holds.
+    val stage = base.resolve("stage")
+    newDocs.withColumn("b", pmod(col("doc_id"), lit(nShards)))
+      .repartition(nShards, col("b"))
+      .write.partitionBy("b").mode("overwrite").parquet(stage.toString)
     (0 until nShards).foreach { b =>
-      val stage = base.resolve(s"stage$b")
-      newDocs.filter(pmod(col("doc_id"), lit(nShards)) === b)
-        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
-      val listing = java.nio.file.Files.list(stage)
+      val shardDir = stage.resolve(s"b=$b")
+      val listing = java.nio.file.Files.list(shardDir)
       val part =
         try listing.filter(p => p.getFileName.toString.startsWith("part-")
           && p.getFileName.toString.endsWith(".parquet")).findFirst()
-          .orElseThrow(() => new IllegalStateException(s"no part file in $stage"))
+          .orElseThrow(() => new IllegalStateException(s"no part file in $shardDir"))
         finally listing.close()
       val dst = srcDir.resolve(s"shard$b.parquet")
       java.nio.file.Files.move(part, dst)

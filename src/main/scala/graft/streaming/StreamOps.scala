@@ -120,11 +120,12 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (userId: Long, it: Iterator[UserEvent], state: GroupState[UserRunning]) => {
           val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0L))
-          val batch = it.toSeq
-          val next = UserRunning(
-            userId,
-            prev.n_events + batch.size,
-            prev.n_purchases + batch.count(_.event_type == "purchase"))
+          // single-pass fold: a group can hold one user's whole replay, so
+          // materializing it (toSeq) would allocate proportional to the
+          // hottest key instead of O(1)
+          var n = 0L; var p = 0L
+          it.foreach { e => n += 1; if (e.event_type == "purchase") p += 1 }
+          val next = UserRunning(userId, prev.n_events + n, prev.n_purchases + p)
           state.update(next)
           Iterator.single(next)
         })
