@@ -147,15 +147,15 @@ object StreamShapeQueries {
         // The stateful operator's state-store partition count is pinned from
         // spark.sql.shuffle.partitions at query START (each partition pays a
         // per-batch store open/commit). The user-counter state is keyed by
-        // user (thousands of tiny entries), so a handful of partitions
-        // carries it; the session default (sized for data shuffles) would
-        // spend more on store commits than on data. The helper restores its
+        // user (thousands of tiny entries), so two partitions carry it; the
+        // session default (sized for data shuffles) would spend more on
+        // store commits than on data. The helper restores its
         // conf overrides (incl. the ns-parquet toggle the source needs at
         // schema inference, hence construction INSIDE the block) only after
         // awaitTermination (micro-batch planning runs async after start(),
         // so restoring earlier would race the read) and serializes
         // streaming runs JVM-wide.
-        graft.streaming.StreamOps.withRightSizedStreaming(s, 4, noDataBatches = false) {
+        graft.streaming.StreamOps.withRightSizedStreaming(s, 2, noDataBatches = false) {
           val raw = graft.streaming.StreamOps.readEventStream(s, streamSourceDir(d))
           val ev = graft.tables.Tables.normalizeEventTs(raw)
             .select($"user_id", $"ts", $"event_type")
@@ -196,7 +196,7 @@ object StreamShapeQueries {
         // right-sizing (and restore/serialization discipline) as
         // q_stream_stateful — construction inside the block so the
         // ns-parquet toggle is scoped, not session-leaked
-        graft.streaming.StreamOps.withRightSizedStreaming(s, 4, noDataBatches = false) {
+        graft.streaming.StreamOps.withRightSizedStreaming(s, 2, noDataBatches = false) {
           // one replay week bounds the per-run state volume; the
           // bounded-state join semantics are identical at any window length
           def branch(tpe: String) =
@@ -240,7 +240,7 @@ object StreamShapeQueries {
         import s.implicits._
         val name = "q_stream_dedup_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
-        graft.streaming.StreamOps.withRightSizedStreaming(s, 4, noDataBatches = false) {
+        graft.streaming.StreamOps.withRightSizedStreaming(s, 2, noDataBatches = false) {
           val ev = graft.tables.Tables.normalizeEventTs(
             graft.streaming.StreamOps.readEventStream(s, streamSourceDir(d)))
             .select($"user_id", $"event_type", $"ts")

@@ -131,7 +131,10 @@ object IngestDedup {
       java.nio.file.Files.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(1700000000000L + b * 60000L))
     }
-    val schema = s.read.parquet(srcDir.toString).schema
+    // the shard files carry exactly newDocs' columns (partitionBy kept `b`
+    // in the dir name, not the file), so reuse its schema instead of paying
+    // a listing + footer-inference job on the staged dir
+    val schema = newDocs.schema
     StreamOps.withRightSizedStreaming(s, 4, noDataBatches = false) {
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
