@@ -305,6 +305,31 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("assignCellsJoin consumes the vector×centroid pair stream in a HashAggregate, never a SortAggregate") {
+    // The K>1024 SemDeDup branch lives or dies on this property: the
+    // packed-long argmin (min(negs·2⁴¹+cid)) partial-aggregates map-side in
+    // HashAggregate, so the n×K pair stream is consumed in-stage. The
+    // natural min(struct(...)) form silently falls back to SortAggregate
+    // and SORTS the pair stream (measured: 76 GB of spill at n=312k,
+    // K=1219 before the packing). Gate the compiled shape so a refactor
+    // can't reintroduce the fallback.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = spark.range(0, 512)
+      .select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 7), j -> CAST(sin(id * 8 + j) AS DOUBLE))").as("v"))
+    val cents = spark.range(0, 32)
+      .select(col("id").as("cid"),
+        expr("transform(sequence(0, 7), j -> CAST(sin(id * 131 + j) AS DOUBLE))").as("cv"))
+    val out = graft.operators.IvfKMeans.assignCellsJoin(spark, e, cents)
+    val plan = finalSection(physical(out))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortAggregate"),
+      s"argmin must stay hash-aggregable (packed long), got a sort fallback:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final HashAggregate over the pair stream:\n$plan")
+  }
+
   test("q_join_theta_range keeps the equi key as the join key (range as post-filter)") {
     val plan = physical(run("q_join_theta_range"))
     // joined on user_id (hash-partitionable); the ts band must not force NLJ
