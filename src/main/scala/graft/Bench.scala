@@ -147,7 +147,7 @@ object Bench {
     val isolated: Map[String, Double] =
       if (isChild || suspects.isEmpty || sys.env.contains("SPARK_GRAFT_NO_REMEASURE"))
         Map.empty
-      else remeasureIsolated(suspects)
+      else remeasureIsolated(suspects, trials)
     val results = suiteResults.map { case (k, v) =>
       k -> isolated.get(k).fold(v)(math.min(v, _))
     }
@@ -219,7 +219,7 @@ object Bench {
     * output) degrades to an empty map — the suite numbers then stand as-is,
     * so the official run can never be LOST to the re-measure step.
     */
-  private def remeasureIsolated(names: Seq[String]): Map[String, Double] = {
+  private def remeasureIsolated(names: Seq[String], trials: Int): Map[String, Double] = {
     import scala.jdk.CollectionConverters._
     val childDetail = "/tmp/bench_isolated.json"
     try {
@@ -234,7 +234,9 @@ object Bench {
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(childDetail))
       val pb = new ProcessBuilder(cmd)
       pb.environment().put("SPARK_GRAFT_ONLY", names.mkString(","))
-      pb.environment().put("SPARK_GRAFT_TRIALS", "3")
+      // same trial count as the parent suite — a different protocol for the
+      // re-measured queries would bias the min(suite, isolated) comparison
+      pb.environment().put("SPARK_GRAFT_TRIALS", trials.toString)
       pb.environment().put("SPARK_GRAFT_ISOLATED_CHILD", "1")
       pb.environment().put("SPARK_GRAFT_DETAIL", childDetail)
       pb.redirectErrorStream(true)

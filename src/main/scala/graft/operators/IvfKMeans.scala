@@ -158,6 +158,83 @@ object IvfKMeans {
       .select($"vec_id", $"v", $"cell")
   }
 
+  /** Within-coarse-cell assignment for the hierarchical quantizer: `ev`
+    * carries `(vec_id, v, ccell)`, `subCents` carries `(ccell, cid, cv)` —
+    * the join is an EQUI join on the coarse cell, so each vector meets only
+    * its own cell's sub-centroids (per-vector comparisons = the cell's
+    * sub-centroid count, ~√K under the n/256 policy, never K). Neither side
+    * needs to broadcast: both partition by `ccell`, which is what makes this
+    * the path PAST the [[assignCellsJoin]] broadcast ceiling. The argmin is
+    * the same packed-long `min()` (see [[assignCellsJoin]] for the packing
+    * proof), so the pair stream is consumed in-stage by a HashAggregate.
+    * `cid`s are globally unique (seed vec_ids), so the per-vec_id min key
+    * alone identifies the sub-cell.
+    */
+  def assignSubCells(spark: SparkSession, ev: DataFrame, subCents: DataFrame): DataFrame = {
+    import spark.implicits._
+    val maxCid = subCents.agg(max($"cid")).head.getLong(0)
+    require(maxCid >= 0 && maxCid < (1L << 41),
+      s"assignSubCells packs cid into 41 bits (max cid $maxCid out of range)")
+    val cos6 = round(graft.functions.CosineSimilarity.cosineSim(spark, $"v", $"cv"), 6)
+    val negs = when(isnan(cos6), lit(2000000L))
+      .otherwise(round(-cos6 * 1e6).cast("long"))
+    val cells = ev.select($"vec_id", $"v", $"ccell")
+      .join(subCents, Seq("ccell"))
+      .groupBy($"vec_id")
+      .agg(min(negs * (1L << 41) + $"cid").as("k"))
+      .select($"vec_id", pmod($"k", lit(1L << 41)).as("cid"))
+    ev.join(cells, Seq("vec_id"))
+      .select($"vec_id", $"v", $"ccell", $"cid")
+  }
+
+  /** Hierarchical coarse quantizer for K past [[assignCellsJoin]]'s
+    * broadcast ceiling: stage 1 trains `coarseK` cells through the table
+    * path and assigns every vector once; stage 2 trains per-coarse-cell
+    * sub-centroids (count-adaptive: ⌈n_c/256⌉ per cell, seeds = the cell's
+    * lowest-vec_id vectors) with the SAME pinned Lloyd discipline (fixed
+    * iterations, cos6 + lowest-cid assignment, exact decimal(38,12) means
+    * rounded to 6 dp), assignment via [[assignSubCells]]'s ccell equi-join.
+    * Returns `(vec_id, v, ccell, cid)`; `cid` (a globally-unique seed
+    * vec_id) IS the final cell id.
+    *
+    * Scale shape: stage 1 is the proven table path (coarseK ≈ √K fits the
+    * broadcast ceiling up to K ≈ 4×10¹²); stage 2 shuffles vectors by
+    * `ccell` once per iteration and the sub-centroid table is an ordinary
+    * shuffled join side — nothing is ever broadcast-bounded by total K. The
+    * sub-seed selection pays one window over the ccell partitioning it
+    * already has. Empty sub-cells cannot occur: every seed is a cell member
+    * and cos(seed, seed) = 1 is the strict per-vector max.
+    */
+  def trainAssignHierarchical(
+      spark: SparkSession, e: DataFrame, coarseK: Int, iters: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cSeeds = e.filter($"vec_id" % 97 === 0).orderBy($"vec_id").limit(coarseK)
+      .select($"vec_id".as("cid"), $"v".as("cv"))
+    val cCents = trainTable(spark, e, cSeeds, iters)
+    val ev = assignCellsJoin(spark, e, cCents)
+      .withColumnRenamed("cell", "ccell")
+      // one materialization: coarse assignment feeds every sub-iteration
+      .localCheckpoint()
+    val byCell = Window.partitionBy($"ccell")
+    var sc = ev
+      .withColumn("rn", row_number().over(byCell.orderBy($"vec_id")))
+      .withColumn("n_c", count(lit(1)).over(byCell))
+      .filter($"rn" <= ceil($"n_c" / lit(256.0)))
+      .select($"ccell", $"vec_id".as("cid"), $"v".as("cv"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      sc = assignSubCells(spark, ev, sc)
+        .select($"ccell", $"cid", posexplode($"v").as(Seq("i", "x")))
+        .groupBy($"ccell", $"cid", $"i")
+        .agg(round(sum($"x".cast("decimal(38,12)")).cast("double") / count(lit(1)), 6).as("mx"))
+        .groupBy($"ccell", $"cid")
+        .agg(expr("transform(array_sort(collect_list(struct(i, mx))), s -> s.mx)").as("cv"))
+        .localCheckpoint()
+    }
+    assignSubCells(spark, ev, sc)
+  }
+
   /** Table twin of [[train]]: Lloyd refinement with the centroids held as a
     * DataFrame end-to-end — assignment via [[assignCellsJoin]], mean update
     * identical to [[train]]'s (exact decimal(38,12) sums, order-independent,

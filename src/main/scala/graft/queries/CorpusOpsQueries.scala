@@ -39,19 +39,29 @@ object CorpusOpsQueries {
     * Scale shape: K is count-adaptive (K = ceil(n/256)) so expected cell
     * occupancy stays ~256 and within-cell pairs stay O(n) — ~128 pairs per
     * vector regardless of corpus size (the quadratic-per-cell cost is
-    * bounded by the quantizer, which is the SemDeDup design point). Two
-    * assignment strategies, bit-identical results (`Round10OpsSpec` proves
-    * it, and both keys share one oracle):
+    * bounded by the quantizer, which is the SemDeDup design point). Three
+    * assignment strategies behind one K policy (`strategy` forces a branch
+    * for gating; "auto" picks by scale):
     *  - K ≤ 1024: centroids baked as plan literals, assignment is pure
     *    map-side codegen ([[graft.operators.IvfKMeans.assignCell]]).
-    *  - K > 1024 (or `forceTable`): centroids stay a DataFrame, training
-    *    and assignment go through the broadcast nested-loop join twin
+    *  - K ≤ 2×10⁶ (or "table"): centroids stay a DataFrame, training and
+    *    assignment go through the broadcast nested-loop join twin
     *    ([[graft.operators.IvfKMeans.assignCellsJoin]]/`trainTable`) — no
-    *    driver collect, no multi-MB literal plan; K is bounded only by the
-    *    ~0.5 GB/10⁶-centroid broadcast ceiling (≈5×10⁸ vectors under the
-    *    n/256 policy; past that, hierarchical coarse assignment — see the
-    *    twin's scaladoc). `tools.SemDedupScaleProof` exercises this branch
-    *    end-to-end past the 262k-vector literal cap.
+    *    driver collect, no multi-MB literal plan; bit-identical to the
+    *    literal path (`Round10OpsSpec` proves it; q_semdedup_table shares
+    *    q_semdedup's oracle). `tools.SemDedupScaleProof` exercises this
+    *    branch end-to-end past the 262k-vector literal cap.
+    *  - K > 2×10⁶ (or "hier"): the centroid table outgrows the broadcast
+    *    ceiling (~0.5 GB/10⁶ centroids ⇒ ≈5×10⁸ vectors under n/256), so
+    *    the quantizer goes hierarchical: ⌈√K⌉ coarse cells via the table
+    *    path, then per-coarse-cell sub-centroids assigned by ccell EQUI
+    *    join ([[graft.operators.IvfKMeans.trainAssignHierarchical]]) —
+    *    nothing broadcast-bounded by total K remains, per-vector
+    *    comparisons stay ~√K. A different quantizer ⇒ different (still
+    *    valid) cells, so this branch has its OWN oracle
+    *    (q_semdedup_hier replays both k-means stages in SQL); the
+    *    within-cell dedup semantics — the SemDeDup contract — are the
+    *    same code in all three branches.
     * The pair join shuffles each vector payload once per side into its cell
     * partition (2n rows), strictly cheaper than re-attaching vectors to the
     * ~128n candidate pairs by id. The oracle replays the SAME count-driven
@@ -59,7 +69,7 @@ object CorpusOpsQueries {
     * band-policy pattern), so engine and oracle agree at every scale.
     */
   private def semdedup(
-      s: org.apache.spark.sql.SparkSession, d: String, forceTable: Boolean
+      s: org.apache.spark.sql.SparkSession, d: String, strategy: String
   ): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     import graft.operators.IvfKMeans
@@ -68,23 +78,25 @@ object CorpusOpsQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = e.count() // materializes the persist it would pay anyway
     val k = math.max(1L, math.ceil(n / 256.0).toLong)
-    // Broadcast ceiling for the centroid-table path (not a plan-size cap):
-    // 2×10⁶ centroids ≈ 1 GB broadcast at dim 64 — past that, assignment
-    // must go hierarchical (coarse literal cells → per-cell sub-tables).
-    require(k <= 2000000L,
-      s"q_semdedup centroid table exceeds the broadcast ceiling (n=$n needs K=$k > 2e6); " +
-        "shard the quantizer hierarchically: literal coarse cells, per-cell sub-tables")
-    val seedPool = e.filter($"vec_id" % 97 === 0).orderBy($"vec_id").limit(k.toInt)
-    val assigned = (if (k <= 1024L && !forceTable) {
-      // plan-literal fast path: collect is K×64 doubles, bounded by the cap
-      val seeds: Seq[(Long, Seq[Double])] =
-        seedPool.collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
-      val cents = IvfKMeans.train(s, e, seeds, iters = 2)
-      e.withColumn("cell", IvfKMeans.assignCell(s, cents, $"v"))
+    val assigned = (if (strategy == "hier" || (strategy == "auto" && k > 2000000L)) {
+      val k1 = math.max(1L, math.ceil(math.sqrt(k.toDouble)).toLong)
+      require(k1 <= 2000000L, // K ≈ 4×10¹² — n beyond 10¹⁵ vectors
+        s"hierarchical coarse stage exceeds the broadcast ceiling (K1=$k1)")
+      IvfKMeans.trainAssignHierarchical(s, e, k1.toInt, iters = 2)
+        .select($"vec_id", $"v", $"cid".as("cell"))
     } else {
-      val seeds = seedPool.select($"vec_id".as("cid"), $"v".as("cv"))
-      val cents = IvfKMeans.trainTable(s, e, seeds, iters = 2)
-      IvfKMeans.assignCellsJoin(s, e, cents)
+      val seedPool = e.filter($"vec_id" % 97 === 0).orderBy($"vec_id").limit(k.toInt)
+      if (k <= 1024L && strategy == "auto") {
+        // plan-literal fast path: collect is K×64 doubles, bounded by the cap
+        val seeds: Seq[(Long, Seq[Double])] =
+          seedPool.collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+        val cents = IvfKMeans.train(s, e, seeds, iters = 2)
+        e.withColumn("cell", IvfKMeans.assignCell(s, cents, $"v"))
+      } else {
+        val seeds = seedPool.select($"vec_id".as("cid"), $"v".as("cv"))
+        val cents = IvfKMeans.trainTable(s, e, seeds, iters = 2)
+        IvfKMeans.assignCellsJoin(s, e, cents)
+      }
     }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = assigned.select($"cell", $"vec_id".as("id_a"), $"v".as("va"))
       .join(assigned.select($"cell", $"vec_id".as("id_b"), $"v".as("vb")), Seq("cell"))
@@ -127,6 +139,90 @@ object CorpusOpsQueries {
        |      ROUND(list_sum(list_transform(range(1, 65), i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm), 6) AS cos6
        |    FROM n, c2 c)),
        |cells AS (SELECT vec_id, cid AS cell FROM asg WHERE rk = 1),
+       |pr AS (
+       |  SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM cells a
+       |  JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN n na ON na.vec_id = a.vec_id
+       |  JOIN n nb ON nb.vec_id = b.vec_id
+       |  WHERE ROUND(list_sum(list_transform(range(1, 65), i -> na.v[i] * nb.v[i]))
+       |          / (na.nrm * nb.nrm), 4) >= 0.45),
+       |cs AS (SELECT cell, COUNT(*) AS n_vecs FROM cells GROUP BY cell),
+       |ps AS (
+       |  SELECT cell, COUNT(*) AS n_dup_pairs, COUNT(DISTINCT id_b) AS n_dropped
+       |  FROM pr GROUP BY cell)
+       |SELECT cell, n_vecs,
+       |  COALESCE(n_dup_pairs, 0) AS n_dup_pairs,
+       |  COALESCE(n_dropped, 0) AS n_dropped
+       |FROM cs LEFT JOIN ps USING (cell) ORDER BY cell""".stripMargin
+
+  /** One sub-stage Lloyd iteration for the hierarchical oracle: assignment
+    * joins each vector to ITS coarse cell's sub-centroids only (`USING
+    * (ccell)` — the SQL mirror of [[graft.operators.IvfKMeans.assignSubCells]]'s
+    * equi-join), means are grouped per (ccell, cid, dim) with the same exact
+    * decimal(38,12) sums. Emits `sasg$k`, `sm$k`, `s${k+1}` over `nc`/`s$k`. */
+  private def subLloydIterSql(k: Int): String =
+    s"""sasg$k AS (
+       |  SELECT vec_id, ccell, cid FROM (
+       |    SELECT nc.vec_id, nc.ccell, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY nc.vec_id ORDER BY
+       |        ROUND(list_sum(list_transform(range(1, 65), i -> nc.v[i] * c.cv[i])) / (nc.nrm * c.cnrm), 6) DESC,
+       |        c.cid) AS rk
+       |    FROM nc JOIN s$k c USING (ccell)) WHERE rk = 1),
+       |sm$k AS (
+       |  SELECT a.ccell, a.cid, r.i,
+       |    ROUND(CAST(SUM(CAST(nc.v[r.i] AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS mx
+       |  FROM sasg$k a JOIN nc USING (vec_id), range(1, 65) r(i)
+       |  GROUP BY a.ccell, a.cid, r.i),
+       |s${k + 1} AS (
+       |  SELECT ccell, cid, list(mx ORDER BY i) AS cv,
+       |    sqrt(list_sum(list_transform(list(mx ORDER BY i), x -> x * x))) AS cnrm
+       |  FROM sm$k GROUP BY ccell, cid)""".stripMargin
+
+  /** Oracle for the hierarchical (K > 2e6 production) branch: both k-means
+    * stages replayed in SQL — coarse seeds bounded by K1 = ⌈√K⌉, the shared
+    * flat Lloyd iterations, coarse assignment, per-cell sub-seed selection
+    * (row_number ≤ ⌈n_c/256⌉ over vec_id order), two sub-iterations, final
+    * within-cell assignment — then the byte-identical dedup tail. */
+  private val semdedupHierOracleSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |pol AS (SELECT CAST(CEIL(COUNT(*) / 256.0) AS BIGINT) AS k FROM e),
+       |pol1 AS (SELECT CAST(CEIL(SQRT(CAST(k AS DOUBLE))) AS BIGINT) AS k1 FROM pol),
+       |c0 AS (
+       |  SELECT cid, cv, cnrm FROM (
+       |    SELECT vec_id AS cid, v AS cv, nrm AS cnrm,
+       |      ROW_NUMBER() OVER (ORDER BY vec_id) AS rk
+       |    FROM n WHERE vec_id % 97 = 0) s, pol1
+       |  WHERE s.rk <= pol1.k1),
+       |${PipelineQueries.lloydIterSql(0)},
+       |${PipelineQueries.lloydIterSql(1)},
+       |casg AS (
+       |  SELECT vec_id, cid AS ccell FROM (
+       |    SELECT n.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |        ROUND(list_sum(list_transform(range(1, 65), i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm), 6) DESC,
+       |        c.cid) AS rk
+       |    FROM n, c2 c) WHERE rk = 1),
+       |nc AS (SELECT n.vec_id, casg.ccell, n.v, n.nrm FROM n JOIN casg USING (vec_id)),
+       |s0 AS (
+       |  SELECT ccell, vec_id AS cid, v AS cv, nrm AS cnrm FROM (
+       |    SELECT ccell, vec_id, v, nrm,
+       |      ROW_NUMBER() OVER (PARTITION BY ccell ORDER BY vec_id) AS rk,
+       |      COUNT(*) OVER (PARTITION BY ccell) AS n_c
+       |    FROM nc)
+       |  WHERE rk <= CAST(CEIL(n_c / 256.0) AS BIGINT)),
+       |${subLloydIterSql(0)},
+       |${subLloydIterSql(1)},
+       |cells AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT nc.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY nc.vec_id ORDER BY
+       |        ROUND(list_sum(list_transform(range(1, 65), i -> nc.v[i] * c.cv[i])) / (nc.nrm * c.cnrm), 6) DESC,
+       |        c.cid) AS rk
+       |    FROM nc JOIN s2 c USING (ccell)) WHERE rk = 1),
        |pr AS (
        |  SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b
        |  FROM cells a
@@ -354,19 +450,32 @@ object CorpusOpsQueries {
              |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin)
     ),
 
-    // see `semdedup` above: count-adaptive plan-literal path (K ≤ 1024)
+    // see `semdedup` above: scale-adaptive strategy (literal → table → hier)
     "q_semdedup" -> QueryDef(
-      (s, d) => semdedup(s, d, forceTable = false),
+      (s, d) => semdedup(s, d, strategy = "auto"),
       Some(semdedupOracleSql)
     ),
 
     // Same operator forced through the centroid-table broadcast-join path
-    // (the K > 1024 production branch), gated at every sf by the SAME
+    // (the 1024 < K ≤ 2e6 production branch), gated at every sf by the SAME
     // oracle — the cross-engine hash match certifies the two assignment
     // strategies are bit-identical where they overlap.
     "q_semdedup_table" -> QueryDef(
-      (s, d) => semdedup(s, d, forceTable = true),
+      (s, d) => semdedup(s, d, strategy = "table"),
       Some(semdedupOracleSql)
+    ),
+
+    // Forced through the K > 2e6 hierarchical branch (⌈√K⌉ coarse cells →
+    // per-cell sub-centroids by ccell equi-join). A different quantizer
+    // yields different (still valid) cells, so this key carries its own
+    // oracle: BOTH k-means stages replayed in SQL — coarse seeds/iterations
+    // (shared lloydIterSql), coarse assignment, per-cell sub-seed selection
+    // (row_number ≤ ⌈n_c/256⌉), two sub-iterations, final within-cell
+    // assignment — then the identical dedup tail. The hash match certifies
+    // the production path for corpora past ~5×10⁸ vectors at every gated sf.
+    "q_semdedup_hier" -> QueryDef(
+      (s, d) => semdedup(s, d, strategy = "hier"),
+      Some(semdedupHierOracleSql)
     ),
 
     "q_dedup_paragraph" -> QueryDef(

@@ -19,14 +19,18 @@ import org.apache.spark.sql.functions._
   * pair count × 156 shards would over-ask since cells re-mix; we assert
   * pairs > 0 and report the count for BENCH_SCALING.md).
   *
-  * Usage: `sbt "runMain graft.tools.SemDedupScaleProof"` (writes the
-  * composed corpus under .localdata/semdedup_xl once; ~requires the sf0.1
-  * driver corpus).
+  * Usage: `sbt "runMain graft.tools.SemDedupScaleProof [src] [dir] [key]"`
+  * (writes the composed corpus under .localdata/semdedup_xl once; requires
+  * the sf0.1 driver corpus). `key` defaults to q_semdedup (the auto policy
+  * takes the table branch at 312k); pass q_semdedup_hier to force the
+  * two-level quantizer through the same corpus — the K1=35-coarse /
+  * ~35-sub-centroids-per-cell shape the K > 2e6 production path uses.
   */
 object SemDedupScaleProof {
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dir = args.lift(1).getOrElse("/root/repo/.localdata/semdedup_xl")
+    val key = args.lift(2).getOrElse("q_semdedup")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -56,7 +60,7 @@ object SemDedupScaleProof {
     println(s"[semdedup-xl] n=$n K=$k (plan-literal cap is 1024 -> table branch)")
 
     val t0 = System.nanoTime()
-    val out = graft.SparkEntry.queries("q_semdedup")(spark, dir)
+    val out = graft.SparkEntry.queries(key)(spark, dir)
       .collect()
     val sec = (System.nanoTime() - t0) / 1e9
     val cells = out.length.toLong
@@ -67,8 +71,8 @@ object SemDedupScaleProof {
     require(out.forall(r => r.getLong(3) <= r.getLong(2)),
       "per-cell n_dropped must be <= n_dup_pairs")
     require(dupPairs > 0, "planted near-dup mass not found")
-    println(f"[semdedup-xl] cells=$cells sum_vecs=$sumVecs dup_pairs=$dupPairs dropped=$dropped")
-    println(f"""{"metric":"semdedup_xl_sec","value":$sec%.2f,"unit":"sec","n":$n,"k":$k,"cells":$cells,"dup_pairs":$dupPairs}""")
+    println(f"[semdedup-xl] key=$key cells=$cells sum_vecs=$sumVecs dup_pairs=$dupPairs dropped=$dropped")
+    println(f"""{"metric":"semdedup_xl_sec","key":"$key","value":$sec%.2f,"unit":"sec","n":$n,"k":$k,"cells":$cells,"dup_pairs":$dupPairs}""")
     spark.stop()
   }
 }

@@ -251,7 +251,11 @@ class PlanQualitySpec extends AnyFunSuite {
     // every broadcast centroid, consumed in-stage by the packed-long
     // argmax; see IvfKMeans.assignCellsJoin). Everything else must key
     // its joins.
-    val allowNlj = Set("q_similarity_topk", "q_similarity_recall", "q_semdedup_table")
+    // q_semdedup_hier's stage-1 coarse assignment reuses the same
+    // vectors × centroid-table cross join; its stage-2 sub-assignment is an
+    // equi-join on the coarse cell (gated below).
+    val allowNlj = Set("q_similarity_topk", "q_similarity_recall",
+      "q_semdedup_table", "q_semdedup_hier")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
@@ -328,6 +332,31 @@ class PlanQualitySpec extends AnyFunSuite {
       s"argmin must stay hash-aggregable (packed long), got a sort fallback:\n$plan")
     assert("HashAggregate".r.findAllIn(plan).size >= 2,
       s"expected partial+final HashAggregate over the pair stream:\n$plan")
+  }
+
+  test("assignSubCells joins vectors to sub-centroids by ccell EQUI join with a hash-aggregated argmin") {
+    // The hierarchical stage-2 contract: each vector meets only ITS coarse
+    // cell's sub-centroids through a keyed join (hash- or broadcast-hash —
+    // never a nested loop over all K sub-centroids), and the per-vector
+    // argmin stays the packed-long HashAggregate. This is what removes the
+    // broadcast ceiling: the sub-centroid table is an ordinary join side.
+    import org.apache.spark.sql.functions._
+    val ev = spark.range(0, 512)
+      .select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 7), j -> CAST(sin(id * 8 + j) AS DOUBLE))").as("v"),
+        (col("id") % 4).as("ccell"))
+    val subCents = spark.range(0, 16)
+      .select(col("id").as("cid"),
+        expr("transform(sequence(0, 7), j -> CAST(sin(id * 131 + j) AS DOUBLE))").as("cv"),
+        (col("id") % 4).as("ccell"))
+    val out = graft.operators.IvfKMeans.assignSubCells(spark, ev, subCents)
+    val plan = finalSection(physical(out))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"sub-assignment must be an equi-join on ccell:\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"argmin must stay hash-aggregable (packed long):\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final HashAggregate over the per-cell pair stream:\n$plan")
   }
 
   test("q_join_theta_range keeps the equi key as the join key (range as post-filter)") {

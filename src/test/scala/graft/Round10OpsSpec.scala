@@ -95,6 +95,43 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(!exact.contains(22L))
   }
 
+  test("hierarchical quantizer: partition invariants, exact-dup co-location, determinism") {
+    import spark.implicits._
+    import graft.operators.IvfKMeans
+    // 2048 vectors → K = 8, K1 = ⌈√8⌉ = 3 coarse cells, per-cell subs —
+    // a non-degenerate two-level shape. Every 10th vector is duplicated
+    // EXACTLY (vec_id 10i+1 copies 10i): a deterministic quantizer must
+    // co-locate identical inputs, which is the recall floor SemDeDup's
+    // within-cell exactness stands on.
+    val rows = (0 until 2048).map { i =>
+      val src = if (i % 10 == 1) i - 1 else i
+      (i.toLong, (0 until 64).map(j => math.sin(src * 64 + j)), i)
+    }
+    val e = rows.toDF("vec_id", "v", "tag").select($"vec_id", $"v")
+    val a1 = IvfKMeans.trainAssignHierarchical(spark, e, coarseK = 3, iters = 2)
+      .select($"vec_id", $"ccell", $"cid").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // every vector assigned exactly once
+    assert(a1.size == 2048)
+    // two-level shape is real: >1 coarse cell, more sub-cells than coarse
+    val coarse = a1.values.map(_._1).toSet
+    val sub = a1.values.map(_._2).toSet
+    assert(coarse.size > 1, s"expected multiple coarse cells, got $coarse")
+    assert(sub.size > coarse.size,
+      s"expected sub-cells to outnumber coarse cells: ${sub.size} vs ${coarse.size}")
+    // identical vectors land in the same (ccell, cid) — both quantizer
+    // stages are deterministic expressions of the vector value
+    (0 until 2048 by 10).foreach { i =>
+      assert(a1(i.toLong) == a1(i.toLong + 1),
+        s"exact duplicate pair ($i, ${i + 1}) split across cells: ${a1(i.toLong)} vs ${a1(i.toLong + 1)}")
+    }
+    // deterministic across runs (fixed seeds, pinned iterations)
+    val a2 = IvfKMeans.trainAssignHierarchical(spark, e, coarseK = 3, iters = 2)
+      .select($"vec_id", $"ccell", $"cid").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(a1 == a2)
+  }
+
   test("IvfKMeans.trainTable reproduces IvfKMeans.train centroids exactly") {
     import spark.implicits._
     import graft.operators.IvfKMeans
