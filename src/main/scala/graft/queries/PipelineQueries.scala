@@ -685,6 +685,128 @@ object PipelineQueries {
              |FROM pairs WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin)
     ),
 
+    "q_dedup_lsh_recall" -> QueryDef(
+      // MinHash-banding recall measurement — the gate a production dedup
+      // pipeline runs before trusting the probabilistic index (the dedup-side
+      // twin of q_similarity_recall's ANN gate). Ground truth is the
+      // library's OWN exact-recall algorithm: the PPJoin prefix-filter join
+      // (q_dedup_ngram_jaccard's candidate rule) enumerates EVERY pair with
+      // shingle-Jaccard >= 0.5 without an all-pairs product, so the truth arm
+      // scales the same way the index does — no sampling compromise needed.
+      // The measured arm is q_dedup_minhash_lsh's 16-hash / 4-band / 4-row
+      // banding. Both arms share ONE shingle-hash domain (3-token shingles,
+      // md5 48-bit → mod 2^31-1, the minhash convention) and one persisted
+      // shingle pass. Output: per integer Jaccard decile (band = ⌊10·J⌋
+      // via integer cross-multiplication, J=1.0 clamped into decile 9),
+      // true-pair count and how many of those the banding recalled — the
+      // measured S-curve of the scheme. Integers only; nothing float decides
+      // a row or a group.
+      (s, d) => {
+        import s.implicits._
+        val sh = documents(s, d)
+          .select($"doc_id", $"text")
+          .repartition($"doc_id")
+          .select($"doc_id", split($"text", " ").as("tok"))
+          .filter(size($"tok") >= 3)
+          .select($"doc_id", array_distinct(
+            expr("transform(sequence(0, size(tok)-3), i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2]))")
+          ).as("shingles"))
+          .select($"doc_id",
+            expr("transform(shingles, g -> CAST(conv(substring(md5(g), 1, 12), 16, 10) AS BIGINT) % 2147483647)")
+              .as("hs"))
+          .withColumn("hsd", array_sort(array_distinct($"hs")))
+          .withColumn("sz", size($"hsd"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // ---- truth arm: PPJoin prefix filtering (exact recall at tau=1/2)
+        val ex = sh.select($"doc_id", explode($"hsd").as("h"))
+        val ordered = ex
+          .withColumn("df", count(lit(1)).over(Window.partitionBy($"h")))
+          .groupBy($"doc_id")
+          .agg(array_sort(collect_list(struct($"df", $"h"))).as("ord"))
+        val pre = ordered.select($"doc_id", size($"ord").as("sz"),
+            posexplode(expr("slice(ord, 1, size(ord) - ((size(ord) + 1) div 2) + 1)")))
+          .filter($"col.df" >= 2)
+          .select($"doc_id", $"sz", $"pos", $"col.h".as("h"))
+        val candTruth = pre.as("x").join(pre.as("y"),
+            col("x.h") === col("y.h") &&
+              col("x.doc_id") < col("y.doc_id") &&
+              lit(2) * least(col("x.sz"), col("y.sz")) >=
+                greatest(col("x.sz"), col("y.sz")) &&
+              lit(3) * least(col("x.sz") - col("x.pos"), col("y.sz") - col("y.pos")) >=
+                col("x.sz") + col("y.sz"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        val truth = candTruth
+          .join(sh.select($"doc_id".as("doc_a"), $"hsd".as("h_a"), $"sz".as("sz_a")), Seq("doc_a"))
+          .join(sh.select($"doc_id".as("doc_b"), $"hsd".as("h_b"), $"sz".as("sz_b")), Seq("doc_b"))
+          .withColumn("ov", graft.functions.SetOps.sortedIntersectSize(s, $"h_a", $"h_b").cast("long"))
+          .withColumn("uni", $"sz_a".cast("long") + $"sz_b" - $"ov")
+          .filter($"ov" * 2 >= $"uni")
+          .select($"doc_a", $"doc_b",
+            least(expr("(10 * ov) div uni"), lit(9L)).as("band10"))
+        // ---- measured arm: minhash banding candidate pairs
+        val sig = sh.select($"doc_id",
+          graft.functions.LshFunctions.minhashSig(s, $"hsd").as("sig"))
+        val bnd = sig.select($"doc_id",
+          explode(expr("transform(sequence(0, 3), b -> struct(b AS band, concat_ws('|', slice(sig, b*4+1, 4)) AS bkey))"))
+            .as("bb"))
+          .select($"doc_id", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
+        val candLsh = bnd.as("x")
+          .join(bnd.as("y"), Seq("band", "bkey"))
+          .filter(col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+          .withColumn("hit", lit(1))
+        truth
+          .join(candLsh, Seq("doc_a", "doc_b"), "left_outer")
+          .groupBy($"band10")
+          .agg(count(lit(1)).as("n_true"), count($"hit").as("n_recalled"))
+          .orderBy($"band10")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+              |shs AS (
+              |  SELECT doc_id, list_sort(list_distinct(list_transform(
+              |    list_transform(range(0, len(tok)-2), i -> tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3]),
+              |    g -> ('0x' || substring(md5(g), 1, 12))::BIGINT % 2147483647))) AS hsd
+              |  FROM toks WHERE len(tok) >= 3),
+              |hsz AS (SELECT doc_id, hsd, len(hsd) AS sz FROM shs),
+              |ex AS (SELECT doc_id, unnest(hsd) AS h FROM shs),
+              |dfreq AS (SELECT h, COUNT(*) AS df FROM ex GROUP BY h),
+              |ordered AS (
+              |  SELECT e.doc_id, list(e.h ORDER BY d.df, e.h) AS ogs
+              |  FROM ex e JOIN dfreq d USING (h) GROUP BY e.doc_id),
+              |pre AS (
+              |  SELECT doc_id, unnest(ogs[1 : len(ogs) - ((len(ogs) + 1) // 2) + 1]) AS h
+              |  FROM ordered),
+              |candt AS (
+              |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+              |  FROM pre x JOIN pre y ON x.h = y.h AND x.doc_id < y.doc_id),
+              |truth AS (
+              |  SELECT doc_a, doc_b,
+              |    LEAST((10 * len(list_intersect(a.hsd, b.hsd)))
+              |            // (a.sz + b.sz - len(list_intersect(a.hsd, b.hsd))), 9) AS band10
+              |  FROM candt JOIN hsz a ON a.doc_id = doc_a JOIN hsz b ON b.doc_id = doc_b
+              |  WHERE 2 * len(list_intersect(a.hsd, b.hsd)) >= a.sz + b.sz - len(list_intersect(a.hsd, b.hsd))),
+              |sig AS (
+              |  SELECT doc_id, list_transform(range(0, 16),
+              |    s -> list_min(list_transform(hsd,
+              |      h -> ([${PipelineQueries.lshA.mkString(",")}][s + 1] * h
+              |          + [${PipelineQueries.lshB.mkString(",")}][s + 1]) % 2147483647))) AS sig
+              |  FROM shs),
+              |bands AS (
+              |  SELECT doc_id, CAST(c.band AS INTEGER) AS band, c.bkey FROM (
+              |    SELECT doc_id, unnest(list_transform(range(0, 4),
+              |      b -> {'band': b, 'bkey': array_to_string(sig[b*4+1 : b*4+4], '|')})) AS c
+              |    FROM sig)),
+              |candl AS (
+              |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+              |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+              |SELECT CAST(t.band10 AS BIGINT) AS band10, COUNT(*) AS n_true,
+              |  COUNT(c.doc_a) AS n_recalled
+              |FROM truth t LEFT JOIN candl c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+              |GROUP BY t.band10 ORDER BY band10""".stripMargin)
+    ),
+
     "q_dedup_simhash" -> QueryDef(
       // 16-bit md5-derived SimHash over unigrams: per-token hash bits vote,
       // sign of the vote forms the fingerprint. Map-only per doc; grouping on

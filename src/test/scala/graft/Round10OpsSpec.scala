@@ -132,6 +132,50 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(a1 == a2)
   }
 
+  test("q_dedup_lsh_recall: truth arm enumerates exactly the planted pairs per decile; exact dups always recalled") {
+    // Per decile d, 40 pairs (A, B) where B shares A's first m_d tokens and
+    // diverges after: both docs carry 58 distinct 3-token shingles, shared
+    // shingles m_d - 2, so J = (m_d-2)/(118-m_d) lands in decile d by exact
+    // integer arithmetic. Namespaced tokens keep pairs mutually invisible.
+    //   m=42 -> J=40/76  (decile 5)    m=46 -> J=44/72 (decile 6)
+    //   m=50 -> J=48/68  (decile 7)    m=54 -> J=52/64 (decile 8)
+    // plus 20 exact-duplicate pairs (J=1, clamped into decile 9).
+    val mByDecile = Map(5 -> 42, 6 -> 46, 7 -> 50, 8 -> 54)
+    var id = 0L
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    for ((d, m) <- mByDecile.toSeq.sortBy(_._1); j <- 0 until 40) {
+      val a = (0 until 60).map(i => s"d${d}p${j}t$i")
+      val b = a.take(m) ++ (m until 60).map(i => s"d${d}p${j}u$i")
+      rows += ((id, a.mkString(" "))); id += 1
+      rows += ((id, b.mkString(" "))); id += 1
+    }
+    for (j <- 0 until 20) {
+      val a = (0 until 60).map(i => s"exp${j}t$i").mkString(" ")
+      rows += ((id, a)); id += 1
+      rows += ((id, a)); id += 1
+    }
+    val dir = docsDir(rows.toSeq)
+    val out = SparkEntry.queries("q_dedup_lsh_recall")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    // truth-arm exactness: the PPJoin ground truth finds EXACTLY the planted
+    // pairs in every decile — no false pairs, no missed pairs
+    assert(out.keySet == Set(5L, 6L, 7L, 8L, 9L), s"unexpected deciles: $out")
+    (5L to 8L).foreach(d => assert(out(d)._1 == 40L, s"decile $d n_true: ${out(d)}"))
+    assert(out(9L)._1 == 20L, s"decile 9 n_true: ${out(9L)}")
+
+    // recall floor: identical shingle sets produce identical signatures, so
+    // every exact-duplicate pair MUST be a banding candidate
+    assert(out(9L)._2 == 20L, s"exact dups must always be recalled: ${out(9L)}")
+
+    // the probabilistic region is live: the banding misses some low-J pairs
+    // and recalls more mass at J in [0.8,0.9) than at [0.5,0.6) — the
+    // S-curve shape (deterministic: fixed tokens, fixed md5-derived hashes)
+    assert(out(5L)._2 < 40L, s"decile 5 should show misses: ${out(5L)}")
+    assert(out(5L)._2 < out(8L)._2,
+      s"recall must rise across the curve: d5=${out(5L)} d8=${out(8L)}")
+  }
+
   test("IvfKMeans.trainTable reproduces IvfKMeans.train centroids exactly") {
     import spark.implicits._
     import graft.operators.IvfKMeans
