@@ -2189,6 +2189,139 @@ object PipelineQueries {
              |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     ),
 
+    "q_corpus_curate" -> QueryDef(
+      // The composed END-TO-END curation funnel — quality gate → exact
+      // dedup → near-dup collapse → decontamination → split assignment —
+      // as ONE query emitting the per-stage survivor audit every corpus
+      // release publishes (the table that answers "where did my documents
+      // go?"). Each stage reuses its standalone operator's EXACT semantics
+      // (q_quality_gopher's four integer rules, q_dedup_exact's md5 key,
+      // q_dedup_fuzzy's word-set fingerprint, q_decontaminate's benchmark
+      // 5-gram needles, q_split_assign's md5 bucket), so the funnel is the
+      // composition a user would actually run, not a new definition.
+      // Scale shape: stage flags compute map-side in one pass; the two
+      // dedup keep-first decisions are window-mins over the fingerprint
+      // partitions (the same two shuffles the standalone dedups pay — no
+      // per-stage recount/rescan); decontamination is the broadcast-needle
+      // probe restricted to survivors; the funnel numbers come from ONE
+      // single-row aggregate exploded into stage rows (no driver collect).
+      // Integer-only output.
+      (s, d) => {
+        import s.implicits._
+        val base = documents(s, d)
+          .select($"doc_id", $"text", split($"text", " ").as("tok"))
+          .withColumn("n_tokens", size($"tok").cast("long"))
+          .withColumn("sum_len", expr("aggregate(tok, 0L, (a, x) -> a + length(x))"))
+          .withColumn("top_cnt", expr(
+            "CAST(array_max(transform(array_distinct(tok), t -> size(filter(tok, x -> x = t)))) AS BIGINT)"))
+          .withColumn("n_stop", expr(
+            "size(filter(array('the','a','of','and','to','in'), w -> array_contains(tok, w)))"))
+          .withColumn("q_ok",
+            $"n_tokens".between(40L, 100000L) &&
+              $"sum_len" >= $"n_tokens" * 3L && $"sum_len" <= $"n_tokens" * 10L &&
+              $"top_cnt" * 5L <= $"n_tokens" &&
+              $"n_stop" >= 2)
+          .withColumn("fp_exact", md5(lower(trim($"text"))))
+          .withColumn("fp_fuzzy", md5(array_join(array_sort(array_distinct($"tok")), " ")))
+        val kept = base
+          .withColumn("keep_exact", $"q_ok" &&
+            $"doc_id" === min(when($"q_ok", $"doc_id")).over(Window.partitionBy($"fp_exact")))
+          .withColumn("keep_fuzzy", $"keep_exact" &&
+            $"doc_id" === min(when($"keep_exact", $"doc_id")).over(Window.partitionBy($"fp_fuzzy")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val needles = grams5(documents(s, d).filter(pmod($"doc_id", lit(31)) === 0))
+          .select($"doc_id".as("bench_id"), $"g")
+        val contaminated = grams5(kept.filter($"keep_fuzzy").select($"doc_id", $"text"))
+          .join(broadcast(needles), Seq("g"))
+          .filter($"doc_id" =!= $"bench_id")
+          .select($"doc_id").distinct()
+          .withColumn("contam", lit(1))
+        val stats = kept
+          .join(contaminated, Seq("doc_id"), "left_outer")
+          .withColumn("keep_clean", $"keep_fuzzy" && $"contam".isNull)
+          .withColumn("bucket",
+            conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10).cast("long") % 100)
+          .agg(
+            count(lit(1)).as("n0"),
+            sum(when($"q_ok", 1L).otherwise(0L)).as("n1"),
+            sum(when($"keep_exact", 1L).otherwise(0L)).as("n2"),
+            sum(when($"keep_fuzzy", 1L).otherwise(0L)).as("n3"),
+            sum(when($"keep_clean", 1L).otherwise(0L)).as("n4"),
+            sum(when($"keep_clean" && $"bucket" === 0, 1L).otherwise(0L)).as("nval"),
+            sum(when($"keep_clean" && $"bucket" === 1, 1L).otherwise(0L)).as("ntest"),
+            sum(when($"keep_clean" && $"bucket" >= 2, 1L).otherwise(0L)).as("ntrain"))
+        stats.select(explode(array(
+            struct(lit(1L).as("stage_id"), lit("corpus").as("stage"), $"n0".as("n_in"), $"n0".as("n_out")),
+            struct(lit(2L).as("stage_id"), lit("quality_gate").as("stage"), $"n0".as("n_in"), $"n1".as("n_out")),
+            struct(lit(3L).as("stage_id"), lit("exact_dedup").as("stage"), $"n1".as("n_in"), $"n2".as("n_out")),
+            struct(lit(4L).as("stage_id"), lit("neardup_collapse").as("stage"), $"n2".as("n_in"), $"n3".as("n_out")),
+            struct(lit(5L).as("stage_id"), lit("decontaminate").as("stage"), $"n3".as("n_in"), $"n4".as("n_out")),
+            struct(lit(6L).as("stage_id"), lit("split_train").as("stage"), $"n4".as("n_in"), $"ntrain".as("n_out")),
+            struct(lit(7L).as("stage_id"), lit("split_val").as("stage"), $"n4".as("n_in"), $"nval".as("n_out")),
+            struct(lit(8L).as("stage_id"), lit("split_test").as("stage"), $"n4".as("n_in"), $"ntest".as("n_out"))
+          )).as("r"))
+          .select($"r.stage_id", $"r.stage", $"r.n_in", $"r.n_out")
+          .orderBy($"stage_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tok FROM documents),
+             |r AS (
+             |  SELECT doc_id, text, tok,
+             |    CAST(len(tok) AS BIGINT) AS n_tokens,
+             |    CAST(list_sum(list_transform(tok, x -> len(x))) AS BIGINT) AS sum_len,
+             |    CAST(list_max(list_transform(list_distinct(tok), w -> len(list_filter(tok, x -> x = w)))) AS BIGINT) AS top_cnt,
+             |    len(list_filter(['the','a','of','and','to','in'], w -> list_contains(tok, w))) AS n_stop,
+             |    md5(lower(trim(text))) AS fp_exact,
+             |    md5(array_to_string(list_sort(list_distinct(tok)), ' ')) AS fp_fuzzy
+             |  FROM t),
+             |q AS (
+             |  SELECT *, (n_tokens BETWEEN 40 AND 100000)
+             |    AND sum_len >= n_tokens * 3 AND sum_len <= n_tokens * 10
+             |    AND top_cnt * 5 <= n_tokens AND n_stop >= 2 AS q_ok
+             |  FROM r),
+             |e AS (
+             |  SELECT *, q_ok AND doc_id = MIN(CASE WHEN q_ok THEN doc_id END)
+             |    OVER (PARTITION BY fp_exact) AS keep_exact
+             |  FROM q),
+             |f AS (
+             |  SELECT *, keep_exact AND doc_id = MIN(CASE WHEN keep_exact THEN doc_id END)
+             |    OVER (PARTITION BY fp_fuzzy) AS keep_fuzzy
+             |  FROM e),
+             |g AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(range(0, len(tok)-4),
+             |    i -> array_to_string(tok[i+1:i+5], ' ')))) AS g
+             |  FROM t WHERE len(tok) >= 5),
+             |needles AS (SELECT doc_id AS bench_id, g FROM g WHERE doc_id % 31 = 0),
+             |contam AS (
+             |  SELECT DISTINCT c.doc_id FROM g c JOIN needles n USING (g)
+             |  WHERE c.doc_id != n.bench_id
+             |    AND c.doc_id IN (SELECT doc_id FROM f WHERE keep_fuzzy)),
+             |fin AS (
+             |  SELECT f.q_ok, f.keep_exact, f.keep_fuzzy,
+             |    f.keep_fuzzy AND contam.doc_id IS NULL AS keep_clean,
+             |    ('0x' || substring(md5(CAST(f.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+             |  FROM f LEFT JOIN contam ON contam.doc_id = f.doc_id),
+             |s AS (
+             |  SELECT COUNT(*) AS n0,
+             |    CAST(SUM(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             |    CAST(SUM(CASE WHEN keep_exact THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             |    CAST(SUM(CASE WHEN keep_fuzzy THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+             |    CAST(SUM(CASE WHEN keep_clean THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+             |    CAST(SUM(CASE WHEN keep_clean AND bucket = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nval,
+             |    CAST(SUM(CASE WHEN keep_clean AND bucket = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ntest,
+             |    CAST(SUM(CASE WHEN keep_clean AND bucket >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS ntrain
+             |  FROM fin)
+             |SELECT * FROM (
+             |  SELECT CAST(1 AS BIGINT) AS stage_id, 'corpus' AS stage, n0 AS n_in, n0 AS n_out FROM s
+             |  UNION ALL SELECT 2, 'quality_gate', n0, n1 FROM s
+             |  UNION ALL SELECT 3, 'exact_dedup', n1, n2 FROM s
+             |  UNION ALL SELECT 4, 'neardup_collapse', n2, n3 FROM s
+             |  UNION ALL SELECT 5, 'decontaminate', n3, n4 FROM s
+             |  UNION ALL SELECT 6, 'split_train', n4, ntrain FROM s
+             |  UNION ALL SELECT 7, 'split_val', n4, nval FROM s
+             |  UNION ALL SELECT 8, 'split_test', n4, ntest FROM s) u
+             |ORDER BY stage_id""".stripMargin)
+    ),
+
     "q_mix_weights" -> QueryDef(
       // Data-mixture reweighting — the per-domain sampling weights a
       // training run derives before drawing batches (the uniform-target

@@ -176,6 +176,47 @@ class Round10OpsSpec extends AnyFunSuite {
       s"recall must rise across the curve: d5=${out(5L)} d8=${out(8L)}")
   }
 
+  test("q_corpus_curate: each funnel stage removes exactly the planted casualties") {
+    // 15 docs, one planted casualty per stage:
+    //   ids 1..9 + 31 - clean 45-token docs (43 namespaced + 'the a')
+    //   id 50 - exact copy of doc 1          -> removed at exact_dedup
+    //   id 51 - doc 2's tokens reversed      -> removed at neardup_collapse
+    //   id 52 - shares a 5-token run with doc 31 (31 % 31 = 0, a benchmark
+    //           member)                      -> removed at decontaminate
+    //   ids 53, 54 - wordcount fail (10 tokens) / dominance fail (top
+    //           token 20 of 45)              -> removed at quality_gate
+    def clean(ns: String): String =
+      ((0 until 43).map(i => f"${ns}w$i%02d") ++ Seq("the", "a")).mkString(" ")
+    val doc2 = clean("g2")
+    val rows = (1L to 9L).map(i => i -> clean(s"g$i")) ++ Seq(
+      31L -> clean("b31"),
+      50L -> clean("g1"),
+      51L -> (doc2.split(" ").reverse.mkString(" ")),
+      52L -> (((0 until 38).map(i => f"c52w$i%02d") ++
+        (10 until 15).map(i => f"b31w$i%02d") ++ Seq("the", "a")).mkString(" ")),
+      53L -> (((0 until 8).map(i => s"f53w$i") ++ Seq("the", "a")).mkString(" ")),
+      54L -> (((0 until 23).map(i => f"f54w$i%02d") ++ Seq.fill(20)("f54re") ++
+        Seq("the", "a")).mkString(" ")))
+    val dir = docsDir(rows.toSeq)
+    val out = SparkEntry.queries("q_corpus_curate")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byStage = out.map(t => t._2 -> ((t._3, t._4))).toMap
+    assert(byStage("corpus") == ((15L, 15L)))
+    assert(byStage("quality_gate") == ((15L, 13L)), s"quality: $out")
+    assert(byStage("exact_dedup") == ((13L, 12L)), s"exact: $out")
+    assert(byStage("neardup_collapse") == ((12L, 11L)), s"fuzzy: $out")
+    assert(byStage("decontaminate") == ((11L, 10L)), s"decontam: $out")
+    // splits partition the final survivors exactly
+    val splits = Seq("split_train", "split_val", "split_test").map(byStage)
+    assert(splits.forall(_._1 == 10L))
+    assert(splits.map(_._2).sum == 10L, s"splits must partition survivors: $out")
+    // chain consistency: each stage's n_in is the previous stage's n_out
+    val chain = out.filter(t => t._1 >= 2 && t._1 <= 5).sortBy(_._1)
+    chain.foldLeft(15L) { case (prevOut, (_, _, nIn, nOut)) =>
+      assert(nIn == prevOut); nOut
+    }
+  }
+
   test("IvfKMeans.trainTable reproduces IvfKMeans.train centroids exactly") {
     import spark.implicits._
     import graft.operators.IvfKMeans
