@@ -187,7 +187,12 @@ object Bench {
       "q_knn_graph", "q_graph_pagerank", "q_cluster_canonical",
       // round 8: the k-means + within-cell-exact-cosine operator — the
       // heaviest new query class, so its cost stays in the official number
-      "q_semdedup")
+      "q_semdedup",
+      // round 10: the forced table/hierarchical SemDeDup branches, the
+      // two-arm LSH recall gate, and the composed curation funnel — all
+      // architecture-bearing, all above the suite's median cost
+      "q_semdedup_table", "q_semdedup_hier", "q_dedup_lsh_recall",
+      "q_corpus_curate")
     val headlineResults = results.toSeq.filter(kv => headline.contains(kv._1))
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "/tmp/bench.json")
     // suite-vs-isolated evidence for every re-measured query, in the detail
