@@ -217,6 +217,44 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_corpus_curate invariants hold on arbitrary corpora (property)") {
+    // Random corpora drawn from a 14-word pool so collisions are the norm,
+    // not the exception: exact duplicates, same-word-set permutations,
+    // shared 5-grams with benchmark members (ids 0 and 31), sub-5-token
+    // docs (outside the gram domain), and corpora where the quality gate
+    // kills everything (the window-min-over-empty-group edge). The funnel
+    // must keep its shape on ALL of them: stages 1..8 in order, the
+    // survivor chain monotone and connected, splits partitioning the
+    // final survivors exactly.
+    val rnd = new scala.util.Random(0xC0FFEE)
+    val pool = Vector("the", "a", "of", "data", "spark", "row", "agg",
+      "join", "scan", "batch", "window", "hash", "merge", "sort")
+    (0 until 6).foreach { sample =>
+      val nDocs = 1 + rnd.nextInt(40)
+      val rows = (0L until nDocs.toLong).map { id =>
+        val k = 1 + rnd.nextInt(60)
+        id -> Seq.fill(k)(pool(rnd.nextInt(pool.size))).mkString(" ")
+      }
+      val dir = docsDir(rows)
+      val out = SparkEntry.queries("q_corpus_curate")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      assert(out.map(_._1).toSeq == (1L to 8L), s"sample $sample stages: ${out.toSeq}")
+      val byStage = out.map(t => t._1 -> t).toMap
+      assert(byStage(1L)._4 == nDocs.toLong, s"sample $sample corpus count")
+      // chain: corpus -> quality -> exact -> fuzzy -> clean, monotone
+      (2L to 5L).foreach { sid =>
+        val (_, _, nIn, nOut) = byStage(sid)
+        assert(nIn == byStage(sid - 1)._4, s"sample $sample stage $sid n_in")
+        assert(nOut <= nIn && nOut >= 0, s"sample $sample stage $sid monotone")
+      }
+      // splits: all read the final survivor count and partition it exactly
+      val nFinal = byStage(5L)._4
+      (6L to 8L).foreach(sid => assert(byStage(sid)._3 == nFinal))
+      assert((6L to 8L).map(byStage(_)._4).sum == nFinal,
+        s"sample $sample splits must partition $nFinal: ${out.toSeq}")
+    }
+  }
+
   test("IvfKMeans.trainTable reproduces IvfKMeans.train centroids exactly") {
     import spark.implicits._
     import graft.operators.IvfKMeans
