@@ -18,9 +18,13 @@ object SparkEntry {
       StreamShapeQueries.entries ++ PipelineQueries.entries ++
       CorpusOpsQueries.entries
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The composed curation funnel exercises scan→quality→dedup→window→
+    * broadcast-join→aggregate in one plan and always emits its 8 stage
+    * rows, so it is both the showcase and a stable smoke target.
+    */
   def entry(spark: SparkSession): DataFrame =
-    allDefs("q_agg_hash").fn(spark, "/root/testdata/sf0.001")
+    allDefs("q_corpus_curate").fn(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
