@@ -393,6 +393,126 @@ object StreamShapeQueries {
              |FROM sh s JOIN fb ON s.fp = fb.fp AND s.b = fb.mb
              |WHERE s.fp NOT IN (SELECT fp FROM corpus)
              |ORDER BY s.doc_id""".stripMargin)
+    ),
+
+    "q_stream_curate" -> QueryDef(
+      // The STREAMING curation ingest — q_corpus_curate's production twin:
+      // incoming shards flow through the quality gate (q_quality_gopher's
+      // four integer rules) and the benchmark Bloom decontamination probe
+      // (q_stream_decontaminate's plan-literal bitmap, same policy/hashes)
+      // as STATELESS stream transforms, then into the durable-fingerprint
+      // ingest-dedup loop (IngestDedup: within-batch min-id dedup, corpus ∪
+      // store anti-join, idempotent dual write, bucketed zero-Exchange
+      // store). The cheap per-doc gates run map-side BEFORE anything
+      // shuffles — only quality-passing, uncontaminated docs ever pay the
+      // fingerprint exchange, which is exactly how a production firehose
+      // orders these stages. Corpus = doc_id % 7 = 0 (already ingested);
+      // benchmark needles = doc_id % 31 = 0 (excluded from the stream, as
+      // in q_stream_decontaminate); replay forced to two ordered
+      // micro-batches. The oracle replays gate, bitmap policy, probe and
+      // min-shard-wins dedup as one CTE chain.
+      (s, d) => {
+        import s.implicits._
+        import graft.streaming.IngestDedup
+        val (mBits, words) = graft.queries.PipelineQueries.benchBloomWords(s, d)
+        val bm = typedlit(words.toIndexedSeq)
+        val masks = typedlit((0 until 63).map(1L << _))
+        def bitTest(h: org.apache.spark.sql.Column) =
+          element_at(bm, (h / 63).cast("int") + 1)
+            .bitwiseAND(element_at(masks, (h % 63).cast("int") + 1)) =!= 0
+        def hw(g: org.apache.spark.sql.Column, off: Int) =
+          conv(substring(md5(g), off, 8), 16, 10).cast("long") % mBits
+        val corpusFps = documents(s, d)
+          .filter(pmod($"doc_id", lit(7)) === 0)
+          .select(IngestDedup.fpCol($"text").as("fp")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        corpusFps.count()
+        val newDocs = documents(s, d)
+          .filter(pmod($"doc_id", lit(7)) =!= 0 && pmod($"doc_id", lit(31)) =!= 0)
+          .select($"doc_id", $"text")
+        val prep: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = df => df
+          .withColumn("tok", split(col("text"), " "))
+          .withColumn("n_tokens", size(col("tok")).cast("long"))
+          .withColumn("sum_len", expr("aggregate(tok, 0L, (a, x) -> a + length(x))"))
+          .withColumn("top_cnt", expr(
+            "CAST(array_max(transform(array_distinct(tok), t -> size(filter(tok, x -> x = t)))) AS BIGINT)"))
+          .withColumn("n_stop", expr(
+            "size(filter(array('the','a','of','and','to','in'), w -> array_contains(tok, w)))"))
+          .filter(col("n_tokens").between(40L, 100000L) &&
+            col("sum_len") >= col("n_tokens") * 3L &&
+            col("sum_len") <= col("n_tokens") * 10L &&
+            col("top_cnt") * 5L <= col("n_tokens") &&
+            col("n_stop") >= 2)
+          .withColumn("grams", expr(
+            "array_distinct(transform(sequence(0, size(tok)-5), " +
+              "i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2], tok[i+3], tok[i+4])))"))
+          .filter(!exists(col("grams"), g => bitTest(hw(g, 1)) && bitTest(hw(g, 9))))
+          .select(col("doc_id"), col("text"))
+        val run = IngestDedup.runIngest(s, newDocs, corpusFps, nShards = 2, prep = prep)
+        val out = s.read.parquet(run.outDir)
+          .select($"doc_id", $"fp", $"n_dup_in_shard")
+          .orderBy($"doc_id").localCheckpoint()
+        IngestDedup.cleanup(s, run)
+        corpusFps.unpersist(blocking = false)
+        out
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+             |r AS (
+             |  SELECT doc_id, tok,
+             |    CAST(len(tok) AS BIGINT) AS n_tokens,
+             |    CAST(list_sum(list_transform(tok, x -> len(x))) AS BIGINT) AS sum_len,
+             |    CAST(list_max(list_transform(list_distinct(tok), w -> len(list_filter(tok, x -> x = w)))) AS BIGINT) AS top_cnt,
+             |    len(list_filter(['the','a','of','and','to','in'], w -> list_contains(tok, w))) AS n_stop
+             |  FROM t WHERE doc_id % 7 != 0 AND doc_id % 31 != 0),
+             |q AS (
+             |  SELECT doc_id, tok FROM r
+             |  WHERE (n_tokens BETWEEN 40 AND 100000)
+             |    AND sum_len >= n_tokens * 3 AND sum_len <= n_tokens * 10
+             |    AND top_cnt * 5 <= n_tokens AND n_stop >= 2),
+             |bg AS (
+             |  SELECT DISTINCT unnest(list_distinct(list_transform(range(0, len(tok)-4),
+             |    i -> array_to_string(tok[i+1:i+5], ' ')))) AS g
+             |  FROM t WHERE doc_id % 31 = 0 AND len(tok) >= 5),
+             |p AS (
+             |  SELECT CASE WHEN 64 * COUNT(*) <= 65536 THEN 65536::BIGINT
+             |              WHEN CEIL(LOG2(64.0 * COUNT(*))) >= 32 THEN (1::BIGINT << 32)
+             |              ELSE (1::BIGINT << CAST(CEIL(LOG2(64.0 * COUNT(*))) AS INT)) END AS mbits
+             |  FROM bg),
+             |words AS (
+             |  SELECT bit // 63 AS w, bit_or(1::BIGINT << CAST(bit % 63 AS INT)) AS word
+             |  FROM (
+             |    SELECT unnest([('0x' || substring(md5(g), 1, 8))::BIGINT % (SELECT mbits FROM p),
+             |                   ('0x' || substring(md5(g), 9, 8))::BIGINT % (SELECT mbits FROM p)]) AS bit
+             |    FROM bg) GROUP BY 1),
+             |qg AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(range(0, len(tok)-4),
+             |    i -> array_to_string(tok[i+1:i+5], ' ')))) AS g
+             |  FROM q),
+             |hit AS (
+             |  SELECT DISTINCT p2.doc_id FROM (
+             |    SELECT doc_id,
+             |      ('0x' || substring(md5(g), 1, 8))::BIGINT % (SELECT mbits FROM p) AS h1,
+             |      ('0x' || substring(md5(g), 9, 8))::BIGINT % (SELECT mbits FROM p) AS h2
+             |    FROM qg) p2
+             |  LEFT JOIN words w1 ON p2.h1 // 63 = w1.w
+             |  LEFT JOIN words w2 ON p2.h2 // 63 = w2.w
+             |  WHERE COALESCE(w1.word, 0) & (1::BIGINT << CAST(p2.h1 % 63 AS INT)) != 0
+             |    AND COALESCE(w2.word, 0) & (1::BIGINT << CAST(p2.h2 % 63 AS INT)) != 0),
+             |nd AS (
+             |  SELECT q.doc_id, q.doc_id % 2 AS b,
+             |    md5(array_to_string(list_sort(list_distinct(q.tok)), ' ')) AS fp
+             |  FROM q LEFT JOIN hit ON hit.doc_id = q.doc_id
+             |  WHERE hit.doc_id IS NULL),
+             |corpus AS (
+             |  SELECT DISTINCT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+             |  FROM documents WHERE doc_id % 7 = 0),
+             |sh AS (SELECT fp, b, MIN(doc_id) AS doc_id,
+             |  COUNT(*) AS n_dup_in_shard FROM nd GROUP BY fp, b),
+             |fb AS (SELECT fp, MIN(b) AS mb FROM sh GROUP BY fp)
+             |SELECT s.doc_id, s.fp, s.n_dup_in_shard
+             |FROM sh s JOIN fb ON s.fp = fb.fp AND s.b = fb.mb
+             |WHERE s.fp NOT IN (SELECT fp FROM corpus)
+             |ORDER BY s.doc_id""".stripMargin)
     )
   )
 }

@@ -95,7 +95,8 @@ object IngestDedup {
       s: SparkSession,
       newDocs: DataFrame,
       corpusFps: DataFrame,
-      nShards: Int
+      nShards: Int,
+      prep: DataFrame => DataFrame = identity
   ): IngestRun = {
     val runId = java.util.UUID.randomUUID().toString.replace("-", "")
     val base = java.nio.file.Paths.get(
@@ -136,8 +137,12 @@ object IngestDedup {
     // a listing + footer-inference job on the staged dir
     val schema = newDocs.schema
     StreamOps.withRightSizedStreaming(s, 4, noDataBatches = false) {
-      val stream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+      // `prep` composes STATELESS per-doc transforms (quality gates, bloom
+      // decontamination probes) onto the stream itself — upstream of the
+      // fingerprint dedup, so the store/anti-join machinery is untouched
+      // (identity for the plain ingest-dedup operator)
+      val stream = prep(s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString))
       val q = stream.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
           applyBatch(s, batch, batchId, corpusFps, storeTable, outDir)
