@@ -255,6 +255,49 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_stream_curate: gates run before dedup; every suppression path fires in one replay") {
+    // One crafted two-batch replay (shard = doc_id % 2) exercising every
+    // path of the streaming curation ingest:
+    //   id 7  - corpus member (7 % 7 = 0): not streamed, its fp suppresses
+    //   id 31 - benchmark member (31 % 31 = 0): not streamed, its grams
+    //           feed the Bloom needles
+    //   id 2  - dominance-fail doc (top token 20 of 45) sharing its word
+    //           SET with id 3: quality must kill it BEFORE dedup, so id 3
+    //           survives as the sole member of that fingerprint group -
+    //           the ordering subtlety that distinguishes gate-then-dedup
+    //           from dedup-then-gate (which would emit NEITHER: id 2 wins
+    //           the min-id dedup, then dies at the gate)
+    //   id 3  - balanced doc over id 2's word set: survives
+    //   id 4  - shares a 5-token run with benchmark doc 31: bloom-dropped
+    //   id 5  - permutation of corpus doc 7 (same word set): passes the
+    //           gates, then the corpus anti-join suppresses it
+    //   id 6 / id 1 - identical clean docs in batch 0 / batch 1: id 6 is
+    //           emitted in batch 0, the durable store suppresses id 1 in
+    //           batch 1 (cross-batch suppression through the prep hook)
+    def clean(ns: String): String =
+      ((0 until 43).map(i => f"${ns}w$i%02d") ++ Seq("the", "a")).mkString(" ")
+    val setT = (0 until 24).map(i => f"s3w$i%02d")
+    val doc2 = (setT ++ Seq.fill(19)(setT.head) ++ Seq("the", "a")).mkString(" ")
+    val doc3 = (setT ++ setT.take(19) ++ Seq("the", "a")).mkString(" ")
+    val corp7 = clean("c7")
+    val rows = Seq(
+      1L -> clean("g1"),
+      2L -> doc2,
+      3L -> doc3,
+      4L -> (((0 until 38).map(i => f"c4w$i%02d") ++
+        (10 until 15).map(i => f"b31w$i%02d") ++ Seq("the", "a")).mkString(" ")),
+      5L -> corp7.split(" ").reverse.mkString(" "),
+      6L -> clean("g1"),
+      7L -> corp7,
+      31L -> clean("b31"))
+    val dir = docsDir(rows)
+    val out = SparkEntry.queries("q_stream_curate")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.map(_._1).toSet == Set(3L, 6L),
+      s"expected exactly docs 3 and 6 to survive: ${out.toSeq}")
+    assert(out.forall(_._2 == 1L), s"each survivor is unique in its shard: ${out.toSeq}")
+  }
+
   test("IvfKMeans.trainTable reproduces IvfKMeans.train centroids exactly") {
     import spark.implicits._
     import graft.operators.IvfKMeans
