@@ -2212,8 +2212,8 @@ object PipelineQueries {
           .select($"doc_id", $"text", split($"text", " ").as("tok"))
           .withColumn("n_tokens", size($"tok").cast("long"))
           .withColumn("sum_len", expr("aggregate(tok, 0L, (a, x) -> a + length(x))"))
-          .withColumn("top_cnt", expr(
-            "CAST(array_max(transform(array_distinct(tok), t -> size(filter(tok, x -> x = t)))) AS BIGINT)"))
+          .withColumn("st", array_sort($"tok"))
+          .withColumn("top_cnt", expr(Q.maxRunSql))
           .withColumn("n_stop", expr(
             "size(filter(array('the','a','of','and','to','in'), w -> array_contains(tok, w)))"))
           .withColumn("q_ok",

@@ -434,8 +434,8 @@ object StreamShapeQueries {
           .withColumn("tok", split(col("text"), " "))
           .withColumn("n_tokens", size(col("tok")).cast("long"))
           .withColumn("sum_len", expr("aggregate(tok, 0L, (a, x) -> a + length(x))"))
-          .withColumn("top_cnt", expr(
-            "CAST(array_max(transform(array_distinct(tok), t -> size(filter(tok, x -> x = t)))) AS BIGINT)"))
+          .withColumn("st", array_sort(col("tok")))
+          .withColumn("top_cnt", expr(Q.maxRunSql))
           .withColumn("n_stop", expr(
             "size(filter(array('the','a','of','and','to','in'), w -> array_contains(tok, w)))"))
           .filter(col("n_tokens").between(40L, 100000L) &&

@@ -298,6 +298,28 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(out.forall(_._2 == 1L), s"each survivor is unique in its shard: ${out.toSeq}")
   }
 
+  test("maxRunSql (sorted-run fold) equals the naive distinct×count dominance statistic") {
+    // The quality gates' top_cnt moved from O(n·distinct) to O(n log n);
+    // the DuckDB oracles keep the naive form, so engine↔oracle parity
+    // rests on value equality of the two formulations — proven here over
+    // 200 random token arrays from a 5-word pool (ties everywhere) plus
+    // the single-token and all-identical edges.
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val pool = Vector("a", "b", "c", "dd", "eee")
+    val rows = (0 until 200).map { i =>
+      val k = 1 + rnd.nextInt(30)
+      (i.toLong, Seq.fill(k)(pool(rnd.nextInt(pool.size))))
+    } ++ Seq((1000L, Seq("solo")), (1001L, Seq.fill(7)("same")))
+    val df = rows.toDF("id", "tok")
+      .withColumn("st", array_sort($"tok"))
+      .withColumn("fast", expr(graft.queries.Q.maxRunSql))
+      .withColumn("naive", expr(
+        "CAST(array_max(transform(array_distinct(tok), t -> size(filter(tok, x -> x = t)))) AS BIGINT)"))
+    val bad = df.filter($"fast" =!= $"naive").collect()
+    assert(bad.isEmpty, s"formulations diverge: ${bad.take(5).toSeq}")
+  }
+
   test("IvfKMeans.trainTable reproduces IvfKMeans.train centroids exactly") {
     import spark.implicits._
     import graft.operators.IvfKMeans
