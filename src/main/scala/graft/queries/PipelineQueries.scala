@@ -169,10 +169,7 @@ object PipelineQueries {
   private def grams5(df: DataFrame): DataFrame = df
     .select(col("doc_id"), split(col("text"), " ").as("tok"))
     .filter(size(col("tok")) >= 5)
-    .select(col("doc_id"), explode(expr(
-      "array_distinct(transform(sequence(0, size(tok)-5), " +
-        "i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2], tok[i+3], tok[i+4])))"))
-      .as("g"))
+    .select(col("doc_id"), explode(expr(Q.grams5Sql)).as("g"))
 
   /** Bloom-filter decontamination (the engine behind `q_decontaminate_bloom`).
     *

@@ -305,9 +305,7 @@ object StreamShapeQueries {
             .filter(pmod($"doc_id", lit(31)) =!= 0)
             .select($"doc_id", split($"text", " ").as("tok"))
             .filter(size($"tok") >= 5)
-            .withColumn("grams", expr(
-              "array_distinct(transform(sequence(0, size(tok)-5), " +
-                "i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2], tok[i+3], tok[i+4])))"))
+            .withColumn("grams", expr(Q.grams5Sql))
             .select($"doc_id", size($"grams").cast("long").as("n_grams"),
               exists($"grams", g => bitTest(hw(g, 1)) && bitTest(hw(g, 9))).as("bloom_hit"))
           val q = graft.streaming.StreamOps.runToMemory(flagged, name)
@@ -443,9 +441,7 @@ object StreamShapeQueries {
             col("sum_len") <= col("n_tokens") * 10L &&
             col("top_cnt") * 5L <= col("n_tokens") &&
             col("n_stop") >= 2)
-          .withColumn("grams", expr(
-            "array_distinct(transform(sequence(0, size(tok)-5), " +
-              "i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2], tok[i+3], tok[i+4])))"))
+          .withColumn("grams", expr(Q.grams5Sql))
           .filter(!exists(col("grams"), g => bitTest(hw(g, 1)) && bitTest(hw(g, 9))))
           .select(col("doc_id"), col("text"))
         val run = IngestDedup.runIngest(s, newDocs, corpusFps, nShards = 2, prep = prep)

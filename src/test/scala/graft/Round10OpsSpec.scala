@@ -318,6 +318,40 @@ class Round10OpsSpec extends AnyFunSuite {
         "CAST(array_max(transform(array_distinct(tok), t -> size(filter(tok, x -> x = t)))) AS BIGINT)"))
     val bad = df.filter($"fast" =!= $"naive").collect()
     assert(bad.isEmpty, s"formulations diverge: ${bad.take(5).toSeq}")
+    // Documented divergence (QueryDef scaladoc): empty array → 0 from the
+    // fold, NULL from the naive form. Unreachable from split(), pinned so
+    // the contract is explicit rather than accidental.
+    val empty = Seq((0L, Seq.empty[String])).toDF("id", "tok")
+      .withColumn("st", array_sort($"tok"))
+      .select(expr(graft.queries.Q.maxRunSql)).collect().head
+    assert(!empty.isNullAt(0) && empty.getLong(0) == 0L,
+      s"empty-array fold contract changed: $empty")
+  }
+
+  test("grams5Sql (zip_with form) equals the index-transform 5-gram form") {
+    // The gram builder moved to shifted-slice zip_with (filter-inlining
+    // safety, QueryDef scaladoc); same elements in the same order as the
+    // previous transform(sequence) form, including the <5-token empty case.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pool = Vector("a", "b", "c", "dd", "eee", "f")
+    val rows = (0 until 120).map { i =>
+      val k = rnd.nextInt(12) // includes 0..4 (below gram width)
+      (i.toLong, Seq.fill(k)(pool(rnd.nextInt(pool.size))))
+    }
+    val df = rows.toDF("id", "tok")
+      .withColumn("zw", expr(graft.queries.Q.grams5Sql))
+      .withColumn("tr", expr(
+        "IF(size(tok) < 5, array(), " +
+          "array_distinct(transform(sequence(0, size(tok)-5), " +
+          "i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2], tok[i+3], tok[i+4]))))"))
+      // sequence(0, negative) DESCENDS instead of being empty, so the old
+      // form is only defined for size>=5 — compare there; below the width
+      // the new form must yield [] on its own.
+    val bad = df.filter(size($"tok") >= 5).filter($"zw" =!= $"tr").collect()
+    assert(bad.isEmpty, s"gram forms diverge: ${bad.take(5).toSeq}")
+    val shorts = df.filter(size($"tok") < 5).filter(size($"zw") =!= 0).collect()
+    assert(shorts.isEmpty, s"short docs must yield no grams: ${shorts.take(5).toSeq}")
   }
 
   test("IvfKMeans.trainTable reproduces IvfKMeans.train centroids exactly") {
