@@ -115,12 +115,17 @@ object Bench {
       t
     }
     var done = 0
-    val suiteResults = queries.map { case (name, fn) =>
+    // Full sorted trial vector per query is KEPT (not just the median): the
+    // detail JSON publishes min/med/max so a reader can separate host drift
+    // from real regression without re-running — the documented ±35% swing
+    // otherwise makes any two single medians unarguable.
+    val suiteTrials = queries.map { case (name, fn) =>
       val ts = Seq.fill(trials)(timeOnce(fn)).sorted
       done += 1
       if (done % 15 == 0) System.err.println(s"[bench] after $done queries: ${poolStats()}")
-      name -> ts(ts.length / 2)
+      name -> ts
     }
+    val suiteResults = suiteTrials.map { case (name, ts) => name -> ts(ts.length / 2) }
     System.err.println(s"[bench] after trials: ${poolStats()}")
     // ---- Isolated re-measure of expensive queries (fresh child JVM) ----
     // Three rounds running, the in-suite number for SOME expensive query has
@@ -203,8 +208,15 @@ object Bench {
         val iso = isolated.get(n).map(v => f"$v%.4f").getOrElse("null")
         s""""$n":{"suite":${f"${suiteResults(n)}%.4f"},"isolated":$iso}"""
       }.mkString("{", ",", "}")
+    // Per-query trial spread (detail file only). Values nest under non-q_
+    // keys (min/med/max), so the child-output regex extraction — which
+    // matches only `"q_name":<number>` directly — is unaffected.
+    val spreadJson = suiteTrials.toSeq.sortBy(_._1)
+      .map { case (n, ts) =>
+        s""""$n":{"min":${f"${ts.head}%.4f"},"med":${f"${ts(ts.length / 2)}%.4f"},"max":${f"${ts.last}%.4f"}}"""
+      }.mkString("{", ",", "}")
     val fullJsonWithEvidence = fullJson.dropRight(1) +
-      s""","remeasured":$remeasuredJson}"""
+      s""","remeasured":$remeasuredJson,"spread":$spreadJson}"""
     val compactJson =
       s"""{"metric":"total","value":${f"$total%.4f"},"suite_total":${f"$suiteTotal%.4f"},"unit":"sec","n_queries":${results.size},""" +
         s""""calib_sec":${f"$calib%.4f"},"n_remeasured":${isolated.size},""" +
