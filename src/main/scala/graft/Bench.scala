@@ -197,7 +197,9 @@ object Bench {
       // two-arm LSH recall gate, and the composed curation funnel — all
       // architecture-bearing, all above the suite's median cost
       "q_semdedup_table", "q_semdedup_hier", "q_dedup_lsh_recall",
-      "q_corpus_curate", "q_stream_curate")
+      "q_corpus_curate", "q_stream_curate",
+      // round 11: the forced broadcast-variable Bloom probe branch
+      "q_stream_decontaminate_bc")
     val headlineResults = results.toSeq.filter(kv => headline.contains(kv._1))
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "/tmp/bench.json")
     // suite-vs-isolated evidence for every re-measured query, in the detail

@@ -328,16 +328,24 @@ object PipelineQueries {
     val benchGrams = grams5(documents(s, d).filter(pmod($"doc_id", lit(31)) === 0))
       .select($"g").distinct()
     val mBits = bloomPolicyBits(benchGrams.count())
-    // Fail-fast cap: the policy can size up to 2^32 bits (~68M longs,
-    // ~545 MB as one plan literal) but a stateless stream plan literal
-    // stops being viable far earlier. Past 2^27 bits (~2 MB literal /
-    // ~2^21 benchmark grams) the production stream path is a broadcast-
-    // variable filter UDF, not a plan literal — refuse loudly instead of
-    // OOMing the driver on collect.
+    // Literal contract: this accessor's result is DESTINED for a plan
+    // literal, so it keeps the 2^27 fail-fast. The production path beyond
+    // (broadcast-variable probe) is streamBloomGate, which auto-selects.
     require(mBits <= (1L << 27),
       s"benchBloomWords: policy sized the bitmap at $mBits bits (> 2^27); " +
-        "a plan-literal bitmap this large would OOM the driver — use a " +
-        "broadcast-variable filter UDF for the stream probe at this scale")
+        "a plan-literal bitmap this large is not viable — use " +
+        "streamBloomGate, whose broadcast-variable branch covers this scale")
+    (mBits, collectBloomWords(benchGrams, mBits))
+  }
+
+  /** Bitmap build shared by every probe mechanism: md5-word bits OR'd into
+    * 63-bit words, collected to one driver array. Bounded by the words that
+    * are actually SET (≤ 2·nGrams rows over the wire); the dense array is
+    * ≤ 545 MB at the policy's 2^32 cap — the driver must hold one copy,
+    * which is exactly the broadcast-variable production requirement.
+    */
+  private[graft] def collectBloomWords(benchGrams: DataFrame, mBits: Long): Array[Long] = {
+    import benchGrams.sparkSession.implicits._
     def h(c: org.apache.spark.sql.Column, off: Int) =
       conv(substring(c, off, 8), 16, 10).cast("long") % mBits
     val words = Array.fill(((mBits + 62) / 63).toInt)(0L)
@@ -347,7 +355,51 @@ object PipelineQueries {
       .groupBy(expr("bit div 63").as("w"))
       .agg(expr("bit_or(shiftleft(1L, CAST(bit % 63 AS INT)))").as("word"))
       .collect().foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
-    (mBits, words)
+    words
+  }
+
+  /** The STREAM-side decontamination gate with its mechanism policy: builds
+    * the benchmark Bloom bitmap and returns a closure mapping a gram-array
+    * column to the any-hit boolean, choosing the probe mechanism by size —
+    *  - mBits ≤ 2^27: plan-literal bitmap + codegen'd `exists` bit tests
+    *    (map-only, the round-7 stateless-stream shape);
+    *  - beyond (or `forceBroadcast`): [[graft.functions.BloomBcProbe]] — the
+    *    words array ships as a TorrentBroadcast and a codegen'd expression
+    *    probes it per doc. Same hashes, same words, row-identical flags
+    *    (Round11OpsSpec proves bit-parity at a forced 2^28; the oracle-gated
+    *    q_stream_decontaminate_bc key forces this branch at every sf).
+    * `mBitsOverride` pins the size (testing / deployment opt-out), same as
+    * the batch probe's override.
+    */
+  private[graft] def streamBloomGate(
+      s: SparkSession,
+      d: String,
+      forceBroadcast: Boolean = false,
+      mBitsOverride: Option[Long] = None
+  ): (Long, org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
+    import s.implicits._
+    mBitsOverride.foreach(m => require(m >= 64 && (m & (m - 1)) == 0 && m <= (1L << 32),
+      s"mBitsOverride must be a power of two in [64, 2^32] (got $m)"))
+    val benchGrams = grams5(documents(s, d).filter(pmod($"doc_id", lit(31)) === 0))
+      .select($"g").distinct()
+    val mBits = mBitsOverride.getOrElse(bloomPolicyBits(benchGrams.count()))
+    val words = collectBloomWords(benchGrams, mBits)
+    if (!forceBroadcast && mBits <= (1L << 27)) {
+      val bm = typedlit(words.toIndexedSeq)
+      // dynamic 1L << (h % 63) as a 63-entry mask literal — the Scala DSL
+      // shiftleft only takes a literal shift, and a lambda-bound column
+      // can't ride an expr() string
+      val masks = typedlit((0 until 63).map(1L << _))
+      def bitTest(h: org.apache.spark.sql.Column) =
+        element_at(bm, (h / 63).cast("int") + 1)
+          .bitwiseAND(element_at(masks, (h % 63).cast("int") + 1)) =!= 0
+      def hw(g: org.apache.spark.sql.Column, off: Int) =
+        conv(substring(md5(g), off, 8), 16, 10).cast("long") % mBits
+      (mBits, (grams: org.apache.spark.sql.Column) =>
+        exists(grams, g => bitTest(hw(g, 1)) && bitTest(hw(g, 9))))
+    } else {
+      (mBits, graft.functions.BloomBcProbe.gate(s, words, mBits))
+    }
   }
 
   val entries: Map[String, QueryDef] = Map(

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tables.Tables._
 import Q._
@@ -42,6 +43,73 @@ object StreamShapeQueries {
     } catch { case _: java.nio.file.FileAlreadyExistsException => () }
     dir.toString
   }
+
+  /** Shared body of q_stream_decontaminate and its forced-broadcast twin:
+    * stateless stream projection flagging each arriving doc against the
+    * benchmark Bloom bitmap. The probe mechanism (plan literal vs broadcast
+    * variable) comes from `PipelineQueries.streamBloomGate`'s size policy;
+    * `forceBroadcast` pins the >2^27-bit branch so it is oracle-gated at
+    * every sf even though the test corpora size the bitmap small — the
+    * q_semdedup_table pattern. Flags are mechanism-invariant (same hashes,
+    * same words), so both keys share one oracle.
+    */
+  private def streamDecontaminate(
+      s: SparkSession, d: String, forceBroadcast: Boolean): DataFrame = {
+    import s.implicits._
+    val (_, bloomHit) = graft.queries.PipelineQueries
+      .streamBloomGate(s, d, forceBroadcast = forceBroadcast)
+    val name = "q_stream_decon_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    graft.streaming.StreamOps.withRightSizedStreaming(s, 4, noDataBatches = false) {
+      val flagged = graft.streaming.StreamOps
+        .readEventStream(s, streamSourceDir(d, "documents"))
+        .filter(pmod($"doc_id", lit(31)) =!= 0)
+        .select($"doc_id", split($"text", " ").as("tok"))
+        .filter(size($"tok") >= 5)
+        .withColumn("grams", expr(Q.grams5Sql))
+        .select($"doc_id", size($"grams").cast("long").as("n_grams"),
+          bloomHit($"grams").as("bloom_hit"))
+      val q = graft.streaming.StreamOps.runToMemory(flagged, name)
+      q.awaitTermination()
+    }
+    val out = s.table(name).orderBy($"doc_id").localCheckpoint()
+    s.catalog.dropTempView(name)
+    out
+  }
+
+  private val streamDecontaminateOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(range(0, len(tok)-4),
+      |    i -> array_to_string(tok[i+1:i+5], ' ')))) AS g
+      |  FROM t WHERE len(tok) >= 5),
+      |bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 31 = 0),
+      |p AS (
+      |  SELECT CASE WHEN 64 * COUNT(*) <= 65536 THEN 65536::BIGINT
+      |              WHEN CEIL(LOG2(64.0 * COUNT(*))) >= 32 THEN (1::BIGINT << 32)
+      |              ELSE (1::BIGINT << CAST(CEIL(LOG2(64.0 * COUNT(*))) AS INT)) END AS mbits
+      |  FROM bg),
+      |bits AS (
+      |  SELECT unnest([('0x' || substring(md5(g), 1, 8))::BIGINT % (SELECT mbits FROM p),
+      |                 ('0x' || substring(md5(g), 9, 8))::BIGINT % (SELECT mbits FROM p)]) AS bit
+      |  FROM bg),
+      |words AS (
+      |  SELECT bit // 63 AS w, bit_or(1::BIGINT << CAST(bit % 63 AS INT)) AS word
+      |  FROM bits GROUP BY 1),
+      |probe AS (
+      |  SELECT doc_id, g,
+      |    ('0x' || substring(md5(g), 1, 8))::BIGINT % (SELECT mbits FROM p) AS h1,
+      |    ('0x' || substring(md5(g), 9, 8))::BIGINT % (SELECT mbits FROM p) AS h2
+      |  FROM g WHERE doc_id % 31 != 0),
+      |f AS (
+      |  SELECT p.doc_id,
+      |    COALESCE(w1.word, 0) & (1::BIGINT << CAST(p.h1 % 63 AS INT)) != 0 AND
+      |    COALESCE(w2.word, 0) & (1::BIGINT << CAST(p.h2 % 63 AS INT)) != 0 AS hit
+      |  FROM probe p
+      |  LEFT JOIN words w1 ON p.h1 // 63 = w1.w
+      |  LEFT JOIN words w2 ON p.h2 // 63 = w2.w)
+      |SELECT doc_id, COUNT(*) AS n_grams, BOOL_OR(hit) AS bloom_hit
+      |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val entries: Map[String, QueryDef] = Map(
     "q_stream_tumbling" -> QueryDef(
@@ -275,78 +343,32 @@ object StreamShapeQueries {
     "q_stream_decontaminate" -> QueryDef(
       // STREAM-SIDE decontamination: every incoming corpus doc is probed
       // against the benchmark Bloom bitmap inside a STATELESS stream
-      // projection — `exists()` over the doc's 5-gram array with the
-      // bitmap baked as one plan literal. No state store, no watermark,
-      // no stream-static join: the ingest-firehose filter shape, where a
-      // constant-size sketch rides the plan and each doc is flagged the
-      // moment it arrives (the batch variant q_decontaminate_bloom is the
-      // backfill twin — same bitmap policy, same hashes, same flags).
-      // The oracle recomputes the sizing policy and bitmap in SQL, so
-      // construction, policy and probe are all hash-verified at every
-      // scale; false negatives remain structurally impossible.
-      (s, d) => {
-        import s.implicits._
-        val (mBits, words) = graft.queries.PipelineQueries.benchBloomWords(s, d)
-        val bm = typedlit(words.toIndexedSeq)
-        // dynamic 1L << (h % 63) as a 63-entry mask literal — the Scala DSL
-        // shiftleft only takes a literal shift, and a lambda-bound column
-        // can't ride an expr() string
-        val masks = typedlit((0 until 63).map(1L << _))
-        def bitTest(h: org.apache.spark.sql.Column) =
-          element_at(bm, (h / 63).cast("int") + 1)
-            .bitwiseAND(element_at(masks, (h % 63).cast("int") + 1)) =!= 0
-        def hw(g: org.apache.spark.sql.Column, off: Int) =
-          conv(substring(md5(g), off, 8), 16, 10).cast("long") % mBits
-        val name = "q_stream_decon_" +
-          java.util.UUID.randomUUID().toString.replace("-", "")
-        graft.streaming.StreamOps.withRightSizedStreaming(s, 4, noDataBatches = false) {
-          val flagged = graft.streaming.StreamOps
-            .readEventStream(s, streamSourceDir(d, "documents"))
-            .filter(pmod($"doc_id", lit(31)) =!= 0)
-            .select($"doc_id", split($"text", " ").as("tok"))
-            .filter(size($"tok") >= 5)
-            .withColumn("grams", expr(Q.grams5Sql))
-            .select($"doc_id", size($"grams").cast("long").as("n_grams"),
-              exists($"grams", g => bitTest(hw(g, 1)) && bitTest(hw(g, 9))).as("bloom_hit"))
-          val q = graft.streaming.StreamOps.runToMemory(flagged, name)
-          q.awaitTermination()
-        }
-        val out = s.table(name).orderBy($"doc_id").localCheckpoint()
-        s.catalog.dropTempView(name)
-        out
-      },
-      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
-             |g AS (
-             |  SELECT doc_id, unnest(list_distinct(list_transform(range(0, len(tok)-4),
-             |    i -> array_to_string(tok[i+1:i+5], ' ')))) AS g
-             |  FROM t WHERE len(tok) >= 5),
-             |bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 31 = 0),
-             |p AS (
-             |  SELECT CASE WHEN 64 * COUNT(*) <= 65536 THEN 65536::BIGINT
-             |              WHEN CEIL(LOG2(64.0 * COUNT(*))) >= 32 THEN (1::BIGINT << 32)
-             |              ELSE (1::BIGINT << CAST(CEIL(LOG2(64.0 * COUNT(*))) AS INT)) END AS mbits
-             |  FROM bg),
-             |bits AS (
-             |  SELECT unnest([('0x' || substring(md5(g), 1, 8))::BIGINT % (SELECT mbits FROM p),
-             |                 ('0x' || substring(md5(g), 9, 8))::BIGINT % (SELECT mbits FROM p)]) AS bit
-             |  FROM bg),
-             |words AS (
-             |  SELECT bit // 63 AS w, bit_or(1::BIGINT << CAST(bit % 63 AS INT)) AS word
-             |  FROM bits GROUP BY 1),
-             |probe AS (
-             |  SELECT doc_id, g,
-             |    ('0x' || substring(md5(g), 1, 8))::BIGINT % (SELECT mbits FROM p) AS h1,
-             |    ('0x' || substring(md5(g), 9, 8))::BIGINT % (SELECT mbits FROM p) AS h2
-             |  FROM g WHERE doc_id % 31 != 0),
-             |f AS (
-             |  SELECT p.doc_id,
-             |    COALESCE(w1.word, 0) & (1::BIGINT << CAST(p.h1 % 63 AS INT)) != 0 AND
-             |    COALESCE(w2.word, 0) & (1::BIGINT << CAST(p.h2 % 63 AS INT)) != 0 AS hit
-             |  FROM probe p
-             |  LEFT JOIN words w1 ON p.h1 // 63 = w1.w
-             |  LEFT JOIN words w2 ON p.h2 // 63 = w2.w)
-             |SELECT doc_id, COUNT(*) AS n_grams, BOOL_OR(hit) AS bloom_hit
-             |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+      // projection. No state store, no watermark, no stream-static join:
+      // the ingest-firehose filter shape, where a constant-size sketch
+      // rides the plan (literal) or the executors (broadcast variable,
+      // past 2^27 bits — see streamBloomGate's policy) and each doc is
+      // flagged the moment it arrives (the batch variant
+      // q_decontaminate_bloom is the backfill twin — same bitmap policy,
+      // same hashes, same flags). The oracle recomputes the sizing policy
+      // and bitmap in SQL, so construction, policy and probe are all
+      // hash-verified at every scale; false negatives remain structurally
+      // impossible.
+      (s, d) => streamDecontaminate(s, d, forceBroadcast = false),
+      Some(streamDecontaminateOracle)
+    ),
+
+    "q_stream_decontaminate_bc" -> QueryDef(
+      // FORCED >2^27-bit mechanism: the broadcast-variable Bloom probe
+      // (graft.functions.BloomBcAnyHit — words array as TorrentBroadcast,
+      // codegen'd per-doc any-hit loop) pinned on regardless of the policy
+      // size, so the production branch for benchmark-scale needle sets
+      // (MMLU+GSM8K+HumanEval is O(10⁶⁺) grams → bitmap past the literal
+      // ceiling) is oracle-gated at every sf — the q_semdedup_table
+      // pattern. Mechanism-invariant flags ⇒ shares the policy oracle;
+      // Round11OpsSpec additionally proves literal↔broadcast bit-parity at
+      // a real 2^28-bit size.
+      (s, d) => streamDecontaminate(s, d, forceBroadcast = true),
+      Some(streamDecontaminateOracle)
     ),
 
     "q_stream_ingest_dedup" -> QueryDef(
@@ -412,14 +434,7 @@ object StreamShapeQueries {
       (s, d) => {
         import s.implicits._
         import graft.streaming.IngestDedup
-        val (mBits, words) = graft.queries.PipelineQueries.benchBloomWords(s, d)
-        val bm = typedlit(words.toIndexedSeq)
-        val masks = typedlit((0 until 63).map(1L << _))
-        def bitTest(h: org.apache.spark.sql.Column) =
-          element_at(bm, (h / 63).cast("int") + 1)
-            .bitwiseAND(element_at(masks, (h % 63).cast("int") + 1)) =!= 0
-        def hw(g: org.apache.spark.sql.Column, off: Int) =
-          conv(substring(md5(g), off, 8), 16, 10).cast("long") % mBits
+        val (_, bloomHit) = graft.queries.PipelineQueries.streamBloomGate(s, d)
         val corpusFps = documents(s, d)
           .filter(pmod($"doc_id", lit(7)) === 0)
           .select(IngestDedup.fpCol($"text").as("fp")).distinct()
@@ -442,7 +457,7 @@ object StreamShapeQueries {
             col("top_cnt") * 5L <= col("n_tokens") &&
             col("n_stop") >= 2)
           .withColumn("grams", expr(Q.grams5Sql))
-          .filter(!exists(col("grams"), g => bitTest(hw(g, 1)) && bitTest(hw(g, 9))))
+          .filter(!bloomHit(col("grams")))
           .select(col("doc_id"), col("text"))
         val run = IngestDedup.runIngest(s, newDocs, corpusFps, nShards = 2, prep = prep)
         val out = s.read.parquet(run.outDir)

@@ -1,0 +1,116 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Round-11 depth checks: the broadcast-variable Bloom probe — the
+  * production mechanism past the 2^27-bit plan-literal ceiling — must be
+  * row-identical to the literal probe at small sizes (so the shared oracle
+  * gates both) AND bit-identical at a real >2^27-bit size the literal path
+  * refuses in production (so the branch is proven where it actually runs,
+  * not just where it is cheap to test).
+  */
+class Round11OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+
+  /** documents-shaped corpus: every 31st doc is a benchmark needle; some
+    * stream docs quote a needle 5-gram verbatim (must flag), others are
+    * clean (must not, modulo the policy's ~1e-3 per-gram fp rate — with
+    * mBits forced to 2^28 the fp rate is ~0 at this gram count).
+    */
+  private def docsDir(n: Int): String = {
+    import spark.implicits._
+    val rows = (0 until n).map { i =>
+      val id = i.toLong
+      val text =
+        if (i % 31 == 0) (0 until 12).map(j => s"bench${i}w$j").mkString(" ")
+        else if (i % 7 == 3)
+          // quotes needle (i/31*31)'s first 5-gram verbatim
+          (0 until 4).map(j => s"own${i}w$j").mkString(" ") + " " +
+            (0 until 5).map(j => s"bench${(i / 31) * 31}w$j").mkString(" ")
+        else (0 until 12).map(j => s"own${i}w$j").mkString(" ")
+      (id, text, "en", "s0", text.length.toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_r11docs")
+    // single parquet FILE named documents.parquet, matching the driver
+    // corpora: the stream source dir symlinks the table path, and a
+    // symlinked subDIRECTORY is invisible to the file-stream listing
+    val tmp = dir.resolve("_tmp")
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp).filter(p =>
+        p.getFileName.toString.startsWith("part-") &&
+          p.getFileName.toString.endsWith(".parquet"))
+      .findFirst().orElseThrow()
+    java.nio.file.Files.move(part, dir.resolve("documents.parquet"))
+    java.nio.file.Files.list(tmp).forEach(p => java.nio.file.Files.delete(p))
+    java.nio.file.Files.delete(tmp)
+    dir.toString
+  }
+
+  test("broadcast-variable probe is row-identical to the literal probe (policy-sized bitmap, full stream path)") {
+    val dir = docsDir(310)
+    val lit = SparkEntry.queries("q_stream_decontaminate")(spark, dir).collect().toSeq
+    val bc = SparkEntry.queries("q_stream_decontaminate_bc")(spark, dir).collect().toSeq
+    assert(lit == bc, s"mechanisms diverged: lit=${lit.take(5)}.. bc=${bc.take(5)}..")
+    // discriminative fixture: both flagged and clean docs present
+    val hits = lit.count(_.getBoolean(2))
+    assert(hits > 0 && hits < lit.size,
+      s"fixture must exercise both outcomes: $hits/${lit.size} flagged")
+    // every planted quoter flagged (false negatives are structurally
+    // impossible: all needle-gram bits are set)
+    val missed = lit.filter(r => r.getLong(0) % 7 == 3 && !r.getBoolean(2))
+    assert(missed.isEmpty, s"planted quoters must flag: ${missed.take(5)}")
+  }
+
+  test("broadcast probe at a forced 2^28-bit bitmap (past the literal ceiling) matches the literal mechanism bit-for-bit") {
+    import spark.implicits._
+    import graft.queries.{PipelineQueries, Q}
+    val dir = docsDir(310)
+    val big = 1L << 28
+    // override validation: non-power-of-two / out-of-range sizes refuse
+    val refused = intercept[IllegalArgumentException] {
+      PipelineQueries.streamBloomGate(spark, dir, mBitsOverride = Some(100L))
+    }
+    assert(refused.getMessage.contains("power of two"))
+    // broadcast branch: auto-selected by size (no forceBroadcast needed)
+    val (mBits, bcProbe) =
+      PipelineQueries.streamBloomGate(spark, dir, mBitsOverride = Some(big))
+    assert(mBits == big)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(pmod($"doc_id", lit(31)) =!= 0)
+      .select($"doc_id", split($"text", " ").as("tok"))
+      .filter(size($"tok") >= 5)
+      .withColumn("grams", expr(Q.grams5Sql))
+      .persist()
+    val bcFlags = docs.select($"doc_id", bcProbe($"grams").as("hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // literal-mechanism reference at the SAME forced size: 2^28 bits is
+    // 4.26M words ≈ 34 MB as one Literal — fine for ONE test plan, which
+    // is exactly why the ceiling is a production-plan policy, not a
+    // correctness boundary
+    val words = PipelineQueries.collectBloomWords(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .filter(pmod($"doc_id", lit(31)) === 0)
+        .select($"doc_id", split($"text", " ").as("tok"))
+        .filter(size($"tok") >= 5)
+        .select(explode(expr(Q.grams5Sql)).as("g")).distinct(),
+      big)
+    val bm = typedlit(words.toIndexedSeq)
+    val masks = typedlit((0 until 63).map(1L << _))
+    def bitTest(h: org.apache.spark.sql.Column) =
+      element_at(bm, (h / 63).cast("int") + 1)
+        .bitwiseAND(element_at(masks, (h % 63).cast("int") + 1)) =!= 0
+    def hw(g: org.apache.spark.sql.Column, off: Int) =
+      conv(substring(md5(g), off, 8), 16, 10).cast("long") % big
+    val litFlags = docs.select($"doc_id",
+        exists($"grams", g => bitTest(hw(g, 1)) && bitTest(hw(g, 9))).as("hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    docs.unpersist(blocking = false)
+    assert(bcFlags == litFlags,
+      s"mechanisms diverge at 2^28 bits: ${bcFlags.toSeq.diff(litFlags.toSeq).take(5)}")
+    val hits = bcFlags.values.count(identity)
+    assert(hits > 0 && hits < bcFlags.size,
+      s"fixture must exercise both outcomes at 2^28: $hits/${bcFlags.size}")
+  }
+}
