@@ -532,17 +532,26 @@ object PipelineQueries {
       // (2 ≤ doc-frequency ≤ 8). A contained doc shares its ENTIRE
       // shingle set with its container, so recall is deterministic UNDER
       // THE PRECONDITION that the contained doc owns at least one shingle
-      // with df in [2, 8] — a doc quoted into MORE than 8 containers has
-      // every shingle above the cap and generates zero candidates here.
-      // That blind spot is deliberate tiering, not a loss: heavily-
-      // replicated boilerplate is exactly what the LINEAR tiers remove
-      // first (q_dedup_paragraph drops the quoted block from every later
-      // doc; q_dedup_exact collapses whole-doc copies) — proven by the
-      // hand-off test in Round10OpsSpec — while this operator targets the
-      // low-multiplicity short-in-long quotes those tiers can't see. The
-      // df cap is what bounds per-shingle fan-out at C(8,2)=28 pairs,
-      // keeping candidate count linear in corpus size (rare shingles
-      // dominate real vocabularies by Zipf). Verification is exact containment via the codegen'd
+      // with df in [2, 8]. The df cap bounds per-shingle fan-out at
+      // C(8,2)=28 pairs, keeping candidate count linear in corpus size
+      // (rare shingles dominate real vocabularies by Zipf).
+      //
+      // HEAVY-SHINGLE ESCALATION TIER (round 11): a doc quoted into MORE
+      // than 8 containers has every shingle above the band and generates
+      // zero primary candidates. Such BAND-BLIND docs (min df over their
+      // shingles > 8 — by definition every shingle is heavy) escalate
+      // exactly ONE shingle: their rarest (min df, tie min h — a
+      // deterministic total order both engines replay), joined against
+      // that shingle's full posting list when its df ≤ 64. Fan-out bound:
+      // ≤ 63 pairs PER BAND-BLIND DOC (not per shingle), and band-blind
+      // docs are the fully-boilerplate minority by Zipf — at 100 TB the
+      // anchor join is a broadcast of the tiny anchor set against the
+      // inverted index, no new shuffle of the corpus. Anchors with
+      // df > 64 (65+-way replication) remain the documented hand-off to
+      // the LINEAR tiers (q_dedup_paragraph drops the quoted block from
+      // every later doc; q_dedup_exact collapses whole-doc copies) —
+      // Round10OpsSpec proves both the catch at 20 containers and the
+      // hand-off past the cap. Verification is exact containment via the codegen'd
       // sorted two-pointer intersect; both thresholds are integer
       // cross-multiplications (5·ov ≥ 4·min(sz) for θ=0.8;
       // 3·ov < sz_a+sz_b flags pairs Jaccard<0.5 dedup would MISS) — no
@@ -566,15 +575,29 @@ object PipelineQueries {
           .withColumn("sz", size($"hsd"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val ex = sh.select($"doc_id", explode($"hsd").as("h"))
-        val rare = ex.groupBy($"h").agg(count(lit(1)).as("df"))
-          .filter($"df".between(2L, 8L)).select($"h")
+        val dfs = ex.groupBy($"h").agg(count(lit(1)).as("df"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val rare = dfs.filter($"df".between(2L, 8L)).select($"h")
         val exr = ex.join(rare, Seq("h"))
-        val cand = exr.as("x")
+        val primary = exr.as("x")
           .join(exr.as("y"), Seq("h"))
           .filter(col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct()
-        cand
+        // heavy tier: band-blind docs escalate their single rarest shingle
+        // (min df, tie min h); anchors with df <= 64 join the full posting
+        // list — <= 63 pairs per band-blind doc, broadcast-sized anchor set
+        val anchorWin = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"df", $"h")
+        val anchors = ex.join(dfs, Seq("h"))
+          .withColumn("rn", row_number().over(anchorWin))
+          .filter($"rn" === 1 && $"df" > 8L && $"df" <= 64L)
+          .select($"doc_id".as("bb_doc"), $"h")
+        val heavy = broadcast(anchors).join(ex, Seq("h"))
+          .filter($"doc_id" =!= $"bb_doc")
+          .select(least($"bb_doc", $"doc_id").as("doc_a"),
+            greatest($"bb_doc", $"doc_id").as("doc_b"))
+        val cand = primary.union(heavy).distinct()
+        val out = cand
           .join(sh.select($"doc_id".as("doc_a"), $"hsd".as("h_a"), $"sz".as("sz_a")), Seq("doc_a"))
           .join(sh.select($"doc_id".as("doc_b"), $"hsd".as("h_b"), $"sz".as("sz_b")), Seq("doc_b"))
           .withColumn("ov", graft.functions.SetOps.sortedIntersectSize(s, $"h_a", $"h_b"))
@@ -584,6 +607,13 @@ object PipelineQueries {
           .withColumn("jaccard_missed", $"ov" * 3L < $"sz_a" + $"sz_b")
           .select($"doc_a", $"doc_b", $"containment", $"jaccard_missed")
           .orderBy($"doc_a", $"doc_b")
+          // materialize, then drop the two caches: in a long session
+          // (bench/verify sweeps) leaked MEMORY_AND_DISK blocks accumulate
+          // for the SparkSession's lifetime (the pagerank pattern)
+          .localCheckpoint()
+        sh.unpersist(blocking = false)
+        dfs.unpersist(blocking = false)
+        out
       },
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
               |sh AS (
@@ -596,13 +626,24 @@ object PipelineQueries {
               |      g -> ('0x' || substring(md5(g), 1, 12))::BIGINT % 2147483647)) AS hsd
               |  FROM sh),
               |ex AS (SELECT doc_id, unnest(hsd) AS h FROM hsz),
-              |rare AS (
-              |  SELECT h FROM (SELECT h, COUNT(*) AS df FROM ex GROUP BY h)
-              |  WHERE df BETWEEN 2 AND 8),
-              |cand AS (
-              |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+              |dfs AS (SELECT h, COUNT(*) AS df FROM ex GROUP BY h),
+              |rare AS (SELECT h FROM dfs WHERE df BETWEEN 2 AND 8),
+              |pband AS (
+              |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
               |  FROM ex x JOIN rare r ON x.h = r.h
               |       JOIN ex y ON y.h = r.h AND x.doc_id < y.doc_id),
+              |anch AS (
+              |  SELECT doc_id AS bb_doc, h FROM (
+              |    SELECT e.doc_id, e.h, d.df,
+              |      ROW_NUMBER() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.h) AS rn
+              |    FROM ex e JOIN dfs d ON e.h = d.h)
+              |  WHERE rn = 1 AND df > 8 AND df <= 64),
+              |heavy AS (
+              |  SELECT LEAST(a.bb_doc, e.doc_id) AS doc_a,
+              |         GREATEST(a.bb_doc, e.doc_id) AS doc_b
+              |  FROM anch a JOIN ex e ON e.h = a.h AND e.doc_id != a.bb_doc),
+              |cand AS (SELECT DISTINCT * FROM (
+              |  SELECT * FROM pband UNION ALL SELECT * FROM heavy)),
               |pairs AS (
               |  SELECT doc_a, doc_b,
               |    len(list_intersect(a.hsd, b.hsd)) AS ov,

@@ -56,28 +56,42 @@ class Round10OpsSpec extends AnyFunSuite {
     dir
   }
 
-  test("dedup tier hand-off: boilerplate quoted in 20+ containers escapes containment's df band but falls to the linear tiers") {
-    // q_dedup_containment keeps only shingles with df in [2,8] — a short
-    // doc quoted into 20 containers has EVERY shingle above the cap and
-    // generates zero candidates (the documented precondition). The linear
-    // tiers are where that mass is removed: q_dedup_paragraph drops the
-    // quoted chunk from every doc after the first, and q_dedup_exact
-    // collapses whole-doc copies.
+  test("dedup tier hand-off: the heavy-shingle tier catches 20-container boilerplate; past the 64-df cap it falls to the linear tiers") {
+    // Round 10 proved the df-[2,8] band BLIND to a doc quoted in 20
+    // containers; round 11's heavy-shingle escalation (band-blind docs
+    // join their single rarest shingle's posting list when its df ≤ 64)
+    // must now catch it INSIDE containment, with exactly ≤63 pairs from
+    // the one anchor. Past the 64-df cap the doc is invisible again —
+    // that regime stays the documented hand-off to the linear tiers.
     val quote = (0 until 10).map(i => s"quote$i").mkString(" ")
     val containers = (2L to 21L).map(n =>
       n -> ((0 until 10).map(i => s"uniq${n}w$i").mkString(" ") + " " + quote))
     val rows = Seq(1L -> quote) ++ containers ++ Seq(22L -> containers.head._2)
     val dir = docsDir(rows)
 
-    // blind spot: no containment pair involves the quoted short doc 1 —
-    // all its shingles have df = 22 > 8
+    // heavy tier: doc 1 is band-blind (every shingle df = 22 > 8) but its
+    // anchor df 22 ≤ 64 → paired with ALL 21 quote-holders, containment
+    // 1.0 each (its whole shingle set is inside every container)
     val cont = SparkEntry.queries("q_dedup_containment")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(!cont.exists(p => p._1 == 1L || p._2 == 1L),
-      s"doc 1 must be invisible to the df-banded index: ${cont.toSeq}")
-    // sanity: the operator does work on this fixture where the df band
-    // holds — the exact-copy pair (2, 22) shares rare prefix shingles
+    val doc1Pairs = cont.filter(_._1 == 1L).map(_._2).toSet
+    assert(doc1Pairs == (2L to 22L).toSet,
+      s"heavy tier must pair doc 1 with every container: $doc1Pairs")
+    // the primary band still works where it holds — the exact-copy pair
+    // (2, 22) shares rare prefix shingles
     assert(cont.contains((2L, 22L)), s"expected the (2,22) pair: ${cont.toSeq}")
+
+    // past the cap: 70 containers → anchor df = 72 > 64 → doc 1 invisible
+    // to containment again (bounded fan-out beats unbounded recall here;
+    // the linear tiers below own this regime)
+    val manyContainers = (2L to 71L).map(n =>
+      n -> ((0 until 10).map(i => s"uniq${n}w$i").mkString(" ") + " " + quote))
+    val bigDir = docsDir(Seq(1L -> quote) ++ manyContainers ++
+      Seq(72L -> manyContainers.head._2))
+    val bigCont = SparkEntry.queries("q_dedup_containment")(spark, bigDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!bigCont.exists(p => p._1 == 1L || p._2 == 1L),
+      s"doc 1 must stay invisible past the 64-df anchor cap: ${bigCont.take(8).toSeq}")
 
     // paragraph tier: doc 1 keeps the quote chunk (first occurrence);
     // every container loses it (n_kept 1 of 2); the whole-doc copy 22
