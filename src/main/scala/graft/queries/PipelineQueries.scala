@@ -817,6 +817,16 @@ object PipelineQueries {
             posexplode(expr("slice(ord, 1, size(ord) - ((size(ord) + 1) div 2) + 1)")))
           .filter($"col.df" >= 2)
           .select($"doc_id", $"sz", $"pos", $"col.h".as("h"))
+        // Positional-filter soundness is TAU-SPECIFIC (ADVICE r10): the
+        // zero-accumulated-overlap PPJoin bound 3·least(sz−pos) ≥ sz_x+sz_y
+        // is applied at EVERY prefix match independently, which is lossless
+        // only because at tau = 1/2 the GLOBALLY-FIRST common token (in the
+        // shared df,h order) provably sits inside both prefixes and passes
+        // it: J ≥ 1/2 ⇒ ov ≥ ⌈(sz_x+sz_y)/3⌉, and at the first common
+        // token every remaining suffix still holds the whole overlap, so
+        // least(sz−pos) ≥ ov there. Changing tau or the prefix length
+        // requires RE-DERIVING this — a tighter per-match prune would
+        // silently drop true pairs.
         val candTruth = pre.as("x").join(pre.as("y"),
             col("x.h") === col("y.h") &&
               col("x.doc_id") < col("y.doc_id") &&
@@ -847,11 +857,16 @@ object PipelineQueries {
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .distinct()
           .withColumn("hit", lit(1))
-        truth
+        val out = truth
           .join(candLsh, Seq("doc_a", "doc_b"), "left_outer")
           .groupBy($"band10")
           .agg(count(lit(1)).as("n_true"), count($"hit").as("n_recalled"))
           .orderBy($"band10")
+          // ≤10 decile rows: materialize, then release the shingle cache —
+          // a session-lifetime leak otherwise (ADVICE r10)
+          .localCheckpoint()
+        sh.unpersist(blocking = false)
+        out
       },
       Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
               |shs AS (
@@ -2340,7 +2355,7 @@ object PipelineQueries {
             sum(when($"keep_clean" && $"bucket" === 0, 1L).otherwise(0L)).as("nval"),
             sum(when($"keep_clean" && $"bucket" === 1, 1L).otherwise(0L)).as("ntest"),
             sum(when($"keep_clean" && $"bucket" >= 2, 1L).otherwise(0L)).as("ntrain"))
-        stats.select(explode(array(
+        val out = stats.select(explode(array(
             struct(lit(1L).as("stage_id"), lit("corpus").as("stage"), $"n0".as("n_in"), $"n0".as("n_out")),
             struct(lit(2L).as("stage_id"), lit("quality_gate").as("stage"), $"n0".as("n_in"), $"n1".as("n_out")),
             struct(lit(3L).as("stage_id"), lit("exact_dedup").as("stage"), $"n1".as("n_in"), $"n2".as("n_out")),
@@ -2352,6 +2367,11 @@ object PipelineQueries {
           )).as("r"))
           .select($"r.stage_id", $"r.stage", $"r.n_in", $"r.n_out")
           .orderBy($"stage_id")
+          // 8 stage rows: materialize, then release the funnel cache —
+          // a session-lifetime leak otherwise (ADVICE r10)
+          .localCheckpoint()
+        kept.unpersist(blocking = false)
+        out
       },
       Some("""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tok FROM documents),
              |r AS (

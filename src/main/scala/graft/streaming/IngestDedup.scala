@@ -117,14 +117,33 @@ object IngestDedup {
     newDocs.withColumn("b", pmod(col("doc_id"), lit(nShards)))
       .repartition(nShards, col("b"))
       .write.partitionBy("b").mode("overwrite").parquet(stage.toString)
+    var nonEmptyShards = 0
     (0 until nShards).foreach { b =>
       val shardDir = stage.resolve(s"b=$b")
-      val listing = java.nio.file.Files.list(shardDir)
       val part =
-        try listing.filter(p => p.getFileName.toString.startsWith("part-")
-          && p.getFileName.toString.endsWith(".parquet")).findFirst()
-          .orElseThrow(() => new IllegalStateException(s"no part file in $shardDir"))
-        finally listing.close()
+        if (java.nio.file.Files.isDirectory(shardDir)) {
+          nonEmptyShards += 1
+          val listing = java.nio.file.Files.list(shardDir)
+          try listing.filter(p => p.getFileName.toString.startsWith("part-")
+            && p.getFileName.toString.endsWith(".parquet")).findFirst()
+            .orElseThrow(() => new IllegalStateException(s"no part file in $shardDir"))
+          finally listing.close()
+        } else {
+          // EMPTY SHARD (no row had this shard value — plausible once a
+          // caller narrows the input, e.g. q_stream_curate's prep-filtered
+          // corpus on a small or skewed dataset): stage a schema-only
+          // parquet file so the replay still sees nShards ordered batch
+          // files instead of collapsing the batch numbering (ADVICE r10).
+          val tmp = base.resolve(s"emptyshard$b")
+          s.createDataFrame(
+              s.sparkContext.emptyRDD[org.apache.spark.sql.Row], newDocs.schema)
+            .coalesce(1).write.parquet(tmp.toString)
+          val listing = java.nio.file.Files.list(tmp)
+          try listing.filter(p => p.getFileName.toString.startsWith("part-")
+            && p.getFileName.toString.endsWith(".parquet")).findFirst()
+            .orElseThrow(() => new IllegalStateException(s"no empty part in $tmp"))
+          finally listing.close()
+        }
       val dst = srcDir.resolve(s"shard$b.parquet")
       java.nio.file.Files.move(part, dst)
       // staggered mtimes pin batch ORDER: the file source processes
@@ -152,9 +171,12 @@ object IngestDedup {
           s"${StreamOps.fastCheckpointRoot}/ingest_$runId")
         .start()
       q.awaitTermination()
+      // empty shards replay as real (0-row) micro-batches, so the
+      // collapsed-replay guard counts only the shards that carried rows
       val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-      require(dataBatches == nShards,
-        s"ingest-dedup expects a $nShards-batch replay, saw $dataBatches")
+      require(dataBatches == nonEmptyShards,
+        s"ingest-dedup expects a $nonEmptyShards-data-batch replay " +
+          s"($nShards shards, ${nShards - nonEmptyShards} empty), saw $dataBatches")
     }
     IngestRun(outDir, storeTable, srcDir, base)
   }

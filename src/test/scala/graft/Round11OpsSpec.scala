@@ -113,4 +113,29 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(hits > 0 && hits < bcFlags.size,
       s"fixture must exercise both outcomes at 2^28: $hits/${bcFlags.size}")
   }
+
+  test("ingest-dedup tolerates an empty shard: schema-only batch file, batch numbering preserved") {
+    // A prep-narrowed corpus can leave a shard value with zero rows
+    // (ADVICE r10 named q_stream_curate's parity shards); staging now
+    // writes a schema-only parquet file for it, so the replay still sees
+    // nShards ordered batch files and the collapsed-replay guard counts
+    // only data-carrying shards.
+    import spark.implicits._
+    import graft.streaming.IngestDedup
+    val docs = Seq(
+      (2L, "alpha beta gamma delta"),
+      (4L, "epsilon zeta eta theta"),
+      (6L, "alpha beta gamma delta") // dup of 2 in the SAME (even) shard
+    ).toDF("doc_id", "text")
+    val corpusFps = Seq("nomatch").toDF("x")
+      .select(IngestDedup.fpCol($"x").as("fp")).limit(0)
+    // doc_id % 2: shard 1 (odd) is EMPTY
+    val run = IngestDedup.runIngest(spark, docs, corpusFps, nShards = 2)
+    val out = spark.read.parquet(run.outDir)
+      .select($"doc_id", $"n_dup_in_shard")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    IngestDedup.cleanup(spark, run)
+    assert(out == Map(2L -> 2L, 4L -> 1L),
+      s"empty-shard replay must keep in-shard dedup semantics: $out")
+  }
 }
