@@ -10,7 +10,9 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, StringType}
 
 /** Broadcast-variable Bloom probe — the stream decontamination mechanism
-  * past the plan-literal ceiling (2^27 bits).
+  * for bitmaps past the plan-literal regime (policy threshold 2^18 bits —
+  * measured, see `PipelineQueries.streamBloomGate`; hard literal viability
+  * ends around 2^27).
   *
   * Below that ceiling the stateless stream probe bakes the bitmap into the
   * plan as one literal array (map-only, codegen'd `exists`). The policy can

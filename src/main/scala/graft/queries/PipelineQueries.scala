@@ -361,13 +361,22 @@ object PipelineQueries {
   /** The STREAM-side decontamination gate with its mechanism policy: builds
     * the benchmark Bloom bitmap and returns a closure mapping a gram-array
     * column to the any-hit boolean, choosing the probe mechanism by size —
-    *  - mBits ≤ 2^27: plan-literal bitmap + codegen'd `exists` bit tests
-    *    (map-only, the round-7 stateless-stream shape);
+    *  - mBits ≤ 2^18: plan-literal bitmap + `exists` bit tests (map-only,
+    *    the round-7 stateless-stream shape — fine while the bitmap is small
+    *    enough that the interpreted per-gram lambda doesn't matter);
     *  - beyond (or `forceBroadcast`): [[graft.functions.BloomBcProbe]] — the
     *    words array ships as a TorrentBroadcast and a codegen'd expression
     *    probes it per doc. Same hashes, same words, row-identical flags
     *    (Round11OpsSpec proves bit-parity at a forced 2^28; the oracle-gated
     *    q_stream_decontaminate_bc key forces this branch at every sf).
+    * The threshold is MEASURED, not a viability cliff: the broadcast probe
+    * is faster wherever tried — 1.47 vs 2.09 s at 2^20 bits (sf0.1), 6.75
+    * vs 10.87 s at 2^23 (sf1) — because the compiled any-hit loop beats the
+    * interpreted `exists` lambda's per-gram expression walk; the literal's
+    * hard viability ceiling (driver/plan cost, formerly the 2^27 fail-fast)
+    * sits far above the point where it stops winning. 2^18 keeps the tiny
+    * test corpora (sf ≤ 0.01) on the literal so the driver's sf0.01 gate
+    * exercises BOTH mechanisms (default literal + forced broadcast twin).
     * `mBitsOverride` pins the size (testing / deployment opt-out), same as
     * the batch probe's override.
     */
@@ -384,7 +393,7 @@ object PipelineQueries {
       .select($"g").distinct()
     val mBits = mBitsOverride.getOrElse(bloomPolicyBits(benchGrams.count()))
     val words = collectBloomWords(benchGrams, mBits)
-    if (!forceBroadcast && mBits <= (1L << 27)) {
+    if (!forceBroadcast && mBits <= (1L << 18)) {
       val bm = typedlit(words.toIndexedSeq)
       // dynamic 1L << (h % 63) as a 63-entry mask literal — the Scala DSL
       // shiftleft only takes a literal shift, and a lambda-bound column

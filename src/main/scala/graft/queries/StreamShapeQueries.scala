@@ -48,7 +48,7 @@ object StreamShapeQueries {
     * stateless stream projection flagging each arriving doc against the
     * benchmark Bloom bitmap. The probe mechanism (plan literal vs broadcast
     * variable) comes from `PipelineQueries.streamBloomGate`'s size policy;
-    * `forceBroadcast` pins the >2^27-bit branch so it is oracle-gated at
+    * `forceBroadcast` pins the broadcast-variable branch so it is oracle-gated at
     * every sf even though the test corpora size the bitmap small — the
     * q_semdedup_table pattern. Flags are mechanism-invariant (same hashes,
     * same words), so both keys share one oracle.
@@ -346,7 +346,7 @@ object StreamShapeQueries {
       // projection. No state store, no watermark, no stream-static join:
       // the ingest-firehose filter shape, where a constant-size sketch
       // rides the plan (literal) or the executors (broadcast variable,
-      // past 2^27 bits — see streamBloomGate's policy) and each doc is
+      // past 2^18 bits — see streamBloomGate's measured policy) and each doc is
       // flagged the moment it arrives (the batch variant
       // q_decontaminate_bloom is the backfill twin — same bitmap policy,
       // same hashes, same flags). The oracle recomputes the sizing policy
@@ -358,7 +358,7 @@ object StreamShapeQueries {
     ),
 
     "q_stream_decontaminate_bc" -> QueryDef(
-      // FORCED >2^27-bit mechanism: the broadcast-variable Bloom probe
+      // FORCED broadcast-variable mechanism: the probe
       // (graft.functions.BloomBcAnyHit — words array as TorrentBroadcast,
       // codegen'd per-doc any-hit loop) pinned on regardless of the policy
       // size, so the production branch for benchmark-scale needle sets
