@@ -160,6 +160,27 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("*("), plan) // inside a codegen stage
   }
 
+  test("broadcast Bloom probe participates in whole-stage codegen, map-only") {
+    // the batch shape of the stream probe: gram build + BloomBcAnyHit in
+    // one projection — must compile into a codegen stage (one virtual call
+    // per row) with no join or exchange introduced by the probe itself
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val (_, probe) = queries.PipelineQueries
+      .streamBloomGate(spark, sfDir, forceBroadcast = true)
+    val df = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(pmod($"doc_id", lit(31)) =!= 0)
+      .select($"doc_id", split($"text", " ").as("tok"))
+      .filter(size($"tok") >= 5)
+      .withColumn("grams", expr(queries.Q.grams5Sql))
+      .select($"doc_id", probe($"grams").as("hit"))
+    val plan = physical(df)
+    assert(plan.contains("bloom_bc_any_hit"), plan)
+    assert(plan.contains("*("), plan) // inside a codegen stage
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"probe must stay map-only:\n$plan")
+  }
+
   test("q_similarity_ann_ivf assigns cells map-side and joins cells by broadcast") {
     val plan = physical(run("q_similarity_ann_ivf"))
     // candidate×probe matching is an equi-join on cell id, never all-pairs
