@@ -391,8 +391,12 @@ object PipelineQueries {
       s"mBitsOverride must be a power of two in [64, 2^32] (got $m)"))
     val benchGrams = grams5(documents(s, d).filter(pmod($"doc_id", lit(31)) === 0))
       .select($"g").distinct()
+      // two passes are inherent (the policy count must fix mBits BEFORE
+      // the words hash with it) — persist so the gram explode runs once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mBits = mBitsOverride.getOrElse(bloomPolicyBits(benchGrams.count()))
     val words = collectBloomWords(benchGrams, mBits)
+    benchGrams.unpersist(blocking = false)
     if (!forceBroadcast && mBits <= (1L << 18)) {
       val bm = typedlit(words.toIndexedSeq)
       // dynamic 1L << (h % 63) as a 63-entry mask literal — the Scala DSL
