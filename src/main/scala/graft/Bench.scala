@@ -94,7 +94,13 @@ object Bench {
         .orderBy("k").count()
       (System.nanoTime() - t0) / 1e9
     }
-    val calib = Seq.fill(3)(calibrateOnce()).sorted.apply(1)
+    // Median of 7: two same-tree full suites measured calib 0.190 vs 0.272
+    // (43% apart) while their 143-query totals agreed within 1.4% — the
+    // probe was noisier than the suite it calibrates. Seven samples cost
+    // ~1.5 s against a ~70 s suite; min/max ride the JSON so a reader can
+    // see the window's stability without re-running.
+    val calibSamples = Seq.fill(7)(calibrateOnce()).sorted
+    val calib = calibSamples(calibSamples.length / 2)
     // Median of `trials` runs per query: single-run times swing ±30% from GC /
     // scheduler noise in local mode; the median is stable run-to-run, so the
     // reported total tracks the engine, not the JVM's mood.
@@ -171,7 +177,7 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val suiteTotal = if (suiteResults.nonEmpty) suiteResults.values.sum else 0.0
     val fullJson =
-      s"""{"metric":"total","value":${f"$total%.4f"},"suite_total":${f"$suiteTotal%.4f"},"unit":"sec","calib_sec":${f"$calib%.4f"},"queries":${toJson(results.toSeq)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.4f"},"suite_total":${f"$suiteTotal%.4f"},"unit":"sec","calib_sec":${f"$calib%.4f"},"calib_min":${f"${calibSamples.head}%.4f"},"calib_max":${f"${calibSamples.last}%.4f"},"queries":${toJson(results.toSeq)},"sf":"$sfDir"}"""
     // The driver captures only a bounded tail of sbt's stdout and parses the
     // last JSON line it finds. The full per-query map (~90 entries, ~3 KB)
     // overflows that buffer and the line arrives truncated → parsed:null in
@@ -221,7 +227,7 @@ object Bench {
       s""","remeasured":$remeasuredJson,"spread":$spreadJson}"""
     val compactJson =
       s"""{"metric":"total","value":${f"$total%.4f"},"suite_total":${f"$suiteTotal%.4f"},"unit":"sec","n_queries":${results.size},""" +
-        s""""calib_sec":${f"$calib%.4f"},"n_remeasured":${isolated.size},""" +
+        s""""calib_sec":${f"$calib%.4f"},"calib_min":${f"${calibSamples.head}%.4f"},"calib_max":${f"${calibSamples.last}%.4f"},"n_remeasured":${isolated.size},""" +
         s""""queries":${toJson(headlineResults)},"sf":"$sfDir","detail":"$detailPath"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), fullJsonWithEvidence)
     println(fullJsonWithEvidence)
