@@ -588,10 +588,17 @@ object PipelineQueries {
           .withColumn("sz", size($"hsd"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val ex = sh.select($"doc_id", explode($"hsd").as("h"))
-        val dfs = ex.groupBy($"h").agg(count(lit(1)).as("df"))
+        // df as a WINDOW COUNT over the exploded table (the round-7
+        // lesson): one h-exchange attaches df in place, and every h-keyed
+        // consumer below (the rare-band self-join, the anchor posting-list
+        // probe) reuses that same partitioning — the groupBy+join-back
+        // form re-exchanged the full gram table per consumer. Persisted
+        // because three candidate arms read it.
+        val exdf = ex
+          .withColumn("df", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy($"h")))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val rare = dfs.filter($"df".between(2L, 8L)).select($"h")
-        val exr = ex.join(rare, Seq("h"))
+        val exr = exdf.filter($"df".between(2L, 8L))
         val primary = exr.as("x")
           .join(exr.as("y"), Seq("h"))
           .filter(col("x.doc_id") < col("y.doc_id"))
@@ -601,7 +608,7 @@ object PipelineQueries {
         // list — <= 63 pairs per band-blind doc, broadcast-sized anchor set
         val anchorWin = org.apache.spark.sql.expressions.Window
           .partitionBy($"doc_id").orderBy($"df", $"h")
-        val anchors = ex.join(dfs, Seq("h"))
+        val anchors = exdf
           .withColumn("rn", row_number().over(anchorWin))
           .filter($"rn" === 1 && $"df" > 8L && $"df" <= 64L)
           .select($"doc_id".as("bb_doc"), $"h")
@@ -625,7 +632,7 @@ object PipelineQueries {
           // for the SparkSession's lifetime (the pagerank pattern)
           .localCheckpoint()
         sh.unpersist(blocking = false)
-        dfs.unpersist(blocking = false)
+        exdf.unpersist(blocking = false)
         out
       },
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
