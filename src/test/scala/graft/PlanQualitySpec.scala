@@ -386,4 +386,95 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  // --- tree-based shuffle census helpers (for queries whose interesting ---
+  // --- plan runs behind a persist/localCheckpoint, invisible on the     ---
+  // --- returned DataFrame; text-grepping the plan string over-counts    ---
+  // --- because InMemoryTableScan re-renders its cached plan per site)   ---
+
+  /** Partitionings of every shuffle in the plan TREE (AQE stages unwrapped;
+    * cached relations are leaves — their shuffles are counted separately by
+    * [[cachedRelations]] because they execute once at materialization). */
+  private def outerShuffles(plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case s: ShuffleExchangeLike =>
+        out += s.outputPartitioning.toString; s.children.foreach(walk)
+      case other => other.children.foreach(walk)
+    }
+    walk(plan)
+    out.toSeq
+  }
+
+  /** Distinct cached relations referenced by the plan: (scan-site count,
+    * materialization-plan shuffles) per relation. */
+  private def cachedRelations(
+      plan: org.apache.spark.sql.execution.SparkPlan): Seq[(Int, Seq[String])] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val sites = scala.collection.mutable.ArrayBuffer[(Int, org.apache.spark.sql.execution.SparkPlan)]()
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case s: InMemoryTableScanExec =>
+        sites += ((System.identityHashCode(s.relation.cacheBuilder), s.relation.cachedPlan))
+      case other => other.children.foreach(walk)
+    }
+    walk(plan)
+    sites.groupBy(_._1).values.map(g => (g.size, outerShuffles(g.head._2))).toSeq
+  }
+
+  /** Runs `name` and returns every QueryExecution plan it triggers (persist
+    * materializations, localCheckpoint, the final collect) via a listener —
+    * delivery is async, so poll until the captured set is quiescent. */
+  private def executedPlansOf(name: String): Seq[(String, org.apache.spark.sql.execution.SparkPlan)] = {
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[(String, org.apache.spark.sql.execution.SparkPlan)]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        plans.add((funcName, qe.executedPlan))
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      run(name).collect()
+      var last = -1
+      var same = 0
+      var waited = 0
+      while (same < 6 && waited < 15000) {
+        Thread.sleep(250); waited += 250
+        val n = plans.size()
+        if (n == last) same += 1 else { same = 0; last = n }
+      }
+    } finally spark.listenerManager.unregister(listener)
+    import scala.jdk.CollectionConverters._
+    plans.asScala.toSeq
+  }
+
+  test("q_dedup_containment exchanges the exploded gram table on h exactly once, reused by every h consumer") {
+    // The round-11 window-count attach claims: df joins the exploded table
+    // via ONE h-exchange (the window's, inside the cached exdf relation),
+    // and the rare-band self-join + heavy-anchor probe REUSE that
+    // partitioning — no h-shuffle anywhere in the outer plan. Gate it on
+    // the executed tree, not the commit message.
+    val all = executedPlansOf("q_dedup_containment")
+    val main = all.filter(_._1 == "localCheckpoint").map(_._2)
+    assert(main.nonEmpty, s"expected a localCheckpoint execution; saw ${all.map(_._1)}")
+    val plan = main.maxBy(p => outerShuffles(p).size + cachedRelations(p).size)
+    val outer = outerShuffles(plan)
+    assert(!outer.exists(_.contains("hashpartitioning(h#")),
+      s"h must not re-shuffle in the outer plan (cached partitioning reuse lost):\n${outer.mkString("\n")}")
+    val cached = cachedRelations(plan)
+    val hRelations = cached.filter(_._2.exists(_.contains("hashpartitioning(h#")))
+    assert(hRelations.size == 1,
+      s"exactly one cached relation (exdf) should carry the h-exchange; census: $cached")
+    val (scanSites, shuffles) = hRelations.head
+    assert(shuffles.count(_.contains("hashpartitioning(h#")) == 1,
+      s"exdf must materialize with ONE h-exchange (the window's): $shuffles")
+    assert(scanSites >= 2,
+      s"the h-partitioned cache must be read by at least the self-join's two arms (saw $scanSites sites)")
+  }
 }
