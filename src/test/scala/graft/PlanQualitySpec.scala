@@ -477,4 +477,26 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(scanSites >= 2,
       s"the h-partitioned cache must be read by at least the self-join's two arms (saw $scanSites sites)")
   }
+
+  test("q_corpus_curate pays exactly two fingerprint shuffles; the gram probe never shuffles") {
+    // The flagship funnel's scale claim: the two dedup keep-first decisions
+    // are window-mins over ONE fp_exact and ONE fp_fuzzy exchange (the same
+    // two shuffles the standalone dedups pay), and decontamination is a
+    // broadcast-needle probe — the survivors' exploded grams NEVER hash-
+    // partition by g. Gate it on the executed trees (outer + cached-
+    // materialization shuffles together; split/audit shuffles key on other
+    // columns and are scale-dependent, so only the fp/g census is pinned).
+    val all = executedPlansOf("q_corpus_curate")
+    val main = all.filter(_._1 == "localCheckpoint").map(_._2)
+    assert(main.nonEmpty, s"expected a localCheckpoint execution; saw ${all.map(_._1)}")
+    val plan = main.maxBy(p => outerShuffles(p).size + cachedRelations(p).size)
+    val shuffles = outerShuffles(plan) ++ cachedRelations(plan).flatMap(_._2)
+    def countOn(col: String) = shuffles.count(_.contains(s"hashpartitioning($col#"))
+    assert(countOn("fp_exact") == 1,
+      s"exactly one fp_exact window exchange expected:\n${shuffles.mkString("\n")}")
+    assert(countOn("fp_fuzzy") == 1,
+      s"exactly one fp_fuzzy window exchange expected:\n${shuffles.mkString("\n")}")
+    assert(countOn("g") == 0,
+      s"the gram probe must stay broadcast (no g-shuffle):\n${shuffles.mkString("\n")}")
+  }
 }
