@@ -499,4 +499,25 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(countOn("g") == 0,
       s"the gram probe must stay broadcast (no g-shuffle):\n${shuffles.mkString("\n")}")
   }
+
+  test("q_dedup_lsh_recall's truth and measured arms share ONE persisted shingle pass") {
+    // The recall gate's cost story: shingle hashing (the data-proportional
+    // floor) runs once, cached, and feeds the PPJoin truth arm (exploded df
+    // pass + two verification-join reads) AND the minhash measured arm. A
+    // second shingle computation would double the dominant stage silently —
+    // pin the structure: exactly one cached relation, materialized off the
+    // parallelizing doc_id repartition, read from >= 4 scan sites.
+    val all = executedPlansOf("q_dedup_lsh_recall")
+    val main = all.filter(_._1 == "localCheckpoint").map(_._2)
+    assert(main.nonEmpty, s"expected a localCheckpoint execution; saw ${all.map(_._1)}")
+    val plan = main.maxBy(p => outerShuffles(p).size + cachedRelations(p).size)
+    val cached = cachedRelations(plan)
+    assert(cached.size == 1,
+      s"exactly one cached relation (the shingle pass) expected; census: ${cached.map(_._1)}")
+    val (sites, shuffles) = cached.head
+    assert(sites >= 4,
+      s"the shingle cache must feed both arms (ex, sig, two verify-join reads) — saw $sites sites")
+    assert(shuffles.exists(_.contains("hashpartitioning(doc_id#")),
+      s"shingle hashing must parallelize off the doc_id repartition: $shuffles")
+  }
 }
