@@ -1884,6 +1884,73 @@ object PipelineQueries {
              |FROM c GROUP BY 1, 2 ORDER BY lang, batch_id""".stripMargin)
     ),
 
+    "q_decontaminate_semantic" -> QueryDef(
+      // Semantic (embedding-space) decontamination — the decontamination
+      // family's third mechanism: q_decontaminate / q_decontaminate_bloom
+      // flag VERBATIM 5-gram overlap with the benchmark needles; this one
+      // flags PARAPHRASED contamination — for every corpus embedding, its
+      // nearest benchmark embedding (vec_id % 31 = 0, the family's needle
+      // convention) by EXACT cosine, plus contam = sim4 >= tau. Like
+      // q_dedup_embedding, tau is tuned to this corpus (no planted
+      // cross-needle dups; the max needle-corpus pair is ~0.40 at sf0.01,
+      // ~0.52 at sf0.1) so BOTH flag branches exercise at every gated sf —
+      // a production deployment sets tau at its embedding model's
+      // paraphrase operating point (typically ~0.95). The full
+      // per-vector audit row is emitted (not just the flagged minority) so
+      // a release can also see how close its near-misses run.
+      // Scale shape: the needle MATRIX broadcasts — benchmark suites are
+      // bounded the same way the 5-gram needle set is — and the corpus
+      // streams through the broadcast NLJ, collapsing IN-STAGE via a
+      // packed-long HashAggregate argmax (the q_semdedup_table lesson: a
+      // struct argmax falls to SortAggregate and spills; the packed form
+      // is plan-gated). The exchange after the partial aggregate carries
+      // ONE row per corpus vector; the corpus never shuffles pre-agg. A
+      // needle set past broadcast scale composes with the library's IVF
+      // quantizer (q_similarity_ann_ivf's map-side cell assignment + cell
+      // equi-join) at the cost of exact recall — the broadcast form is the
+      // exact contract, the same trade the ANN family documents.
+      // Packing: s = round(sim4·10^4)+10^4 ∈ [0,20000] in the high bits,
+      // (2^41−1−n_id) in the low 41 (ids < 2^41: exabyte-corpus headroom);
+      // max() is then lexicographic (best sim, then SMALLEST needle id),
+      // and k/10000.0 reconstructs round(x,4) bit-identically — both are
+      // the correctly-rounded double of k/10^4.
+      (s, d) => {
+        import s.implicits._
+        val e = embeddings(s, d).select($"vec_id",
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        val needles = e.filter(pmod($"vec_id", lit(31)) === 0)
+          .select($"vec_id".as("n_id"), $"v".as("nv"))
+        val corpus = e.filter(pmod($"vec_id", lit(31)) =!= 0)
+        val low = lit((1L << 41) - 1L)
+        corpus.crossJoin(broadcast(needles))
+          .withColumn("sim4",
+            round(graft.functions.CosineSimilarity.cosineSim(s, $"v", $"nv"), 4) + lit(0.0))
+          .withColumn("pk",
+            shiftleft(round($"sim4" * 10000.0, 0).cast("long") + lit(10000L), 41)
+              + (low - $"n_id"))
+          .groupBy($"vec_id")
+          .agg(max($"pk").as("p"))
+          .select($"vec_id",
+            (low - $"p".bitwiseAND(low)).as("n_id"),
+            ((shiftright($"p", 41) - lit(10000L)).cast("double") / 10000.0).as("sim4"))
+          .withColumn("contam", $"sim4" >= 0.40)
+          .orderBy($"vec_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+             |n AS (
+             |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+             |p AS (
+             |  SELECT c.vec_id, q.vec_id AS n_id,
+             |    ROUND(list_sum(list_transform(range(1, 65), i -> c.v[i] * q.v[i])) / (c.nrm * q.nrm), 4) + 0.0 AS sim4
+             |  FROM n c JOIN n q ON c.vec_id % 31 <> 0 AND q.vec_id % 31 = 0)
+             |SELECT vec_id, n_id, sim4, sim4 >= 0.40 AS contam FROM (
+             |  SELECT vec_id, n_id, sim4,
+             |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim4 DESC, n_id) AS rn
+             |  FROM p) t
+             |WHERE rn = 1 ORDER BY vec_id""".stripMargin)
+    ),
+
     "q_decontaminate_bloom" -> QueryDef(
       // Bloom-filter decontamination — the BOUNDED-broadcast variant of
       // q_decontaminate: benchmark 5-grams fold into a Bloom bitmap (k = 2

@@ -275,8 +275,11 @@ class PlanQualitySpec extends AnyFunSuite {
     // q_semdedup_hier's stage-1 coarse assignment reuses the same
     // vectors × centroid-table cross join; its stage-2 sub-assignment is an
     // equi-join on the coarse cell (gated below).
+    // q_decontaminate_semantic's corpus × broadcast-needle cross join is
+    // likewise the operator (every corpus vector meets every benchmark
+    // vector, consumed in-stage by the packed-long argmax — gated below).
     val allowNlj = Set("q_similarity_topk", "q_similarity_recall",
-      "q_semdedup_table", "q_semdedup_hier")
+      "q_semdedup_table", "q_semdedup_hier", "q_decontaminate_semantic")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
@@ -498,6 +501,21 @@ class PlanQualitySpec extends AnyFunSuite {
       s"exactly one fp_fuzzy window exchange expected:\n${shuffles.mkString("\n")}")
     assert(countOn("g") == 0,
       s"the gram probe must stay broadcast (no g-shuffle):\n${shuffles.mkString("\n")}")
+  }
+
+  test("q_decontaminate_semantic collapses the needle NLJ in-stage via a packed-long HashAggregate") {
+    // The scale contract: the corpus × broadcast-needle cross join is
+    // consumed by a PARTIAL HashAggregate in the same stage (one row per
+    // corpus vector crosses the exchange), and the argmax stays on the
+    // packed long — a struct argmax would silently fall to SortAggregate
+    // (the q_semdedup_table spill lesson).
+    val plan = physical(run("q_decontaminate_semantic"))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"needles must broadcast (NLJ), not shuffle the corpus:\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"argmax must stay hash-aggregable (packed long):\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final HashAggregate over the pair stream:\n$plan")
   }
 
   test("q_dedup_lsh_recall's truth and measured arms share ONE persisted shingle pass") {
