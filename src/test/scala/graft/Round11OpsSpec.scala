@@ -138,4 +138,69 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(out == Map(2L -> 2L, 4L -> 1L),
       s"empty-shard replay must keep in-shard dedup semantics: $out")
   }
+
+  /** embeddings-shaped fixture (vec_id, embedding FLOAT[], label) as a
+    * single parquet FILE, the driver-corpus layout. */
+  private def embDir(vecs: Seq[(Long, Seq[Float])]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r11emb")
+    val tmp = dir.resolve("_tmp")
+    vecs.map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp).filter(p =>
+        p.getFileName.toString.startsWith("part-") &&
+          p.getFileName.toString.endsWith(".parquet"))
+      .findFirst().orElseThrow()
+    java.nio.file.Files.move(part, dir.resolve("embeddings.parquet"))
+    java.nio.file.Files.list(tmp).forEach(p => java.nio.file.Files.delete(p))
+    java.nio.file.Files.delete(tmp)
+    dir.toString
+  }
+
+  test("q_decontaminate_semantic: planted paraphrase flags, ties break to the smallest needle, packing survives sim = -1") {
+    // The driver corpora have no cross-needle near-dups (contam fires on a
+    // single tuned near-miss), so the interesting paths are pinned here:
+    // an exact planted copy of a needle (sim4 = 1.0, contam), a corpus
+    // vector EQUALLY similar to two needles (argmax tie → SMALLEST needle
+    // id, the documented determinism rule), and an anti-correlated vector
+    // (sim4 = -1.0 — the packed encoding's floor: s = 0). The packed-long
+    // HashAggregate path is also value-checked against the naive window
+    // argmax formulation on the same fixture.
+    import spark.implicits._
+    val dim = 64
+    def mk(seed: Int): Seq[Float] =
+      (0 until dim).map(j => math.sin(seed * 131 + j * 17).toFloat)
+    val shared = mk(9) // ALL needles identical → every match is a tie
+    val vecs: Seq[(Long, Seq[Float])] = Seq(
+      0L -> shared, 31L -> shared, 62L -> shared, 93L -> shared, // needles
+      5L -> shared,              // exact copy of every needle (4-way tie)
+      11L -> shared.map(-_),     // anti-correlated with EVERY needle
+      7L -> mk(7), 13L -> mk(13) // background corpus
+    )
+    val dir = embDir(vecs)
+    val out = SparkEntry.queries("q_decontaminate_semantic")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out.keySet == Set(5L, 7L, 11L, 13L), s"one audit row per corpus vector: ${out.keySet}")
+    assert(out(5L) == ((0L, 1.0, true)),
+      s"exact planted copy must flag with the SMALLEST tied needle id: ${out(5L)}")
+    assert(out(11L) == ((0L, -1.0, false)),
+      s"anti-correlated vector must round-trip sim4 = -1.0 unflagged (tie → smallest id): ${out(11L)}")
+    // packed-argmax vs naive window argmax: value identity on this fixture
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val needles = e.filter(pmod($"vec_id", lit(31)) === 0)
+      .select($"vec_id".as("n_id"), $"v".as("nv"))
+    val naive = e.filter(pmod($"vec_id", lit(31)) =!= 0)
+      .crossJoin(broadcast(needles))
+      .withColumn("sim4",
+        round(graft.functions.CosineSimilarity.cosineSim(spark, $"v", $"nv"), 4) + lit(0.0))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"vec_id")
+          .orderBy($"sim4".desc, $"n_id")))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"n_id", $"sim4", ($"sim4" >= 0.40).as("contam"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out == naive, s"packed argmax diverged from the naive window form:\n$out\nvs\n$naive")
+  }
 }
