@@ -25,6 +25,20 @@ object Bench {
       require(unknown.isEmpty, s"SPARK_GRAFT_ONLY has unknown queries: $unknown")
     }
     val queries = only.fold(SparkEntry.queries)(ks => SparkEntry.queries.filter(kv => ks(kv._1)))
+    // FULL-ROW forcing, not count(): df.count() wraps the query in an
+    // Aggregate and column pruning then DELETES every projection the count
+    // doesn't need — a map-only query (per-doc scoring, the fused needle
+    // probe) benches as a bare scan+filter while DuckDB executes the whole
+    // oracle (caught when q_decontaminate_semantic "ran" 3.3B cosines in
+    // 0.77 s: the probe had been pruned out). toRdd executes the query's
+    // OWN optimized plan — every output column computed, sorts retained —
+    // and the iterator is drained without materializing on the driver.
+    // SPARK_GRAFT_FORCE=count keeps the legacy mode for bridge comparisons
+    // against pre-round-11 artifacts; never set it for an official run.
+    val legacyForce = sys.env.get("SPARK_GRAFT_FORCE").contains("count")
+    def force(df: org.apache.spark.sql.DataFrame): Unit =
+      if (legacyForce) { df.count(); () }
+      else df.queryExecution.toRdd.foreachPartition(it => while (it.hasNext) it.next())
     // Synchronous block eviction between executions. clearCache() only
     // drops CacheManager (Dataset.persist) entries; localCheckpoint blocks
     // are RDD-level and otherwise wait for the async ContextCleaner to
@@ -74,7 +88,7 @@ object Bench {
       }
     }
     queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      try force(fn(spark, warmDir)) catch { case _: Throwable => () }
       deepClean()
     }
     System.err.println(s"[bench] after warmup: ${poolStats()}")
@@ -106,7 +120,7 @@ object Bench {
     // reported total tracks the engine, not the JVM's mood.
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      try { force(fn(spark, sfDir)) } catch { case _: Throwable => () }
       val t = (System.nanoTime() - t0) / 1e9
       // Queries persist intermediates they legitimately reuse WITHIN a run;
       // dropping leftovers between runs keeps trials independent — without

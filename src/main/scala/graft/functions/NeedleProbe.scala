@@ -1,0 +1,161 @@
+package graft.functions
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Broadcast-needle argmax-cosine probe — the semantic-decontamination hot
+  * kernel fused into ONE expression: for a corpus vector, the best
+  * benchmark ("needle") embedding by 4-dp-rounded cosine with ties broken
+  * to the SMALLEST needle id, returned as the family's packed long
+  * (s = round(sim·10⁴)+10⁴ in the high bits, 2⁴¹−1−n_id in the low 41).
+  *
+  * This replaces a corpus × needles BroadcastNestedLoopJoin + packed-long
+  * HashAggregate with a MAP-ONLY projection: the pair stream never
+  * materializes as rows, no aggregate runs, and the only exchange left in
+  * the query is the output sort. The needle matrix rides a TorrentBroadcast
+  * exactly like [[BloomBcAnyHit]]'s words array (shipped once per executor,
+  * plan carries only the handle), with the same boundedness argument: the
+  * needle set is the BENCHMARK SUITE's embedding matrix, small by nature —
+  * 64 doubles per benchmark item, ~5 MB at the sf16 composed point.
+  *
+  * Value parity with the join+aggregate formulation (and the DuckDB
+  * oracle's window argmax) is exact, not approximate:
+  *  - per-pair arithmetic is [[CosineSimilarity]]'s verbatim — dot, |a|²,
+  *    |b|² accumulated left-to-right, sim = dot/(√|a|²·√|b|²);
+  *  - rounding is monotone, so max(round(sim)) = round(max raw sim) — the
+  *    exact HALF_UP decimal round (Spark's `round(x, 4)` semantics via
+  *    BigDecimal.valueOf) runs ONCE on the raw max, not per pair;
+  *  - the min-id tie rule re-rounds only candidates within 2·10⁻⁴ of the
+  *    raw max (a proven superset: round(x) = K requires x ≥ K − 5·10⁻⁵
+  *    and K ≥ rawMax − 5·10⁻⁵), so ties resolve on the same rounded
+  *    values the join form compares. `Round11OpsSpec` pins fused-vs-naive
+  *    value identity on a crafted tie/anti-correlated fixture.
+  *
+  * All-NaN inputs (zero-norm vectors; none exist in the driver corpora)
+  * return null, matching the join form where a null packed value never
+  * survives the max aggregate.
+  */
+case class NeedleArgmaxPacked(
+    child: Expression,
+    bcIds: Broadcast[Array[Long]],
+    bcVecs: Broadcast[Array[Array[Double]]]
+) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "needle_argmax_packed"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"needle_argmax_packed expects array<double>, got ${other.sql}")
+    }
+
+  // per-thread raw-sim scratch (needle count is fixed per instance);
+  // avoids a per-row allocation in the hot loop
+  @transient private lazy val scratch: ThreadLocal[Array[Double]] =
+    ThreadLocal.withInitial(() => new Array[Double](bcVecs.value.length))
+
+  private def roundedScaled(x: Double): Long =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP)
+      .movePointRight(4).longValueExact()
+
+  /** Called once per row from eval/codegen; returns the packed long or
+    * null (boxed) when every needle sim is NaN. */
+  def packedBest(v: ArrayData): Any = {
+    val ids = bcIds.value
+    val vecs = bcVecs.value
+    val sims = scratch.get()
+    val n = v.numElements()
+    var rawMax = Double.NegativeInfinity
+    var any = false
+    var j = 0
+    while (j < vecs.length) {
+      val nv = vecs(j)
+      val m = math.min(n, nv.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < m) {
+        val x = v.getDouble(i); val y = nv(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val sim = dot / (math.sqrt(na) * math.sqrt(nb))
+      sims(j) = sim
+      if (sim == sim) { // not NaN
+        any = true
+        if (sim > rawMax) rawMax = sim
+      }
+      j += 1
+    }
+    if (!any) return null
+    val kMax = roundedScaled(rawMax)
+    var best = Long.MaxValue
+    j = 0
+    while (j < vecs.length) {
+      val sim = sims(j)
+      if (sim == sim && sim >= rawMax - 2e-4 && ids(j) < best &&
+        roundedScaled(sim) == kMax) best = ids(j)
+      j += 1
+    }
+    ((kMax + 10000L) << 41) | ((1L << 41) - 1L - best)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    packedBest(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      // the instance (carrying both broadcast handles) rides the codegen
+      // reference array; the needle loop is compiled JVM code in packedBest
+      // — one virtual call per row keeps WholeStageCodegen intact
+      val self = ctx.addReferenceObj("needleProbe", this, classOf[NeedleArgmaxPacked].getName)
+      val boxed = ctx.freshName("packed")
+      s"""
+         |Object $boxed = $self.packedBest($v);
+         |if ($boxed == null) { ${ev.isNull} = true; } else {
+         |  ${ev.value} = ((java.lang.Long) $boxed).longValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NeedleProbe {
+
+  /** Broadcast the needle matrix and return a vector-column => packed-long
+    * closure; uniquely-named temp function, same route as
+    * [[BloomBcProbe.gate]] (resolution once at analysis — streaming reuse
+    * per micro-batch never re-registers). */
+  def gate(
+      spark: SparkSession,
+      ids: Array[Long],
+      vecs: Array[Array[Double]]
+  ): Column => Column = {
+    require(ids.length == vecs.length,
+      s"needle ids/vectors must align (${ids.length} vs ${vecs.length})")
+    val bcIds = spark.sparkContext.broadcast(ids)
+    val bcVecs = spark.sparkContext.broadcast(vecs)
+    val fname = "graft_needle_argmax_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fname,
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"$fname expects exactly 1 argument (array<double> vector)")
+        NeedleArgmaxPacked(exprs.head, bcIds, bcVecs)
+      },
+      "scala_udf")
+    v => org.apache.spark.sql.functions.call_function(fname, v)
+  }
+}

@@ -1898,38 +1898,51 @@ object PipelineQueries {
       // paraphrase operating point (typically ~0.95). The full
       // per-vector audit row is emitted (not just the flagged minority) so
       // a release can also see how close its near-misses run.
-      // Scale shape: the needle MATRIX broadcasts — benchmark suites are
-      // bounded the same way the 5-gram needle set is — and the corpus
-      // streams through the broadcast NLJ, collapsing IN-STAGE via a
-      // packed-long HashAggregate argmax (the q_semdedup_table lesson: a
-      // struct argmax falls to SortAggregate and spills; the packed form
-      // is plan-gated). The exchange after the partial aggregate carries
-      // ONE row per corpus vector; the corpus never shuffles pre-agg. A
-      // needle set past broadcast scale composes with the library's IVF
-      // quantizer (q_similarity_ann_ivf's map-side cell assignment + cell
-      // equi-join) at the cost of exact recall — the broadcast form is the
-      // exact contract, the same trade the ANN family documents.
+      // Scale shape: MAP-ONLY. The needle MATRIX rides a TorrentBroadcast
+      // — benchmark suites are bounded the same way the 5-gram needle set
+      // is (the collect below is |benchmark|×64 doubles, ~5 MB at the sf16
+      // composed point, the same documented bound as collectBloomWords) —
+      // and the corpus projects through ONE fused codegen'd expression
+      // (graft.functions.NeedleArgmaxPacked): the per-needle cosine loop,
+      // the exact HALF_UP 4-dp round (run once on the raw max — rounding
+      // is monotone — with only near-ties re-rounded for the min-id rule)
+      // and the family packing all happen per ROW, so the corpus × needles
+      // pair stream never materializes, no aggregate runs, and the only
+      // exchange in the whole query is the scan-parallelizing repartition
+      // plus the output sort (plan-gated). The first cut was a broadcast
+      // NLJ + packed-long HashAggregate argmax — row-identical
+      // (Round11OpsSpec pins fused-vs-naive equality on a crafted
+      // fixture) but it materializes the n×m pair stream as rows; it also
+      // exposed a BENCH methodology bug (count()-forcing let column
+      // pruning delete the probe entirely — see BENCH_SCALING's
+      // forcing-fix section for the real, rows-forced figures). A needle
+      // set past broadcast scale composes
+      // with the library's IVF quantizer (q_similarity_ann_ivf's map-side
+      // cell assignment + cell equi-join) at the cost of exact recall —
+      // the broadcast form is the exact contract, the same trade the ANN
+      // family documents.
       // Packing: s = round(sim4·10^4)+10^4 ∈ [0,20000] in the high bits,
       // (2^41−1−n_id) in the low 41 (ids < 2^41: exabyte-corpus headroom);
-      // max() is then lexicographic (best sim, then SMALLEST needle id),
-      // and k/10000.0 reconstructs round(x,4) bit-identically — both are
-      // the correctly-rounded double of k/10^4.
+      // larger packed = (better sim, then SMALLER needle id), and
+      // k/10000.0 reconstructs round(x,4) bit-identically — both are the
+      // correctly-rounded double of k/10^4.
       (s, d) => {
         import s.implicits._
         val e = embeddings(s, d).select($"vec_id",
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-        val needles = e.filter(pmod($"vec_id", lit(31)) === 0)
-          .select($"vec_id".as("n_id"), $"v".as("nv"))
-        val corpus = e.filter(pmod($"vec_id", lit(31)) =!= 0)
+        val needleRows = e.filter(pmod($"vec_id", lit(31)) === 0)
+          .orderBy($"vec_id").collect() // bounded: the benchmark embedding matrix (see above)
+        val probe = graft.functions.NeedleProbe.gate(s,
+          needleRows.map(_.getLong(0)),
+          needleRows.map(_.getSeq[Double](1).toArray))
         val low = lit((1L << 41) - 1L)
-        corpus.crossJoin(broadcast(needles))
-          .withColumn("sim4",
-            round(graft.functions.CosineSimilarity.cosineSim(s, $"v", $"nv"), 4) + lit(0.0))
-          .withColumn("pk",
-            shiftleft(round($"sim4" * 10000.0, 0).cast("long") + lit(10000L), 41)
-              + (low - $"n_id"))
-          .groupBy($"vec_id")
-          .agg(max($"pk").as("p"))
+        e.filter(pmod($"vec_id", lit(31)) =!= 0)
+          // the compact single-file parquet source would otherwise run the
+          // whole probe loop in one or two scan tasks (the lsh_recall
+          // lesson); a no-op at real scale where the source is thousands
+          // of splits
+          .repartition($"vec_id")
+          .withColumn("p", probe($"v"))
           .select($"vec_id",
             (low - $"p".bitwiseAND(low)).as("n_id"),
             ((shiftright($"p", 41) - lit(10000L)).cast("double") / 10000.0).as("sim4"))

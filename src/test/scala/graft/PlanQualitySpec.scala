@@ -275,11 +275,8 @@ class PlanQualitySpec extends AnyFunSuite {
     // q_semdedup_hier's stage-1 coarse assignment reuses the same
     // vectors × centroid-table cross join; its stage-2 sub-assignment is an
     // equi-join on the coarse cell (gated below).
-    // q_decontaminate_semantic's corpus × broadcast-needle cross join is
-    // likewise the operator (every corpus vector meets every benchmark
-    // vector, consumed in-stage by the packed-long argmax — gated below).
     val allowNlj = Set("q_similarity_topk", "q_similarity_recall",
-      "q_semdedup_table", "q_semdedup_hier", "q_decontaminate_semantic")
+      "q_semdedup_table", "q_semdedup_hier")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
@@ -503,19 +500,22 @@ class PlanQualitySpec extends AnyFunSuite {
       s"the gram probe must stay broadcast (no g-shuffle):\n${shuffles.mkString("\n")}")
   }
 
-  test("q_decontaminate_semantic collapses the needle NLJ in-stage via a packed-long HashAggregate") {
-    // The scale contract: the corpus × broadcast-needle cross join is
-    // consumed by a PARTIAL HashAggregate in the same stage (one row per
-    // corpus vector crosses the exchange), and the argmax stays on the
-    // packed long — a struct argmax would silently fall to SortAggregate
-    // (the q_semdedup_table spill lesson).
-    val plan = physical(run("q_decontaminate_semantic"))
-    assert(plan.contains("BroadcastNestedLoopJoin"),
-      s"needles must broadcast (NLJ), not shuffle the corpus:\n$plan")
-    assert(!plan.contains("SortAggregate"),
-      s"argmax must stay hash-aggregable (packed long):\n$plan")
-    assert("HashAggregate".r.findAllIn(plan).size >= 2,
-      s"expected partial+final HashAggregate over the pair stream:\n$plan")
+  test("q_decontaminate_semantic is map-only: fused needle probe, no join, no aggregate, one sort exchange") {
+    // The scale contract: the needle matrix rides a broadcast VARIABLE
+    // inside one fused expression, so the corpus × needles pair stream
+    // never exists as rows — no join operator of any kind, no aggregate,
+    // and the only exchange is the output sort's rangepartitioning. (The
+    // first cut was a broadcast NLJ + packed-long HashAggregate: row-
+    // identical but 10× slower at sf4 — this gate keeps the fused shape
+    // from silently regressing to it.)
+    val plan = finalSection(physical(run("q_decontaminate_semantic")))
+    assert(!plan.contains("Join"), s"no join operator expected:\n$plan")
+    assert(!plan.contains("Aggregate"), s"no aggregate expected:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan.replace("ReusedExchange", "")).size
+    assert(exchanges <= 2,
+      s"only the parallelizing repartition + the output sort expected:\n$plan")
+    assert(plan.contains("REPARTITION_BY_COL") && plan.contains("rangepartitioning"),
+      s"expected the scan-parallelizing repartition and the output sort:\n$plan")
   }
 
   test("q_dedup_lsh_recall's truth and measured arms share ONE persisted shingle pass") {
