@@ -61,7 +61,9 @@ object GraftExtensions {
         Cast(exprs(0), DoubleType), Cast(exprs(1), LongType), exprs(2)).toAggregateExpression()),
     entry("freq_sketch",
       "freq_sketch(item, k) - mergeable SpaceSaving heavy-hitters summary", 2)(
-      exprs => FreqSketch(Cast(exprs(0), StringType), exprs(1)).toAggregateExpression())
+      exprs => FreqSketch(Cast(exprs(0), StringType), exprs(1)).toAggregateExpression()),
+    entry("simhash16", "simhash16(tok) - 16-bit md5 SimHash of a token array", 1)(
+      exprs => SimHash16(Cast(exprs.head, ArrayType(StringType))))
   )
 
   /** The builder for one injected function (test/registration surface). */

@@ -935,19 +935,19 @@ object PipelineQueries {
     "q_dedup_simhash" -> QueryDef(
       // 16-bit md5-derived SimHash over unigrams: per-token hash bits vote,
       // sign of the vote forms the fingerprint. Map-only per doc; grouping on
-      // the fingerprint finds near-dup buckets.
+      // the fingerprint finds near-dup buckets. The fingerprint is computed
+      // by the fused codegen'd SimHash16 expression — the first HOF
+      // formulation (nested aggregate(sequence(0,15), aggregate(tok, ...)))
+      // recomputed the md5 once PER BIT per token through interpreted
+      // lambdas and was the suite's single most expensive query once the
+      // bench forced full rows (4.46 s at sf0.1); the fused kernel hashes
+      // each token once and votes all 16 bits in one compiled loop
+      // (Round11OpsSpec pins fused-vs-HOF value identity).
       (s, d) => {
         import s.implicits._
         documents(s, d)
           .select($"doc_id", array_distinct(split($"text", " ")).as("tok"))
-          .withColumn("simhash",
-            expr("""aggregate(sequence(0, 15),
-                   |  0L,
-                   |  (acc, b) -> acc + CASE WHEN
-                   |    aggregate(tok, 0L, (v, t) ->
-                   |      v + CASE WHEN (conv(substring(md5(t), 1, 8), 16, 10) DIV shiftleft(1L, b)) % 2 = 1
-                   |          THEN 1L ELSE -1L END) > 0
-                   |    THEN shiftleft(1L, b) ELSE 0L END)""".stripMargin))
+          .withColumn("simhash", graft.functions.SimHash16.simhash16(s, $"tok"))
           .select($"doc_id", $"simhash")
           .orderBy($"doc_id")
       },

@@ -203,4 +203,38 @@ class Round11OpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
     assert(out == naive, s"packed argmax diverged from the naive window form:\n$out\nvs\n$naive")
   }
+
+  test("SimHash16 is value-identical to the HOF formulation, including null-token and empty-array edges") {
+    // The fused kernel replaced a nested-aggregate HOF that recomputed the
+    // md5 once per bit per token; identity must hold on real corpus token
+    // arrays AND on the edges the corpus never exercises: a null token
+    // (votes −1 on every bit — the HOF's CASE falls to ELSE on a null
+    // condition), an empty array (fingerprint 0), and a single-token array
+    // (every vote ±1, fingerprint = h & 0xFFFF).
+    import spark.implicits._
+    val corpus = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(array_distinct(split($"text", " ")).as("tok"))
+    val edges = Seq(
+      Seq[String](),                   // empty → 0
+      Seq[String]("alpha"),            // single → h & 0xFFFF
+      Seq[String]("alpha", null),      // null votes −1 everywhere
+      Seq[String](null, null),         // all-null → 0
+      Seq[String]("a", "b", "c", "a")  // small mixed
+    ).toDF("tok")
+    val hof = expr("""aggregate(sequence(0, 15),
+                     |  0L,
+                     |  (acc, b) -> acc + CASE WHEN
+                     |    aggregate(tok, 0L, (v, t) ->
+                     |      v + CASE WHEN (conv(substring(md5(t), 1, 8), 16, 10) DIV shiftleft(1L, b)) % 2 = 1
+                     |          THEN 1L ELSE -1L END) > 0
+                     |    THEN shiftleft(1L, b) ELSE 0L END)""".stripMargin)
+    Seq(corpus, edges).foreach { df =>
+      val diverged = df
+        .withColumn("fused", graft.functions.SimHash16.simhash16(spark, $"tok"))
+        .withColumn("ref", hof)
+        .filter(!($"fused" <=> $"ref"))
+        .count()
+      assert(diverged == 0L, s"$diverged rows diverged between fused and HOF simhash")
+    }
+  }
 }
