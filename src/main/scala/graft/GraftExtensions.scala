@@ -63,7 +63,13 @@ object GraftExtensions {
       "freq_sketch(item, k) - mergeable SpaceSaving heavy-hitters summary", 2)(
       exprs => FreqSketch(Cast(exprs(0), StringType), exprs(1)).toAggregateExpression()),
     entry("simhash16", "simhash16(tok) - 16-bit md5 SimHash of a token array", 1)(
-      exprs => SimHash16(Cast(exprs.head, ArrayType(StringType))))
+      exprs => SimHash16(Cast(exprs.head, ArrayType(StringType)))),
+    entry("grams3_hash48",
+      "grams3_hash48(tok) - distinct 3-gram md5 shingle hashes mod 2^31-1", 1)(
+      exprs => Grams3Hash48(Cast(exprs.head, ArrayType(StringType)), Grams3Hash48.Mod)),
+    entry("grams3_hash48_raw",
+      "grams3_hash48_raw(tok) - distinct 3-gram raw 48-bit md5 shingle hashes", 1)(
+      exprs => Grams3Hash48(Cast(exprs.head, ArrayType(StringType)), 0L))
   )
 
   /** The builder for one injected function (test/registration surface). */

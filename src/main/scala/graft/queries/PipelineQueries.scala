@@ -470,12 +470,9 @@ object PipelineQueries {
           .repartition($"doc_id")
           .select($"doc_id", split($"text", " ").as("tok"))
           .filter(size($"tok") >= 3)
-          .select($"doc_id", array_distinct(
-            expr("transform(sequence(0, size(tok)-3), i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2]))")
-          ).as("shingles"))
-          .select($"doc_id",
-            expr("transform(shingles, g -> CAST(conv(substring(md5(g), 1, 12), 16, 10) AS BIGINT) % 2147483647)")
-              .as("hs"))
+          // fused shingle kernel (gram assembly + md5 + mod in one compiled
+          // loop, element-identical to the two-step HOF — Round11OpsSpec)
+          .select($"doc_id", graft.functions.Grams3Hash48.grams3Hash48(s, $"tok").as("hs"))
           .withColumn("hsd", array_sort(array_distinct($"hs")))
           .withColumn("sz", size($"hsd"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -578,12 +575,9 @@ object PipelineQueries {
           .repartition($"doc_id")
           .select($"doc_id", split($"text", " ").as("tok"))
           .filter(size($"tok") >= 3)
-          .select($"doc_id", array_distinct(
-            expr("transform(sequence(0, size(tok)-3), i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2]))")
-          ).as("shingles"))
-          .select($"doc_id",
-            expr("transform(shingles, g -> CAST(conv(substring(md5(g), 1, 12), 16, 10) AS BIGINT) % 2147483647)")
-              .as("hs"))
+          // fused shingle kernel (gram assembly + md5 + mod in one compiled
+          // loop, element-identical to the two-step HOF — Round11OpsSpec)
+          .select($"doc_id", graft.functions.Grams3Hash48.grams3Hash48(s, $"tok").as("hs"))
           .withColumn("hsd", array_sort(array_distinct($"hs")))
           .withColumn("sz", size($"hsd"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -709,11 +703,10 @@ object PipelineQueries {
           .repartition($"doc_id")
           .select($"doc_id", split($"text", " ").as("tok"))
           .filter(size($"tok") >= 3)
-          .select($"doc_id", array_sort(array_distinct(expr(
-            """transform(
-              |  transform(sequence(0, size(tok)-3), i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2])),
-              |  g -> CAST(conv(substring(md5(g), 1, 12), 16, 10) AS BIGINT))""".stripMargin
-          ))).as("hs"))
+          .select($"doc_id", array_sort(array_distinct(
+            // raw-48-bit fused shingle kernel; its internal string-level
+            // dedupe only removes duplicates the array_distinct here would
+            graft.functions.Grams3Hash48.grams3Hash48Raw(s, $"tok"))).as("hs"))
           .withColumn("sz", size($"hs"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val ex = sh.select($"doc_id", explode($"hs").as("h"))
@@ -818,12 +811,9 @@ object PipelineQueries {
           .repartition($"doc_id")
           .select($"doc_id", split($"text", " ").as("tok"))
           .filter(size($"tok") >= 3)
-          .select($"doc_id", array_distinct(
-            expr("transform(sequence(0, size(tok)-3), i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2]))")
-          ).as("shingles"))
-          .select($"doc_id",
-            expr("transform(shingles, g -> CAST(conv(substring(md5(g), 1, 12), 16, 10) AS BIGINT) % 2147483647)")
-              .as("hs"))
+          // fused shingle kernel (gram assembly + md5 + mod in one compiled
+          // loop, element-identical to the two-step HOF — Round11OpsSpec)
+          .select($"doc_id", graft.functions.Grams3Hash48.grams3Hash48(s, $"tok").as("hs"))
           .withColumn("hsd", array_sort(array_distinct($"hs")))
           .withColumn("sz", size($"hsd"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

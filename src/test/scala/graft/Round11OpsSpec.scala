@@ -237,4 +237,43 @@ class Round11OpsSpec extends AnyFunSuite {
       assert(diverged == 0L, s"$diverged rows diverged between fused and HOF simhash")
     }
   }
+
+  test("Grams3Hash48 (both variants) is element-identical to the two-step HOF shingle pass") {
+    // The fused kernel must be a DROP-IN for the transform(array_distinct(
+    // transform(...)))-then-md5 column: same values, same first-occurrence
+    // order — so every downstream consumer (minhash signatures, rarity
+    // windows, sorted verify sets) and every oracle is untouched. Checked
+    // on the real corpus plus edges: repeated grams (dedupe order), a null
+    // token (concat_ws skips it), and sub-3-token docs excluded by the
+    // callers' shared size(tok) >= 3 pre-filter.
+    import spark.implicits._
+    val corpus = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(split($"text", " ").as("tok"))
+    val edges = Seq(
+      Seq[String]("a", "b", "c", "a", "b", "c", "a"), // repeated grams
+      Seq[String]("x", null, "y", "z", "w"),          // null token mid-gram
+      Seq[String]("one", "two", "three")              // exactly one gram
+    ).toDF("tok")
+    val hofMod = expr(
+      """transform(
+        |  array_distinct(transform(sequence(0, size(tok)-3),
+        |    i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2]))),
+        |  g -> CAST(conv(substring(md5(g), 1, 12), 16, 10) AS BIGINT) % 2147483647)""".stripMargin)
+    val hofRaw = expr(
+      """transform(
+        |  array_distinct(transform(sequence(0, size(tok)-3),
+        |    i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2]))),
+        |  g -> CAST(conv(substring(md5(g), 1, 12), 16, 10) AS BIGINT))""".stripMargin)
+    Seq(corpus, edges).foreach { df0 =>
+      val df = df0.filter(size($"tok") >= 3) // the callers' shared pre-filter
+      val diverged = df
+        .withColumn("fm", graft.functions.Grams3Hash48.grams3Hash48(spark, $"tok"))
+        .withColumn("fr", graft.functions.Grams3Hash48.grams3Hash48Raw(spark, $"tok"))
+        .withColumn("rm", hofMod)
+        .withColumn("rr", hofRaw)
+        .filter(!($"fm" <=> $"rm") || !($"fr" <=> $"rr"))
+        .count()
+      assert(diverged == 0L, s"$diverged rows diverged between fused and HOF gram hashes")
+    }
+  }
 }
