@@ -560,13 +560,23 @@ object RelationalQueries {
       // deterministic), and the oracle states exact counts + TRUE. The
       // exact countDistinct here exists only to certify the sketch — a
       // production rollup reads the sketch alone.
+      // Shape: pre-group on (event_type, user_id), THEN sketch. Mixing
+      // approx_count_distinct with countDistinct in ONE agg makes Spark's
+      // distinct-rewrite evaluate the HLL partial per (group, user) pair —
+      // thousands of dense rsd=0.01 sketch buffers (16 KB each) through the
+      // shuffle (profiled 1.8 s vs 0.23+0.76 s separate at sf0.1,
+      // tools/AggProfile). HLL registers are max-based, so sketching the
+      // DISTINCT pairs yields the bit-identical estimate; the pair pre-agg
+      // is one row-shuffle and the sketch runs once per surviving pair.
       (s, d) => {
         import s.implicits._
         events(s, d)
+          .groupBy($"event_type", $"user_id")
+          .agg(count(lit(1)).as("c"))
           .groupBy($"event_type")
           .agg(approx_count_distinct($"user_id", 0.01).as("est"),
-            countDistinct($"user_id").as("n_users_exact"),
-            count(lit(1)).as("n_events"))
+            count(lit(1)).as("n_users_exact"),
+            sum($"c").as("n_events"))
           .select($"event_type", $"n_users_exact", $"n_events",
             (abs($"est" - $"n_users_exact").cast("double")
               / $"n_users_exact".cast("double") <= 0.05).as("hll_ok"))
