@@ -69,7 +69,9 @@ object GraftExtensions {
       exprs => Grams3Hash48(Cast(exprs.head, ArrayType(StringType)), Grams3Hash48.Mod)),
     entry("grams3_hash48_raw",
       "grams3_hash48_raw(tok) - distinct 3-gram raw 48-bit md5 shingle hashes", 1)(
-      exprs => Grams3Hash48(Cast(exprs.head, ArrayType(StringType)), 0L))
+      exprs => Grams3Hash48(Cast(exprs.head, ArrayType(StringType)), 0L)),
+    entry("grams5", "grams5(tok) - distinct space-joined 5-grams of a token array", 1)(
+      exprs => Grams5(Cast(exprs.head, ArrayType(StringType))))
   )
 
   /** The builder for one injected function (test/registration surface). */

@@ -169,7 +169,9 @@ object PipelineQueries {
   private def grams5(df: DataFrame): DataFrame = df
     .select(col("doc_id"), split(col("text"), " ").as("tok"))
     .filter(size(col("tok")) >= 5)
-    .select(col("doc_id"), explode(expr(Q.grams5Sql)).as("g"))
+    // fused gram assembly (element-identical to Q.grams5Sql — Round11OpsSpec)
+    .select(col("doc_id"),
+      explode(graft.functions.Grams5.grams5(df.sparkSession, col("tok"))).as("g"))
 
   /** Bloom-filter decontamination (the engine behind `q_decontaminate_bloom`).
     *

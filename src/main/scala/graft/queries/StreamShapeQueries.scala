@@ -66,7 +66,8 @@ object StreamShapeQueries {
         .filter(pmod($"doc_id", lit(31)) =!= 0)
         .select($"doc_id", split($"text", " ").as("tok"))
         .filter(size($"tok") >= 5)
-        .withColumn("grams", expr(Q.grams5Sql))
+        // fused gram assembly (element-identical to Q.grams5Sql — Round11OpsSpec)
+        .withColumn("grams", graft.functions.Grams5.grams5(s, $"tok"))
         .select($"doc_id", size($"grams").cast("long").as("n_grams"),
           bloomHit($"grams").as("bloom_hit"))
       val q = graft.streaming.StreamOps.runToMemory(flagged, name)
@@ -456,7 +457,7 @@ object StreamShapeQueries {
             col("sum_len") <= col("n_tokens") * 10L &&
             col("top_cnt") * 5L <= col("n_tokens") &&
             col("n_stop") >= 2)
-          .withColumn("grams", expr(Q.grams5Sql))
+          .withColumn("grams", graft.functions.Grams5.grams5(s, col("tok")))
           .filter(!bloomHit(col("grams")))
           .select(col("doc_id"), col("text"))
         val run = IngestDedup.runIngest(s, newDocs, corpusFps, nShards = 2, prep = prep)

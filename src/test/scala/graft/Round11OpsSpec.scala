@@ -276,4 +276,31 @@ class Round11OpsSpec extends AnyFunSuite {
       assert(diverged == 0L, s"$diverged rows diverged between fused and HOF gram hashes")
     }
   }
+
+  test("Grams5 is element-identical to the grams5Sql zip_with chain, including null-gram propagation") {
+    // The fused assembly feeds every Bloom probe as STRINGS, so it must be
+    // byte-identical to Q.grams5Sql: position order, string-distinct with
+    // first occurrence kept, concat's null-propagation (any null token
+    // nulls the gram; array_distinct keeps ONE null at its first slot),
+    // and the under-5-token empty result. Checked on the real corpus plus
+    // crafted edges.
+    import spark.implicits._
+    import graft.queries.Q
+    val corpus = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(split($"text", " ").as("tok"))
+    val edges = Seq(
+      Seq[String]("a", "b", "c", "d", "e", "a", "b", "c", "d", "e"), // repeated grams
+      Seq[String]("u", "v", null, "w", "x", "y", "z"),               // null token → null grams
+      Seq[String]("p", "q", "r", "s", "t")                           // exactly one gram
+    ).toDF("tok")
+    Seq(corpus, edges).foreach { df0 =>
+      val df = df0.filter(size($"tok") >= 5) // the callers' shared pre-filter
+      val diverged = df
+        .withColumn("fused", graft.functions.Grams5.grams5(spark, $"tok"))
+        .withColumn("ref", expr(Q.grams5Sql))
+        .filter(!($"fused" <=> $"ref"))
+        .count()
+      assert(diverged == 0L, s"$diverged rows diverged between fused and zip_with 5-grams")
+    }
+  }
 }
