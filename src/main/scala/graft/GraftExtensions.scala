@@ -71,7 +71,18 @@ object GraftExtensions {
       "grams3_hash48_raw(tok) - distinct 3-gram raw 48-bit md5 shingle hashes", 1)(
       exprs => Grams3Hash48(Cast(exprs.head, ArrayType(StringType)), 0L)),
     entry("grams5", "grams5(tok) - distinct space-joined 5-grams of a token array", 1)(
-      exprs => Grams5(Cast(exprs.head, ArrayType(StringType))))
+      exprs => Grams5(Cast(exprs.head, ArrayType(StringType)))),
+    entry("grams_distinct_count",
+      "grams_distinct_count(tok, n) - count of distinct space-joined n-grams", 2)(
+      exprs => {
+        // the width shapes the compiled kernel, so it must be a plan literal
+        val w = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"grams_distinct_count width must be an INT literal, got ${other.sql}")
+        }
+        GramsDistinctCount(Cast(exprs.head, ArrayType(StringType)), w)
+      })
   )
 
   /** The builder for one injected function (test/registration surface). */

@@ -129,7 +129,21 @@ object IvfKMeans {
     * vectors; past that the production shape is hierarchical — assign to
     * √K coarse cells via the literal path, then per-coarse-cell sub-tables.
     */
-  def assignCellsJoin(spark: SparkSession, e: DataFrame, cents: DataFrame): DataFrame = {
+  def assignCellsJoin(spark: SparkSession, e: DataFrame, cents: DataFrame): DataFrame =
+    assignCellsJoin(spark, e, cents, maxCidOf(cents))
+
+  /** Largest cid in a centroid table — one tiny aggregate job. Lloyd loops
+    * hoist this: cell ids are the seed ids and never change across
+    * iterations, so the bound is computed ONCE per train/assign sequence
+    * instead of once per call (each probe is a full, if small, Spark job).
+    */
+  private def maxCidOf(cents: DataFrame): Long = {
+    import cents.sparkSession.implicits._
+    cents.agg(max($"cid")).head.getLong(0)
+  }
+
+  private def assignCellsJoin(
+      spark: SparkSession, e: DataFrame, cents: DataFrame, maxCid: Long): DataFrame = {
     import spark.implicits._
     // The natural argmax — min(struct(-cos6, cid)) — has a struct agg
     // buffer, which HashAggregate can't hold: the planner falls back to
@@ -142,7 +156,6 @@ object IvfKMeans {
     // in-stage, nothing is sorted or materialized. NaN cosines (zero-norm
     // vectors) map to negs = 2·10⁶ — strictly worse than any real cosine,
     // so an all-NaN row degenerates to the lowest cid, as in the kernel.
-    val maxCid = cents.agg(max($"cid")).head.getLong(0)
     require(maxCid >= 0 && maxCid < (1L << 41),
       s"assignCellsJoin packs cid into 41 bits (max cid $maxCid out of range)")
     val cos6 = round(graft.functions.CosineSimilarity.cosineSim(spark, $"v", $"cv"), 6)
@@ -170,9 +183,12 @@ object IvfKMeans {
     * `cid`s are globally unique (seed vec_ids), so the per-vec_id min key
     * alone identifies the sub-cell.
     */
-  def assignSubCells(spark: SparkSession, ev: DataFrame, subCents: DataFrame): DataFrame = {
+  def assignSubCells(spark: SparkSession, ev: DataFrame, subCents: DataFrame): DataFrame =
+    assignSubCells(spark, ev, subCents, maxCidOf(subCents))
+
+  private def assignSubCells(
+      spark: SparkSession, ev: DataFrame, subCents: DataFrame, maxCid: Long): DataFrame = {
     import spark.implicits._
-    val maxCid = subCents.agg(max($"cid")).head.getLong(0)
     require(maxCid >= 0 && maxCid < (1L << 41),
       s"assignSubCells packs cid into 41 bits (max cid $maxCid out of range)")
     val cos6 = round(graft.functions.CosineSimilarity.cosineSim(spark, $"v", $"cv"), 6)
@@ -212,7 +228,10 @@ object IvfKMeans {
     val cSeeds = e.filter($"vec_id" % 97 === 0).orderBy($"vec_id").limit(coarseK)
       .select($"vec_id".as("cid"), $"v".as("cv"))
     val cCents = trainTable(spark, e, cSeeds, iters)
-    val ev = assignCellsJoin(spark, e, cCents)
+    // cell ids are the (invariant) seed ids — probe the bound once here
+    // and reuse it across the final coarse assign and every sub-iteration
+    val cMax = maxCidOf(cCents)
+    val ev = assignCellsJoin(spark, e, cCents, cMax)
       .withColumnRenamed("cell", "ccell")
       // one materialization: coarse assignment feeds every sub-iteration
       .localCheckpoint()
@@ -223,8 +242,11 @@ object IvfKMeans {
       .filter($"rn" <= ceil($"n_c" / lit(256.0)))
       .select($"ccell", $"vec_id".as("cid"), $"v".as("cv"))
       .localCheckpoint()
+    // sub-cell ids are the sub-SEED vec_ids and every seed keeps its cell
+    // non-empty, so this bound too is iteration-invariant
+    val scMax = maxCidOf(sc)
     for (_ <- 0 until iters) {
-      sc = assignSubCells(spark, ev, sc)
+      sc = assignSubCells(spark, ev, sc, scMax)
         .select($"ccell", $"cid", posexplode($"v").as(Seq("i", "x")))
         .groupBy($"ccell", $"cid", $"i")
         .agg(round(sum($"x".cast("decimal(38,12)")).cast("double") / count(lit(1)), 6).as("mx"))
@@ -232,7 +254,7 @@ object IvfKMeans {
         .agg(expr("transform(array_sort(collect_list(struct(i, mx))), s -> s.mx)").as("cv"))
         .localCheckpoint()
     }
-    assignSubCells(spark, ev, sc)
+    assignSubCells(spark, ev, sc, scMax)
   }
 
   /** Table twin of [[train]]: Lloyd refinement with the centroids held as a
@@ -251,8 +273,10 @@ object IvfKMeans {
   def trainTable(spark: SparkSession, e: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
     import spark.implicits._
     var cents = seeds.select($"cid", $"cv").localCheckpoint()
+    // cell ids are the (invariant) seed ids — one bound probe for all iters
+    val maxCid = maxCidOf(cents)
     for (_ <- 0 until iters) {
-      cents = assignCellsJoin(spark, e, cents)
+      cents = assignCellsJoin(spark, e, cents, maxCid)
         .select($"cell", posexplode($"v").as(Seq("i", "x")))
         .groupBy($"cell", $"i")
         .agg(round(sum($"x".cast("decimal(38,12)")).cast("double") / count(lit(1)), 6).as("mx"))

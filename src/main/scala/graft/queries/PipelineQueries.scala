@@ -1518,8 +1518,10 @@ object PipelineQueries {
           .filter(size($"tok") >= 2)
           .select($"doc_id",
             (size($"tok") - 1).cast("long").as("n_bigrams"),
-            expr("CAST(size(array_distinct(transform(sequence(0, size(tok)-2), " +
-              "i -> concat_ws(' ', tok[i], tok[i+1])))) AS BIGINT)").as("n_unique"))
+            // fused distinct-bigram count (value-identical to the
+            // concat_ws HOF chain — Round11OpsSpec)
+            graft.functions.GramsDistinctCount
+              .gramsDistinctCount(s, $"tok", 2).as("n_unique"))
           .withColumn("is_repetitive",
             ($"n_bigrams" - $"n_unique") * 20 > $"n_bigrams")
           .orderBy($"doc_id")

@@ -793,20 +793,33 @@ object RelationalQueries {
       // p. The p-comparisons are float-safe: cume_dist is a correctly-
       // rounded k/n division and p ∈ {.25,.5,.75} are exactly
       // representable, so k/n ≥ p can only flip if the true ratio equals p
-      // — where the division is exact. One shuffle+sort on the group key;
-      // at 100 TB the approximate path is q_agg_approx_quantile, this is
-      // the exact-audit form.
+      // — where the division is exact.
+      //
+      // Shape: a row-level cume_dist window would sort the WHOLE table
+      // through #groups reducers (3 here — a parallelism cliff at scale).
+      // Tied rows all share cd = count(rows ≤ v)/n, so the engine
+      // pre-aggregates to (group, value, count) — one partial-aggregatable
+      // hash shuffle — and runs the window over the value-level rows,
+      // bounded by the group's distinct-value count, not its row count.
+      // The oracle keeps the definitional row-level form.
       (s, d) => {
         import s.implicits._
-        val w = Window.partitionBy($"l_returnflag").orderBy($"l_quantity")
-        lineitem(s, d).select($"l_returnflag", $"l_quantity")
-          .withColumn("cd", cume_dist().over(w))
+        val wRun = Window.partitionBy($"l_returnflag").orderBy($"l_quantity")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy($"l_returnflag")
+        lineitem(s, d)
+          .groupBy($"l_returnflag", $"l_quantity")
+          .agg(count(lit(1)).as("c"))
+          // cd of every row tied at this value = running count / total —
+          // the same correctly-rounded k/n double cume_dist() emits
+          .withColumn("cd",
+            sum($"c").over(wRun).cast("double") / sum($"c").over(wAll))
           .groupBy($"l_returnflag")
           .agg(
             min(when($"cd" >= 0.25, $"l_quantity")).as("p25_disc"),
             min(when($"cd" >= 0.5, $"l_quantity")).as("p50_disc"),
             min(when($"cd" >= 0.75, $"l_quantity")).as("p75_disc"),
-            count(lit(1)).as("n"))
+            sum($"c").as("n"))
           .orderBy($"l_returnflag")
       },
       Some("""WITH c AS (

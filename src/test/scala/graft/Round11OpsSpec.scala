@@ -303,4 +303,32 @@ class Round11OpsSpec extends AnyFunSuite {
       assert(diverged == 0L, s"$diverged rows diverged between fused and zip_with 5-grams")
     }
   }
+
+  test("GramsDistinctCount is value-identical to the concat_ws HOF chain, including null-skip semantics") {
+    // The fused count feeds q_text_repetition's n_unique, so it must match
+    // the HOF form exactly: concat_ws SKIPS null tokens (no null grams —
+    // the opposite of Grams5's concat), string-distinct, and the under-
+    // width guard. Checked on the real corpus plus crafted edges.
+    import spark.implicits._
+    val hof = "CAST(size(array_distinct(transform(sequence(0, size(tok)-2), " +
+      "i -> concat_ws(' ', tok[i], tok[i+1])))) AS BIGINT)"
+    val corpus = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(split($"text", " ").as("tok"))
+    val edges = Seq(
+      Seq[String]("a", "b", "a", "b", "a"),      // repeated bigrams
+      Seq[String]("u", null, "u", "x"),          // null-skip: (u), (u), (u x)
+      Seq[String](null, null, null),             // all-null → 1 empty gram
+      Seq[String]("p", "q")                      // exactly one bigram
+    ).toDF("tok")
+    Seq(corpus, edges).foreach { df0 =>
+      val df = df0.filter(size($"tok") >= 2) // the caller's pre-filter
+      val diverged = df
+        .withColumn("fused",
+          graft.functions.GramsDistinctCount.gramsDistinctCount(spark, $"tok", 2))
+        .withColumn("ref", expr(hof))
+        .filter(!($"fused" <=> $"ref"))
+        .count()
+      assert(diverged == 0L, s"$diverged rows diverged between fused and HOF bigram counts")
+    }
+  }
 }
