@@ -82,6 +82,19 @@ object GraftExtensions {
             s"grams_distinct_count width must be an INT literal, got ${other.sql}")
         }
         GramsDistinctCount(Cast(exprs.head, ArrayType(StringType)), w)
+      }),
+    entry("redact_counts",
+      "redact_counts(text, p1, r1, p2, r2) - two-stage regex redaction with match counts", 5)(
+      exprs => {
+        // patterns/replacements compile into the kernel: string literals only
+        def strLit(e: Expression, what: String): String = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) => v.toString
+          case other => throw new IllegalArgumentException(
+            s"redact_counts $what must be a STRING literal, got ${other.sql}")
+        }
+        RedactCounts(Cast(exprs.head, StringType),
+          strLit(exprs(1), "pattern1"), strLit(exprs(2), "repl1"),
+          strLit(exprs(3), "pattern2"), strLit(exprs(4), "repl2"))
       })
   )
 

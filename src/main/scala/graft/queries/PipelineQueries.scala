@@ -1479,20 +1479,22 @@ object PipelineQueries {
     "q_text_redact" -> QueryDef(
       // PII-shaped redaction: regex-mask email-like and long-digit tokens,
       // report per-doc redaction counts — the masking pre-pass every
-      // training corpus runs. Map-only (regexp_replace + diff of counts),
-      // composes with pushdown; no shuffle.
+      // training corpus runs. Map-only, composes with pushdown; no shuffle.
+      // The fused RedactCounts kernel replaces+counts in one matcher pass
+      // per pattern (two total) where the composed regexp_replace/split
+      // form re-scanned the text five times (value-identity pinned in
+      // Round11OpsSpec; the two-level select keeps CollapseProject from
+      // re-inlining the non-cheap kernel per consumer).
       (s, d) => {
         import s.implicits._
         val emailRe = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
         val digitRe = "[0-9]{6,}"
         documents(s, d)
           .select($"doc_id",
-            regexp_replace(regexp_replace($"text", emailRe, "<EMAIL>"), digitRe, "<NUM>")
-              .as("clean"),
-            (size(split($"text", emailRe, -1)) - 1).cast("long").as("n_emails"),
-            (size(split(regexp_replace($"text", emailRe, "<EMAIL>"), digitRe, -1)) - 1)
-              .cast("long").as("n_nums"))
-          .select($"doc_id", md5($"clean").as("clean_fp"), $"n_emails", $"n_nums")
+            graft.functions.RedactCounts.redactCounts(
+              s, $"text", emailRe, "<EMAIL>", digitRe, "<NUM>").as("r"))
+          .select($"doc_id", md5($"r.clean").as("clean_fp"),
+            $"r.n1".as("n_emails"), $"r.n2".as("n_nums"))
           .orderBy($"doc_id")
       },
       Some("""SELECT doc_id,

@@ -331,4 +331,44 @@ class Round11OpsSpec extends AnyFunSuite {
       assert(diverged == 0L, s"$diverged rows diverged between fused and HOF bigram counts")
     }
   }
+
+  test("RedactCounts is value-identical to the composed regexp_replace/split form") {
+    // The fused kernel feeds q_text_redact (clean fingerprint + both
+    // counts), so all three struct fields must match the composed form:
+    // replace chain order (emails first, digits on the post-email text),
+    // match counts = size(split(.., -1)) - 1, null text → null fields.
+    // Checked on the real corpus plus crafted edges.
+    import spark.implicits._
+    val emailRe = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+    val digitRe = "[0-9]{6,}"
+    val corpus = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"text")
+    val edges = Seq(
+      "a@b.c writes 1234567 then c.d_e@f.gh and 999999",  // both kinds
+      "12345 under the digit floor, no emails",           // no matches
+      "@@ not@ an@email 123456789012345678901234567890",  // adjacent digits
+      "a@b.c$1\\x dollar-and-backslash text",             // regex-special chars
+      ""                                                  // empty string
+    ).toDF("text")
+      .union(Seq.empty[String].toDF("text"))
+    val withNull = edges.union(Seq(null.asInstanceOf[String]).toDF("text"))
+    Seq(corpus, withNull).foreach { df =>
+      val diverged = df
+        .withColumn("fused", graft.functions.RedactCounts.redactCounts(
+          spark, $"text", emailRe, "<EMAIL>", digitRe, "<NUM>"))
+        .withColumn("ref", struct(
+          regexp_replace(regexp_replace($"text", emailRe, "<EMAIL>"), digitRe, "<NUM>")
+            .as("clean"),
+          (size(split($"text", emailRe, -1)) - 1).cast("long").as("n1"),
+          (size(split(regexp_replace($"text", emailRe, "<EMAIL>"), digitRe, -1)) - 1)
+            .cast("long").as("n2")))
+        // composed form null-propagates per FIELD (struct of nulls), the
+        // fused kernel nulls the whole struct — same downstream values, so
+        // compare field-wise under null-safe equality
+        .filter(!($"fused.clean" <=> $"ref.clean" &&
+          $"fused.n1" <=> $"ref.n1" && $"fused.n2" <=> $"ref.n2"))
+        .count()
+      assert(diverged == 0L, s"$diverged rows diverged between fused and composed redaction")
+    }
+  }
 }
