@@ -95,6 +95,16 @@ object GraftExtensions {
         RedactCounts(Cast(exprs.head, StringType),
           strLit(exprs(1), "pattern1"), strLit(exprs(2), "repl1"),
           strLit(exprs(3), "pattern2"), strLit(exprs(4), "repl2"))
+      }),
+    entry("json_get_scalar",
+      "json_get_scalar(json, key) - top-level scalar JSON key extraction (get_json_object fast path)", 2)(
+      exprs => {
+        val k = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) => v.toString
+          case other => throw new IllegalArgumentException(
+            s"json_get_scalar key must be a STRING literal, got ${other.sql}")
+        }
+        JsonGetScalar(Cast(exprs.head, StringType), k)
       })
   )
 

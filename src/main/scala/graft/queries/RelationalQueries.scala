@@ -1607,12 +1607,21 @@ object RelationalQueries {
     ),
 
     "q_json_extract" -> QueryDef(
+      // Typed extraction from a JSON props column. The fused scanner
+      // (JsonGetScalar) replaces get_json_object's per-row Jackson parser
+      // setup — the dominant cost on tiny flat documents — and is
+      // value-identical under the long cast for EVERY input (structural
+      // values null out through the cast either way; Round11OpsSpec pins
+      // the raw-extraction parity). Predicate pushdown duplicates the
+      // extraction into the filter, which is why the per-call cost matters
+      // twice here.
       (s, d) => {
         import s.implicits._
         events(s, d)
           .select(
             $"event_id",
-            get_json_object($"props", "$.k").cast("long").as("k_val"))
+            graft.functions.JsonGetScalar.jsonGetScalar(s, $"props", "k")
+              .cast("long").as("k_val"))
           .filter($"k_val" > 50)
           .orderBy($"event_id")
       },

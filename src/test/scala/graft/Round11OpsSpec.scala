@@ -371,4 +371,47 @@ class Round11OpsSpec extends AnyFunSuite {
       assert(diverged == 0L, s"$diverged rows diverged between fused and composed redaction")
     }
   }
+
+  test("JsonGetScalar matches get_json_object('$.key') on valid JSON, scalar and null paths") {
+    // The fused scanner feeds q_json_extract; parity contract: identical
+    // to get_json_object for top-level SCALAR values, missing keys, JSON
+    // nulls, non-object roots and malformed JSON (all NULL both sides).
+    // Documented divergence: object/array values (get_json_object
+    // re-serializes, the scanner returns NULL) — excluded here, and
+    // value-identical under the numeric cast the query applies.
+    import spark.implicits._
+    val cases = Seq(
+      """{"k": 76}""",
+      """{"k":-12, "j": 3}""",
+      """{"j": 1, "k": 2}""",                          // key not first
+      """{"k": "quoted"}""",                           // string value
+      """{"k": "a\"b\\c\nA"}""",                  // escapes
+      """{"k": true}""", """{"k": false}""",
+      """{"k": null}""",                               // JSON null → SQL null
+      """{"j": 5}""",                                  // missing key
+      """{"kk": 1, "k": 2}""",                         // prefix-named key
+      """{"nested": {"k": 99}, "k": 7}""",             // nested decoy
+      """{"arr": [{"k": 1}, 2], "k": 8}""",            // array decoy
+      """{"s": "has \"k\": inside", "k": 9}""",        // string-value decoy
+      """{ "k" : 1.5e3 }""",                           // whitespace + float (Jackson-normalized)
+      """{"k": 1.25}""", """{"k": -0.5}""",            // plain floats
+      """{"k": 0}""",
+      """[1, 2, 3]""",                                 // non-object root
+      """not json at all""", """{"k": }""", """{"k" 1}""", // malformed
+      """{}""", "",
+      null.asInstanceOf[String]
+    ).toDF("js")
+    val corpus = graft.tables.Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"props".as("js"))
+    Seq(cases, corpus).foreach { df =>
+      val diverged = df
+        .withColumn("fused", graft.functions.JsonGetScalar.jsonGetScalar(spark, $"js", "k"))
+        .withColumn("ref", get_json_object($"js", "$.k"))
+        .filter(!($"fused" <=> $"ref"))
+        .collect()
+      assert(diverged.isEmpty,
+        s"${diverged.length} rows diverged between fused and get_json_object: " +
+          diverged.take(5).mkString(" | "))
+    }
+  }
 }
