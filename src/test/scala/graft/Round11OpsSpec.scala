@@ -414,4 +414,30 @@ class Round11OpsSpec extends AnyFunSuite {
           diverged.take(5).mkString(" | "))
     }
   }
+
+  test("the shape-guarded try_cast equals plain try_cast on every string class") {
+    // q_try_funcs guards try_cast with a shape regex so the per-row
+    // exception path only fires on shape-valid-but-failing rows. The guard
+    // must admit EXACTLY ANSI's trimmed optional-sign digit grammar:
+    // anything it rejects, try_cast must null too; anything it admits goes
+    // through the real try_cast (overflow still nulls there).
+    import spark.implicits._
+    val intShape = "^[\\s\\x00-\\x1f]*[+-]?[0-9]+[\\s\\x00-\\x1f]*$"
+    val inputs = Seq(
+      "123", "+5", "-42", " 12 ", "\t7\n", "8 ",  // trimmed/signed valid
+      "1.5", "1e3", "abc", "alm", "", " ", "+", "-", "12a", "a12",
+      "99999999999999999999999",                              // overflow → null both
+      "0", "-0", "007",
+      null.asInstanceOf[String]
+    ).toDF("x")
+    val diverged = inputs
+      .withColumn("guarded",
+        when($"x".rlike(intShape), expr("try_cast(x AS BIGINT)"))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("plain", expr("try_cast(x AS BIGINT)"))
+      .filter(!($"guarded" <=> $"plain"))
+      .collect()
+    assert(diverged.isEmpty,
+      s"guarded/plain try_cast diverged: ${diverged.take(5).mkString(" | ")}")
+  }
 }
