@@ -83,6 +83,16 @@ object GraftExtensions {
         }
         GramsDistinctCount(Cast(exprs.head, ArrayType(StringType)), w)
       }),
+    entry("grams_join",
+      "grams_join(tok, n) - ALL space-joined n-grams in position order (non-distinct)", 2)(
+      exprs => {
+        val w = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"grams_join width must be an INT literal, got ${other.sql}")
+        }
+        GramsJoin(Cast(exprs.head, ArrayType(StringType)), w)
+      }),
     entry("redact_counts",
       "redact_counts(text, p1, r1, p2, r2) - two-stage regex redaction with match counts", 5)(
       exprs => {

@@ -1438,8 +1438,9 @@ object PipelineQueries {
         val bi = documents(s, d)
           .select($"lang", split($"text", " ").as("tok"))
           .filter(size($"tok") >= 2)
-          .select($"lang", explode(
-            expr("transform(sequence(0, size(tok)-2), i -> concat_ws(' ', tok[i], tok[i+1]))")).as("bigram"))
+          // fused occurrence-level bigram assembly (Round11OpsSpec)
+          .select($"lang",
+            explode(graft.functions.GramsJoin.gramsJoin(s, $"tok", 2)).as("bigram"))
         val counts = bi.groupBy($"lang", $"bigram").agg(count(lit(1)).as("n"))
         val w = Window.partitionBy($"lang").orderBy($"n".desc, $"bigram")
         counts.withColumn("rnk", row_number().over(w).cast("long"))
@@ -2292,8 +2293,10 @@ object PipelineQueries {
         val big = documents(s, d)
           .select($"doc_id", split($"text", " ").as("tok"))
           .filter(size($"tok") >= 2)
-          .select($"doc_id", explode(expr(
-            "transform(sequence(0, size(tok)-2), i -> concat_ws(' ', tok[i], tok[i+1]))")).as("bg"))
+          // fused occurrence-level bigram assembly (element-identical to
+          // the transform/concat_ws HOF — Round11OpsSpec)
+          .select($"doc_id",
+            explode(graft.functions.GramsJoin.gramsJoin(s, $"tok", 2)).as("bg"))
         val ref = big.filter(pmod($"doc_id", lit(31)) === 0)
           .groupBy($"bg").agg(count(lit(1)).as("ref_freq"))
         big.filter(pmod($"doc_id", lit(31)) =!= 0)

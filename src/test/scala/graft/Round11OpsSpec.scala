@@ -440,4 +440,28 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(diverged.isEmpty,
       s"guarded/plain try_cast diverged: ${diverged.take(5).mkString(" | ")}")
   }
+
+  test("GramsJoin is element-identical to the transform/concat_ws HOF chain (non-distinct)") {
+    // The fused assembly feeds the occurrence-level bigram passes
+    // (q_text_novelty, q_text_ngrams): every occurrence kept, position
+    // order, concat_ws null-skip, empty under width.
+    import spark.implicits._
+    val hof = "transform(sequence(0, size(tok)-2), i -> concat_ws(' ', tok[i], tok[i+1]))"
+    val corpus = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(split($"text", " ").as("tok"))
+    val edges = Seq(
+      Seq[String]("a", "b", "a", "b", "a"),  // repeated bigrams KEPT
+      Seq[String]("u", null, "u", "x"),      // null-skip: (u),(u),(u x)
+      Seq[String]("p", "q")                  // exactly one bigram
+    ).toDF("tok")
+    Seq(corpus, edges).foreach { df0 =>
+      val df = df0.filter(size($"tok") >= 2) // the callers' shared pre-filter
+      val diverged = df
+        .withColumn("fused", graft.functions.GramsJoin.gramsJoin(spark, $"tok", 2))
+        .withColumn("ref", expr(hof))
+        .filter(!($"fused" <=> $"ref"))
+        .count()
+      assert(diverged == 0L, s"$diverged rows diverged between fused and HOF bigram arrays")
+    }
+  }
 }
