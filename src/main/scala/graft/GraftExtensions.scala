@@ -106,6 +106,24 @@ object GraftExtensions {
           strLit(exprs(1), "pattern1"), strLit(exprs(2), "repl1"),
           strLit(exprs(3), "pattern2"), strLit(exprs(4), "repl2"))
       }),
+    entry("tok_char_sum",
+      "tok_char_sum(tok) - character-count sum of a token array (null-sticky)", 1)(
+      exprs => TokCharSum(Cast(exprs.head, ArrayType(StringType)))),
+    entry("max_run_sorted",
+      "max_run_sorted(tok) - longest adjacent-equal run after sorting (max multiplicity)", 1)(
+      exprs => MaxRunSorted(Cast(exprs.head, ArrayType(StringType)))),
+    entry("stopword_hits",
+      "stopword_hits(tok, words) - how many of the literal words appear in the token array", 2)(
+      exprs => {
+        val ws = exprs(1) match {
+          case lit if lit.foldable && lit.dataType.isInstanceOf[ArrayType] =>
+            val arr = lit.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+          case other => throw new IllegalArgumentException(
+            s"stopword_hits words must be a foldable ARRAY<STRING> literal, got ${other.sql}")
+        }
+        StopwordHits(Cast(exprs.head, ArrayType(StringType)), ws)
+      }),
     entry("json_get_scalar",
       "json_get_scalar(json, key) - top-level scalar JSON key extraction (get_json_object fast path)", 2)(
       exprs => {

@@ -2415,11 +2415,11 @@ object PipelineQueries {
         val base = documents(s, d)
           .select($"doc_id", $"text", split($"text", " ").as("tok"))
           .withColumn("n_tokens", size($"tok").cast("long"))
-          .withColumn("sum_len", expr("aggregate(tok, 0L, (a, x) -> a + length(x))"))
-          .withColumn("st", array_sort($"tok"))
-          .withColumn("top_cnt", expr(Q.maxRunSql))
-          .withColumn("n_stop", expr(
-            "size(filter(array('the','a','of','and','to','in'), w -> array_contains(tok, w)))"))
+          // fused gate kernels (value-identical to the HOF chains —
+          // Round11OpsSpec; max_run_sorted sorts internally, so no st col)
+          .withColumn("sum_len", graft.functions.GopherKernels.tokCharSum(s, $"tok"))
+          .withColumn("top_cnt", graft.functions.GopherKernels.maxRunSorted(s, $"tok"))
+          .withColumn("n_stop", graft.functions.GopherKernels.stopwordHits(s, $"tok"))
           .withColumn("q_ok",
             $"n_tokens".between(40L, 100000L) &&
               $"sum_len" >= $"n_tokens" * 3L && $"sum_len" <= $"n_tokens" * 10L &&

@@ -447,11 +447,13 @@ object StreamShapeQueries {
         val prep: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = df => df
           .withColumn("tok", split(col("text"), " "))
           .withColumn("n_tokens", size(col("tok")).cast("long"))
-          .withColumn("sum_len", expr("aggregate(tok, 0L, (a, x) -> a + length(x))"))
-          .withColumn("st", array_sort(col("tok")))
-          .withColumn("top_cnt", expr(Q.maxRunSql))
-          .withColumn("n_stop", expr(
-            "size(filter(array('the','a','of','and','to','in'), w -> array_contains(tok, w)))"))
+          // fused gate kernels (value-identical to the HOF chains —
+          // Round11OpsSpec): single opaque expressions, so the downstream
+          // Filter's pushdown inlining evaluates each ONCE per row, the
+          // same safety the zip_with maxRunSql shape bought
+          .withColumn("sum_len", graft.functions.GopherKernels.tokCharSum(s, col("tok")))
+          .withColumn("top_cnt", graft.functions.GopherKernels.maxRunSorted(s, col("tok")))
+          .withColumn("n_stop", graft.functions.GopherKernels.stopwordHits(s, col("tok")))
           .filter(col("n_tokens").between(40L, 100000L) &&
             col("sum_len") >= col("n_tokens") * 3L &&
             col("sum_len") <= col("n_tokens") * 10L &&

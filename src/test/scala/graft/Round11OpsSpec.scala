@@ -464,4 +464,41 @@ class Round11OpsSpec extends AnyFunSuite {
       assert(diverged == 0L, s"$diverged rows diverged between fused and HOF bigram arrays")
     }
   }
+
+  test("Gopher gate kernels are value-identical to their HOF chains (sum_len, top_cnt, n_stop)") {
+    // The fused gate feeds q_quality_gopher and both curation funnels'
+    // quality filters, so each statistic must match its HOF form exactly:
+    // tok_char_sum's sticky null (any null token nulls the sum),
+    // max_run_sorted = Q.maxRunSql over array_sort(tok) (nulls sort last
+    // and never extend a run; size<=1 returns size), stopword_hits =
+    // size(filter(words, w -> array_contains(tok, w))) with the
+    // not-found-with-null-tokens NULL dropped like a false.
+    import spark.implicits._
+    import graft.queries.Q
+    val corpus = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(split($"text", " ").as("tok"))
+    val edges = Seq(
+      Seq[String]("the", "of", "of", "banana", "of", "the"), // multiplicity 3
+      Seq[String]("x", null, "x", "x"),                      // null token
+      Seq[String](null, null),                               // all null
+      Seq[String]("solo"),                                   // size 1
+      Seq[String](),                                         // empty
+      Seq[String]("the", "a", "of", "and", "to", "in")       // all 6 stopwords
+    ).toDF("tok")
+    Seq(corpus, edges).foreach { df =>
+      val diverged = df
+        .withColumn("f_sum", graft.functions.GopherKernels.tokCharSum(spark, $"tok"))
+        .withColumn("r_sum", expr("aggregate(tok, 0L, (a, x) -> a + length(x))"))
+        .withColumn("f_run", graft.functions.GopherKernels.maxRunSorted(spark, $"tok"))
+        .withColumn("st", array_sort($"tok"))
+        .withColumn("r_run", expr(Q.maxRunSql))
+        .withColumn("f_stop", graft.functions.GopherKernels.stopwordHits(spark, $"tok"))
+        .withColumn("r_stop", expr(
+          "CAST(size(filter(array('the','a','of','and','to','in'), w -> array_contains(tok, w))) AS BIGINT)"))
+        .filter(!($"f_sum" <=> $"r_sum" && $"f_run" <=> $"r_run" && $"f_stop" <=> $"r_stop"))
+        .collect()
+      assert(diverged.isEmpty,
+        s"${diverged.length} rows diverged on the gate kernels: ${diverged.take(3).mkString(" | ")}")
+    }
+  }
 }
