@@ -124,6 +124,18 @@ object GraftExtensions {
         }
         StopwordHits(Cast(exprs.head, ArrayType(StringType)), ws)
       }),
+    entry("token_set_count",
+      "token_set_count(tok, words) - occurrence count of tokens in the literal word set", 2)(
+      exprs => {
+        val ws = exprs(1) match {
+          case lit if lit.foldable && lit.dataType.isInstanceOf[ArrayType] =>
+            val arr = lit.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+          case other => throw new IllegalArgumentException(
+            s"token_set_count words must be a foldable ARRAY<STRING> literal, got ${other.sql}")
+        }
+        TokenSetCount(Cast(exprs.head, ArrayType(StringType)), ws)
+      }),
     entry("json_get_scalar",
       "json_get_scalar(json, key) - top-level scalar JSON key extraction (get_json_object fast path)", 2)(
       exprs => {

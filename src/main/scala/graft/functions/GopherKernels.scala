@@ -187,13 +187,68 @@ case class StopwordHits(child: Expression, words: Seq[String])
     copy(child = newChild)
 }
 
+/** How many TOKENS of the array are members of the `words` set —
+  * value-identical to `size(filter(tok, x -> x IN (words...)))`: every
+  * matching occurrence counts (unlike [[StopwordHits]]'s distinct-word
+  * count), null tokens are dropped by the filter (NULL lambda result),
+  * and the result is the INT the HOF's size() returns, cast to long by
+  * callers as needed.
+  */
+case class TokenSetCount(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+
+  require(words.nonEmpty, "token_set_count needs a non-empty word list")
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "token_set_count"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"token_set_count expects array<string>, got ${other.sql}")
+    }
+
+  @transient private lazy val targets: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.length * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  /** Called from eval/codegen once per row. */
+  def countIn(arr: ArrayData): Int = {
+    val n = arr.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && targets.contains(arr.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    countIn(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val self = ctx.addReferenceObj("tokenSetCount", this, classOf[TokenSetCount].getName)
+      s"${ev.value} = $self.countIn($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object GopherKernels {
   /** The gate's shared stopword list (same literals as every oracle). */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
 
   def register(spark: SparkSession): Unit =
     graft.GraftExtensions.registerTemp(
-      spark, "tok_char_sum", "max_run_sorted", "stopword_hits")
+      spark, "tok_char_sum", "max_run_sorted", "stopword_hits", "token_set_count")
 
   def tokCharSum(spark: SparkSession, tok: Column): Column = {
     register(spark)
@@ -212,5 +267,12 @@ object GopherKernels {
     register(spark)
     org.apache.spark.sql.functions.call_function("stopword_hits", tok,
       org.apache.spark.sql.functions.typedlit(Stopwords))
+  }
+
+  /** Occurrence count of tokens in `words` (`x IN (...)` filter twin). */
+  def tokenSetCount(spark: SparkSession, tok: Column, words: Seq[String]): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("token_set_count", tok,
+      org.apache.spark.sql.functions.typedlit(words))
   }
 }

@@ -1058,7 +1058,8 @@ object PipelineQueries {
         val quality = documents(s, d)
           .select($"doc_id", split($"text", " ").as("tok"))
           .filter(size($"tok").between(10, 2000) &&
-            expr("CAST(size(filter(tok, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)")
+            graft.functions.GopherKernels.tokenSetCount(
+              s, $"tok", graft.functions.GopherKernels.Stopwords).cast("double")
               / size($"tok") <= 0.5)
           .select($"doc_id".as("vec_id"))
         val e = embeddings(s, d)
@@ -1374,7 +1375,10 @@ object PipelineQueries {
             $"doc_id",
             size($"tok").cast("long").as("n_tokens"),
             $"n_chars",
-            (expr("CAST(size(filter(tok, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)")
+            // fused occurrence count (value-identical to the filter HOF —
+            // Round11OpsSpec)
+            (graft.functions.GopherKernels.tokenSetCount(
+              s, $"tok", graft.functions.GopherKernels.Stopwords).cast("double")
               / size($"tok")).as("stop_ratio"),
             ($"n_chars".cast("double") / size($"tok")).as("avg_token_len"))
           .withColumn("is_quality",
@@ -1398,9 +1402,14 @@ object PipelineQueries {
         import s.implicits._
         val scored = documents(s, d)
           .select($"doc_id", $"lang", split($"text", " ").as("tok"))
-          .withColumn("en_score", expr("size(filter(tok, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))"))
-          .withColumn("es_score", expr("size(filter(tok, x -> x IN ('el', 'la', 'de', 'que', 'los', 'una')))"))
-          .withColumn("fr_score", expr("size(filter(tok, x -> x IN ('le', 'la', 'de', 'et', 'les', 'une')))"))
+          // fused occurrence counts, one compiled pass per wordlist
+          // (value-identical to the filter HOFs — Round11OpsSpec)
+          .withColumn("en_score", graft.functions.GopherKernels.tokenSetCount(
+            s, $"tok", Seq("the", "a", "of", "and", "to", "in", "is")))
+          .withColumn("es_score", graft.functions.GopherKernels.tokenSetCount(
+            s, $"tok", Seq("el", "la", "de", "que", "los", "una")))
+          .withColumn("fr_score", graft.functions.GopherKernels.tokenSetCount(
+            s, $"tok", Seq("le", "la", "de", "et", "les", "une")))
           .withColumn("pred",
             when(greatest($"en_score", $"es_score", $"fr_score") === 0, "und")
               .when($"en_score" >= $"es_score" && $"en_score" >= $"fr_score", "en")

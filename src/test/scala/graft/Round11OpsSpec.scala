@@ -501,4 +501,29 @@ class Round11OpsSpec extends AnyFunSuite {
         s"${diverged.length} rows diverged on the gate kernels: ${diverged.take(3).mkString(" | ")}")
     }
   }
+
+  test("TokenSetCount is value-identical to the size(filter(tok, x IN ...)) HOF") {
+    // Occurrence-level membership count (every matching token counts,
+    // unlike StopwordHits's distinct-word count) feeding q_text_quality /
+    // q_text_langid / q_similarity_filtered's gate.
+    import spark.implicits._
+    val words = Seq("the", "a", "of", "and", "to", "in")
+    val corpus = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(split($"text", " ").as("tok"))
+    val edges = Seq(
+      Seq[String]("the", "the", "the", "of"), // repeats count each time
+      Seq[String]("x", null, "the"),          // null token dropped
+      Seq[String]()                           // empty
+    ).toDF("tok")
+    Seq(corpus, edges).foreach { df =>
+      val diverged = df
+        .withColumn("fused",
+          graft.functions.GopherKernels.tokenSetCount(spark, $"tok", words))
+        .withColumn("ref",
+          expr("size(filter(tok, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))"))
+        .filter(!($"fused" <=> $"ref"))
+        .count()
+      assert(diverged == 0L, s"$diverged rows diverged between fused and HOF set counts")
+    }
+  }
 }
