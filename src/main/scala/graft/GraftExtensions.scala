@@ -136,6 +136,16 @@ object GraftExtensions {
         }
         TokenSetCount(Cast(exprs.head, ArrayType(StringType)), ws)
       }),
+    entry("window_hash64",
+      "window_hash64(tok, n) - distinct 64-bit fingerprints of every n-token window", 2)(
+      exprs => {
+        val w = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"window_hash64 width must be an INT literal, got ${other.sql}")
+        }
+        WindowHash64(Cast(exprs.head, ArrayType(StringType)), w)
+      }),
     entry("json_get_scalar",
       "json_get_scalar(json, key) - top-level scalar JSON key extraction (get_json_object fast path)", 2)(
       exprs => {

@@ -2254,15 +2254,18 @@ object PipelineQueries {
       // identical counts as long as neither hash collides (64-bit birthday
       // at sf1's 1.75M windows ≈ 1e-7; a 100 TB corpus would move to a
       // 128-bit fingerprint, e.g. two seeded xxhash64 words, same plan).
+      // The fingerprint itself is the fused WindowHash64 kernel: each
+      // token xxhash64'd ONCE and windows combined by 64-bit polynomial —
+      // the HOF form re-hashed every token per covering window through a
+      // fresh slice (O(n·20) string hashing, measured 2.5x the kernel).
       // Integer-only output, hash-exact across engines.
       (s, d) => {
         import s.implicits._
         documents(s, d)
           .select($"doc_id", split($"text", " ").as("tok"))
           .filter(size($"tok") >= 20)
-          .select($"doc_id", explode(expr(
-            "array_distinct(transform(sequence(0, size(tok)-20), " +
-              "w -> xxhash64(slice(tok, w+1, 20))))")).as("wfp"))
+          .select($"doc_id", explode(
+            graft.functions.WindowHash64.windowHashes(s, $"tok", 20)).as("wfp"))
           // (doc_id, wfp) is distinct by construction → count counts docs
           .withColumn("nd", count(lit(1)).over(Window.partitionBy($"wfp")))
           .groupBy($"doc_id")

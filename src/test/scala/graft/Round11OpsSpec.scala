@@ -526,4 +526,35 @@ class Round11OpsSpec extends AnyFunSuite {
       assert(diverged == 0L, s"$diverged rows diverged between fused and HOF set counts")
     }
   }
+
+  test("WindowHash64 preserves the window-equality structure of the HOF fingerprints") {
+    // The kernel's VALUES legitimately differ from the xxhash64-of-slice
+    // HOF (the cross-engine contract is counts, not hash bytes), so the
+    // pin is structural: per-doc distinct-window COUNTS match the HOF
+    // exactly (no extra collisions on the real corpus), and equal windows
+    // ACROSS docs share a fingerprint (the property the dedup counts on).
+    import spark.implicits._
+    val corpus = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(split($"text", " ").as("tok"))
+      .filter(size($"tok") >= 20)
+    val countDiverged = corpus
+      .withColumn("fused", size(graft.functions.WindowHash64.windowHashes(spark, $"tok", 20)))
+      .withColumn("ref", size(expr(
+        "array_distinct(transform(sequence(0, size(tok)-20), w -> xxhash64(slice(tok, w+1, 20))))")))
+      .filter(!($"fused" <=> $"ref"))
+      .count()
+    assert(countDiverged == 0L,
+      s"$countDiverged docs diverged in distinct-window counts (unexpected collision)")
+    // cross-doc equality: two docs share one 20-token run, differ elsewhere
+    val shared = (0 until 20).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      s"$shared tail0 tail1 tail2",
+      s"head0 head1 $shared",
+      (0 until 23).map(i => s"other$i").mkString(" ")
+    ).toDF("text").select(split($"text", " ").as("tok"))
+    val fps = docs
+      .select(explode(graft.functions.WindowHash64.windowHashes(spark, $"tok", 20)).as("fp"))
+      .groupBy($"fp").count().filter($"count" >= 2).count()
+    assert(fps == 1L, s"expected exactly the planted shared window to repeat, got $fps")
+  }
 }
