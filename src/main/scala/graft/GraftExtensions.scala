@@ -136,6 +136,17 @@ object GraftExtensions {
         }
         TokenSetCount(Cast(exprs.head, ArrayType(StringType)), ws)
       }),
+    entry("chunk_texts",
+      "chunk_texts(tok, width, stride) - strided token-window chunk texts", 3)(
+      exprs => {
+        def intLit(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"chunk_texts $what must be an INT literal, got ${other.sql}")
+        }
+        ChunkTexts(Cast(exprs.head, ArrayType(StringType)),
+          intLit(exprs(1), "width"), intLit(exprs(2), "stride"))
+      }),
     entry("window_hash64",
       "window_hash64(tok, n) - distinct 64-bit fingerprints of every n-token window", 2)(
       exprs => {

@@ -1659,9 +1659,10 @@ object PipelineQueries {
         import s.implicits._
         documents(s, d)
           .select($"doc_id", split($"text", " ").as("tok"))
-          .select($"doc_id", posexplode(expr(
-            "transform(sequence(0, CAST(greatest(ceil((size(tok) - 32) / 24.0), 0) AS INT)), " +
-              "w -> concat_ws(' ', slice(tok, w*24+1, 32)))")))
+          // fused window assembly (element-identical to the transform/
+          // slice/concat_ws HOF — Round11OpsSpec)
+          .select($"doc_id", posexplode(
+            graft.functions.ChunkTexts.chunkTexts(s, $"tok", 32, 24)))
           .select($"doc_id", $"pos".cast("long").as("chunk_idx"),
             md5($"col").as("chunk_fp"),
             size(split($"col", " ")).cast("long").as("chunk_tokens"))
@@ -1729,9 +1730,13 @@ object PipelineQueries {
         import s.implicits._
         documents(s, d)
           .select($"doc_id", split($"text", " ").as("tok"))
+          // fused tiling (same 16/16 chunk texts — for width = stride the
+          // kernel's window count equals ceil(n/16) at every n >= 1); md5
+          // moves OUT of the interpreted lambda to a post-explode
+          // codegen'd call over the identical strings
           .select($"doc_id", posexplode(
-            expr("transform(sequence(0, CAST(ceil(size(tok) / 16.0) AS INT) - 1), i -> md5(concat_ws(' ', slice(tok, i*16+1, 16))))")))
-          .select($"doc_id", $"pos".cast("long").as("chunk_idx"), $"col".as("fp"))
+            graft.functions.ChunkTexts.chunkTexts(s, $"tok", 16, 16)))
+          .select($"doc_id", $"pos".cast("long").as("chunk_idx"), md5($"col").as("fp"))
           .orderBy($"doc_id", $"chunk_idx")
       },
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),

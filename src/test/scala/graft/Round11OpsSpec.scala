@@ -557,4 +557,31 @@ class Round11OpsSpec extends AnyFunSuite {
       .groupBy($"fp").count().filter($"count" >= 2).count()
     assert(fps == 1L, s"expected exactly the planted shared window to repeat, got $fps")
   }
+
+  test("ChunkTexts is element-identical to both HOF chunking shapes (32/24 windows, 16/16 tiles)") {
+    import spark.implicits._
+    val hofWin = "transform(sequence(0, CAST(greatest(ceil((size(tok) - 32) / 24.0), 0) AS INT)), " +
+      "w -> concat_ws(' ', slice(tok, w*24+1, 32)))"
+    val hofTile = "transform(sequence(0, CAST(ceil(size(tok) / 16.0) AS INT) - 1), " +
+      "i -> concat_ws(' ', slice(tok, i*16+1, 16)))"
+    val corpus = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(split($"text", " ").as("tok"))
+    // boundary edges: 1 token, exactly width, width+1, a stride multiple,
+    // and a null token inside a chunk
+    val edges = Seq(
+      (1 to 1), (1 to 16), (1 to 17), (1 to 32), (1 to 33), (1 to 56), (1 to 57)
+    ).map(r => r.map(i => s"t$i"): Seq[String]).toDF("tok")
+      .union(Seq(Seq[String]("a", null, "b")).toDF("tok"))
+    Seq(corpus, edges).foreach { df =>
+      val diverged = df
+        .withColumn("fw", graft.functions.ChunkTexts.chunkTexts(spark, $"tok", 32, 24))
+        .withColumn("rw", expr(hofWin))
+        .withColumn("ft", graft.functions.ChunkTexts.chunkTexts(spark, $"tok", 16, 16))
+        .withColumn("rt", expr(hofTile))
+        .filter(!($"fw" <=> $"rw" && $"ft" <=> $"rt"))
+        .collect()
+      assert(diverged.isEmpty,
+        s"${diverged.length} rows diverged on chunk shapes: ${diverged.take(3).mkString(" | ")}")
+    }
+  }
 }
