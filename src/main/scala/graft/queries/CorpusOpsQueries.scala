@@ -503,10 +503,16 @@ object CorpusOpsQueries {
       (s, d) => {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
+        // fused tiling: the HOF form embedded split(text) INSIDE the
+        // lambda, and interpreted HOFs re-evaluate outer references per
+        // iteration — one re-split per chunk, O(n²/10) per doc. One split
+        // + the compiled ChunkTexts pass emits the identical strings
+        // (array_join and concat_ws share null-skip join semantics;
+        // Round11OpsSpec pins the 10/10 shape).
         val chunks = documents(s, d)
-          .select($"doc_id", posexplode(expr(
-            "transform(sequence(0, (size(split(text, ' ')) - 1) div 10), " +
-              "i -> array_join(slice(split(text, ' '), i * 10 + 1, 10), ' '))"))
+          .select($"doc_id", split($"text", " ").as("tok"))
+          .select($"doc_id", posexplode(
+            graft.functions.ChunkTexts.chunkTexts(s, $"tok", 10, 10))
             .as(Seq("chunk_idx", "chunk")))
         chunks
           .withColumn("n_chunks", count(lit(1)).over(Window.partitionBy($"doc_id")))

@@ -572,13 +572,19 @@ class Round11OpsSpec extends AnyFunSuite {
       (1 to 1), (1 to 16), (1 to 17), (1 to 32), (1 to 33), (1 to 56), (1 to 57)
     ).map(r => r.map(i => s"t$i"): Seq[String]).toDF("tok")
       .union(Seq(Seq[String]("a", null, "b")).toDF("tok"))
+    // q_dedup_paragraph's 10/10 shape joins with array_join instead of
+    // concat_ws — same null-skip join, pinned here too
+    val hofPara = "transform(sequence(0, (size(tok) - 1) div 10), " +
+      "i -> array_join(slice(tok, i * 10 + 1, 10), ' '))"
     Seq(corpus, edges).foreach { df =>
       val diverged = df
         .withColumn("fw", graft.functions.ChunkTexts.chunkTexts(spark, $"tok", 32, 24))
         .withColumn("rw", expr(hofWin))
         .withColumn("ft", graft.functions.ChunkTexts.chunkTexts(spark, $"tok", 16, 16))
         .withColumn("rt", expr(hofTile))
-        .filter(!($"fw" <=> $"rw" && $"ft" <=> $"rt"))
+        .withColumn("fp", graft.functions.ChunkTexts.chunkTexts(spark, $"tok", 10, 10))
+        .withColumn("rp", expr(hofPara))
+        .filter(!($"fw" <=> $"rw" && $"ft" <=> $"rt" && $"fp" <=> $"rp"))
         .collect()
       assert(diverged.isEmpty,
         s"${diverged.length} rows diverged on chunk shapes: ${diverged.take(3).mkString(" | ")}")
