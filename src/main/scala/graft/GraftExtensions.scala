@@ -136,6 +136,17 @@ object GraftExtensions {
         }
         TokenSetCount(Cast(exprs.head, ArrayType(StringType)), ws)
       }),
+    entry("bloom_pair",
+      "bloom_pair(g, mBits) - the [h1, h2] md5 Bloom probe positions of a gram", 2)(
+      exprs => {
+        val m = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, LongType) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v.toLong
+          case other => throw new IllegalArgumentException(
+            s"bloom_pair mBits must be an integral literal, got ${other.sql}")
+        }
+        BloomPair(Cast(exprs.head, StringType), m)
+      }),
     entry("chunk_texts",
       "chunk_texts(tok, width, stride) - strided token-window chunk texts", 3)(
       exprs => {

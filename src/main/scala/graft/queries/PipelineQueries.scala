@@ -237,25 +237,33 @@ object PipelineQueries {
     // seeded xxhash64 (production; mBits is a power of two ≤ 2^32 so the
     // pmod keeps the same uniformity)
     def hashes(g: org.apache.spark.sql.Column): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =
-      if (fastHash)
-        (pmod(xxhash64(g), lit(mBits)), pmod(xxhash64(lit(1), g), lit(mBits)))
-      else {
-        val mh = md5(g)
-        def w(off: Int) = conv(substring(mh, off, 8), 16, 10).cast("long") % mBits
-        (w(1), w(9))
-      }
+      (pmod(xxhash64(g), lit(mBits)), pmod(xxhash64(lit(1), g), lit(mBits)))
+    // md5 arm: the fused BloomPair kernel emits [h1, h2] straight from the
+    // digest bytes — bit-identical to the former
+    // conv(substring(md5(g), 1|9, 8), 16, 10) % mBits pair (the
+    // BloomBcAnyHit identity; Round11OpsSpec pins it), skipping the hex
+    // string + two substrings + two conv parses per gram
+    val pairCol = graft.functions.BloomPair.bloomPair(s, $"g", mBits)
     val wordsDf = {
-      val (b1, b2) = hashes($"g")
+      val bits =
+        if (fastHash) { val (b1, b2) = hashes($"g"); explode(array(b1, b2)) }
+        else explode(pairCol)
       benchGrams
-        .select(explode(array(b1, b2)).as("bit"))
+        .select(bits.as("bit"))
         .groupBy(expr("bit div 63").as("w"))
         .agg(expr("bit_or(shiftleft(1L, CAST(bit % 63 AS INT)))").as("word"))
     }
     val probeBase = {
-      val (p1, p2) = hashes($"g")
-      grams5(documents(s, d).filter(pmod($"doc_id", lit(31)) =!= 0))
-        .withColumn("h1", p1)
-        .withColumn("h2", p2)
+      val base = grams5(documents(s, d).filter(pmod($"doc_id", lit(31)) =!= 0))
+      if (fastHash) {
+        val (p1, p2) = hashes($"g")
+        base.withColumn("h1", p1).withColumn("h2", p2)
+      } else base
+        // own projection: the kernel is non-cheap and referenced twice, so
+        // CollapseProject keeps it materialized once per gram
+        .withColumn("hp", pairCol)
+        .select($"doc_id", $"g",
+          element_at($"hp", 1).as("h1"), element_at($"hp", 2).as("h2"))
     }
     val nWords = ((mBits + 62) / 63).toInt
     val probed =
@@ -348,12 +356,12 @@ object PipelineQueries {
     */
   private[graft] def collectBloomWords(benchGrams: DataFrame, mBits: Long): Array[Long] = {
     import benchGrams.sparkSession.implicits._
-    def h(c: org.apache.spark.sql.Column, off: Int) =
-      conv(substring(c, off, 8), 16, 10).cast("long") % mBits
     val words = Array.fill(((mBits + 62) / 63).toInt)(0L)
     benchGrams
-      .withColumn("mh", md5($"g"))
-      .select(explode(array(h($"mh", 1), h($"mh", 9))).as("bit"))
+      // fused digest-bytes pair — bit-identical to the former
+      // conv(substring(md5, 1|9, 8)) % mBits (see bloomDecontaminate)
+      .select(explode(graft.functions.BloomPair.bloomPair(
+        benchGrams.sparkSession, $"g", mBits)).as("bit"))
       .groupBy(expr("bit div 63").as("w"))
       .agg(expr("bit_or(shiftleft(1L, CAST(bit % 63 AS INT)))").as("word"))
       .collect().foreach(r => words(r.getLong(0).toInt) = r.getLong(1))

@@ -590,4 +590,26 @@ class Round11OpsSpec extends AnyFunSuite {
         s"${diverged.length} rows diverged on chunk shapes: ${diverged.take(3).mkString(" | ")}")
     }
   }
+
+  test("BloomPair is bit-identical to the conv(substring(md5)) probe pair") {
+    // The kernel's [h1, h2] feed the cross-engine bitmap (the DuckDB
+    // oracle parses md5 hex), so they must equal the SQL pair exactly:
+    // first/second big-endian 32-bit digest words == the 8-hex-char
+    // substrings conv() parses. Checked at two bitmap sizes on real grams.
+    import spark.implicits._
+    val grams = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(explode(split($"text", " ")).as("g"))
+      .union(Seq("", "a", "exact five gram words here").toDF("g"))
+    Seq(1L << 16, 1L << 23).foreach { mBits =>
+      val diverged = grams
+        .withColumn("fused", graft.functions.BloomPair.bloomPair(spark, $"g", mBits))
+        .withColumn("mh", md5($"g"))
+        .withColumn("ref", array(
+          conv(substring($"mh", 1, 8), 16, 10).cast("long") % mBits,
+          conv(substring($"mh", 9, 8), 16, 10).cast("long") % mBits))
+        .filter(!($"fused" <=> $"ref"))
+        .count()
+      assert(diverged == 0L, s"$diverged grams diverged at mBits=$mBits")
+    }
+  }
 }
