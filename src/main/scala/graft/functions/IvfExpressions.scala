@@ -73,6 +73,42 @@ case class IvfNearestCell(
     Integer.valueOf(java.util.Arrays.hashCode(cnorms)))
 }
 
+/** [[IvfNearestCell]] with the centroid matrix riding a BROADCAST VARIABLE
+  * instead of plan literals — the same static [[IvfNearestCell.nearest]]
+  * kernel (bit-parity by construction), but the plan carries one small
+  * expression node regardless of K, so the assignment is viable for the
+  * 1024 < K ≤ ~2×10⁶ tier where literal matrices would bloat every Lloyd
+  * plan's analysis/codegen (and where the former broadcast-JOIN mechanism
+  * paid an NLJ + packed-argmin aggregate + vector re-attach join per
+  * assignment — this is pure map-side). K stays bounded by executor
+  * memory exactly as the join build side was (~0.5 GB at K = 10⁶, dim 64).
+  */
+case class IvfNearestCellBc(
+    child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Array[Double]], Array[Double])]
+) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "ivf_nearest_cell_bc"
+
+  /** Called from eval/codegen once per row. */
+  def nearestOf(v: ArrayData): Long = {
+    val t = bc.value
+    IvfNearestCell.nearest(v, t._1, t._2, t._3)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    nearestOf(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("nearestBc", this, classOf[IvfNearestCellBc].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.nearestOf($v);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object IvfNearestCell {
 
   /** Max distance 6-dp HALF_UP rounding can move a double: the shortest-

@@ -93,9 +93,18 @@ object CorpusOpsQueries {
         val cents = IvfKMeans.train(s, e, seeds, iters = 2)
         e.withColumn("cell", IvfKMeans.assignCell(s, cents, $"v"))
       } else {
-        val seeds = seedPool.select($"vec_id".as("cid"), $"v".as("cv"))
-        val cents = IvfKMeans.trainTable(s, e, seeds, iters = 2)
-        IvfKMeans.assignCellsJoin(s, e, cents)
+        // broadcast tier (1024 < K ≤ 2e6): the SAME static nearest-cell
+        // kernel as the literal path (bit-parity by construction — the
+        // shared oracle certifies it), with the centroid matrix riding a
+        // broadcast VARIABLE instead of the plan, so every assignment is
+        // pure map-side — no crossJoin, no argmin aggregate, no vector
+        // re-attach join. The driver collect is K rows (≤ ~1 GB at the 2e6
+        // policy ceiling) — the same rows any broadcast build ships
+        // through the driver.
+        val seeds: Seq[(Long, Seq[Double])] =
+          seedPool.collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+        val cents = IvfKMeans.trainBc(s, e, seeds, iters = 2)
+        e.withColumn("cell", IvfKMeans.assignCellBc(s, cents, $"v"))
       }
     }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = assigned.select($"cell", $"vec_id".as("id_a"), $"v".as("va"))

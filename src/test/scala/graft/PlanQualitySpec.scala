@@ -267,16 +267,11 @@ class PlanQualitySpec extends AnyFunSuite {
     // q_similarity_topk is the deliberate brute-force exact baseline: its
     // non-equi (q_id <> c_id) broadcast join IS the operator; the recall
     // evaluation re-runs that exact arm to measure the ANN arm against it.
-    // q_semdedup_table's vectors × centroid-table cross join is likewise
-    // the operator (the K > 1024 assignment path — every vector meets
-    // every broadcast centroid, consumed in-stage by the packed-long
-    // argmax; see IvfKMeans.assignCellsJoin). Everything else must key
-    // its joins.
-    // q_semdedup_hier's stage-1 coarse assignment reuses the same
-    // vectors × centroid-table cross join; its stage-2 sub-assignment is an
-    // equi-join on the coarse cell (gated below).
-    val allowNlj = Set("q_similarity_topk", "q_similarity_recall",
-      "q_semdedup_table", "q_semdedup_hier")
+    // Everything else must key its joins — including the SemDeDup
+    // broadcast tier, whose assignment is now the map-side
+    // IvfNearestCellBc kernel (no crossJoin at any K; the former
+    // broadcast-join mechanism's NLJ allowance is gone).
+    val allowNlj = Set("q_similarity_topk", "q_similarity_recall")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
@@ -330,29 +325,26 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
-  test("assignCellsJoin consumes the vector×centroid pair stream in a HashAggregate, never a SortAggregate") {
-    // The K>1024 SemDeDup branch lives or dies on this property: the
-    // packed-long argmin (min(negs·2⁴¹+cid)) partial-aggregates map-side in
-    // HashAggregate, so the n×K pair stream is consumed in-stage. The
-    // natural min(struct(...)) form silently falls back to SortAggregate
-    // and SORTS the pair stream (measured: 76 GB of spill at n=312k,
-    // K=1219 before the packing). Gate the compiled shape so a refactor
-    // can't reintroduce the fallback.
+  test("assignCellBc assignment is pure map-side: no join, no aggregate, no exchange") {
+    // The broadcast-tier SemDeDup contract: the centroid matrix rides a
+    // broadcast VARIABLE inside one IvfNearestCellBc expression, so the
+    // whole assignment is a Project over the vector scan — zero joins,
+    // zero aggregates, zero shuffles at any K. (The former broadcast-JOIN
+    // mechanism paid an NLJ + packed-argmin HashAggregate + re-attach join
+    // per assignment; a refactor reintroducing any of those shows up here.)
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val e = spark.range(0, 512)
       .select(col("id").as("vec_id"),
         expr("transform(sequence(0, 7), j -> CAST(sin(id * 8 + j) AS DOUBLE))").as("v"))
-    val cents = spark.range(0, 32)
-      .select(col("id").as("cid"),
-        expr("transform(sequence(0, 7), j -> CAST(sin(id * 131 + j) AS DOUBLE))").as("cv"))
-    val out = graft.operators.IvfKMeans.assignCellsJoin(spark, e, cents)
+    val cents: Seq[(Long, Seq[Double])] = (0L until 32L).map(c =>
+      c -> (0 until 8).map(j => math.sin(c * 131 + j)))
+    val out = e.withColumn("cell",
+      graft.operators.IvfKMeans.assignCellBc(spark, cents, $"v"))
     val plan = finalSection(physical(out))
-    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
-    assert(!plan.contains("SortAggregate"),
-      s"argmin must stay hash-aggregable (packed long), got a sort fallback:\n$plan")
-    assert("HashAggregate".r.findAllIn(plan).size >= 2,
-      s"expected partial+final HashAggregate over the pair stream:\n$plan")
+    assert(plan.contains("ivf_nearest_cell_bc"), plan)
+    Seq("Join", "Aggregate", "Exchange").foreach(op =>
+      assert(!plan.contains(op), s"broadcast-tier assignment must be map-only, found $op:\n$plan"))
   }
 
   test("assignSubCells joins vectors to sub-centroids by ccell EQUI join with a hash-aggregated argmin") {

@@ -4,8 +4,8 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
 /** Round-10 depth checks:
-  *  - SemDeDup path parity: the centroid-table broadcast-join branch
-  *    (q_semdedup_table / IvfKMeans.trainTable+assignCellsJoin) must be
+  *  - SemDeDup path parity: the broadcast-tier branch
+  *    (q_semdedup_table / IvfKMeans.trainBc+assignCellBc) must be
   *    bit-identical to the plan-literal branch (q_semdedup /
   *    IvfKMeans.train+assignCell) on a corpus with planted near-dups —
   *    this is the equivalence the shared DuckDB oracle relies on, proven
@@ -33,7 +33,7 @@ class Round10OpsSpec extends AnyFunSuite {
     dir
   }
 
-  test("q_semdedup_table (centroid-table join path) is bit-identical to q_semdedup (plan-literal path)") {
+  test("q_semdedup_table (broadcast-tier kernel path) is bit-identical to q_semdedup (plan-literal path)") {
     val dir = embeddingsDir(2048)
     val literal = SparkEntry.queries("q_semdedup")(spark, dir).collect().toSeq
     val table = SparkEntry.queries("q_semdedup_table")(spark, dir).collect().toSeq
@@ -368,7 +368,11 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(shorts.isEmpty, s"short docs must yield no grams: ${shorts.take(5).toSeq}")
   }
 
-  test("IvfKMeans.trainTable reproduces IvfKMeans.train centroids exactly") {
+  test("IvfKMeans.trainBc reproduces IvfKMeans.train centroids exactly") {
+    // The broadcast tier runs the SAME static nearest-cell kernel as the
+    // literal path — this gate proves the end-to-end Lloyd equality
+    // (assignment + decimal mean + rounding) across the two mechanisms,
+    // the invariant that lets q_semdedup_table share q_semdedup's oracle.
     import spark.implicits._
     import graft.operators.IvfKMeans
     val dir = embeddingsDir(1024)
@@ -379,11 +383,9 @@ class Round10OpsSpec extends AnyFunSuite {
       .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
     val litCents = IvfKMeans.train(spark, e, seedsSeq, iters = 2)
       .map { case (cid, cv) => cid -> cv.toList }.toMap
-    val seedsDf = e.filter($"vec_id" % 97 === 0).orderBy($"vec_id").limit(4)
-      .select($"vec_id".as("cid"), $"v".as("cv"))
-    val tabCents = IvfKMeans.trainTable(spark, e, seedsDf, iters = 2)
-      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toMap
+    val bcCents = IvfKMeans.trainBc(spark, e, seedsSeq, iters = 2)
+      .map { case (cid, cv) => cid -> cv.toList }.toMap
     e.unpersist(blocking = false)
-    assert(litCents == tabCents)
+    assert(litCents == bcCents)
   }
 }
