@@ -44,17 +44,19 @@ object CorpusOpsQueries {
     * for gating; "auto" picks by scale):
     *  - K ≤ 1024: centroids baked as plan literals, assignment is pure
     *    map-side codegen ([[graft.operators.IvfKMeans.assignCell]]).
-    *  - K ≤ 2×10⁶ (or "table"): centroids stay a DataFrame, training and
-    *    assignment go through the broadcast nested-loop join twin
-    *    ([[graft.operators.IvfKMeans.assignCellsJoin]]/`trainTable`) — no
-    *    driver collect, no multi-MB literal plan; bit-identical to the
-    *    literal path (`Round10OpsSpec` proves it; q_semdedup_table shares
-    *    q_semdedup's oracle). `tools.SemDedupScaleProof` exercises this
-    *    branch end-to-end past the 262k-vector literal cap.
-    *  - K > 2×10⁶ (or "hier"): the centroid table outgrows the broadcast
+    *  - K ≤ 2×10⁶ (or "table"): the SAME static nearest-cell kernel with
+    *    the centroid matrix riding a broadcast VARIABLE
+    *    ([[graft.operators.IvfKMeans.assignCellBc]]/`trainBc`) — no
+    *    multi-MB literal plan, and pure map-side assignment (no crossJoin,
+    *    no argmin aggregate, no re-attach join); bit-identical to the
+    *    literal path BY CONSTRUCTION (`Round10OpsSpec` proves it
+    *    end-to-end; q_semdedup_table shares q_semdedup's oracle).
+    *    `tools.SemDedupScaleProof` exercises this branch past the
+    *    262k-vector literal cap.
+    *  - K > 2×10⁶ (or "hier"): the centroid matrix outgrows the executor
     *    ceiling (~0.5 GB/10⁶ centroids ⇒ ≈5×10⁸ vectors under n/256), so
-    *    the quantizer goes hierarchical: ⌈√K⌉ coarse cells via the table
-    *    path, then per-coarse-cell sub-centroids assigned by ccell EQUI
+    *    the quantizer goes hierarchical: ⌈√K⌉ coarse cells via the
+    *    broadcast tier, then per-coarse-cell sub-centroids assigned by ccell EQUI
     *    join ([[graft.operators.IvfKMeans.trainAssignHierarchical]]) —
     *    nothing broadcast-bounded by total K remains, per-vector
     *    comparisons stay ~√K. A different quantizer ⇒ different (still
