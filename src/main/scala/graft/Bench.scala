@@ -219,7 +219,10 @@ object Bench {
       "q_semdedup_table", "q_semdedup_hier", "q_dedup_lsh_recall",
       "q_corpus_curate", "q_stream_curate",
       // round 11: the forced broadcast-variable Bloom probe branch
-      "q_stream_decontaminate_bc")
+      "q_stream_decontaminate_bc",
+      // round 12: the forced IVF (past-broadcast) semantic-decontamination
+      // tier and its two-arm recall gate
+      "q_decontaminate_semantic_ivf", "q_decontaminate_semantic_recall")
     val headlineResults = results.toSeq.filter(kv => headline.contains(kv._1))
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "/tmp/bench.json")
     // suite-vs-isolated evidence for every re-measured query, in the detail

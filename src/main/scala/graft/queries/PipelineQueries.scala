@@ -425,6 +425,164 @@ object PipelineQueries {
     }
   }
 
+  /** Exact broadcast-needle arm of semantic decontamination — the mechanism
+    * behind `q_decontaminate_semantic` (see that entry's scaladoc for the
+    * full contract). Factored out so `q_decontaminate_semantic_recall` can
+    * compare it against the IVF tier without duplicating either plan.
+    */
+  private[graft] def semanticDecontamExact(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d).select($"vec_id",
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val needleRows = e.filter(pmod($"vec_id", lit(31)) === 0)
+      .orderBy($"vec_id").collect() // bounded: the benchmark embedding matrix (entry scaladoc)
+    val probe = graft.functions.NeedleProbe.gate(s,
+      needleRows.map(_.getLong(0)),
+      needleRows.map(_.getSeq[Double](1).toArray))
+    val low = lit((1L << 41) - 1L)
+    e.filter(pmod($"vec_id", lit(31)) =!= 0)
+      // the compact single-file parquet source would otherwise run the
+      // whole probe loop in one or two scan tasks (the lsh_recall
+      // lesson); a no-op at real scale where the source is thousands
+      // of splits
+      .repartition($"vec_id")
+      .withColumn("p", probe($"v"))
+      .select($"vec_id",
+        (low - $"p".bitwiseAND(low)).as("n_id"),
+        ((shiftright($"p", 41) - lit(10000L)).cast("double") / 10000.0).as("sim4"))
+      .withColumn("contam", $"sim4" >= 0.40)
+      .orderBy($"vec_id")
+  }
+
+  /** IVF-composed arm of semantic decontamination — the PAST-BROADCAST tier
+    * `q_decontaminate_semantic` documents: when the needle matrix no longer
+    * fits a TorrentBroadcast (~2×10⁶ × 64 doubles, the family's measured
+    * broadcast ceiling), the needles become an inverted file and the corpus
+    * probes cells instead of scanning every needle.
+    *
+    * Mechanism (every piece an existing, oracle-gated library shape):
+    *  1. a coarse quantizer trains on the NEEDLE set with the pinned Lloyd
+    *     discipline ([[graft.operators.IvfKMeans.train]]: fixed 2 iterations,
+    *     cos6 + lowest-cid assignment, exact decimal(38,12) means — the
+    *     DuckDB oracle replays it bit-for-bit via `lloydIterSql`);
+    *  2. each needle gets ONE cell (map-side fused kernel, `assignCell`) and
+    *     the needle index `(cell, n_id, nv)` is materialized once
+    *     (localCheckpoint — the IVF build artifact a production pipeline
+    *     writes out);
+    *  3. each corpus vector probes its nprobe=2 nearest cells (map-side: the
+    *     centroids ride the plan) and meets ONLY those cells' needles via a
+    *     SHUFFLE-HASH cell equi-join — the needle side is explicitly NOT
+    *     broadcast (that is the exact tier's mechanism; this tier exists for
+    *     needle sets past it), and per-vector comparisons are the probed
+    *     cells' occupancy (~2·stride), never |needles|;
+    *  4. the per-pair argmax packs (round(sim·10⁴), smaller-n_id-wins) into
+    *     one long — the same packing as the exact arm / `assignSubCells` —
+    *     so HashAggregate partial-aggregates map-side and the pair stream is
+    *     consumed in-stage (a struct-ordered min would fall back to
+    *     SortAggregate and sort the pair stream).
+    *
+    * Seed/width policy is occupancy-adaptive like the family's others, pure
+    * arithmetic on the needle COUNT so the oracle computes the identical
+    * policy in SQL: seed stride 8 (K ≈ n/8) up to 4096 needles — keeps K ≥ 2
+    * at the test scales so the cell route is genuinely exercised — and 256
+    * (K ≈ n/256, the SemDeDup occupancy policy) beyond. When K itself
+    * outgrows plan literals, the assignment swaps to the broadcast-variable
+    * kernel and then the hierarchical quantizer — the identical 3-tier
+    * ladder `q_semdedup_table`/`q_semdedup_hier` force.
+    *
+    * The price is exact recall: a needle in an unprobed cell is invisible.
+    * `q_decontaminate_semantic_recall` MEASURES that loss against the exact
+    * arm (the q_similarity_recall discipline — no approximate tier ships
+    * without a measured recall).
+    */
+  private[graft] def semanticDecontamIvf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.IvfKMeans
+    val e = embeddings(s, d).select($"vec_id",
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val needles = e.filter(pmod($"vec_id", lit(31)) === 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nNeedles = needles.count() // materializes the persist; drives the seed policy
+    val stride = if (nNeedles <= 4096L) 8L else 256L
+    // bounded: K ≈ |needles|/stride seed rows through the driver — the
+    // k-means-init bound, same as q_similarity_ann_ivf's seed collect
+    val seeds: Seq[(Long, Seq[Double])] =
+      needles.filter($"vec_id" % (31L * stride) === 0).orderBy($"vec_id")
+        .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val cents = IvfKMeans.train(s, needles, seeds, iters = 2)
+    // the IVF build artifact: one row per needle, materialized once; the
+    // needle scans above are served by the persist, released here
+    val nd = needles
+      .withColumn("cell", IvfKMeans.assignCell(s, cents, $"v"))
+      .select($"cell", $"vec_id".as("n_id"), $"v".as("nv"))
+      .localCheckpoint()
+    needles.unpersist(blocking = false)
+    val corpus = e.filter(pmod($"vec_id", lit(31)) =!= 0)
+      // spread the compact test scan (same note as the exact arm)
+      .repartition($"vec_id")
+      .withColumn("p", explode(slice(array_sort(IvfKMeans.simStructs(s, cents, $"v")), 1, 2)))
+      .select($"vec_id", $"v", $"p.cid".as("cell"))
+    val low = (1L << 41) - 1L
+    val sim4 = round(graft.functions.CosineSimilarity.cosineSim(s, $"v", $"nv"), 4) + lit(0.0)
+    // zero-norm vectors (none in the driver corpora) yield NaN cosines; a
+    // NaN long-cast is 0, which would masquerade as a real packed value —
+    // null it so max() skips it, matching the exact arm's null contract
+    val packed = when(isnan(sim4), lit(null)).otherwise(
+      (round(sim4 * 1e4).cast("long") + 10000L) * lit(1L << 41) + (lit(low) - $"n_id"))
+    corpus.join(nd.hint("shuffle_hash"), Seq("cell"))
+      .groupBy($"vec_id")
+      .agg(max(packed).as("p"))
+      .select($"vec_id",
+        (lit(low) - $"p".bitwiseAND(lit(low))).as("n_id"),
+        ((shiftright($"p", 41) - lit(10000L)).cast("double") / 10000.0).as("sim4"))
+      .withColumn("contam", $"sim4" >= 0.40)
+      .orderBy($"vec_id")
+  }
+
+  /** Oracle CTE chain replaying [[semanticDecontamIvf]] in DuckDB — ends in
+    * `ivf (vec_id, n_id, sim4, contam)`. Defines `en`/`n`/`cor` (all /
+    * needle / corpus vectors with norms; `n` is the training set
+    * `lloydIterSql` folds over), the count-driven seed policy (`pol`), two
+    * Lloyd iterations, the needle cell assignment (`nd`), the nprobe=2
+    * corpus probe list (`prb`) and the cell-restricted argmax.
+    */
+  private val semanticIvfCtes: String =
+    s"""e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |en AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |n AS (SELECT * FROM en WHERE vec_id % 31 = 0),
+       |cor AS (SELECT * FROM en WHERE vec_id % 31 <> 0),
+       |pol AS (SELECT CASE WHEN COUNT(*) <= 4096 THEN 8 ELSE 256 END AS stride FROM n),
+       |c0 AS (
+       |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+       |  WHERE vec_id % (31 * (SELECT stride FROM pol)) = 0),
+       |${lloydIterSql(0)},
+       |${lloydIterSql(1)},
+       |nd AS (
+       |  SELECT cell, vec_id AS n_id, v AS nv, nrm AS nnrm FROM (
+       |    SELECT n.vec_id, n.v, n.nrm, c.cid AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |        ROUND(list_sum(list_transform(range(1, 65), i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm), 6) DESC,
+       |        c.cid) AS rk
+       |    FROM n, c2 c) WHERE rk = 1),
+       |prb AS (
+       |  SELECT vec_id, v, nrm, cell FROM (
+       |    SELECT cor.vec_id, cor.v, cor.nrm, c.cid AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY cor.vec_id ORDER BY
+       |        ROUND(list_sum(list_transform(range(1, 65), i -> cor.v[i] * c.cv[i])) / (cor.nrm * c.cnrm), 6) DESC,
+       |        c.cid) AS rk
+       |    FROM cor, c2 c) WHERE rk <= 2),
+       |pp AS (
+       |  SELECT p.vec_id, nd.n_id,
+       |    ROUND(list_sum(list_transform(range(1, 65), i -> p.v[i] * nd.nv[i])) / (p.nrm * nd.nnrm), 4) + 0.0 AS sim4
+       |  FROM prb p JOIN nd USING (cell)),
+       |ivf AS (
+       |  SELECT vec_id, n_id, sim4, sim4 >= 0.40 AS contam FROM (
+       |    SELECT vec_id, n_id, sim4,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim4 DESC, n_id) AS rn
+       |    FROM pp) t WHERE rn = 1)""".stripMargin
+
   val entries: Map[String, QueryDef] = Map(
     // ---------------------------------------------------------- dedup
     "q_dedup_exact" -> QueryDef(
@@ -1935,39 +2093,18 @@ object PipelineQueries {
       // exposed a BENCH methodology bug (count()-forcing let column
       // pruning delete the probe entirely — see BENCH_SCALING's
       // forcing-fix section for the real, rows-forced figures). A needle
-      // set past broadcast scale composes
-      // with the library's IVF quantizer (q_similarity_ann_ivf's map-side
-      // cell assignment + cell equi-join) at the cost of exact recall —
-      // the broadcast form is the exact contract, the same trade the ANN
-      // family documents.
+      // set past broadcast scale composes with the library's IVF quantizer
+      // at the cost of exact recall — no longer prose: that tier is CODE,
+      // forced at every sf as q_decontaminate_semantic_ivf (cell-route
+      // shuffle-hash equi-join, see semanticDecontamIvf), with the recall
+      // loss MEASURED against this exact arm by
+      // q_decontaminate_semantic_recall.
       // Packing: s = round(sim4·10^4)+10^4 ∈ [0,20000] in the high bits,
       // (2^41−1−n_id) in the low 41 (ids < 2^41: exabyte-corpus headroom);
       // larger packed = (better sim, then SMALLER needle id), and
       // k/10000.0 reconstructs round(x,4) bit-identically — both are the
       // correctly-rounded double of k/10^4.
-      (s, d) => {
-        import s.implicits._
-        val e = embeddings(s, d).select($"vec_id",
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-        val needleRows = e.filter(pmod($"vec_id", lit(31)) === 0)
-          .orderBy($"vec_id").collect() // bounded: the benchmark embedding matrix (see above)
-        val probe = graft.functions.NeedleProbe.gate(s,
-          needleRows.map(_.getLong(0)),
-          needleRows.map(_.getSeq[Double](1).toArray))
-        val low = lit((1L << 41) - 1L)
-        e.filter(pmod($"vec_id", lit(31)) =!= 0)
-          // the compact single-file parquet source would otherwise run the
-          // whole probe loop in one or two scan tasks (the lsh_recall
-          // lesson); a no-op at real scale where the source is thousands
-          // of splits
-          .repartition($"vec_id")
-          .withColumn("p", probe($"v"))
-          .select($"vec_id",
-            (low - $"p".bitwiseAND(low)).as("n_id"),
-            ((shiftright($"p", 41) - lit(10000L)).cast("double") / 10000.0).as("sim4"))
-          .withColumn("contam", $"sim4" >= 0.40)
-          .orderBy($"vec_id")
-      },
+      (s, d) => semanticDecontamExact(s, d),
       Some("""WITH e AS (
              |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
              |n AS (
@@ -1981,6 +2118,59 @@ object PipelineQueries {
              |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim4 DESC, n_id) AS rn
              |  FROM p) t
              |WHERE rn = 1 ORDER BY vec_id""".stripMargin)
+    ),
+
+    "q_decontaminate_semantic_ivf" -> QueryDef(
+      // The past-broadcast tier of semantic decontamination, FORCED through
+      // the cell route at every sf (no auto-switching — this key exists to
+      // keep the scale branch oracle-gated, exactly as q_semdedup_table
+      // forces the broadcast-kernel tier and q_stream_decontaminate_bc
+      // forces the TorrentBroadcast Bloom). Same audit schema as the exact
+      // arm; results differ only where the true nearest needle hides in an
+      // unprobed cell — the loss q_decontaminate_semantic_recall measures.
+      // Full mechanism + policy scaladoc: semanticDecontamIvf above.
+      (s, d) => semanticDecontamIvf(s, d),
+      Some(s"""WITH $semanticIvfCtes
+              |SELECT vec_id, n_id, sim4, contam FROM ivf ORDER BY vec_id""".stripMargin)
+    ),
+
+    "q_decontaminate_semantic_recall" -> QueryDef(
+      // Recall measurement for the IVF decontamination tier — the
+      // q_similarity_recall discipline: no approximate tier ships without
+      // its loss measured against the exact arm. One integer-only row
+      // (exact hash compare): corpus size, how many vectors' argmax needle
+      // agrees between the arms (argmax recall@1), each arm's contamination
+      // count, and how many vectors get the SAME contam flag — the number a
+      // release actually acts on (an argmax miss that lands on an equally-
+      // contaminated needle still flags correctly).
+      (s, d) => {
+        import s.implicits._
+        val ex = semanticDecontamExact(s, d)
+          .select($"vec_id", $"n_id".as("n_ex"), $"contam".as("c_ex"))
+        val iv = semanticDecontamIvf(s, d)
+          .select($"vec_id", $"n_id".as("n_iv"), $"contam".as("c_iv"))
+        ex.join(iv, Seq("vec_id"))
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(when($"n_ex" === $"n_iv", 1L).otherwise(0L)).as("n_argmax_match"),
+            sum(when($"c_ex", 1L).otherwise(0L)).as("n_contam_exact"),
+            sum(when($"c_iv", 1L).otherwise(0L)).as("n_contam_ivf"),
+            sum(when($"c_ex" === $"c_iv", 1L).otherwise(0L)).as("n_flag_agree"))
+      },
+      Some(s"""WITH $semanticIvfCtes,
+              |ex AS (
+              |  SELECT vec_id, n_id, sim4 >= 0.40 AS contam FROM (
+              |    SELECT c.vec_id, q.vec_id AS n_id,
+              |      ROUND(list_sum(list_transform(range(1, 65), i -> c.v[i] * q.v[i])) / (c.nrm * q.nrm), 4) + 0.0 AS sim4,
+              |      ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+              |        ROUND(list_sum(list_transform(range(1, 65), i -> c.v[i] * q.v[i])) / (c.nrm * q.nrm), 4) + 0.0 DESC,
+              |        q.vec_id) AS rn
+              |    FROM cor c, n q) t WHERE rn = 1)
+              |SELECT COUNT(*) AS n_vecs,
+              |  CAST(SUM(CASE WHEN ex.n_id = ivf.n_id THEN 1 ELSE 0 END) AS BIGINT) AS n_argmax_match,
+              |  CAST(SUM(CASE WHEN ex.contam THEN 1 ELSE 0 END) AS BIGINT) AS n_contam_exact,
+              |  CAST(SUM(CASE WHEN ivf.contam THEN 1 ELSE 0 END) AS BIGINT) AS n_contam_ivf,
+              |  CAST(SUM(CASE WHEN ex.contam = ivf.contam THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_agree
+              |FROM ex JOIN ivf USING (vec_id)""".stripMargin)
     ),
 
     "q_decontaminate_bloom" -> QueryDef(

@@ -510,6 +510,26 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected the scan-parallelizing repartition and the output sort:\n$plan")
   }
 
+  test("q_decontaminate_semantic_ivf probes needles via a shuffled-hash cell equi-join: no NLJ, no needle broadcast, hash-agg argmax") {
+    // The past-broadcast tier's scale contract: the corpus meets ONLY its
+    // probed cells' needles through a cell equi-join whose needle side is
+    // explicitly NOT broadcast (broadcast is the exact tier's mechanism;
+    // this tier exists for needle sets past it), the pair stream never
+    // materializes as an NLJ/cartesian product, and the packed-long argmax
+    // partial-aggregates in HashAggregate (a struct-ordered min would fall
+    // back to SortAggregate and sort the pair stream — the 76 GB spill
+    // lesson from assignSubCells).
+    val plan = finalSection(physical(run("q_decontaminate_semantic_ivf")))
+    assert(plan.contains("ShuffledHashJoin"),
+      s"the cell equi-join must be a shuffled hash join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"the corpus x needles pair stream must never NLJ:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"the needle side must not broadcast (that is the exact tier):\n$plan")
+    assert(plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"the packed argmax must hash-aggregate (map-side partials):\n$plan")
+  }
+
   test("q_dedup_lsh_recall's truth and measured arms share ONE persisted shingle pass") {
     // The recall gate's cost story: shingle hashing (the data-proportional
     // floor) runs once, cached, and feeds the PPJoin truth arm (exploded df
