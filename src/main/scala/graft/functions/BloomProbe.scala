@@ -99,22 +99,18 @@ case class BloomBcAnyHit(
 object BloomBcProbe {
 
   /** Broadcast `words` and return a gram-array-column => any-hit-column
-    * closure. Registered as a uniquely-named temp function (the repo's
-    * standard Column-from-custom-Expression route); resolution happens once
-    * at analysis, so streaming re-use per micro-batch never re-registers.
+    * closure. The expression is built DIRECTLY (GraftColumnBridge, the same
+    * route as IvfNearestCellBc) rather than through a per-call UUID temp
+    * function: a registry entry would pin the multi-MB words broadcast for
+    * the SESSION lifetime (bench/verify call the query fn once per trial,
+    * so pinned word arrays accumulated) — with the broadcast referenced
+    * only by the plan, the ContextCleaner reclaims it as soon as the
+    * caller's DataFrame is dropped. Streaming reuse is unaffected: the
+    * expression instance rides the logical plan across micro-batches.
     */
   def gate(spark: SparkSession, words: Array[Long], mBits: Long): Column => Column = {
     val bc = spark.sparkContext.broadcast(words)
-    val fname = "graft_bloom_bc_" +
-      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      fname,
-      (exprs: Seq[Expression]) => {
-        require(exprs.length == 1,
-          s"$fname expects exactly 1 argument (array<string> grams)")
-        BloomBcAnyHit(exprs.head, bc, mBits)
-      },
-      "scala_udf")
-    g => org.apache.spark.sql.functions.call_function(fname, g)
+    g => org.apache.spark.sql.GraftColumnBridge.column(
+      BloomBcAnyHit(org.apache.spark.sql.GraftColumnBridge.expression(g), bc, mBits))
   }
 }

@@ -66,9 +66,12 @@ case class Grams3Hash48(child: Expression, mod: Long) extends UnaryExpression {
     var m = 0
     var i = 0
     while (i <= n - 3) {
-      // concat_ws(' ', a, b, c): null inputs skipped, like the HOF form
-      val gram = UTF8String.concatWs(space,
-        arr.getUTF8String(i), arr.getUTF8String(i + 1), arr.getUTF8String(i + 2))
+      // concat_ws(' ', a, b, c): null inputs skipped, like the HOF form.
+      // Explicit isNullAt guards (like the sibling gram kernels) — relying
+      // on getUTF8String returning null for null slots is implementation-
+      // dependent ArrayData behavior.
+      def at(j: Int): UTF8String = if (arr.isNullAt(j)) null else arr.getUTF8String(j)
+      val gram = UTF8String.concatWs(space, at(i), at(i + 1), at(i + 2))
       if (seen.add(gram)) {
         md.reset()
         val d = md.digest(gram.getBytes)

@@ -22,11 +22,21 @@ import org.apache.spark.unsafe.types.UTF8String
   *    that cast to a numeric/boolean type are value-identical anyway,
   *    since a re-serialized subtree never casts successfully. Use
   *    `get_json_object` when structural extraction is needed.
+  *  - DUPLICATE top-level keys return the FIRST occurrence — measured
+  *    PARITY, not divergence: `get_json_object` also emits the first
+  *    top-level match ('{"k":1,"k":2}' → "1" on both sides; pinned in
+  *    Round12OpsSpec).
   *
-  * The scanner is a real (strict) JSON walker: it tracks balanced braces
-  * through nested values, honors string escapes while skipping, and
-  * verifies the key's string syntax — a top-level "k" inside a nested
-  * object or a string VALUE can never false-match.
+  * The scanner is a real STRICT JSON walker, and strictness extends past
+  * the matched member: the whole root object is validated left-to-right
+  * (recursive descent through skipped subtrees with per-type closers and
+  * strict scalar grammars, Jackson-style 1000-deep nesting cap), so inputs
+  * like '{"k":1, junk}' or mismatched '[...}' closers return NULL exactly
+  * as `get_json_object` does when Jackson throws walking to END_OBJECT.
+  * Content after the root object's closing brace is ignored, also matching
+  * Jackson's early stop ('{"k":1} junk' → "1" in both). Pinned against
+  * `get_json_object` in Round11OpsSpec + Round12OpsSpec (malformed-suffix
+  * class).
   */
 case class JsonGetScalar(child: Expression, key: String)
     extends UnaryExpression {
@@ -45,30 +55,38 @@ case class JsonGetScalar(child: Expression, key: String)
 
   override def nullable: Boolean = true
 
-  /** Called from eval/codegen once per row; null on any malformed input. */
+  /** Called from eval/codegen once per row; null on any malformed input.
+    * The matched value is HELD, not returned, until the remaining members
+    * of the root object validate — a malformed suffix voids the match,
+    * exactly like Jackson throwing on the walk to END_OBJECT.
+    */
   def extract(input: UTF8String): UTF8String = {
     val s = input.toString
     val n = s.length
     var i = skipWs(s, 0)
     if (i >= n || s.charAt(i) != '{') return null
     i = skipWs(s, i + 1)
-    if (i < n && s.charAt(i) == '}') return null // empty object
+    if (i < n && s.charAt(i) == '}') return null // empty object: no such key
+    var found: UTF8String = null
+    var haveMatch = false
     while (i < n) {
       // parse member key
       if (s.charAt(i) != '"') return null
       val keyEnd = scanString(s, i)
       if (keyEnd < 0) return null
-      val matches = stringEquals(s, i + 1, keyEnd - 1, key)
+      val matches = !haveMatch && stringEquals(s, i + 1, keyEnd - 1, key)
       i = skipWs(s, keyEnd)
       if (i >= n || s.charAt(i) != ':') return null
       i = skipWs(s, i + 1)
       if (i >= n) return null
-      if (matches) return scalarValue(s, i)
-      i = skipValue(s, i)
+      if (matches) { found = scalarValue(s, i); haveMatch = true }
+      i = skipValue(s, i, 0) // validates the value's own syntax either way
       if (i < 0) return null
       i = skipWs(s, i)
       if (i < n && s.charAt(i) == ',') i = skipWs(s, i + 1)
-      else if (i < n && s.charAt(i) == '}') return null // key not found
+      // root object closed validly: content PAST it is ignored (Jackson
+      // stops at the root's END_OBJECT too)
+      else if (i < n && s.charAt(i) == '}') return found
       else return null
     }
     null
@@ -190,44 +208,65 @@ case class JsonGetScalar(child: Expression, key: String)
     i == n
   }
 
-  /** Skip one complete value starting at `i`; returns index after it, -1 on
-    * malformed. Tracks strings while balancing braces/brackets.
+  /** Jackson's default nesting-depth constraint; deeper input is treated
+    * as malformed on both sides. */
+  private val MaxDepth = 1000
+
+  /** Skip one complete value starting at `i0`; returns index after it, -1
+    * on malformed. STRICT recursive descent: skipped objects/arrays are
+    * fully validated (per-type closers — '[' can never close with '}' —
+    * member/element grammar, strict scalar tokens), so any garbage inside
+    * a skipped subtree voids the document exactly as Jackson's
+    * skipChildren (which tokenizes everything it skips) would.
     */
-  private def skipValue(s: String, i0: Int): Int = {
-    val n = s.length
-    var i = i0
-    s.charAt(i) match {
-      case '"' => scanString(s, i)
-      case '{' | '[' =>
-        var depth = 0
+  private def skipValue(s: String, i0: Int, depth: Int): Int = {
+    if (depth > MaxDepth) return -1
+    s.charAt(i0) match {
+      case '"' => scanString(s, i0)
+      case '{' =>
+        val n = s.length
+        var i = skipWs(s, i0 + 1)
+        if (i < n && s.charAt(i) == '}') return i + 1
         while (i < n) {
-          val c = s.charAt(i)
-          if (c == '"') {
-            val e = scanString(s, i)
-            if (e < 0) return -1
-            i = e
-          } else {
-            if (c == '{' || c == '[') depth += 1
-            else if (c == '}' || c == ']') { depth -= 1; if (depth == 0) return i + 1 }
-            i += 1
-          }
+          if (s.charAt(i) != '"') return -1
+          val keyEnd = scanString(s, i)
+          if (keyEnd < 0) return -1
+          i = skipWs(s, keyEnd)
+          if (i >= n || s.charAt(i) != ':') return -1
+          i = skipWs(s, i + 1)
+          if (i >= n) return -1
+          i = skipValue(s, i, depth + 1)
+          if (i < 0) return -1
+          i = skipWs(s, i)
+          if (i < n && s.charAt(i) == ',') i = skipWs(s, i + 1)
+          else if (i < n && s.charAt(i) == '}') return i + 1
+          else return -1
+        }
+        -1
+      case '[' =>
+        val n = s.length
+        var i = skipWs(s, i0 + 1)
+        if (i < n && s.charAt(i) == ']') return i + 1
+        while (i < n) {
+          i = skipValue(s, i, depth + 1)
+          if (i < 0) return -1
+          i = skipWs(s, i)
+          if (i < n && s.charAt(i) == ',') i = skipWs(s, i + 1)
+          else if (i < n && s.charAt(i) == ']') return i + 1
+          else return -1
         }
         -1
       case _ =>
+        val n = s.length
+        var i = i0
         while (i < n && s.charAt(i) != ',' && s.charAt(i) != '}' &&
           s.charAt(i) != ']' && s.charAt(i) != ' ' && s.charAt(i) != '\t' &&
           s.charAt(i) != '\n' && s.charAt(i) != '\r') i += 1
         // reject junk literals (Jackson would): only true/false/null and
-        // number-shaped tokens are valid non-structural values
+        // STRICT-grammar numbers are valid non-structural values
         val tok = s.substring(i0, i)
-        val ok = tok == "true" || tok == "false" || tok == "null" || {
-          tok.nonEmpty && {
-            val c0 = tok.charAt(0)
-            (c0 == '-' || (c0 >= '0' && c0 <= '9')) && tok.forall(c =>
-              c == '-' || c == '+' || c == '.' || c == 'e' || c == 'E' ||
-                (c >= '0' && c <= '9'))
-          }
-        }
+        val ok = tok == "true" || tok == "false" || tok == "null" ||
+          validJsonNumber(tok)
         if (ok) i else -1
     }
   }

@@ -134,9 +134,12 @@ case class NeedleArgmaxPacked(
 object NeedleProbe {
 
   /** Broadcast the needle matrix and return a vector-column => packed-long
-    * closure; uniquely-named temp function, same route as
-    * [[BloomBcProbe.gate]] (resolution once at analysis — streaming reuse
-    * per micro-batch never re-registers). */
+    * closure. Built DIRECTLY via GraftColumnBridge (same route and same
+    * rationale as [[BloomBcProbe.gate]]): a per-call temp-function entry
+    * would pin the needle broadcasts in the function registry for the
+    * session lifetime; with the plan as the only reference, the
+    * ContextCleaner reclaims them once the caller's DataFrame is dropped.
+    */
   def gate(
       spark: SparkSession,
       ids: Array[Long],
@@ -146,16 +149,7 @@ object NeedleProbe {
       s"needle ids/vectors must align (${ids.length} vs ${vecs.length})")
     val bcIds = spark.sparkContext.broadcast(ids)
     val bcVecs = spark.sparkContext.broadcast(vecs)
-    val fname = "graft_needle_argmax_" +
-      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      fname,
-      (exprs: Seq[Expression]) => {
-        require(exprs.length == 1,
-          s"$fname expects exactly 1 argument (array<double> vector)")
-        NeedleArgmaxPacked(exprs.head, bcIds, bcVecs)
-      },
-      "scala_udf")
-    v => org.apache.spark.sql.functions.call_function(fname, v)
+    v => org.apache.spark.sql.GraftColumnBridge.column(
+      NeedleArgmaxPacked(org.apache.spark.sql.GraftColumnBridge.expression(v), bcIds, bcVecs))
   }
 }

@@ -27,6 +27,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * `size(split(text, p, -1)) - 1` — split keeps trailing empties at
   * limit -1, so pieces = matches + 1. Null text nulls the whole struct,
   * matching the composed form's per-field null propagation.
+  *
+  * Patterns that can match the EMPTY string (e.g. `a*`) are REJECTED at
+  * analysis: Java 8+ `split` suppresses a leading empty token on a
+  * zero-width match at position 0, so the split-minus-one identity above
+  * breaks for exactly that class — and since the kernel is registered as a
+  * general SQL function taking arbitrary pattern literals, the restriction
+  * is enforced, not just documented. (The shipped email/digit patterns all
+  * require at least one character.)
   */
 case class RedactCounts(
     child: Expression,
@@ -44,7 +52,18 @@ case class RedactCounts(
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
       case StringType =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        // zero-width-matching patterns break the documented split identity
+        // (see class scaladoc) — fail analysis, not silently mis-count
+        Seq(pattern1, pattern2).find(p =>
+          try java.util.regex.Pattern.compile(p).matcher("").find()
+          catch { case _: java.util.regex.PatternSyntaxException => false }
+        ) match {
+          case Some(p) =>
+            org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+              s"redact_counts pattern must not match the empty string: '$p'")
+          case None =>
+            org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        }
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"redact_counts expects string, got ${other.sql}")

@@ -146,6 +146,15 @@ object IngestDedup {
         }
       val dst = srcDir.resolve(s"shard$b.parquet")
       java.nio.file.Files.move(part, dst)
+      // drop the empty-shard staging dir (its _SUCCESS/.crc leftovers) now
+      // that its part file has moved, mirroring the stage-dir handling
+      val tmp = base.resolve(s"emptyshard$b")
+      if (java.nio.file.Files.isDirectory(tmp)) {
+        val walk = java.nio.file.Files.walk(tmp)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
       // staggered mtimes pin batch ORDER: the file source processes
       // oldest-first, so shard b is always micro-batch b
       java.nio.file.Files.setLastModifiedTime(dst,
