@@ -108,7 +108,13 @@ object CorpusOpsQueries {
         val cents = IvfKMeans.trainBc(s, e, seeds, iters = 2)
         e.withColumn("cell", IvfKMeans.assignCellBc(s, cents, $"v"))
       }
-    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the assignment artifact feeds the self-join's two arms + the cell
+      // stats: materialize it ONCE as an eager checkpoint (a persist here
+      // would register its cache only when the CALLER materializes, then
+      // outlive the fn — CacheHygieneSpec pins no-residue), and release
+      // the corpus projection cache the Lloyd passes consumed
+    }).localCheckpoint()
+    e.unpersist(blocking = false)
     val pairs = assigned.select($"cell", $"vec_id".as("id_a"), $"v".as("va"))
       .join(assigned.select($"cell", $"vec_id".as("id_b"), $"v".as("vb")), Seq("cell"))
       .filter($"id_a" < $"id_b")

@@ -114,12 +114,20 @@ object PipelineQueries {
       .filter($"id_a" < $"id_b")
       .select($"id_a", $"id_b")
       .distinct()
-    cand
+    val pairs = cand
       .join(e.select($"vec_id".as("id_a"), $"v".as("va")), Seq("id_a"))
       .join(e.select($"vec_id".as("id_b"), $"v".as("vb")), Seq("id_b"))
       .withColumn("cos4", round(graft.functions.CosineSimilarity.cosineSim(s, $"va", $"vb"), 4))
       .filter($"cos4" >= 0.45)
       .select($"id_a", $"id_b", $"cos4")
+      // materialize the verified pair list (tiny: true near-dups) once,
+      // then release the corpus-sized signature cache — callers (pairs
+      // report, clustering, canonicalization) consume only `pairs`, and a
+      // leaked MEMORY_AND_DISK block would otherwise live for the session
+      // (the pagerank lesson; CacheHygieneSpec pins this)
+      .localCheckpoint()
+    e.unpersist(blocking = false)
+    pairs
   }
 
   /** Oracle-side CTE chain producing `scored (id_a, id_b, cos4)` — the SQL
@@ -228,9 +236,11 @@ object PipelineQueries {
       s"mBitsOverride must be a power of two in [64, 2^32] (got $m)"))
     val benchGrams = grams5(documents(s, d).filter(pmod($"doc_id", lit(31)) === 0))
       .select($"g").distinct()
-      // used three times (sizing count, bitmap build, exact-hit arm);
-      // the count materializes the persist
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // used three times (sizing count, bitmap build, exact-hit arm) and
+      // bounded by the BENCHMARK gram set: materialize once as an eager
+      // checkpoint — a persist here outlived the fn because the returned
+      // plan's exact-hit arm reads it (CacheHygieneSpec pins no-residue)
+      .localCheckpoint()
     val nGrams = benchGrams.count()
     val mBits = mBitsOverride.getOrElse(bloomPolicyBits(nGrams))
     // two probe hashes per gram: md5 hex words (oracle-reproducible) or
@@ -1319,10 +1329,15 @@ object PipelineQueries {
           .withColumn("sim4",
             round(graft.functions.CosineSimilarity.cosineSim(s, $"qv", $"cv"), 4) + lit(0.0))
         val w = Window.partitionBy($"q_id").orderBy($"sim4".desc, $"c_id")
-        scored.withColumn("rnk", row_number().over(w))
+        val out = scored.withColumn("rnk", row_number().over(w))
           .filter($"rnk" <= 3)
           .select($"q_id", $"rnk", $"c_id", $"sim4")
           .orderBy($"q_id", $"rnk")
+          // materialize the tiny top-k result, then release the corpus
+          // cache (the materialize-then-unpersist session-hygiene pattern)
+          .localCheckpoint()
+        e.unpersist(blocking = false)
+        out
       },
       Some(s"""WITH e AS (
              |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -1384,11 +1399,10 @@ object PipelineQueries {
       // oracle's recursive closure certifies the fixpoint either way.
       (s, d) => {
         import s.implicits._
-        // Materialize the pair list ONCE (eager localCheckpoint): the
-        // undirected edge list reads it twice (forward + reversed), and
-        // without the checkpoint each branch re-runs the whole LSH+verify
-        // pipeline.
-        val pairs = embeddingDupPairs(s, d).select($"id_a", $"id_b").localCheckpoint()
+        // embeddingDupPairs returns an already-materialized (checkpointed)
+        // pair list, so the forward + reversed edge reads below never
+        // re-run the LSH+verify pipeline.
+        val pairs = embeddingDupPairs(s, d).select($"id_a", $"id_b")
         val nPairs = pairs.count()
         val result = graft.operators.ConnectedComponents.labels(
           s, pairs, knownEdgeCount = Some(nPairs))
@@ -1978,7 +1992,8 @@ object PipelineQueries {
       // says they fit — so the corpus never reshuffles on healthy data.
       (s, d) => {
         import s.implicits._
-        val pairs = embeddingDupPairs(s, d).select($"id_a", $"id_b").localCheckpoint()
+        // already materialized (checkpointed) inside embeddingDupPairs
+        val pairs = embeddingDupPairs(s, d).select($"id_a", $"id_b")
         val nPairs = pairs.count()
         val labels = graft.operators.ConnectedComponents.labels(
           s, pairs, knownEdgeCount = Some(nPairs))
@@ -2294,10 +2309,15 @@ object PipelineQueries {
           .withColumn("sim4",
             round(graft.functions.CosineSimilarity.cosineSim(s, $"v", $"nv"), 4) + lit(0.0))
         val w = Window.partitionBy($"vec_id").orderBy($"sim4".desc, $"nbr_id")
-        scored.withColumn("rnk", row_number().over(w))
+        val out = scored.withColumn("rnk", row_number().over(w))
           .filter($"rnk" <= 2)
           .select($"vec_id", $"rnk".cast("long").as("rnk"), $"nbr_id", $"sim4")
           .orderBy($"vec_id", $"rnk")
+          // materialize the thin k-NN edge list (2 rows/vector, 4 cols),
+          // then release the corpus-sized signature cache
+          .localCheckpoint()
+        eraw.unpersist(blocking = false)
+        out
       },
       Some(s"""WITH e AS (
               |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -2357,13 +2377,18 @@ object PipelineQueries {
         val nAnn = ann.groupBy($"q_id").agg(count(lit(1)).as("n_ann"))
         val nHit = exact.join(ann, Seq("q_id", "c_id"))
           .groupBy($"q_id").agg(count(lit(1)).as("n_hit"))
-        nExact
+        val out = nExact
           .join(nAnn, Seq("q_id"), "left_outer")
           .join(nHit, Seq("q_id"), "left_outer")
           .select($"q_id", $"n_exact",
             coalesce($"n_ann", lit(0L)).as("n_ann"),
             coalesce($"n_hit", lit(0L)).as("n_hit"))
           .orderBy($"q_id")
+          // materialize the per-query recall counters (10 rows), then
+          // release the corpus cache both arms read
+          .localCheckpoint()
+        e.unpersist(blocking = false)
+        out
       },
       Some(s"""WITH e AS (
               |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -2772,12 +2797,14 @@ object PipelineQueries {
         // the totals are ONE row of exact longs — collect and bake as plan
         // literals (the suite's tf-idf corpus-count pattern) instead of
         // joining: the final pass stays a pure bounded-key aggregate with
-        // no join of any shape
-        perSrc.persist()
-        val tot = perSrc.agg(sum($"n_tokens"), count(lit(1))).head
+        // no join of any shape. The #sources-row aggregate is materialized
+        // once (localCheckpoint, not persist) so the totals pass and the
+        // returned projection share it with no cache residue.
+        val perSrcM = perSrc.localCheckpoint()
+        val tot = perSrcM.agg(sum($"n_tokens"), count(lit(1))).head
         val totalTokens = tot.getLong(0)
         val nSources = tot.getLong(1)
-        perSrc
+        perSrcM
           .withColumn("share_ppm",
             expr(s"(1000000L * n_tokens) DIV ${totalTokens}L"))
           .withColumn("weight_ppm",
@@ -2877,7 +2904,12 @@ object PipelineQueries {
           .select($"vec_id", $"label",
             expr("transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000 + 0.5))")
               .as("vq"))
-        eq.persist()
+        // NOT persisted: the query makes exactly two map-only passes over
+        // the source (centroid sums below, then the returned scoring pass)
+        // — re-running the quantization projection is cheaper than holding
+        // a corpus-sized quantized copy in the block manager, and at 100 TB
+        // caching the whole corpus is infeasible anyway (the scan is the
+        // cheap part; CacheHygieneSpec pins the no-residue contract).
         // centroid sums are bounded (#labels × 64 dims): collect, sort by
         // label, and bake as plan literals — the IvfKMeans centroid
         // pattern. Scoring then needs no join at all: one map-side pass

@@ -182,7 +182,13 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("q_similarity_ann_ivf assigns cells map-side and joins cells by broadcast") {
-    val plan = physical(run("q_similarity_ann_ivf"))
+    // the returned frame is the materialized top-k checkpoint (the
+    // materialize-then-unpersist cache-hygiene pattern), so gate the
+    // checkpoint-materialization execution, which carries the real plan
+    val all = executedPlansOf("q_similarity_ann_ivf")
+    val main = all.filter(_._1 == "localCheckpoint").map(_._2.toString)
+    assert(main.nonEmpty, s"expected a localCheckpoint execution; saw ${all.map(_._1)}")
+    val plan = main.maxBy(_.length)
     // candidate×probe matching is an equi-join on cell id, never all-pairs
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
