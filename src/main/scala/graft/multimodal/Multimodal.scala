@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   * of rows per partition, vectorizable batch shape, no per-row JVM↔native
   * round-trips).
   *
-  * The actual codec work is STUBBED (no image/audio libraries in this
-  * environment): `DecodeStub` derives deterministic fake pixel/sample
-  * statistics from the bytes. Everything Spark-side is real and tested —
-  * schema, lineage, partition-parallel batching, feature shapes — so swapping
-  * the stub for a real codec (JNI/FFM to libjpeg/ffmpeg on executors) changes
-  * no plan shape.
+  * Codec status (round 12): PPM images and RIFF/WAVE PCM-16 audio decode
+  * through REAL pure-JVM parsers ([[PpmCodec]]/[[WavCodec]] — header
+  * grammar, comment handling, chunk walking; exercised end-to-end by
+  * `q_multimodal_codec` against a DuckDB oracle). Formats needing native
+  * libraries (JPEG/MP4/...) keep the deterministic `DecodeStub` as their
+  * documented placeholder — everything Spark-side (schema, lineage,
+  * partition-parallel batching, feature shapes) is identical either way,
+  * so swapping the stub for a JNI/FFM codec on executors changes no plan
+  * shape.
   *
   * Scale notes: assets are processed where they land (map-only; no shuffle);
   * `repartitionForDecode` exists for skew (few giant videos) — salt by
@@ -129,6 +132,31 @@ object Multimodal {
     documents.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
       val bytes = text.getBytes("UTF-8")
       MediaAsset(id, MediaMeta("image", "fake", 64, 64, 0, 0L), bytes)
+    }
+  }
+
+  /** Real-codec asset source: each document becomes a genuinely-ENCODED
+    * media file — even doc_ids an 8×8 P6 PPM whose pixel payload is the
+    * text's bytes zero-padded/truncated to 192, odd doc_ids an 8 kHz mono
+    * PCM-16 WAV with samples (byte − 128)·256. The binary column carries
+    * real format bytes (magic, header grammar, chunk list), decoded back by
+    * the real parsers in [[PpmCodec]]/[[WavCodec]]; the construction is
+    * deterministic, so a DuckDB oracle reconstructs every decoded value
+    * from `text` (`q_multimodal_codec`).
+    */
+  def assetsFromDocumentsCodec(spark: SparkSession, documents: DataFrame): Dataset[MediaAsset] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      val b = text.getBytes("UTF-8")
+      if (id % 2 == 0) {
+        val px = java.util.Arrays.copyOf(b, 8 * 8 * 3) // zero-pads or truncates
+        MediaAsset(id, MediaMeta("image", "ppm", 8, 8, 0, 0L),
+          PpmCodec.encode(PpmCodec.Ppm(8, 8, 255, px)))
+      } else {
+        val samples = b.map(x => (((x & 0xff) - 128) * 256).toShort)
+        MediaAsset(id, MediaMeta("audio", "wav", 0, 0, 8000, b.length * 1000L / 8000),
+          WavCodec.encode(WavCodec.Wav(8000, 1, samples)))
+      }
     }
   }
 }

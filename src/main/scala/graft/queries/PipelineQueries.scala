@@ -1525,6 +1525,66 @@ object PipelineQueries {
              |ORDER BY a.doc_id""".stripMargin)
     ),
 
+    "q_multimodal_codec" -> QueryDef(
+      // REAL media bytes through REAL decoders (the r11 "resolve the stub"
+      // item): every document is ENCODED as an actual media file — even
+      // doc_ids an 8×8 P6 PPM (pixel payload = text bytes zero-padded to
+      // 192), odd doc_ids an 8 kHz mono PCM-16 RIFF/WAVE — and the map-only
+      // decode pass parses them back with the pure-JVM codecs (PPM header
+      // grammar incl. comments; WAV chunk walk): dim1 comes from the PARSED
+      // header (width / sample rate), and the unit stream is the decoded
+      // payload (pixels as unsigned bytes; samples mapped back exactly via
+      // s/256+128 — the encode multiples make the division lossless). The
+      // construction is deterministic, so DuckDB reconstructs every value
+      // from `text` (byte == codepoint on this pure-ASCII corpus) — a wrong
+      // header parse, off-by-one payload offset, endianness or padding slip
+      // breaks the hash. A decode failure surfaces as kind='error' (never
+      // silently dropped) and would row-count against the oracle.
+      // Scale shape: map-only (mapPartitions batches, the mapInPandas
+      // shape); no shuffle but the output sort. Codecs the environment has
+      // no libraries for (JPEG/MP4) remain on the documented DecodeStub.
+      (s, d) => {
+        import s.implicits._
+        val assets = graft.multimodal.Multimodal
+          .assetsFromDocumentsCodec(s, documents(s, d))
+        assets.mapPartitions(_.map { a =>
+          if (a.meta.kind == "image") {
+            graft.multimodal.PpmCodec.decode(a.content) match {
+              case Some(img) =>
+                val units = img.pixels.map(_ & 0xff)
+                (a.asset_id, "image", img.width.toLong, units.length.toLong,
+                  units.foldLeft(0L)(_ + _), units.count(_ >= 96).toLong)
+              case None => (a.asset_id, "error", -1L, -1L, -1L, -1L)
+            }
+          } else {
+            graft.multimodal.WavCodec.decode(a.content) match {
+              case Some(wav) =>
+                val units = wav.samples.map(v => v / 256 + 128)
+                (a.asset_id, "audio", wav.sampleRate.toLong, units.length.toLong,
+                  units.foldLeft(0L)(_ + _), units.count(_ >= 96).toLong)
+              case None => (a.asset_id, "error", -1L, -1L, -1L, -1L)
+            }
+          }
+        }).toDF("doc_id", "kind", "dim1", "n_units", "unit_sum", "n_high")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, length(text) AS n,
+             |    list_transform(range(1, length(text) + 1), i -> ascii(substring(text, i, 1))) AS bytes
+             |  FROM documents),
+             |img AS (
+             |  SELECT doc_id, 'image' AS kind, 8::BIGINT AS dim1, 192::BIGINT AS n_units,
+             |    COALESCE(CAST(list_sum(bytes[1 : LEAST(n, 192)]) AS BIGINT), 0) AS unit_sum,
+             |    CAST(len(list_filter(bytes[1 : LEAST(n, 192)], x -> x >= 96)) AS BIGINT) AS n_high
+             |  FROM b WHERE doc_id % 2 = 0),
+             |aud AS (
+             |  SELECT doc_id, 'audio' AS kind, 8000::BIGINT AS dim1, CAST(n AS BIGINT) AS n_units,
+             |    COALESCE(CAST(list_sum(bytes) AS BIGINT), 0) AS unit_sum,
+             |    CAST(len(list_filter(bytes, x -> x >= 96)) AS BIGINT) AS n_high
+             |  FROM b WHERE doc_id % 2 = 1)
+             |SELECT * FROM img UNION ALL SELECT * FROM aud ORDER BY doc_id""".stripMargin)
+    ),
+
     // ---------------------------------------------------------- text analysis
     "q_text_analysis" -> QueryDef(
       (s, d) => {
