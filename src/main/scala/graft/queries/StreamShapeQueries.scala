@@ -112,6 +112,32 @@ object StreamShapeQueries {
       |SELECT doc_id, COUNT(*) AS n_grams, BOOL_OR(hit) AS bloom_hit
       |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q_stream_curate's per-doc gate chain — the quality gate (fused Gopher
+    * kernels) and the Bloom decontamination probe — as a reusable STATELESS
+    * transform: applied to the stream by the query entry and to the same
+    * docs batch-side by `StreamCurateSoakSpec` (streaming/batch equivalence
+    * is exactly what stateless gates guarantee). The fused kernels are
+    * single opaque expressions, so the downstream Filter's pushdown
+    * inlining evaluates each ONCE per row (the zip_with maxRunSql safety).
+    */
+  private[graft] def curateGates(
+      s: SparkSession,
+      bloomHit: org.apache.spark.sql.Column => org.apache.spark.sql.Column
+  ): DataFrame => DataFrame = df => df
+    .withColumn("tok", split(col("text"), " "))
+    .withColumn("n_tokens", size(col("tok")).cast("long"))
+    .withColumn("sum_len", graft.functions.GopherKernels.tokCharSum(s, col("tok")))
+    .withColumn("top_cnt", graft.functions.GopherKernels.maxRunSorted(s, col("tok")))
+    .withColumn("n_stop", graft.functions.GopherKernels.stopwordHits(s, col("tok")))
+    .filter(col("n_tokens").between(40L, 100000L) &&
+      col("sum_len") >= col("n_tokens") * 3L &&
+      col("sum_len") <= col("n_tokens") * 10L &&
+      col("top_cnt") * 5L <= col("n_tokens") &&
+      col("n_stop") >= 2)
+    .withColumn("grams", graft.functions.Grams5.grams5(s, col("tok")))
+    .filter(!bloomHit(col("grams")))
+    .select(col("doc_id"), col("text"))
+
   val entries: Map[String, QueryDef] = Map(
     "q_stream_tumbling" -> QueryDef(
       (s, d) => {
@@ -444,25 +470,8 @@ object StreamShapeQueries {
         val newDocs = documents(s, d)
           .filter(pmod($"doc_id", lit(7)) =!= 0 && pmod($"doc_id", lit(31)) =!= 0)
           .select($"doc_id", $"text")
-        val prep: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = df => df
-          .withColumn("tok", split(col("text"), " "))
-          .withColumn("n_tokens", size(col("tok")).cast("long"))
-          // fused gate kernels (value-identical to the HOF chains —
-          // Round11OpsSpec): single opaque expressions, so the downstream
-          // Filter's pushdown inlining evaluates each ONCE per row, the
-          // same safety the zip_with maxRunSql shape bought
-          .withColumn("sum_len", graft.functions.GopherKernels.tokCharSum(s, col("tok")))
-          .withColumn("top_cnt", graft.functions.GopherKernels.maxRunSorted(s, col("tok")))
-          .withColumn("n_stop", graft.functions.GopherKernels.stopwordHits(s, col("tok")))
-          .filter(col("n_tokens").between(40L, 100000L) &&
-            col("sum_len") >= col("n_tokens") * 3L &&
-            col("sum_len") <= col("n_tokens") * 10L &&
-            col("top_cnt") * 5L <= col("n_tokens") &&
-            col("n_stop") >= 2)
-          .withColumn("grams", graft.functions.Grams5.grams5(s, col("tok")))
-          .filter(!bloomHit(col("grams")))
-          .select(col("doc_id"), col("text"))
-        val run = IngestDedup.runIngest(s, newDocs, corpusFps, nShards = 2, prep = prep)
+        val run = IngestDedup.runIngest(s, newDocs, corpusFps, nShards = 2,
+          prep = curateGates(s, bloomHit))
         val out = s.read.parquet(run.outDir)
           .select($"doc_id", $"fp", $"n_dup_in_shard")
           .orderBy($"doc_id").localCheckpoint()
