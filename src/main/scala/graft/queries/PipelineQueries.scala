@@ -982,6 +982,17 @@ object PipelineQueries {
       // true-pair count and how many of those the banding recalled — the
       // measured S-curve of the scheme. Integers only; nothing float decides
       // a row or a group.
+      // MEASUREMENT NOTE (the r11 "order-sensitive" item, root-caused in
+      // round 12): this query's cost is dominated by the shared shingle /
+      // md5 / sorted-set kernels, which need ~10 corpus-scale passes to
+      // reach JVM steady state (C2). In-suite, the alphabetically earlier
+      // dedup queries provide those passes; isolated-from-cold they don't —
+      // measured at sf0.1: 4.63 s alone vs 2.19 s when preceded by
+      // q_dedup_{minhash_lsh,ngram_jaccard,containment} (≈1.6× calibrated).
+      // The published figure is the in-suite one — the steady state any
+      // long-running deployment sits in; an isolated re-measure is expected
+      // to read HIGH, never low, so the bench's min(suite, isolated)
+      // correction cannot be fooled by it.
       (s, d) => {
         import s.implicits._
         val sh = documents(s, d)
