@@ -175,7 +175,11 @@ object Bench {
     // the detail JSON ("suite"/"isolated") so the correction is transparent.
     // The parent session stops FIRST so the child measures on a quiet box.
     val isChild = sys.env.contains("SPARK_GRAFT_ISOLATED_CHILD")
-    val suspectBar = math.max(0.75, 3.0 * calib)
+    // calib/3, not 3*calib: the multiplier was tuned for the old ~0.2 s
+    // probe (3x ≈ 0.6 s); the round-12 probe is ~9x longer, so the same
+    // absolute bar is about a THIRD of it — with 3x the bar would sit at
+    // ~5 s and nothing would ever re-measure
+    val suspectBar = math.max(0.75, calib / 3.0)
     // Cap at the top 10 by suite median: at data-dominated SFs (sf1+) half
     // the suite legitimately exceeds an absolute bar, and re-measuring 40+
     // queries would add tens of minutes for corrections that matter only on
