@@ -112,7 +112,10 @@ object CorpusOpsQueries {
       // stats: materialize it ONCE as an eager checkpoint (a persist here
       // would register its cache only when the CALLER materializes, then
       // outlive the fn — CacheHygieneSpec pins no-residue), and release
-      // the corpus projection cache the Lloyd passes consumed
+      // the corpus projection cache the Lloyd passes consumed. A/B at sf1
+      // (round 12, isolated 3-trial medians, calibrated): checkpoint 5.24
+      // vs persist 4.97 units on q_semdedup_hier — the hygiene guarantee
+      // costs ~5% here, paid knowingly.
     }).localCheckpoint()
     e.unpersist(blocking = false)
     val pairs = assigned.select($"cell", $"vec_id".as("id_a"), $"v".as("va"))
