@@ -109,6 +109,104 @@ case class IvfNearestCellBc(
     copy(child = c)
 }
 
+/** Top-`nprobe` variant of [[IvfNearestCell]]: the cids of the `nprobe`
+  * nearest centroids by (round(cos, 6) DESC, cid ASC), as one fused
+  * expression returning `array<long>`. Semantically identical to the
+  * composed probe-side formulation
+  * `transform(slice(array_sort(simStructs(cents, v)), 1, nprobe), p -> p.cid)`
+  * — K cosine trees + K struct allocations + a full array sort per row —
+  * but one compiled loop with the centroid matrix in a codegen reference,
+  * and per-row BigDecimal rounding bounded by the raw-window argument
+  * instead of K. This is the CORPUS-side probe of the IVF
+  * decontamination tier (every corpus vector runs it), where the composed
+  * form's O(K·dim) plan nodes and per-row sort were the dominant cost.
+  *
+  * Ordering parity with the struct sort: doubles compare via
+  * java.lang.Double.compare (NaN greatest, -0.0 < 0.0), so all-NaN cells
+  * rank after every real cosine and tie among themselves by cid — exactly
+  * array_sort's struct ordering.
+  */
+case class IvfNearestCells(
+    child: Expression,
+    cids: Array[Long],
+    cents: Array[Array[Double]],
+    cnorms: Array[Double],
+    nprobe: Int
+) extends UnaryExpression {
+
+  require(cids.length == cents.length && cids.length == cnorms.length && cids.nonEmpty)
+  require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ivf_nearest_cells"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    IvfNearestCell.nearestN(v, cids, cents, cnorms, nprobe)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cidsRef = ctx.addReferenceObj("cids", cids, "long[]")
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    val cnormsRef = ctx.addReferenceObj("cnorms", cnorms, "double[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.IvfNearestCell.nearestN($v, $cidsRef, $centsRef, $cnormsRef, $nprobe);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+
+  // content equality over the Array fields, same rationale as IvfNearestCell
+  override def equals(other: Any): Boolean = other match {
+    case o: IvfNearestCells =>
+      child == o.child && nprobe == o.nprobe &&
+        java.util.Arrays.equals(cids, o.cids) &&
+        cents.length == o.cents.length &&
+        cents.indices.forall(i => java.util.Arrays.equals(cents(i), o.cents(i))) &&
+        java.util.Arrays.equals(cnorms, o.cnorms)
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(
+    child, Integer.valueOf(nprobe),
+    Integer.valueOf(java.util.Arrays.hashCode(cids)),
+    Integer.valueOf(java.util.Arrays.deepHashCode(cents.asInstanceOf[Array[AnyRef]])),
+    Integer.valueOf(java.util.Arrays.hashCode(cnorms)))
+}
+
+/** [[IvfNearestCells]] with the centroid triple riding a broadcast
+  * variable — the probe-side twin of [[IvfNearestCellBc]] for quantizers
+  * past the plan-literal cap (same static kernel, bit-parity by
+  * construction).
+  */
+case class IvfNearestCellsBc(
+    child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Array[Double]], Array[Double])],
+    nprobe: Int
+) extends UnaryExpression {
+
+  require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ivf_nearest_cells_bc"
+
+  /** Called from eval/codegen once per row. */
+  def nearestNOf(v: ArrayData): ArrayData = {
+    val t = bc.value
+    IvfNearestCell.nearestN(v, t._1, t._2, t._3, nprobe)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    nearestNOf(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("nearestNBc", this, classOf[IvfNearestCellsBc].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.nearestNOf($v);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object IvfNearestCell {
 
   /** Max distance 6-dp HALF_UP rounding can move a double: the shortest-
@@ -209,5 +307,129 @@ object IvfNearestCell {
       k += 1
     }
     bestCid
+  }
+
+  /** Top-`nprobe` kernel behind [[IvfNearestCells]]/[[IvfNearestCellsBc]].
+    *
+    * Same two-pass discipline as [[nearest]], generalized: pass 1 computes
+    * raw cosines (pure-double hot loop) while tracking the nprobe-th
+    * largest non-NaN raw value; pass 2 applies the exact BigDecimal HALF_UP
+    * `round(_, 6)` ONLY to candidates within [[Round6Window]] of that
+    * threshold (the window argument: a raw cosine more than the window
+    * BELOW the raw nprobe-th cannot round above — or tie — the rounded
+    * nprobe-th, so it can never displace a top-nprobe member or affect a
+    * tiebreak). Candidates sort by (-cos6, cid) with Double.compare
+    * ordering; if fewer than nprobe non-NaN cosines exist, NaN cells fill
+    * the tail in ascending-cid order — both exactly the composed
+    * `array_sort` struct ordering.
+    */
+  def nearestN(
+      v: ArrayData,
+      cids: Array[Long],
+      cents: Array[Array[Double]],
+      cnorms: Array[Double],
+      nprobe: Int
+  ): ArrayData = {
+    val kk = cids.length
+    val np = math.min(nprobe, kk)
+    val raw = new Array[Double](kk)
+    // top-np raw non-NaN values, kept sorted descending (np is tiny)
+    val top = new Array[Double](np)
+    var nTop = 0
+    val n = v.numElements()
+    var k = 0
+    while (k < kk) {
+      val c = cents(k)
+      val m = math.min(n, c.length)
+      var dot = 0.0
+      var nv = 0.0
+      var j = 0
+      while (j < m) {
+        val x = v.getDouble(j)
+        dot += x * c(j); nv += x * x
+        j += 1
+      }
+      val cnorm =
+        if (m == c.length) cnorms(k)
+        else {
+          var s = 0.0; var i = 0
+          while (i < m) { s += c(i) * c(i); i += 1 }
+          math.sqrt(s)
+        }
+      val cos = dot / (math.sqrt(nv) * cnorm)
+      raw(k) = cos
+      if (!java.lang.Double.isNaN(cos) && (nTop < np || cos > top(nTop - 1))) {
+        var i = math.min(nTop, np - 1)
+        while (i > 0 && top(i - 1) < cos) { top(i) = top(i - 1); i -= 1 }
+        top(i) = cos
+        if (nTop < np) nTop += 1
+      }
+      k += 1
+    }
+    val out = new Array[Long](np)
+    var written = 0
+    if (nTop > 0) {
+      // candidates: every non-NaN raw within the window of the raw
+      // nTop-th; -Infinity threshold stays -Inf (all candidates qualify),
+      // matching the all-K rounded sort
+      val cut = top(nTop - 1) - Round6Window
+      // (cos6 ASC would be -cos6 DESC; store negs = -cos6 and sort asc)
+      var cand = new Array[Long](8) // packed slots: index into raw
+      var nc = 0
+      k = 0
+      while (k < kk) {
+        val cos = raw(k)
+        if (!java.lang.Double.isNaN(cos) && cos >= cut) {
+          if (nc == cand.length) cand = java.util.Arrays.copyOf(cand, nc * 2)
+          cand(nc) = k; nc += 1
+        }
+        k += 1
+      }
+      val negs = new Array[Double](nc)
+      var i = 0
+      while (i < nc) {
+        val cos = raw(cand(i).toInt)
+        negs(i) = -(
+          if (java.lang.Double.isInfinite(cos)) cos
+          else java.math.BigDecimal.valueOf(cos)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+        i += 1
+      }
+      // selection sort over the tiny candidate set by (negs, cid),
+      // Double.compare ordering — emit the first np
+      val used = new Array[Boolean](nc)
+      while (written < np && written < nc) {
+        var best = -1
+        var b = 0
+        while (b < nc) {
+          if (!used(b)) {
+            if (best < 0) best = b
+            else {
+              val cmp = java.lang.Double.compare(negs(b), negs(best))
+              if (cmp < 0 || (cmp == 0 && cids(cand(b).toInt) < cids(cand(best).toInt)))
+                best = b
+            }
+          }
+          b += 1
+        }
+        used(best) = true
+        out(written) = cids(cand(best).toInt)
+        written += 1
+      }
+    }
+    if (written < np) {
+      // NaN cells fill the tail in ascending-cid order (struct-sort parity)
+      val nanCids = new Array[Long](kk)
+      var nn = 0
+      k = 0
+      while (k < kk) {
+        if (java.lang.Double.isNaN(raw(k))) { nanCids(nn) = cids(k); nn += 1 }
+        k += 1
+      }
+      java.util.Arrays.sort(nanCids, 0, nn)
+      var i = 0
+      while (written < np && i < nn) { out(written) = nanCids(i); written += 1; i += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }

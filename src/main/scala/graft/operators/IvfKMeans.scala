@@ -115,6 +115,62 @@ object IvfKMeans {
       .sortBy(_._1)
   }
 
+  /** Top-`nprobe` probe cells for `vcol` — the fused, compiled twin of
+    * `transform(slice(array_sort(simStructs(...)), 1, nprobe), p -> p.cid)`
+    * ([[graft.functions.IvfNearestCells]]): one expression node instead of
+    * K cosine trees + a per-row struct sort, bit-identical ordering
+    * (round-6 HALF_UP, lowest-cid ties, NaN cells last by cid). This is
+    * the CORPUS-side probe of the IVF decontamination tier, where every
+    * corpus vector runs it.
+    */
+  def probeCells(
+      spark: SparkSession,
+      cents: Seq[(Long, Seq[Double])],
+      vcol: Column,
+      nprobe: Int
+  ): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val (cids, mat, cnorms) = centArrays(cents)
+    GraftColumnBridge.column(graft.functions.IvfNearestCells(
+      Cast(GraftColumnBridge.expression(vcol), ArrayType(DoubleType)),
+      cids, mat, cnorms, nprobe))
+  }
+
+  /** Broadcast-variable twin of [[probeCells]] for quantizers past the
+    * plan-literal cap (same static kernel — bit-parity by construction).
+    */
+  def probeCellsBc(
+      spark: SparkSession,
+      cents: Seq[(Long, Seq[Double])],
+      vcol: Column,
+      nprobe: Int
+  ): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val bc = spark.sparkContext.broadcast(centArrays(cents))
+    GraftColumnBridge.column(graft.functions.IvfNearestCellsBc(
+      Cast(GraftColumnBridge.expression(vcol), ArrayType(DoubleType)), bc, nprobe))
+  }
+
+  /** (cids, matrix, norms) triple from a centroid Seq — the norm fold is
+    * CosineSimilarity's left-to-right |b|² accumulation (identical IEEE
+    * double, the kernels' bit-parity contract). */
+  private def centArrays(
+      cents: Seq[(Long, Seq[Double])]
+  ): (Array[Long], Array[Array[Double]], Array[Double]) = {
+    val cids = cents.map(_._1).toArray
+    val mat = cents.map(_._2.toArray).toArray
+    val cnorms = mat.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      math.sqrt(s)
+    }
+    (cids, mat, cnorms)
+  }
+
   /** Broadcast-variable twin of [[assignCell]] for centroid counts past the
     * plan-literal cap: the SAME static [[graft.functions.IvfNearestCell]]
     * kernel — bit-parity with the literal path by construction — with the

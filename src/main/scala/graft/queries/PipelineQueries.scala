@@ -530,8 +530,14 @@ object PipelineQueries {
     val corpus = e.filter(pmod($"vec_id", lit(31)) =!= 0)
       // spread the compact test scan (same note as the exact arm)
       .repartition($"vec_id")
-      .withColumn("p", explode(slice(array_sort(IvfKMeans.simStructs(s, cents, $"v")), 1, 2)))
-      .select($"vec_id", $"v", $"p.cid".as("cell"))
+      // fused top-2 probe (one compiled loop; bit-identical to the
+      // composed slice(array_sort(simStructs)) route — Round12OpsSpec) —
+      // literal tier while K fits the plan, broadcast-variable twin past
+      // it, the same ladder as assignCell/assignCellBc
+      .withColumn("cell", explode(
+        if (cents.size <= 1024) IvfKMeans.probeCells(s, cents, $"v", 2)
+        else IvfKMeans.probeCellsBc(s, cents, $"v", 2)))
+      .select($"vec_id", $"v", $"cell")
     val low = (1L << 41) - 1L
     val sim4 = round(graft.functions.CosineSimilarity.cosineSim(s, $"v", $"nv"), 4) + lit(0.0)
     // zero-norm vectors (none in the driver corpora) yield NaN cosines; a

@@ -94,6 +94,44 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(!hits) // md5("g") bits don't land on the single set bit
   }
 
+  test("fused top-nprobe probe is value-identical to the composed array_sort(simStructs) route") {
+    import spark.implicits._
+    import graft.operators.IvfKMeans
+    // crafted centroid table: near-duplicates that tie at 6 dp, an exact
+    // duplicate pair (cid tiebreak), an anti-correlated cell, and a
+    // zero-norm cell whose cosine is NaN against everything
+    val cents: Seq[(Long, Seq[Double])] = Seq(
+      7L -> Seq(1.0, 0.0, 0.0, 0.0),
+      3L -> Seq(1.0, 1e-9, 0.0, 0.0), // rounds to the same cos6 vs most vectors -> cid tiebreak
+      9L -> Seq(1.0, 1e-9, 0.0, 0.0), // exact duplicate of cid 3 -> 3 must win
+      5L -> Seq(-1.0, 0.0, 0.0, 0.0), // anti-correlated
+      2L -> Seq(0.0, 1.0, 0.0, 0.0),
+      8L -> Seq(0.0, 0.0, 0.0, 0.0)) // zero-norm: NaN vs everything
+    val vecs = Seq(
+      Seq(1.0, 0.0, 0.0, 0.0), // ties 7/3/9 at 6 dp
+      Seq(0.9, 0.1, 0.0, 0.0),
+      Seq(-0.7, 0.2, 0.1, 0.0),
+      Seq(0.0, 0.0, 1.0, 0.0), // orthogonal to all real cells: cos 0 everywhere
+      Seq(0.0, 0.0, 0.0, 0.0), // zero-norm vector: all-NaN row -> cells by ascending cid
+      Seq(1e-3, -1e-3, 1e-3, -1e-3))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    for (np <- Seq(1, 2, 3, 6, 9)) { // incl. nprobe > K
+      val composedDf = df
+        .withColumn("probe_structs", IvfKMeans.simStructs(spark, cents, $"v"))
+        .select($"id", expr(
+          s"transform(slice(array_sort(probe_structs), 1, $np), p -> p.cid)").as("cells"))
+        .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+      val fused = df
+        .select($"id", IvfKMeans.probeCells(spark, cents, $"v", np).as("cells"))
+        .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+      val fusedBc = df
+        .select($"id", IvfKMeans.probeCellsBc(spark, cents, $"v", np).as("cells"))
+        .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+      assert(fused == composedDf, s"nprobe=$np literal diverged")
+      assert(fusedBc == composedDf, s"nprobe=$np broadcast diverged")
+    }
+  }
+
   test("the semantic recall row equals a direct recompute from the two arms") {
     import spark.implicits._
     val ex = graft.queries.PipelineQueries.semanticDecontamExact(spark, sfDir)
