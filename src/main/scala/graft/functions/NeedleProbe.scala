@@ -63,10 +63,7 @@ case class NeedleArgmaxPacked(
   @transient private lazy val scratch: ThreadLocal[Array[Double]] =
     ThreadLocal.withInitial(() => new Array[Double](bcVecs.value.length))
 
-  private def roundedScaled(x: Double): Long =
-    java.math.BigDecimal.valueOf(x)
-      .setScale(4, java.math.RoundingMode.HALF_UP)
-      .movePointRight(4).longValueExact()
+  private def roundedScaled(x: Double): Long = NeedleProbe.roundedScaled(x)
 
   /** Called once per row from eval/codegen; returns the packed long or
     * null (boxed) when every needle sim is NaN. */
@@ -131,7 +128,117 @@ case class NeedleArgmaxPacked(
     copy(child = newChild)
 }
 
+/** Column-needle twin of [[NeedleArgmaxPacked]] for the IVF (past-
+  * broadcast) tier: the candidate needle set arrives from the CELL JOIN as
+  * an `array<struct<n_id bigint, nv array<double>>>` column (one row per
+  * corpus-vector × probed-cell, carrying that cell's needle list), and the
+  * kernel emits the same packed (round4-sim, min-n_id) long in ONE call —
+  * raw cosine loop over the cell's needles, exact HALF_UP rounding run
+  * once on the raw max with the tie-window re-round, identical to the
+  * broadcast kernel's discipline and to the row-per-pair formulation it
+  * replaces. The row-per-pair form paid TWO BigDecimal roundings per
+  * joined pair (`round(cos, 4)` then `round(sim4·10⁴)`) — ~320M BigDecimal
+  * ops at the sf16 point, which measured as ~70% of the query (31.2 s vs
+  * the ~3 s the join/probe shape itself costs); this kernel pays ~1 per
+  * corpus-row-per-cell. All-NaN cells return null (max skips it), as
+  * before.
+  */
+case class NeedleArgmaxPackedCells(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "needle_argmax_packed_cells"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _),
+        ArrayType(StructType(Array(
+          StructField(_, LongType, _, _), StructField(_, ArrayType(DoubleType, _), _, _))), _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"needle_argmax_packed_cells expects (array<double>, array<struct<bigint, array<double>>>), got $other")
+    }
+
+  /** Called once per row from eval/codegen. */
+  def packedBest(v: ArrayData, nds: ArrayData): Any = {
+    val kk = nds.numElements()
+    if (kk == 0) return null
+    val n = v.numElements()
+    val sims = new Array[Double](kk)
+    var rawMax = Double.NegativeInfinity
+    var any = false
+    var j = 0
+    while (j < kk) {
+      val row = nds.getStruct(j, 2)
+      val nv = row.getArray(1)
+      val m = math.min(n, nv.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < m) {
+        val x = v.getDouble(i); val y = nv.getDouble(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val sim = dot / (math.sqrt(na) * math.sqrt(nb))
+      sims(j) = sim
+      if (sim == sim) { // not NaN
+        any = true
+        if (sim > rawMax) rawMax = sim
+      }
+      j += 1
+    }
+    if (!any) return null
+    val kMax = NeedleProbe.roundedScaled(rawMax)
+    var best = Long.MaxValue
+    j = 0
+    while (j < kk) {
+      val sim = sims(j)
+      if (sim == sim && sim >= rawMax - 2e-4) {
+        val id = nds.getStruct(j, 2).getLong(0)
+        if (id < best && NeedleProbe.roundedScaled(sim) == kMax) best = id
+      }
+      j += 1
+    }
+    ((kMax + 10000L) << 41) | ((1L << 41) - 1L - best)
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    packedBest(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, nds) => {
+      val self = ctx.addReferenceObj("needleCellProbe", this, classOf[NeedleArgmaxPackedCells].getName)
+      val boxed = ctx.freshName("packed")
+      s"""
+         |Object $boxed = $self.packedBest($v, $nds);
+         |if ($boxed == null) { ${ev.isNull} = true; } else {
+         |  ${ev.value} = ((java.lang.Long) $boxed).longValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object NeedleProbe {
+
+  /** Spark's `round(x·10⁴)` on an exact-4-dp double — the family packing's
+    * scaled HALF_UP round, shared by the broadcast and column-needle
+    * kernels (bit-parity contract). */
+  private[functions] def roundedScaled(x: Double): Long =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP)
+      .movePointRight(4).longValueExact()
+
+  /** Column-API surface for [[NeedleArgmaxPackedCells]]. */
+  def argmaxPackedCells(vec: Column, nds: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(NeedleArgmaxPackedCells(
+      org.apache.spark.sql.GraftColumnBridge.expression(vec),
+      org.apache.spark.sql.GraftColumnBridge.expression(nds)))
 
   /** Broadcast the needle matrix and return a vector-column => packed-long
     * closure. Built DIRECTLY via GraftColumnBridge (same route and same

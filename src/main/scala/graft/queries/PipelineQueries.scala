@@ -520,11 +520,16 @@ object PipelineQueries {
       needles.filter($"vec_id" % (31L * stride) === 0).orderBy($"vec_id")
         .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
     val cents = IvfKMeans.train(s, needles, seeds, iters = 2)
-    // the IVF build artifact: one row per needle, materialized once; the
-    // needle scans above are served by the persist, released here
+    // the IVF build artifact, grouped PER CELL: one row per cell carrying
+    // its needle list (id + vector) — the inverted file's posting lists —
+    // materialized once. Row width is bounded by the occupancy policy
+    // (~stride needles × 64 doubles ≈ 130 KB at stride 256), and the cell
+    // table has K rows, so the join side stays an ordinary shuffled
+    // relation at any needle count (never broadcast-bounded).
     val nd = needles
       .withColumn("cell", IvfKMeans.assignCell(s, cents, $"v"))
-      .select($"cell", $"vec_id".as("n_id"), $"v".as("nv"))
+      .groupBy($"cell")
+      .agg(collect_list(struct($"vec_id".as("n_id"), $"v".as("nv"))).as("nds"))
       .localCheckpoint()
     needles.unpersist(blocking = false)
     val corpus = e.filter(pmod($"vec_id", lit(31)) =!= 0)
@@ -539,12 +544,13 @@ object PipelineQueries {
         else IvfKMeans.probeCellsBc(s, cents, $"v", 2)))
       .select($"vec_id", $"v", $"cell")
     val low = (1L << 41) - 1L
-    val sim4 = round(graft.functions.CosineSimilarity.cosineSim(s, $"v", $"nv"), 4) + lit(0.0)
-    // zero-norm vectors (none in the driver corpora) yield NaN cosines; a
-    // NaN long-cast is 0, which would masquerade as a real packed value —
-    // null it so max() skips it, matching the exact arm's null contract
-    val packed = when(isnan(sim4), lit(null)).otherwise(
-      (round(sim4 * 1e4).cast("long") + 10000L) * lit(1L << 41) + (lit(low) - $"n_id"))
+    // ONE fused argmax per (corpus vector × probed cell): the cell's
+    // posting list rides the joined row and NeedleArgmaxPackedCells runs
+    // the raw cosine loop + single windowed HALF_UP rounding per call —
+    // the row-per-pair formulation this replaces evaluated TWO BigDecimal
+    // roundings per joined PAIR (~320M at sf16, measured ~70% of the
+    // query: 31.2 s → 9.4 s). All-NaN cells yield null; max() skips it.
+    val packed = graft.functions.NeedleProbe.argmaxPackedCells($"v", $"nds")
     corpus.join(nd.hint("shuffle_hash"), Seq("cell"))
       .groupBy($"vec_id")
       .agg(max(packed).as("p"))

@@ -132,6 +132,34 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("column-needle argmax kernel is value-identical to the broadcast kernel") {
+    import spark.implicits._
+    // needles crafted for ties at the 4-dp boundary, an exact duplicate
+    // (min-id rule), anti-correlation, and a zero-norm (NaN) needle
+    val nIds = Array(11L, 3L, 9L, 5L, 2L)
+    val nVecs: Array[Array[Double]] = Array(
+      Array(1.0, 0.0, 0.0), Array(1.0, 1e-9, 0.0), Array(1.0, 1e-9, 0.0),
+      Array(-1.0, 0.0, 0.0), Array(0.0, 0.0, 0.0))
+    val vecs = Seq(
+      Seq(1.0, 0.0, 0.0), Seq(0.6, 0.8, 0.0), Seq(-0.9, 0.1, 0.0),
+      Seq(0.0, 0.0, 0.0), // all-NaN row -> both kernels must yield null
+      Seq(1e-4, -1e-4, 1.0))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val viaBc = graft.functions.NeedleProbe.gate(spark, nIds, nVecs)
+    val ndsLit = typedlit(nIds.zip(nVecs.map(_.toSeq)).toSeq)
+      .cast("array<struct<n_id:bigint,nv:array<double>>>")
+    val got = df.select($"id",
+        viaBc($"v").as("p_bc"),
+        graft.functions.NeedleProbe.argmaxPackedCells($"v", ndsLit).as("p_cells"))
+      .collect().sortBy(_.getLong(0))
+    got.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2), s"null parity broke on row ${r.getLong(0)}")
+      if (!r.isNullAt(1))
+        assert(r.getLong(1) == r.getLong(2), s"packed diverged on row ${r.getLong(0)}")
+    }
+    assert(got.count(_.isNullAt(1)) == 1, "exactly the zero-norm row must be null")
+  }
+
   test("the semantic recall row equals a direct recompute from the two arms") {
     import spark.implicits._
     val ex = graft.queries.PipelineQueries.semanticDecontamExact(spark, sfDir)
