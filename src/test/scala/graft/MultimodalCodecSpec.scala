@@ -83,6 +83,33 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(WavCodec.decode(eightBit).isEmpty, "non-16-bit samples")
   }
 
+  test("codec round-trip PROPERTY: random images and clips survive encode->decode byte-exact") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val ppmProp = Prop.forAll(
+      Gen.choose(1, 9), Gen.choose(1, 9), Gen.choose(1, 255),
+      Gen.long) { (w, h, maxVal, seed) =>
+      val rnd = new scala.util.Random(seed)
+      // samples must respect maxVal (the decoder range-checks)
+      val px = Array.fill(w * h * 3)((rnd.nextInt(maxVal + 1) & 0xff).toByte)
+      val back = PpmCodec.decode(PpmCodec.encode(PpmCodec.Ppm(w, h, maxVal, px)))
+      back.exists(p => p.width == w && p.height == h && p.maxVal == maxVal &&
+        java.util.Arrays.equals(p.pixels, px))
+    }
+    val wavProp = Prop.forAll(
+      Gen.choose(1, 96000), Gen.choose(1, 4), Gen.choose(0, 300), Gen.long) {
+      (rate, ch, n, seed) =>
+        val rnd = new scala.util.Random(seed)
+        val samples = Array.fill(n)(rnd.nextInt().toShort)
+        val back = WavCodec.decode(WavCodec.encode(WavCodec.Wav(rate, ch, samples)))
+        back.exists(a => a.sampleRate == rate && a.channels == ch &&
+          java.util.Arrays.equals(a.samples, samples))
+    }
+    val p = Parameters.default.withMinSuccessfulTests(200)
+    assert(check(p, ppmProp).passed, "PPM round-trip property failed")
+    assert(check(p, wavProp).passed, "WAV round-trip property failed")
+  }
+
   test("the codec asset source emits decodable real bytes for every document") {
     val spark = SparkSuite.spark
     val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
