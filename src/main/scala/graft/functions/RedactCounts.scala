@@ -28,13 +28,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * limit -1, so pieces = matches + 1. Null text nulls the whole struct,
   * matching the composed form's per-field null propagation.
   *
-  * Patterns that can match the EMPTY string (e.g. `a*`) are REJECTED at
-  * analysis: Java 8+ `split` suppresses a leading empty token on a
-  * zero-width match at position 0, so the split-minus-one identity above
-  * breaks for exactly that class — and since the kernel is registered as a
-  * general SQL function taking arbitrary pattern literals, the restriction
-  * is enforced, not just documented. (The shipped email/digit patterns all
-  * require at least one character.)
+  * Zero-WIDTH matches are REJECTED, at two layers: patterns matching the
+  * empty string (e.g. `a*`) fail ANALYSIS, and context-dependent zero-width
+  * patterns that slip past that probe (`(?=a)`, `\b` — they never match ""
+  * yet produce zero-length matches on real text) fail at RUNTIME the moment
+  * a zero-length match is observed in the count loop. Java 8+ `split`
+  * suppresses a leading empty token on a zero-width match — on empty AND
+  * non-empty input — so the split-minus-one identity above breaks for
+  * exactly this class; since the kernel is registered as a general SQL
+  * function taking arbitrary pattern literals, the restriction is enforced
+  * for the whole class, not just the analysis-detectable subset. (The
+  * shipped email/digit patterns all consume at least one character.)
   */
 case class RedactCounts(
     child: Expression,
@@ -80,7 +84,16 @@ case class RedactCounts(
     val m = p.matcher(text)
     var n = 0L
     val sb = new java.lang.StringBuilder
-    while (m.find()) { m.appendReplacement(sb, q); n += 1 }
+    while (m.find()) {
+      if (m.end() == m.start())
+        // context-dependent zero-width match (lookaround, \b): the
+        // split-minus-one count identity does not hold — refuse, don't
+        // silently mis-count (see class scaladoc)
+        throw new IllegalArgumentException(
+          s"redact_counts pattern '${p.pattern}' produced a zero-length match " +
+            s"at offset ${m.start()}; zero-width patterns are unsupported")
+      m.appendReplacement(sb, q); n += 1
+    }
     m.appendTail(sb)
     (sb.toString, n)
   }

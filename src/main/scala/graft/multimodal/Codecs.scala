@@ -144,20 +144,24 @@ object WavCodec {
     if (bytes.length < 12 || fourcc(bytes, 0) != "RIFF" || fourcc(bytes, 8) != "WAVE")
       return None
     val riffEnd = math.min(bytes.length.toLong, 8L + leInt(bytes, 4))
-    var i = 12
+    // Long cursor: a malformed chunk size near Int.MaxValue must trip the
+    // bounds check, not wrap Int arithmetic past it (riffEnd <= bytes.length
+    // so any in-bounds cursor narrows back to Int losslessly).
+    var i = 12L
     var rate = -1; var channels = -1; var fmtOk = false
     var samples: Array[Short] = null
     while (i + 8 <= riffEnd) {
-      val id = fourcc(bytes, i)
-      val size = leInt(bytes, i + 4)
+      val at = i.toInt
+      val id = fourcc(bytes, at)
+      val size = leInt(bytes, at + 4)
       if (size < 0 || i + 8 + size > riffEnd) return None
       id match {
         case "fmt " =>
           if (size < 16) return None
-          val audioFormat = leShort(bytes, i + 8)
-          channels = leShort(bytes, i + 10)
-          rate = leInt(bytes, i + 12)
-          val bits = leShort(bytes, i + 22)
+          val audioFormat = leShort(bytes, at + 8)
+          channels = leShort(bytes, at + 10)
+          rate = leInt(bytes, at + 12)
+          val bits = leShort(bytes, at + 22)
           if (audioFormat != 1 || bits != 16 || channels <= 0 || rate <= 0) return None
           fmtOk = true
         case "data" =>
@@ -166,13 +170,13 @@ object WavCodec {
           val out = new Array[Short](size / 2)
           var j = 0
           while (j < out.length) {
-            out(j) = leShort(bytes, i + 8 + 2 * j).toShort
+            out(j) = leShort(bytes, at + 8 + 2 * j).toShort
             j += 1
           }
           samples = out
         case _ => () // unknown chunk: skip
       }
-      i += 8 + size + (size & 1) // RIFF word alignment: odd chunks pad 1 byte
+      i += 8L + size + (size & 1) // RIFF word alignment: odd chunks pad 1 byte
     }
     if (fmtOk && samples != null) Some(Wav(rate, channels, samples)) else None
   }

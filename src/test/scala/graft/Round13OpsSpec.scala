@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.WavCodec
+
+/** Round-13 ADVICE closures: the WAV chunk-walk Int-overflow class (a
+  * declared chunk size near Int.MaxValue must be a structural violation,
+  * not wrapped arithmetic), and the runtime zero-width-match rejection in
+  * redact_counts for the context-dependent patterns the analysis-time
+  * empty-string probe cannot see (`(?=a)`, `\b`).
+  */
+class Round13OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+
+  private def putLeInt(b: Array[Byte], at: Int, v: Int): Unit = {
+    b(at) = (v & 0xff).toByte; b(at + 1) = ((v >> 8) & 0xff).toByte
+    b(at + 2) = ((v >> 16) & 0xff).toByte; b(at + 3) = ((v >> 24) & 0xff).toByte
+  }
+
+  test("WAV decode returns None on a chunk size near Int.MaxValue (no Int wrap)") {
+    val ok = WavCodec.encode(WavCodec.Wav(8000, 1, Array[Short](5, 6, 7)))
+    // the fmt chunk's declared size lives at offset 16; poison it so that
+    // i + 8 + size wraps negative in Int arithmetic — the bounds check must
+    // still trip (Long math), returning None rather than throwing
+    for (poison <- Seq(Int.MaxValue, Int.MaxValue - 4, Int.MaxValue - 20)) {
+      val bad = ok.clone()
+      putLeInt(bad, 16, poison)
+      assert(WavCodec.decode(bad).isEmpty, s"size=$poison must be rejected, not wrapped")
+    }
+    // same poison on the data chunk's size field (offset 40 in the canonical
+    // 44-byte layout the encoder writes)
+    val badData = ok.clone()
+    putLeInt(badData, 40, Int.MaxValue - 4)
+    assert(WavCodec.decode(badData).isEmpty, "poisoned data size must be rejected")
+    // and an inflated RIFF container size must not extend past the real bytes
+    val badRiff = ok.clone()
+    putLeInt(badRiff, 4, Int.MaxValue)
+    assert(WavCodec.decode(badRiff).nonEmpty,
+      "riffEnd is clamped to the byte array; the intact chunks still parse")
+  }
+
+  test("bench marks a contended calibration window as suspect at >2x spread") {
+    // the r12 official artifact's actual draw (min 1.33, max 51.47) must flag
+    assert(Bench.isSuspectWindow(Seq(1.3319, 1.41, 1.4835, 1.52, 51.4695)))
+    // a healthy window (r12 re-measure: 1.51 +/- a few %) must not
+    assert(!Bench.isSuspectWindow(Seq(1.47, 1.49, 1.51, 1.55, 1.60)))
+    // boundary: exactly 2x is NOT suspect (strict >)
+    assert(!Bench.isSuspectWindow(Seq(1.0, 1.2, 1.5, 1.8, 2.0)))
+    assert(Bench.isSuspectWindow(Seq(1.0, 1.2, 1.5, 1.8, 2.01)))
+    // degenerate inputs never flag (empty / zero-floor)
+    assert(!Bench.isSuspectWindow(Nil))
+    assert(!Bench.isSuspectWindow(Seq(0.0, 5.0)))
+  }
+
+  test("redact_counts rejects context-dependent zero-width patterns at runtime") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq("alpha beta").toDF("t")
+    // (?=a) never matches the empty string (needs an 'a' ahead), so it passes
+    // the analysis-time probe — but every match is zero-length on real text,
+    // which would silently break the split-minus-one count identity
+    for (zw <- Seq("(?=a)", "\\b")) {
+      val e = intercept[Exception] {
+        df.select(graft.functions.RedactCounts
+          .redactCounts(spark, col("t"), zw, "X", "z+", "Y")).collect()
+      }
+      def causes(t: Throwable): Iterator[Throwable] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      assert(causes(e).exists(c => Option(c.getMessage)
+        .exists(_.contains("zero-length match"))), s"pattern $zw: ${e.getMessage}")
+    }
+    // consuming patterns are unaffected
+    val ok = df.select(graft.functions.RedactCounts
+      .redactCounts(spark, col("t"), "a", "X", "e", "Y").as("r"))
+      .select($"r.clean", $"r.n1", $"r.n2").head
+    assert(ok.getString(0) == "XlphX bYtX" && ok.getLong(1) == 3L && ok.getLong(2) == 1L)
+  }
+}
