@@ -14,6 +14,31 @@ object Bench {
     sortedSamples.nonEmpty && sortedSamples.head > 0 &&
       sortedSamples.last / sortedSamples.head > SuspectWindowRatio
 
+  /** One draw of the host-speed calibration probe (~1.7–2 s of suite-shaped
+    * mixed work: a parquet scan of the pinned sf0.001 corpus, codegen'd
+    * md5+string CPU, an explode fan-out, a hash-agg shuffle, a final sort).
+    * Shared with the scale tools so their published figures carry the same
+    * calibration unit as the official bench JSONs.
+    */
+  def calibrateOnce(spark: SparkSession, warmDir: String): Double = {
+    val t0 = System.nanoTime()
+    val docs = spark.read.parquet(s"$warmDir/documents.parquet")
+      .selectExpr("doc_id % 97 AS k", "md5(text) AS h")
+      .groupBy("k").count()
+    spark.range(0L, 24000000L, 1L, 32)
+      .selectExpr("id", "md5(cast(id AS string)) AS h")
+      .selectExpr("id % 9973 AS k",
+        "explode(array(substring(h,1,8), substring(h,9,8), substring(h,17,8), substring(h,25,8))) AS g")
+      .groupBy("g")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("c"))
+      .selectExpr("pmod(hash(g), 9973) AS k", "c")
+      .groupBy("k").agg(org.apache.spark.sql.functions.sum("c").as("c"))
+      .union(docs.selectExpr("k", "count AS c"))
+      .orderBy("k").count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -117,24 +142,7 @@ object Bench {
     // codegen'd md5+string CPU, an explode fan-out, a hash-agg shuffle and
     // a final sort — long enough to average over transient JVM state,
     // shaped like the workload it normalizes.
-    def calibrateOnce(): Double = {
-      val t0 = System.nanoTime()
-      val docs = spark.read.parquet(s"$warmDir/documents.parquet")
-        .selectExpr("doc_id % 97 AS k", "md5(text) AS h")
-        .groupBy("k").count()
-      spark.range(0L, 24000000L, 1L, 32)
-        .selectExpr("id", "md5(cast(id AS string)) AS h")
-        .selectExpr("id % 9973 AS k",
-          "explode(array(substring(h,1,8), substring(h,9,8), substring(h,17,8), substring(h,25,8))) AS g")
-        .groupBy("g")
-        .agg(org.apache.spark.sql.functions.count(
-          org.apache.spark.sql.functions.lit(1)).as("c"))
-        .selectExpr("pmod(hash(g), 9973) AS k", "c")
-        .groupBy("k").agg(org.apache.spark.sql.functions.sum("c").as("c"))
-        .union(docs.selectExpr("k", "count AS c"))
-        .orderBy("k").count()
-      (System.nanoTime() - t0) / 1e9
-    }
+    def calibrateOnce(): Double = Bench.calibrateOnce(spark, warmDir)
     // Median of 5 (~10 s against a ~100 s suite); min/max ride the JSON so
     // a reader can see the window's stability without re-running. One
     // untimed run first: the probe's own whole-stage-codegen compile

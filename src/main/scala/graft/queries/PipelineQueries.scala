@@ -505,7 +505,14 @@ object PipelineQueries {
     * arm (the q_similarity_recall discipline — no approximate tier ships
     * without a measured recall).
     */
-  private[graft] def semanticDecontamIvf(s: SparkSession, d: String): DataFrame = {
+  /** @param nprobe how many nearest cells each corpus vector probes. The
+    *   shipped tier (and its oracle) pin nprobe=2; `tools/IvfRecallCurve`
+    *   sweeps 1/2/4 to publish the recall-vs-cost curve at the scales where
+    *   the tier is forced (the round-12 verdict's measurement-completion
+    *   item).
+    */
+  private[graft] def semanticDecontamIvf(
+      s: SparkSession, d: String, nprobe: Int = 2): DataFrame = {
     import s.implicits._
     import graft.operators.IvfKMeans
     val e = embeddings(s, d).select($"vec_id",
@@ -540,8 +547,8 @@ object PipelineQueries {
       // literal tier while K fits the plan, broadcast-variable twin past
       // it, the same ladder as assignCell/assignCellBc
       .withColumn("cell", explode(
-        if (cents.size <= 1024) IvfKMeans.probeCells(s, cents, $"v", 2)
-        else IvfKMeans.probeCellsBc(s, cents, $"v", 2)))
+        if (cents.size <= 1024) IvfKMeans.probeCells(s, cents, $"v", nprobe)
+        else IvfKMeans.probeCellsBc(s, cents, $"v", nprobe)))
       .select($"vec_id", $"v", $"cell")
     val low = (1L << 41) - 1L
     // ONE fused argmax per (corpus vector × probed cell): the cell's
@@ -1564,8 +1571,9 @@ object PipelineQueries {
       // breaks the hash. A decode failure surfaces as kind='error' (never
       // silently dropped) and would row-count against the oracle.
       // Scale shape: map-only (mapPartitions batches, the mapInPandas
-      // shape); no shuffle but the output sort. Codecs the environment has
-      // no libraries for (JPEG/MP4) remain on the documented DecodeStub.
+      // shape); no shuffle but the output sort. JPEG joined the real-codec
+      // family in round 13 (q_multimodal_jpeg below); MP4/video remains on
+      // the documented DecodeStub (no pure-JVM-feasible decoder).
       (s, d) => {
         import s.implicits._
         val assets = graft.multimodal.Multimodal
@@ -1606,6 +1614,60 @@ object PipelineQueries {
              |    CAST(len(list_filter(bytes, x -> x >= 96)) AS BIGINT) AS n_high
              |  FROM b WHERE doc_id % 2 = 1)
              |SELECT * FROM img UNION ALL SELECT * FROM aud ORDER BY doc_id""".stripMargin)
+    ),
+
+    "q_multimodal_jpeg" -> QueryDef(
+      // The LOSSY real-codec member (round 13 — closes the multimodal
+      // family outright): every document becomes a genuine baseline JFIF
+      // file (grayscale, Annex-K Huffman tables, dims/content derived from
+      // doc_id — see Multimodal.assetsFromDocumentsJpeg), and the map-only
+      // decode pass runs the REAL baseline pipeline: marker segment walk,
+      // canonical Huffman decode, dequantization, double-precision IDCT,
+      // level shift. The DC-only constant-block construction makes the
+      // lossy decode EXACT integer arithmetic (JpegCodec scaladoc), so
+      // DuckDB reconstructs dims and exact pixel statistics from doc_id —
+      // one wrong Huffman bit, zigzag slot, quant multiply or IDCT
+      // constant breaks the hash. Every 97th document is truncated
+      // mid-header; its decode failure must surface as the -1 row (never
+      // silently dropped). The general decoder (AC coefficients, 4:2:0
+      // chroma, restart markers) is pinned against the JDK's independent
+      // libjpeg-based reader in JpegCodecSpec — both directions.
+      // Scale shape: map-only (mapPartitions batches, the mapInPandas
+      // shape); no shuffle but the output sort.
+      (s, d) => {
+        import s.implicits._
+        val assets = graft.multimodal.Multimodal
+          .assetsFromDocumentsJpeg(s, documents(s, d))
+        assets.mapPartitions(_.map { a =>
+          graft.multimodal.JpegCodec.decode(a.content) match {
+            case Some(img) =>
+              val px = img.pixels.map(_ & 0xff)
+              (a.asset_id, img.width.toLong, img.height.toLong, px.length.toLong,
+                px.foldLeft(0L)(_ + _), px.min.toLong, px.max.toLong)
+            case None => (a.asset_id, -1L, -1L, -1L, -1L, -1L, -1L)
+          }
+        }).toDF("doc_id", "width", "height", "px_n", "px_sum", "px_min", "px_max")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 8 * (1 + doc_id % 3) AS w, 8 * (1 + (doc_id // 3) % 2) AS h
+             |  FROM documents),
+             |blocks AS (
+             |  SELECT doc_id, w, h, unnest(range((w // 8) * (h // 8))) AS b FROM dims),
+             |pb AS (
+             |  SELECT doc_id, w, h, 2 * ((doc_id * 13 + 29 * b) % 128) AS p FROM blocks),
+             |agg AS (
+             |  SELECT doc_id, MAX(w) AS w, MAX(h) AS h, 64 * SUM(p) AS px_sum,
+             |    MIN(p) AS px_min, MAX(p) AS px_max
+             |  FROM pb GROUP BY doc_id)
+             |SELECT doc_id,
+             |  CAST(CASE WHEN doc_id % 97 = 0 THEN -1 ELSE w END AS BIGINT) AS width,
+             |  CAST(CASE WHEN doc_id % 97 = 0 THEN -1 ELSE h END AS BIGINT) AS height,
+             |  CAST(CASE WHEN doc_id % 97 = 0 THEN -1 ELSE w * h END AS BIGINT) AS px_n,
+             |  CAST(CASE WHEN doc_id % 97 = 0 THEN -1 ELSE px_sum END AS BIGINT) AS px_sum,
+             |  CAST(CASE WHEN doc_id % 97 = 0 THEN -1 ELSE px_min END AS BIGINT) AS px_min,
+             |  CAST(CASE WHEN doc_id % 97 = 0 THEN -1 ELSE px_max END AS BIGINT) AS px_max
+             |FROM agg ORDER BY doc_id""".stripMargin)
     ),
 
     // ---------------------------------------------------------- text analysis
