@@ -4,9 +4,9 @@ package graft.multimodal
   * verdict's "resolve the stub" item: PPM (P6) for images and RIFF/WAVE
   * PCM-16 for audio are fully specified public formats implementable with
   * zero native dependencies, so the decode step stops being a stub for
-  * these two formats (JPEG/MP4 etc. stay out of scope — no codec libraries
-  * in this environment; the deterministic [[Multimodal.DecodeStub]] remains
-  * their documented placeholder).
+  * these two formats. Baseline JPEG joined in round 13 ([[JpegCodec]]);
+  * MP4/video remains the one format on the deterministic
+  * [[Multimodal.DecodeStub]] (no pure-JVM-feasible decoder).
   *
   * Both decoders are REAL parsers, not byte-offset readers: the PPM side
   * honors arbitrary header whitespace, `#` comments and the 2-byte-sample

@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
   * of rows per partition, vectorizable batch shape, no per-row JVM↔native
   * round-trips).
   *
-  * Codec status (round 12): PPM images and RIFF/WAVE PCM-16 audio decode
-  * through REAL pure-JVM parsers ([[PpmCodec]]/[[WavCodec]] — header
-  * grammar, comment handling, chunk walking; exercised end-to-end by
-  * `q_multimodal_codec` against a DuckDB oracle). Formats needing native
-  * libraries (JPEG/MP4/...) keep the deterministic `DecodeStub` as their
-  * documented placeholder — everything Spark-side (schema, lineage,
+  * Codec status (round 13): PPM images, RIFF/WAVE PCM-16 audio AND
+  * baseline JPEG decode through REAL pure-JVM parsers
+  * ([[PpmCodec]]/[[WavCodec]]/[[JpegCodec]] — header grammar, comment
+  * handling, chunk walking, Huffman + dequant + IDCT; exercised
+  * end-to-end by `q_multimodal_codec`/`q_multimodal_jpeg` against DuckDB
+  * oracles). MP4/video — the one format with no pure-JVM-feasible
+  * decoder — keeps the deterministic `DecodeStub` as its documented
+  * placeholder; everything Spark-side (schema, lineage,
   * partition-parallel batching, feature shapes) is identical either way,
   * so swapping the stub for a JNI/FFM codec on executors changes no plan
   * shape.
@@ -157,6 +159,32 @@ object Multimodal {
         MediaAsset(id, MediaMeta("audio", "wav", 0, 0, 8000, b.length * 1000L / 8000),
           WavCodec.encode(WavCodec.Wav(8000, 1, samples)))
       }
+    }
+  }
+
+  /** Baseline-JPEG asset source — the lossy member of the real-codec
+    * family (round 13; PPM/WAV are the lossless members above). Each
+    * document becomes a genuine baseline JFIF file: grayscale, dims
+    * 8·(1 + id%3) × 8·(1 + (id/3)%2), block b of the raster grid filled
+    * with the even constant 2·((id·13 + 29·b) mod 128) — the DC-only
+    * construction [[JpegCodec.encodeGrayDcOnly]] pins to EXACT integer
+    * decode, so a DuckDB oracle reconstructs every decoded pixel
+    * statistic from `doc_id` alone while the engine path runs the full
+    * real pipeline (marker walk, Huffman, dequant, IDCT). Every 97th
+    * document is TRUNCATED mid-header — a real corruption class — so the
+    * decode-failure surface stays oracle-visible.
+    */
+  def assetsFromDocumentsJpeg(spark: SparkSession, documents: DataFrame): Dataset[MediaAsset] = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].map { id =>
+      val w = (8 * (1 + id % 3)).toInt
+      val h = (8 * (1 + (id / 3) % 2)).toInt
+      val nb = (w / 8) * (h / 8)
+      val ts = Array.tabulate(nb)(b => (((id * 13 + 29L * b) % 128) - 64).toInt)
+      val full = JpegCodec.encodeGrayDcOnly(w, h, ts)
+      val bytes =
+        if (id % 97 == 0) java.util.Arrays.copyOf(full, math.min(25, full.length)) else full
+      MediaAsset(id, MediaMeta("image", "jpeg", w, h, 0, 0L), bytes)
     }
   }
 }
