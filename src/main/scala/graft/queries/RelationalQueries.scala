@@ -1988,7 +1988,8 @@ object RelationalQueries {
   private[graft] def pageRank(
       s: org.apache.spark.sql.SparkSession,
       d: String,
-      materialize: Boolean = true): org.apache.spark.sql.DataFrame = {
+      materialize: Boolean = true,
+      checkpointRounds: Boolean = true): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // one trade year scopes the graph (filter lands in the parquet
@@ -2019,7 +2020,7 @@ object RelationalQueries {
     // already hash-partitioned by node from their groupBys)
     val degSide = if (n < 10000000L) broadcast(deg) else deg
     var ranks = deg.select($"id", lit(1.0 / n.toDouble).as("r"))
-    for (_ <- 0 until 3) {
+    for (it <- 0 until 3) {
       // contribution quantizes on the NODE table (map-side under the
       // broadcast), so the per-round heavy ops are exactly one edge
       // join + one groupBy
@@ -2032,6 +2033,26 @@ object RelationalQueries {
         .agg(sum($"contrib").as("sc"))
         .select($"dst".as("id"),
           round(lit(base) + lit(0.85) * ($"sc".cast("double") / 1.0e14), 10).as("r"))
+      // Materialize the NODE-sized rank table between rounds (eager
+      // checkpoint; skipped after the last round — the final
+      // materialization below covers it). Without this the three rounds
+      // nest into ONE plan whose single final action runs 3 chained
+      // shuffles + 3 broadcast builds in one window — the suite's
+      // noisiest query (r12 verdict: 3.30–12.05 s across same-session
+      // sf0.1 trials). Diagnosis (tools/PageRankProfile, 8 trials/form at
+      // sf0.1, per-trial GC telemetry): GC is NOT the isolated-trial
+      // cause (young-gen only, ≤ 0.4 s in every trial, old-gen zero);
+      // isolated spread is ~1.32× under either form, so the r12 in-suite
+      // 3.7× tail is the known MIGRATING measurement tax (r4/r7/r8
+      // pathology) that Bench's min(suite, isolated) estimator bounds.
+      // The round-materialized form still wins on merit: median 4.50 s
+      // vs 5.51 s nested (−18%) and a tighter absolute spread
+      // (3.89–5.14 vs 4.73–6.22 s) on the same window — each action is
+      // one shuffle round over a node-count-sized table instead of a
+      // 3-deep DAG re-planned as a whole. Intermediate checkpoints are
+      // unreferenced once the next round materializes; ContextCleaner
+      // reclaims them on GC.
+      if (checkpointRounds && it < 2) ranks = ranks.localCheckpoint()
     }
     // Top-20 via orderBy().limit() → TakeOrderedAndProject: each
     // partition keeps a 20-row heap and the driver merges heaps — no
