@@ -260,6 +260,61 @@ object CorpusOpsQueries {
        |  COALESCE(n_dropped, 0) AS n_dropped
        |FROM cs LEFT JOIN ps USING (cell) ORDER BY cell""".stripMargin
 
+  /** The paragraph-dedup mechanism behind `q_dedup_paragraph`, with the
+    * paragraph EXTRACTION pluggable (the r12 verdict's item 6 — the
+    * chunking rule is a stand-in for split-on-blank-line because the
+    * synthetic corpus is newline-free; both modes must run the identical
+    * dedup computation):
+    *  - `mode = "chunk"`: consecutive 10-token tiles of the space-split
+    *    text (the sf* oracle contract). Fused tiling: the HOF form
+    *    embedded split(text) INSIDE the lambda, and interpreted HOFs
+    *    re-evaluate outer references per iteration — one re-split per
+    *    chunk, O(n²/10) per doc. One split + the compiled ChunkTexts pass
+    *    emits the identical strings (array_join and concat_ws share
+    *    null-skip join semantics; Round11OpsSpec pins the 10/10 shape).
+    *  - `mode = "blankline"`: real paragraph boundaries — split on blank
+    *    lines (`\n{2,}`, CCNet's unit), empties dropped. Proven equivalent
+    *    to chunk mode on an aligned fixture in Round13OpsSpec (same
+    *    counts AND the same kept-text fingerprint when each blank-line
+    *    paragraph carries exactly 10 tokens).
+    * Everything downstream of extraction is shared: keep-first over the
+    * corpus-wide (doc_id, position) order per chunk md5, then
+    * order-preserving reassembly fingerprint.
+    */
+  private[graft] def paragraphDedup(
+      s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame,
+      mode: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val chunks = mode match {
+      case "chunk" =>
+        docs
+          .select($"doc_id", split($"text", " ").as("tok"))
+          .select($"doc_id", posexplode(
+            graft.functions.ChunkTexts.chunkTexts(s, $"tok", 10, 10))
+            .as(Seq("chunk_idx", "chunk")))
+      case "blankline" =>
+        docs
+          .select($"doc_id", posexplode(split($"text", "\\n{2,}"))
+            .as(Seq("chunk_idx", "chunk")))
+          .filter(trim($"chunk") =!= "")
+      case other => throw new IllegalArgumentException(s"unknown mode $other")
+    }
+    chunks
+      .withColumn("n_chunks", count(lit(1)).over(Window.partitionBy($"doc_id")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5($"chunk")).orderBy($"doc_id", $"chunk_idx")))
+      .filter($"rn" === 1)
+      .groupBy($"doc_id")
+      .agg(
+        first($"n_chunks").as("n_chunks"),
+        count(lit(1)).as("n_kept"),
+        expr("md5(array_join(transform(array_sort(collect_list(struct(chunk_idx, chunk))), x -> x.chunk), ' '))")
+          .as("kept_fp"))
+      .orderBy($"doc_id")
+  }
+
   val entries: Map[String, QueryDef] = Map(
 
     "q_quality_gopher" -> QueryDef(
@@ -520,33 +575,7 @@ object CorpusOpsQueries {
       // pairs — this is the linear-cost dedup tier that runs before any
       // LSH family. At cluster scale the md5 partitioning is uniform by
       // construction (no salting needed).
-      (s, d) => {
-        import s.implicits._
-        import org.apache.spark.sql.expressions.Window
-        // fused tiling: the HOF form embedded split(text) INSIDE the
-        // lambda, and interpreted HOFs re-evaluate outer references per
-        // iteration — one re-split per chunk, O(n²/10) per doc. One split
-        // + the compiled ChunkTexts pass emits the identical strings
-        // (array_join and concat_ws share null-skip join semantics;
-        // Round11OpsSpec pins the 10/10 shape).
-        val chunks = documents(s, d)
-          .select($"doc_id", split($"text", " ").as("tok"))
-          .select($"doc_id", posexplode(
-            graft.functions.ChunkTexts.chunkTexts(s, $"tok", 10, 10))
-            .as(Seq("chunk_idx", "chunk")))
-        chunks
-          .withColumn("n_chunks", count(lit(1)).over(Window.partitionBy($"doc_id")))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(md5($"chunk")).orderBy($"doc_id", $"chunk_idx")))
-          .filter($"rn" === 1)
-          .groupBy($"doc_id")
-          .agg(
-            first($"n_chunks").as("n_chunks"),
-            count(lit(1)).as("n_kept"),
-            expr("md5(array_join(transform(array_sort(collect_list(struct(chunk_idx, chunk))), x -> x.chunk), ' '))")
-              .as("kept_fp"))
-          .orderBy($"doc_id")
-      },
+      (s, d) => paragraphDedup(s, documents(s, d), mode = "chunk"),
       Some("""WITH t AS (
              |  SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
              |c AS (

@@ -52,6 +52,34 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(!Bench.isSuspectWindow(Seq(0.0, 5.0)))
   }
 
+  test("paragraph dedup: blank-line mode equals chunk mode on an aligned newline fixture") {
+    import spark.implicits._
+    // real paragraph boundaries: each paragraph is EXACTLY 10 tokens, so
+    // the 10-token chunking of the flat join and the \n\n split of the
+    // newline join extract the same paragraph sequence — the stand-in
+    // claim q_dedup_paragraph documents, now proven on newline-bearing text
+    def para(seed: Int): String =
+      (0 until 10).map(i => s"w${seed}_$i").mkString(" ")
+    val boiler = para(999) // shared boilerplate paragraph
+    val docs = Seq(
+      (0L, Seq(boiler, para(1), para(2))),
+      (1L, Seq(para(3), boiler, para(2))), // loses boiler AND para(2)
+      (2L, Seq(boiler)), // fully-boilerplate page: must disappear
+      (3L, Seq(para(4), para(4), para(5))) // self-duplicate paragraph
+    )
+    val flat = docs.map { case (id, ps) => (id, ps.mkString(" ")) }.toDF("doc_id", "text")
+    val nl = docs.map { case (id, ps) => (id, ps.mkString("\n\n")) }.toDF("doc_id", "text")
+    val a = graft.queries.CorpusOpsQueries.paragraphDedup(spark, flat, "chunk").collect()
+    val b = graft.queries.CorpusOpsQueries.paragraphDedup(spark, nl, "blankline").collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
+      s"chunk=${a.mkString(";")} blankline=${b.mkString(";")}")
+    // and the dedup semantics themselves: doc 2 gone, doc 1 kept only
+    // para(3), doc 3 kept para(4) once + para(5)
+    val byId = a.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!byId.contains(2L), "fully-boilerplate doc must disappear")
+    assert(byId(0L) == ((3L, 3L)) && byId(1L) == ((3L, 1L)) && byId(3L) == ((3L, 2L)))
+  }
+
   test("redact_counts rejects context-dependent zero-width patterns at runtime") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
