@@ -121,7 +121,15 @@ object JpegCodec {
       id: Int, h: Int, v: Int, tq: Int, var td: Int = 0, var ta: Int = 0)
 
   def decode(bytes: Array[Byte]): Option[Jpeg] =
-    try decodeOrThrow(bytes) catch { case Malformed => None }
+    // Malformed is the expected refusal path; the NonFatal backstop keeps
+    // the None-on-any-structural-violation contract airtight for adversarial
+    // headers (an index slip on crafted lengths must never escape a decoder
+    // of untrusted bytes as a task-killing exception)
+    try decodeOrThrow(bytes)
+    catch {
+      case Malformed => None
+      case scala.util.control.NonFatal(_) => None
+    }
 
   private def be16(b: Array[Byte], i: Int): Int = {
     if (i + 1 >= b.length) throw Malformed
@@ -151,7 +159,7 @@ object JpegCodec {
         case m if m >= 0xd0 && m <= 0xd7 => () // stray RST, standalone
         case 0xc0 => // SOF0 baseline
           val len = be16(bytes, i)
-          if (i + len > bytes.length) throw Malformed
+          if (len < 8 || i + len > bytes.length) throw Malformed
           val precision = bytes(i + 2) & 0xff
           if (precision != 8) throw Malformed
           height = be16(bytes, i + 3)
@@ -210,7 +218,7 @@ object JpegCodec {
         case 0xda => // SOS — decode the scan and finish
           if (comps == null) throw Malformed
           val len = be16(bytes, i)
-          if (i + len > bytes.length) throw Malformed
+          if (len < 3 || i + len > bytes.length) throw Malformed
           val ns = bytes(i + 2) & 0xff
           if (ns != comps.length || len < 6 + 2 * ns) throw Malformed
           var o = i + 3

@@ -166,6 +166,19 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(math.abs(meanRef - meanGot) <= 0.5, s"means: $meanRef vs $meanGot")
   }
 
+  test("fuzz: truncation at every offset and random byte flips never throw") {
+    val ok = JpegCodec.encodeGrayDcOnly(16, 16, Array(1, -2, 3, -4))
+    // every prefix: decode must return (Some or None), never escape an
+    // exception — the decoder consumes untrusted bytes inside executor tasks
+    for (n <- 0 until ok.length) JpegCodec.decode(ok.take(n))
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 3000) {
+      val b = ok.clone()
+      for (_ <- 0 to rnd.nextInt(4)) b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      JpegCodec.decode(b)
+    }
+  }
+
   test("malformed inputs return None, never a partial decode or a throw") {
     val ok = JpegCodec.encodeGrayDcOnly(16, 8, Array(10, -20))
     assert(JpegCodec.decode(Array[Byte]()).isEmpty, "empty")
