@@ -187,4 +187,29 @@ object Multimodal {
       MediaAsset(id, MediaMeta("image", "jpeg", w, h, 0, 0L), bytes)
     }
   }
+
+  /** ISO-BMFF (MP4) asset source — the video member (round 13). Each
+    * document becomes a genuine single-track container muxed by
+    * [[Mp4Codec.encode]]: 1 + id%7 samples, sample k carrying
+    * 8 + (id+k)%9 bytes with byte j = (id·31 + k·17 + j·7) mod 256,
+    * timescale 1000 + id%100, duration n·(10 + id%50) — all arithmetic a
+    * DuckDB oracle replays, while the engine path runs the real box walk +
+    * stsc/stsz/stco sample extraction. Every 89th document is truncated
+    * before `moov` (a real corruption class: an upload cut mid-transfer),
+    * so parse failures stay oracle-visible.
+    */
+  def assetsFromDocumentsMp4(spark: SparkSession, documents: DataFrame): Dataset[MediaAsset] = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].map { id =>
+      val n = (1 + id % 7).toInt
+      val samples = Array.tabulate(n)(k =>
+        Array.tabulate((8 + (id + k) % 9).toInt)(j => ((id * 31 + k * 17 + j * 7) % 256).toByte))
+      val timescale = 1000 + id % 100
+      val duration = n * (10 + id % 50)
+      val full = Mp4Codec.encode(timescale, duration, samples)
+      val bytes =
+        if (id % 89 == 0) java.util.Arrays.copyOf(full, math.min(30, full.length)) else full
+      MediaAsset(id, MediaMeta("video", "mp4", 0, 0, 0, duration), bytes)
+    }
+  }
 }

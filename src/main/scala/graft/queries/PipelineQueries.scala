@@ -1670,6 +1670,55 @@ object PipelineQueries {
              |FROM agg ORDER BY doc_id""".stripMargin)
     ),
 
+    "q_multimodal_mp4" -> QueryDef(
+      // The VIDEO member of the real-codec family (round 13): every
+      // document becomes a genuine ISO-BMFF container (ftyp/mdat/moov with
+      // the full stbl chain — see Multimodal.assetsFromDocumentsMp4), and
+      // the map-only parse runs the real box walk: nested box headers
+      // (32/64-bit sizes), mvhd/mdhd versions, hdlr, stsd fourcc, full
+      // stsc chunk-run expansion, stsz/stco, and ACTUAL sample-byte reads
+      // via the chunk offsets (samples deliberately split across two
+      // chunks so the stsc walk is exercised on every file). Codec-payload
+      // decode (H.264 entropy+transform) is the family's one documented
+      // out-of-scope layer; container work — what a 100 TB video pipeline
+      // does for sharding/striping — is fully real. DuckDB reconstructs
+      // timescale/duration/sample stats from doc_id; every 89th document
+      // is truncated before moov and must surface as the -1 row.
+      // Scale shape: map-only; no shuffle but the output sort.
+      (s, d) => {
+        import s.implicits._
+        val assets = graft.multimodal.Multimodal
+          .assetsFromDocumentsMp4(s, documents(s, d))
+        assets.mapPartitions(_.map { a =>
+          graft.multimodal.Mp4Codec.decode(a.content) match {
+            case Some(m) =>
+              val bs = m.samples.flatMap(_.map(_ & 0xff))
+              (a.asset_id, m.timescale, m.duration, m.sampleSizes.length.toLong,
+                bs.length.toLong, bs.foldLeft(0L)(_ + _), bs.max.toLong)
+            case None => (a.asset_id, -1L, -1L, -1L, -1L, -1L, -1L)
+          }
+        }).toDF("doc_id", "timescale", "duration", "n_samples", "payload_n",
+          "payload_sum", "payload_max")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, 1 + doc_id % 7 AS ns FROM documents),
+             |s AS (SELECT doc_id, ns, unnest(range(ns)) AS k FROM d),
+             |sz AS (SELECT doc_id, ns, k, 8 + (doc_id + k) % 9 AS sk FROM s),
+             |bj AS (SELECT doc_id, ns, k, unnest(range(sk)) AS j FROM sz),
+             |v AS (SELECT doc_id, ns, (doc_id * 31 + k * 17 + j * 7) % 256 AS b FROM bj),
+             |agg AS (
+             |  SELECT doc_id, MAX(ns) AS ns, COUNT(*) AS pn, SUM(b) AS psum, MAX(b) AS pmax
+             |  FROM v GROUP BY doc_id)
+             |SELECT doc_id,
+             |  CAST(CASE WHEN doc_id % 89 = 0 THEN -1 ELSE 1000 + doc_id % 100 END AS BIGINT) AS timescale,
+             |  CAST(CASE WHEN doc_id % 89 = 0 THEN -1 ELSE ns * (10 + doc_id % 50) END AS BIGINT) AS duration,
+             |  CAST(CASE WHEN doc_id % 89 = 0 THEN -1 ELSE ns END AS BIGINT) AS n_samples,
+             |  CAST(CASE WHEN doc_id % 89 = 0 THEN -1 ELSE pn END AS BIGINT) AS payload_n,
+             |  CAST(CASE WHEN doc_id % 89 = 0 THEN -1 ELSE psum END AS BIGINT) AS payload_sum,
+             |  CAST(CASE WHEN doc_id % 89 = 0 THEN -1 ELSE pmax END AS BIGINT) AS payload_max
+             |FROM agg ORDER BY doc_id""".stripMargin)
+    ),
+
     // ---------------------------------------------------------- text analysis
     "q_text_analysis" -> QueryDef(
       (s, d) => {
