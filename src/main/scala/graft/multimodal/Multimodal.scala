@@ -118,8 +118,12 @@ object Multimodal {
     assets.mapPartitions(_.map(DecodeStub.feature))
   }
 
-  /** "Resize": metadata-level transform (stub keeps bytes, rewrites meta —
-    * real impl re-encodes content).
+  /** "Resize" on the STUB asset stream: metadata-level transform (keeps
+    * bytes, rewrites meta). The REAL resize ships on the real-codec
+    * stream since round 13: [[PpmCodec.downscale2x]] (area-average, floor
+    * per 2×2 block) and [[WavCodec.downsample2x]] (2× decimation with
+    * pair averaging), exercised decode→transform→re-encode→re-decode by
+    * `q_multimodal_resize` against a DuckDB oracle.
     */
   def resize(assets: Dataset[MediaAsset], w: Int, h: Int): Dataset[MediaAsset] = {
     import assets.sparkSession.implicits._

@@ -1670,6 +1670,93 @@ object PipelineQueries {
              |FROM agg ORDER BY doc_id""".stripMargin)
     ),
 
+    "q_multimodal_resize" -> QueryDef(
+      // REAL resize (round 13 — the last named multimodal op to leave the
+      // stub: decode ✓ / feature-extract ✓ / frame-sample ✓ / resize was
+      // metadata-only). Full media cycle per document: decode the genuine
+      // PPM/WAV bytes (assetsFromDocumentsCodec), apply the real transform
+      // — area-average 2× image downscale (floor of each 2×2 block, per
+      // channel) / 2× audio decimation with pair averaging (rate 8000 →
+      // 4000) — re-ENCODE, re-DECODE, and emit stats of the final decode:
+      // a slip anywhere in encoder, decoder or kernel (index arithmetic,
+      // channel interleave, floor vs round, odd-tail handling) breaks the
+      // oracle, which reconstructs every output unit from `text` in pure
+      // integer arithmetic (image sums are non-negative so // is
+      // truncation-safe; audio pair sums are multiples of 512 so the
+      // halving is exact for both signs).
+      // Scale shape: map-only; no shuffle but the output sort.
+      (s, d) => {
+        import s.implicits._
+        val assets = graft.multimodal.Multimodal
+          .assetsFromDocumentsCodec(s, documents(s, d))
+        assets.mapPartitions(_.map { a =>
+          if (a.meta.kind == "image") {
+            graft.multimodal.PpmCodec.decode(a.content) match {
+              case Some(img) =>
+                val small = graft.multimodal.PpmCodec.downscale2x(img)
+                graft.multimodal.PpmCodec.decode(graft.multimodal.PpmCodec.encode(small)) match {
+                  case Some(back) =>
+                    val units = back.pixels.map(_ & 0xff)
+                    (a.asset_id, "image", back.width.toLong, units.length.toLong,
+                      units.foldLeft(0L)(_ + _))
+                  case None => (a.asset_id, "error", -1L, -1L, -1L)
+                }
+              case None => (a.asset_id, "error", -1L, -1L, -1L)
+            }
+          } else {
+            graft.multimodal.WavCodec.decode(a.content) match {
+              case Some(wav) =>
+                val small = graft.multimodal.WavCodec.downsample2x(wav)
+                graft.multimodal.WavCodec.decode(graft.multimodal.WavCodec.encode(small)) match {
+                  case Some(back) =>
+                    (a.asset_id, "audio", back.sampleRate.toLong,
+                      back.samples.length.toLong,
+                      back.samples.foldLeft(0L)(_ + _))
+                  case None => (a.asset_id, "error", -1L, -1L, -1L)
+                }
+              case None => (a.asset_id, "error", -1L, -1L, -1L)
+            }
+          }
+        }).toDF("doc_id", "kind", "dim_out", "n_units", "unit_sum")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, length(text) AS n,
+             |    list_transform(range(0, 192),
+             |      i -> CASE WHEN i < length(text) THEN ascii(substring(text, CAST(i + 1 AS INT), 1)) ELSE 0 END) AS pb
+             |  FROM documents),
+             |iu AS (
+             |  SELECT doc_id, unnest(range(0, 48)) AS u, pb FROM b WHERE doc_id % 2 = 0),
+             |ipx AS (
+             |  SELECT doc_id,
+             |    (pb[((u // 12) * 2 * 8 + (u % 12 // 3) * 2) * 3 + (u % 3) + 1]
+             |     + pb[((u // 12) * 2 * 8 + (u % 12 // 3) * 2 + 1) * 3 + (u % 3) + 1]
+             |     + pb[(((u // 12) * 2 + 1) * 8 + (u % 12 // 3) * 2) * 3 + (u % 3) + 1]
+             |     + pb[(((u // 12) * 2 + 1) * 8 + (u % 12 // 3) * 2 + 1) * 3 + (u % 3) + 1]) // 4 AS px
+             |  FROM iu),
+             |img AS (
+             |  SELECT doc_id, 'image' AS kind, 4::BIGINT AS dim_out, 48::BIGINT AS n_units,
+             |    CAST(SUM(px) AS BIGINT) AS unit_sum
+             |  FROM ipx GROUP BY doc_id),
+             |aj AS (
+             |  SELECT doc_id, n, unnest(range(0, (n + 1) // 2)) AS j FROM b WHERE doc_id % 2 = 1),
+             |ad AS (
+             |  SELECT aj.doc_id,
+             |    CASE WHEN 2 * j + 1 < aj.n
+             |      THEN 128 * (ascii(substring(t.text, CAST(2 * j + 1 AS INT), 1))
+             |                + ascii(substring(t.text, CAST(2 * j + 2 AS INT), 1)) - 256)
+             |      ELSE 256 * (ascii(substring(t.text, CAST(2 * j + 1 AS INT), 1)) - 128) END AS d
+             |  FROM aj JOIN documents t USING (doc_id)),
+             |aud AS (
+             |  SELECT a.doc_id, 'audio' AS kind, 4000::BIGINT AS dim_out,
+             |    CAST((a.n + 1) // 2 AS BIGINT) AS n_units,
+             |    COALESCE(CAST(SUM(d.d) AS BIGINT), 0) AS unit_sum
+             |  FROM (SELECT doc_id, n FROM b WHERE doc_id % 2 = 1) a
+             |  LEFT JOIN ad d USING (doc_id)
+             |  GROUP BY a.doc_id, a.n)
+             |SELECT * FROM img UNION ALL SELECT * FROM aud ORDER BY doc_id""".stripMargin)
+    ),
+
     "q_multimodal_mp4" -> QueryDef(
       // The VIDEO member of the real-codec family (round 13): every
       // document becomes a genuine ISO-BMFF container (ftyp/mdat/moov with

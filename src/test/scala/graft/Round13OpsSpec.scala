@@ -52,6 +52,29 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(!Bench.isSuspectWindow(Seq(0.0, 5.0)))
   }
 
+  test("resize kernels: area-average downscale floors per 2x2 block; decimation averages pairs") {
+    import graft.multimodal.{PpmCodec, WavCodec}
+    // 4x2 RGB image: two 2x2 blocks with hand-computed per-channel floors
+    // block A channel values: R {10,11,12,13}=46 -> 11 (floor 11.5)
+    val px = Array[Int](
+      10, 0, 255, 11, 1, 254, /* row0: A(0,0) A(0,1) */ 100, 7, 3, 101, 8, 2,
+      12, 2, 253, 13, 3, 252, /* row1 */ 102, 9, 1, 103, 10, 0
+    ).map(_.toByte)
+    val small = PpmCodec.downscale2x(PpmCodec.Ppm(4, 2, 255, px))
+    assert(small.width == 2 && small.height == 1)
+    assert(small.pixels.map(_ & 0xff).toSeq == Seq(11, 1, 253, 101, 8, 1),
+      small.pixels.map(_ & 0xff).toSeq.toString)
+    // decimation: even count averages pairs; odd count passes the tail through;
+    // negative pairs stay exact (fixture samples are multiples of 256)
+    val even = WavCodec.downsample2x(WavCodec.Wav(8000, 1, Array[Short](256, 512, -256, -768)))
+    assert(even.sampleRate == 4000 && even.samples.toSeq == Seq[Short](384, -512))
+    val odd = WavCodec.downsample2x(WavCodec.Wav(8000, 1, Array[Short](1000, 2000, 3000)))
+    assert(odd.samples.toSeq == Seq[Short](1500, 3000))
+    // full cycle: downscaled image re-encodes and re-decodes byte-exact
+    val back = PpmCodec.decode(PpmCodec.encode(small)).get
+    assert(java.util.Arrays.equals(back.pixels, small.pixels))
+  }
+
   test("paragraph dedup: blank-line mode equals chunk mode on an aligned newline fixture") {
     import spark.implicits._
     // real paragraph boundaries: each paragraph is EXACTLY 10 tokens, so
