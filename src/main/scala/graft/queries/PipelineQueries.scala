@@ -1757,6 +1757,68 @@ object PipelineQueries {
              |SELECT * FROM img UNION ALL SELECT * FROM aud ORDER BY doc_id""".stripMargin)
     ),
 
+    "q_dedup_image_ahash" -> QueryDef(
+      // The multimodal×dedup bridge (round 13): average-hash (aHash)
+      // perceptual fingerprinting over the DECODED image pixels — the
+      // first-pass image dedup every multimodal training pipeline runs
+      // (hash-equality buckets; Hamming-ball widening would ride the
+      // SimHash machinery if needed). Integer-exact by the family's
+      // cross-multiplication discipline: luminance G_i = r+g+b per pixel,
+      // bit_i = (64·G_i >= ΣG) — no division, no float — packed into two
+      // BIGINT halves (the 1<<63 overflow trap: DuckDB checks, Spark
+      // wraps; 32-bit halves keep both engines shift-safe). The engine
+      // path hashes pixels from the REAL PPM decode, the oracle
+      // reconstructs them from `text`, so a decode slip breaks every
+      // hash. Exact-duplicate documents (the corpus plants them) encode
+      // to identical images and must land in one cluster with the
+      // smallest doc_id canonical.
+      // Scale shape: map-side hash, ONE shuffle on the 16-byte hash pair
+      // (groupBy) — the linear dedup tier, same as q_dedup_exact.
+      (s, d) => {
+        import s.implicits._
+        val assets = graft.multimodal.Multimodal
+          .assetsFromDocumentsCodec(s, documents(s, d).filter($"doc_id" % 2 === 0))
+        assets.mapPartitions(_.map { a =>
+          val img = graft.multimodal.PpmCodec.decode(a.content)
+            .getOrElse(throw new IllegalStateException(s"undecodable fixture ${a.asset_id}"))
+          val px = img.pixels
+          val g = new Array[Long](64)
+          var tot = 0L
+          var i = 0
+          while (i < 64) {
+            g(i) = (px(3 * i) & 0xff).toLong + (px(3 * i + 1) & 0xff) + (px(3 * i + 2) & 0xff)
+            tot += g(i); i += 1
+          }
+          var lo = 0L; var hi = 0L
+          i = 0
+          while (i < 32) { if (64 * g(i) >= tot) lo |= 1L << i; i += 1 }
+          while (i < 64) { if (64 * g(i) >= tot) hi |= 1L << (i - 32); i += 1 }
+          (a.asset_id, hi, lo)
+        }).toDF("doc_id", "h_hi", "h_lo")
+          .groupBy($"h_hi", $"h_lo")
+          .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_images"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, list_transform(range(0, 192),
+             |    i -> CASE WHEN i < length(text) THEN ascii(substring(text, CAST(i + 1 AS INT), 1)) ELSE 0 END) AS pb
+             |  FROM documents WHERE doc_id % 2 = 0),
+             |g AS (
+             |  SELECT doc_id,
+             |    list_transform(range(0, 64), i -> pb[CAST(3 * i + 1 AS INT)] + pb[CAST(3 * i + 2 AS INT)] + pb[CAST(3 * i + 3 AS INT)]) AS lum
+             |  FROM b),
+             |s AS (SELECT doc_id, lum, list_sum(lum) AS tot FROM g),
+             |h AS (
+             |  SELECT doc_id,
+             |    CAST(list_sum(list_transform(range(0, 32),
+             |      i -> CASE WHEN 64 * lum[CAST(i + 1 AS INT)] >= tot THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END)) AS BIGINT) AS h_lo,
+             |    CAST(list_sum(list_transform(range(32, 64),
+             |      i -> CASE WHEN 64 * lum[CAST(i + 1 AS INT)] >= tot THEN (1::BIGINT << CAST(i - 32 AS INT)) ELSE 0 END)) AS BIGINT) AS h_hi
+             |  FROM s)
+             |SELECT h_hi, h_lo, MIN(doc_id) AS doc_id, COUNT(*) AS n_images
+             |FROM h GROUP BY h_hi, h_lo ORDER BY doc_id""".stripMargin)
+    ),
+
     "q_multimodal_mp4" -> QueryDef(
       // The VIDEO member of the real-codec family (round 13): every
       // document becomes a genuine ISO-BMFF container (ftyp/mdat/moov with

@@ -556,4 +556,18 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(shuffles.exists(_.contains("hashpartitioning(doc_id#")),
       s"shingle hashing must parallelize off the doc_id repartition: $shuffles")
   }
+
+  test("the round-13 real-codec keys are map-only: no exchange below the final sort") {
+    // encode+decode (jpeg), container parse (mp4), and the full
+    // decode->resize->re-encode->re-decode cycle must all stay map-side —
+    // the only exchange is the rangepartitioning for the output orderBy,
+    // and there must be no join or aggregate anywhere
+    for (key <- Seq("q_multimodal_jpeg", "q_multimodal_mp4", "q_multimodal_resize")) {
+      val plan = finalSection(physical(run(key)))
+      val exchanges = "Exchange".r.findAllIn(plan.replace("ReusedExchange", "")).size
+      assert(exchanges <= 1, s"$key: expected at most the final-sort exchange:\n$plan")
+      for (op <- Seq("Join", "HashAggregate", "SortAggregate"))
+        assert(!plan.contains(op), s"$key must not contain $op:\n$plan")
+    }
+  }
 }
