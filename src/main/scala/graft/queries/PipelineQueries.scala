@@ -1757,6 +1757,76 @@ object PipelineQueries {
              |SELECT * FROM img UNION ALL SELECT * FROM aud ORDER BY doc_id""".stripMargin)
     ),
 
+    "q_multimodal_audio_features" -> QueryDef(
+      // Framewise audio analysis over the REAL WAV decode (round 13) —
+      // the VAD-style gating a speech-data curation pipeline runs before
+      // anything expensive: per 64-sample frame, short-time ENERGY
+      // (Σ s², exact int64: |s| ≤ 32640 ⇒ frame energy ≤ 6.9e10) and
+      // ZERO-CROSSING count (sign(s_i) ≠ sign(s_{i−1}) within the frame,
+      // zero counted non-negative) — both pure integer, no float ever.
+      // Only COMPLETE frames count (n // 64 — the streaming-window
+      // convention; the tail remainder is next-buffer state). A frame is
+      // "active" when energy > 64·1000² (a fixed 1000-amplitude RMS gate,
+      // cross-multiplied so no division). The oracle replays sample
+      // reconstruction s = (byte − 128)·256 and every frame statistic
+      // from `text`.
+      // Scale shape: map-only decode + per-doc loop; no shuffle but the
+      // output sort.
+      (s, d) => {
+        import s.implicits._
+        val assets = graft.multimodal.Multimodal
+          .assetsFromDocumentsCodec(s, documents(s, d).filter($"doc_id" % 2 === 1))
+        assets.mapPartitions(_.map { a =>
+          val wav = graft.multimodal.WavCodec.decode(a.content)
+            .getOrElse(throw new IllegalStateException(s"undecodable fixture ${a.asset_id}"))
+          val n = wav.samples.length
+          val nFrames = n / 64
+          var zcr = 0L; var eSum = 0L; var eMax = 0L; var active = 0L
+          var f = 0
+          while (f < nFrames) {
+            var e = 0L; var z = 0L
+            var i = 0
+            while (i < 64) {
+              val v = wav.samples(f * 64 + i).toLong
+              e += v * v
+              if (i > 0 && ((v < 0) != (wav.samples(f * 64 + i - 1) < 0))) z += 1
+              i += 1
+            }
+            zcr += z; eSum += e
+            if (e > eMax) eMax = e
+            if (e > 64L * 1000 * 1000) active += 1
+            f += 1
+          }
+          (a.asset_id, nFrames.toLong, zcr, eSum, eMax, active)
+        }).toDF("doc_id", "n_frames", "zcr_total", "energy_sum", "energy_max", "n_active")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, text, length(text) // 64 AS nf FROM documents WHERE doc_id % 2 = 1),
+             |fr AS (SELECT doc_id, text, nf, unnest(range(nf)) AS f FROM d),
+             |fs AS (
+             |  SELECT doc_id, f,
+             |    list_transform(range(0, 64),
+             |      i -> (ascii(substring(text, CAST(f * 64 + i + 1 AS INT), 1)) - 128) * 256) AS s
+             |  FROM fr),
+             |fe AS (
+             |  SELECT doc_id, f,
+             |    CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS e,
+             |    CAST(list_sum(list_transform(range(1, 64),
+             |      i -> CASE WHEN (s[CAST(i + 1 AS INT)] < 0) <> (s[CAST(i AS INT)] < 0) THEN 1 ELSE 0 END)) AS BIGINT) AS z
+             |  FROM fs),
+             |agg AS (
+             |  SELECT doc_id, COUNT(*) AS nf2, SUM(z) AS zcr, SUM(e) AS es, MAX(e) AS em,
+             |    SUM(CASE WHEN e > 64000000 THEN 1 ELSE 0 END) AS act
+             |  FROM fe GROUP BY doc_id)
+             |SELECT d.doc_id, CAST(d.nf AS BIGINT) AS n_frames,
+             |  COALESCE(CAST(zcr AS BIGINT), 0) AS zcr_total,
+             |  COALESCE(CAST(es AS BIGINT), 0) AS energy_sum,
+             |  COALESCE(CAST(em AS BIGINT), 0) AS energy_max,
+             |  COALESCE(CAST(act AS BIGINT), 0) AS n_active
+             |FROM d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin)
+    ),
+
     "q_dedup_image_ahash" -> QueryDef(
       // The multimodal×dedup bridge (round 13): average-hash (aHash)
       // perceptual fingerprinting over the DECODED image pixels — the
