@@ -260,6 +260,23 @@ object JpegCodec {
     val mcusY = (height + 8 * maxV - 1) / (8 * maxV)
     val planeW = comps.map(c => mcusX * c.h * 8)
     val planeH = comps.map(c => mcusY * c.v * 8)
+    // Struct-bomb bound BEFORE any plane allocation (the Mp4Codec
+    // discipline): a few-hundred-byte file declaring 40000x40000 in its SOF
+    // would otherwise demand multi-GB Int allocations, and OutOfMemoryError
+    // is an Error the NonFatal backstop does NOT catch — the None-on-any-
+    // structural-violation contract for untrusted bytes would be escaped
+    // via memory exhaustion. Two caps, both conservative for real files:
+    //  - information bound: every 8x8 block costs >= 2 entropy bits (a
+    //    1-bit DC code + a 1-bit EOB is the floor), so a legal scan carries
+    //    at most 4 blocks (256 plane ints) per input byte; declared planes
+    //    past 256*len (+4 KB slack for tiny fixtures) cannot be backed by
+    //    the bytes present and are rejected as Malformed.
+    //  - absolute envelope: 2^26 total plane ints (256 MB) — a per-task
+    //    decode allocation ceiling, far above any fixture and safely below
+    //    executor memory at 32 concurrent tasks.
+    val totalPlaneInts = comps.indices.map(c => planeW(c).toLong * planeH(c)).sum
+    if (totalPlaneInts > 256L * bytes.length + 4096L || totalPlaneInts > (1L << 26))
+      throw Malformed
     val planes = comps.indices.map(c => new Array[Int](planeW(c) * planeH(c))).toArray
     comps.foreach { c =>
       if (qtab(c.tq) == null || dcTab(c.td) == null || acTab(c.ta) == null)

@@ -150,6 +150,15 @@ object Mp4Codec {
     var si = 0
     var run = 0
     var chunk = 1L
+    // Cumulative allocation bound: the per-item caps (4M samples, 64 MB
+    // each) do not bound the PRODUCT — crafted stco offsets can all point
+    // at the same region, so each per-chunk off+sz<=length check passes
+    // while total copyOfRange allocation reaches nChunks*fileSize (a ~16 MB
+    // file demanding terabytes, ending in an uncatchable OutOfMemoryError
+    // instead of None). A legitimate file's samples are disjoint mdat
+    // regions, so their total bytes can never exceed the file length —
+    // exceeding it is a structural violation, rejected before allocating.
+    var cumBytes = 0L
     while (si < nSamples.toInt) {
       if (chunk > offsets.length) throw Malformed // more samples than chunk space
       while (run + 1 < runs.length && runs(run + 1)._1 <= chunk) run += 1
@@ -160,6 +169,8 @@ object Mp4Codec {
       while (k < perChunk && si < nSamples.toInt) {
         val sz = sizes(si)
         if (off < 0 || off + sz > b.length) throw Malformed
+        cumBytes += sz
+        if (cumBytes > b.length) throw Malformed // overlapping-sample bomb
         samples(si) = java.util.Arrays.copyOfRange(b, off.toInt, (off + sz).toInt)
         off += sz
         si += 1; k += 1

@@ -97,6 +97,29 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("struct-bomb SOF dims refuse BEFORE plane allocation (None, not OOM)") {
+    val ok = JpegCodec.encodeGrayDcOnly(16, 16, Array.fill(4)(0))
+    var at = -1; var i = 0
+    while (at < 0 && i + 1 < ok.length) {
+      if ((ok(i) & 0xff) == 0xff && (ok(i + 1) & 0xff) == 0xc0) at = i
+      i += 1
+    }
+    assert(at > 0, "SOF0 marker not found")
+    // absolute-envelope arm: 40000x40000 declared (~1.6e9 plane ints if
+    // allocated — multi-GB); must refuse as a structural violation, because
+    // an OutOfMemoryError would escape the NonFatal backstop
+    val bomb = ok.clone()
+    bomb(at + 5) = ((40000 >> 8) & 0xff).toByte; bomb(at + 6) = (40000 & 0xff).toByte
+    bomb(at + 7) = ((40000 >> 8) & 0xff).toByte; bomb(at + 8) = (40000 & 0xff).toByte
+    assert(JpegCodec.decode(bomb).isEmpty, "40000x40000 bomb must return None")
+    // information-bound arm: 2048x2048 passes the absolute cap but cannot
+    // be backed by a few hundred input bytes (>= 2 entropy bits per block)
+    val bomb2 = ok.clone()
+    bomb2(at + 5) = 8; bomb2(at + 6) = 0
+    bomb2(at + 7) = 8; bomb2(at + 8) = 0
+    assert(JpegCodec.decode(bomb2).isEmpty, "2048x2048-from-tiny-file must return None")
+  }
+
   test("fixture bytes are standard JPEG: the JDK's independent decoder reads the same constants") {
     val ts = Array(-64, -17, 0, 21, 42, 63)
     val bytes = JpegCodec.encodeGrayDcOnly(24, 16, ts)

@@ -70,6 +70,35 @@ class Mp4CodecSpec extends AnyFunSuite {
     assert(Mp4Codec.decode(overrun).isEmpty)
   }
 
+  test("overlapping-sample bomb: cumulative sample bytes past the file length refuse") {
+    // Per-item bounds don't bound the PRODUCT: stco offsets all pointing at
+    // the same region pass every off+sz<=length check while total
+    // copyOfRange allocation reaches nChunks*fileSize. A legitimate file's
+    // samples are disjoint mdat regions (total <= file length), so the
+    // cumulative bound rejects this as Malformed -> None, not OOM.
+    val ok = Mp4Codec.encode(1000, 100, mk(2, 3))
+    def find(tag: String): Int = {
+      var i = 0; var at = -1
+      while (at < 0 && i + 4 <= ok.length) {
+        if (new String(ok, i, 4, "US-ASCII") == tag) at = i
+        i += 1
+      }
+      assert(at > 0, s"$tag not found"); at
+    }
+    def putU32(b: Array[Byte], at: Int, v: Long): Unit = {
+      b(at) = ((v >> 24) & 0xff).toByte; b(at + 1) = ((v >> 16) & 0xff).toByte
+      b(at + 2) = ((v >> 8) & 0xff).toByte; b(at + 3) = (v & 0xff).toByte
+    }
+    val bomb = ok.clone()
+    // stsz payload: version/flags, uniform, count — claim each of the 2
+    // samples spans most of the file
+    putU32(bomb, find("stsz") + 8, (ok.length - 40).toLong)
+    // stco: both chunk offsets -> 0, so each per-sample bounds check passes
+    val stco = find("stco")
+    putU32(bomb, stco + 12, 0L); putU32(bomb, stco + 16, 0L)
+    assert(Mp4Codec.decode(bomb).isEmpty, "overlapping-sample bomb must return None")
+  }
+
   test("fuzz: every truncation offset and 3000 random mutations never throw") {
     val ok = Mp4Codec.encode(24000, 1001, mk(5, 21))
     for (n <- 0 until ok.length) Mp4Codec.decode(ok.take(n))
