@@ -115,6 +115,40 @@ object IvfKMeans {
       .sortBy(_._1)
   }
 
+  /** Production probe-width policy, prescribed by the measured recall-vs-
+    * cost curve (BENCH_SCALING round 13): recall is governed by the probed
+    * FRACTION nprobe/K, so a constant nprobe collapses as the quantizer
+    * grows — measured 53.8% contamination-flag agreement at nprobe=2 with
+    * K=323 cells (0.6% probed), the count-driven seed policy's worst case.
+    * Probing a fixed eighth of the cells (floor 2) holds the fraction — and
+    * therefore recall — flat across scales. The curve's own numbers at the
+    * scales where the tier is forced: ⌈K/8⌉ probes ≈ 12% of cells → ~85%+
+    * flag agreement at ≲1× the exact arm's cost (sf16: 84.7% at 10%
+    * probed / 0.39×; 94.7% at 20% / 0.69×). Cost scales linearly with the
+    * fraction, so the eighth is the knee the curve recommends — callers
+    * with a different recall budget pass their own policy.
+    */
+  def adaptiveNprobe(k: Int): Int = math.max(2, (k + 7) / 8)
+
+  /** [[probeCells]] with the probe width derived from the quantizer size by
+    * `policy` (e.g. [[adaptiveNprobe]]) instead of a pinned constant.
+    */
+  def probeCells(
+      spark: SparkSession,
+      cents: Seq[(Long, Seq[Double])],
+      vcol: Column,
+      policy: Int => Int
+  ): Column = probeCells(spark, cents, vcol, policy(cents.size))
+
+  /** Policy twin of [[probeCellsBc]] — same contract as the policy
+    * [[probeCells]] overload. */
+  def probeCellsBc(
+      spark: SparkSession,
+      cents: Seq[(Long, Seq[Double])],
+      vcol: Column,
+      policy: Int => Int
+  ): Column = probeCellsBc(spark, cents, vcol, policy(cents.size))
+
   /** Top-`nprobe` probe cells for `vcol` — the fused, compiled twin of
     * `transform(slice(array_sort(simStructs(...)), 1, nprobe), p -> p.cid)`
     * ([[graft.functions.IvfNearestCells]]): one expression node instead of

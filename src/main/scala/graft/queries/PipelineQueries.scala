@@ -512,19 +512,32 @@ object PipelineQueries {
     *   item).
     */
   private[graft] def semanticDecontamIvf(
-      s: SparkSession, d: String, nprobe: Int = 2): DataFrame = {
+      s: SparkSession, d: String, nprobe: Int = 2): DataFrame =
+    semanticDecontamIvf(s, d, (_: Int) => nprobe, 31L)
+
+  /** Policy form: probe width derived from the trained quantizer size by
+    * `nprobePolicy` (the production path uses
+    * [[graft.operators.IvfKMeans.adaptiveNprobe]] — nprobe = max(2, ⌈K/8⌉),
+    * the knee of the measured recall-vs-cost curve). `needleMod` picks the
+    * needle set (every `needleMod`-th vector); the adaptive forced key uses
+    * a denser set so K is large enough at the oracle scale that the policy
+    * width genuinely exceeds the legacy constant.
+    */
+  private[graft] def semanticDecontamIvf(
+      s: SparkSession, d: String,
+      nprobePolicy: Int => Int, needleMod: Long): DataFrame = {
     import s.implicits._
     import graft.operators.IvfKMeans
     val e = embeddings(s, d).select($"vec_id",
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-    val needles = e.filter(pmod($"vec_id", lit(31)) === 0)
+    val needles = e.filter(pmod($"vec_id", lit(needleMod)) === 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nNeedles = needles.count() // materializes the persist; drives the seed policy
     val stride = if (nNeedles <= 4096L) 8L else 256L
     // bounded: K ≈ |needles|/stride seed rows through the driver — the
     // k-means-init bound, same as q_similarity_ann_ivf's seed collect
     val seeds: Seq[(Long, Seq[Double])] =
-      needles.filter($"vec_id" % (31L * stride) === 0).orderBy($"vec_id")
+      needles.filter($"vec_id" % (needleMod * stride) === 0).orderBy($"vec_id")
         .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
     val cents = IvfKMeans.train(s, needles, seeds, iters = 2)
     // the IVF build artifact, grouped PER CELL: one row per cell carrying
@@ -539,7 +552,8 @@ object PipelineQueries {
       .agg(collect_list(struct($"vec_id".as("n_id"), $"v".as("nv"))).as("nds"))
       .localCheckpoint()
     needles.unpersist(blocking = false)
-    val corpus = e.filter(pmod($"vec_id", lit(31)) =!= 0)
+    val nprobe = nprobePolicy(cents.size)
+    val corpus = e.filter(pmod($"vec_id", lit(needleMod)) =!= 0)
       // spread the compact test scan (same note as the exact arm)
       .repartition($"vec_id")
       // fused top-2 probe (one compiled loop; bit-identical to the
@@ -572,22 +586,27 @@ object PipelineQueries {
     * `ivf (vec_id, n_id, sim4, contam)`. Defines `en`/`n`/`cor` (all /
     * needle / corpus vectors with norms; `n` is the training set
     * `lloydIterSql` folds over), the count-driven seed policy (`pol`), two
-    * Lloyd iterations, the needle cell assignment (`nd`), the nprobe=2
-    * corpus probe list (`prb`) and the cell-restricted argmax.
+    * Lloyd iterations, the needle cell assignment (`nd`), the probe-width
+    * policy (`npol` — `nprobeSelect` is either the pinned `SELECT 2 AS np`
+    * or the K-derived adaptive formula over the trained centroid table
+    * `c2`, mirroring `IvfKMeans.adaptiveNprobe`), the corpus probe list
+    * (`prb`) and the cell-restricted argmax.
     */
-  private val semanticIvfCtes: String =
+  private def semanticIvfCtes(
+      needleMod: Int = 31, nprobeSelect: String = "SELECT 2 AS np"): String =
     s"""e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |en AS (
        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
-       |n AS (SELECT * FROM en WHERE vec_id % 31 = 0),
-       |cor AS (SELECT * FROM en WHERE vec_id % 31 <> 0),
+       |n AS (SELECT * FROM en WHERE vec_id % $needleMod = 0),
+       |cor AS (SELECT * FROM en WHERE vec_id % $needleMod <> 0),
        |pol AS (SELECT CASE WHEN COUNT(*) <= 4096 THEN 8 ELSE 256 END AS stride FROM n),
        |c0 AS (
        |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
-       |  WHERE vec_id % (31 * (SELECT stride FROM pol)) = 0),
+       |  WHERE vec_id % ($needleMod * (SELECT stride FROM pol)) = 0),
        |${lloydIterSql(0)},
        |${lloydIterSql(1)},
+       |npol AS ($nprobeSelect),
        |nd AS (
        |  SELECT cell, vec_id AS n_id, v AS nv, nrm AS nnrm FROM (
        |    SELECT n.vec_id, n.v, n.nrm, c.cid AS cell,
@@ -601,7 +620,7 @@ object PipelineQueries {
        |      ROW_NUMBER() OVER (PARTITION BY cor.vec_id ORDER BY
        |        ROUND(list_sum(list_transform(range(1, 65), i -> cor.v[i] * c.cv[i])) / (cor.nrm * c.cnrm), 6) DESC,
        |        c.cid) AS rk
-       |    FROM cor, c2 c) WHERE rk <= 2),
+       |    FROM cor, c2 c) WHERE rk <= (SELECT np FROM npol)),
        |pp AS (
        |  SELECT p.vec_id, nd.n_id,
        |    ROUND(list_sum(list_transform(range(1, 65), i -> p.v[i] * nd.nv[i])) / (p.nrm * nd.nnrm), 4) + 0.0 AS sim4
@@ -2558,7 +2577,32 @@ object PipelineQueries {
       // unprobed cell — the loss q_decontaminate_semantic_recall measures.
       // Full mechanism + policy scaladoc: semanticDecontamIvf above.
       (s, d) => semanticDecontamIvf(s, d),
-      Some(s"""WITH $semanticIvfCtes
+      Some(s"""WITH ${semanticIvfCtes()}
+              |SELECT vec_id, n_id, sim4, contam FROM ivf ORDER BY vec_id""".stripMargin)
+    ),
+
+    "q_decontaminate_semantic_ivf_adaptive" -> QueryDef(
+      // The PRODUCTION probe-width policy the round-13 recall curve
+      // prescribes, forced as its own oracle-gated key (the
+      // q_semdedup_table discipline — no prose-only production tiers):
+      // constant nprobe=2 collapses to 53.8% flag agreement at the seed
+      // policy's worst case (0.6% of K=323 cells probed at sf4), so the
+      // engine takes a POLICY — nprobe = max(2, ⌈K/8⌉), a fixed probed
+      // FRACTION ([[graft.operators.IvfKMeans.adaptiveNprobe]]) — and this
+      // key runs the full IVF tier through it. The needle set is denser
+      // (every 3rd vector) so K at the oracle scale is already large
+      // enough that the adaptive width genuinely exceeds the legacy
+      // constant (sf0.01: 167 needles → K=21 → nprobe=3; sf0.1: K≈84 →
+      // nprobe=11) — the policy branch is exercised, not just compiled.
+      // The DuckDB oracle derives the SAME width from the SAME trained
+      // centroid table (npol CTE: GREATEST(2, CEIL(COUNT(*)/8)) over c2),
+      // so any drift between engine policy and published policy breaks
+      // the hash. Recall delivered by the policy is measured at the
+      // forced scales by tools/IvfRecallCurve (BENCH_SCALING round 14).
+      (s, d) => semanticDecontamIvf(
+        s, d, graft.operators.IvfKMeans.adaptiveNprobe, 3L),
+      Some(s"""WITH ${semanticIvfCtes(3,
+                 "SELECT GREATEST(2, CAST(ceil(COUNT(*) / 8.0) AS BIGINT)) AS np FROM c2")}
               |SELECT vec_id, n_id, sim4, contam FROM ivf ORDER BY vec_id""".stripMargin)
     ),
 
@@ -2584,7 +2628,7 @@ object PipelineQueries {
             sum(when($"c_iv", 1L).otherwise(0L)).as("n_contam_ivf"),
             sum(when($"c_ex" === $"c_iv", 1L).otherwise(0L)).as("n_flag_agree"))
       },
-      Some(s"""WITH $semanticIvfCtes,
+      Some(s"""WITH ${semanticIvfCtes()},
               |ex AS (
               |  SELECT vec_id, n_id, sim4 >= 0.40 AS contam FROM (
               |    SELECT c.vec_id, q.vec_id AS n_id,

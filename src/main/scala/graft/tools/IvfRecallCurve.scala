@@ -30,8 +30,11 @@ object IvfRecallCurve {
     val dirs = if (args.nonEmpty) args.toSeq
       else Seq("/root/repo/.localdata/sf1", "/root/repo/.localdata/sf4",
         "/root/repo/.localdata/sf16")
+    // integer nprobe values, plus the token "adaptive" for the production
+    // policy (nprobe = max(2, ⌈K/8⌉), IvfKMeans.adaptiveNprobe) — resolved
+    // per sf against that corpus's trained K below
     val nprobes = sys.env.get("SPARK_GRAFT_NPROBES")
-      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 2, 4))
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq("1", "2", "4"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -72,7 +75,16 @@ object IvfRecallCurve {
         .write.mode("overwrite").parquet(exPath)
       val exactSec = (System.nanoTime() - tE0) / 1e9
       val ex = spark.read.parquet(exPath)
-      val perNprobe = for (np <- nprobes) yield {
+      // resolve "adaptive" to this corpus's K-derived width (K = the seed
+      // count of the count-driven policy — identical to cents.size since
+      // Lloyd preserves cell ids), so the report carries the number probed
+      val en = spark.read.parquet(s"$d/embeddings.parquet")
+      val nNeedles = en.filter($"vec_id" % 31 === 0).count()
+      val stride = if (nNeedles <= 4096L) 8L else 256L
+      val k = en.filter($"vec_id" % (31L * stride) === 0).count().toInt
+      val perNprobe = for (npTok <- nprobes) yield {
+        val np = if (npTok == "adaptive")
+          graft.operators.IvfKMeans.adaptiveNprobe(k) else npTok.toInt
         deepClean()
         val tI0 = System.nanoTime()
         val iv = graft.queries.PipelineQueries.semanticDecontamIvf(spark, d, np)
@@ -88,8 +100,9 @@ object IvfRecallCurve {
           .head()
         val (nv, nam, nce, nci, nfa) =
           (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
-        println(f"""{"sf":"$sf","nprobe":$np,"n_vecs":$nv,"n_argmax_match":$nam,"argmax_recall":${nam.toDouble / nv}%.4f,"n_contam_exact":$nce,"n_contam_ivf":$nci,"n_flag_agree":$nfa,"flag_agree":${nfa.toDouble / nv}%.4f,"ivf_sec":$ivfSec%.2f,"exact_sec":$exactSec%.2f}""")
-        (np, nv, nam, nce, nci, nfa, ivfSec)
+        val pol = if (npTok == "adaptive") "adaptive" else "const"
+        println(f"""{"sf":"$sf","nprobe":$np,"policy":"$pol","k":$k,"n_vecs":$nv,"n_argmax_match":$nam,"argmax_recall":${nam.toDouble / nv}%.4f,"n_contam_exact":$nce,"n_contam_ivf":$nci,"n_flag_agree":$nfa,"flag_agree":${nfa.toDouble / nv}%.4f,"ivf_sec":$ivfSec%.2f,"exact_sec":$exactSec%.2f}""")
+        (s"$np ($pol)", nv, nam, nce, nci, nfa, ivfSec)
       }
       deepClean()
       (sf, exactSec, perNprobe)

@@ -536,6 +536,23 @@ class PlanQualitySpec extends AnyFunSuite {
       s"the packed argmax must hash-aggregate (map-side partials):\n$plan")
   }
 
+  test("q_decontaminate_semantic_ivf_adaptive keeps the same scale shape at the policy width") {
+    // The adaptive probe-width policy changes only how many cells explode
+    // per corpus vector — the physical contract of the tier (cell
+    // equi-join via ShuffledHashJoin, no NLJ/cartesian, no needle
+    // broadcast, hash-aggregated packed argmax) must be identical to the
+    // pinned-width key's.
+    val plan = finalSection(physical(run("q_decontaminate_semantic_ivf_adaptive")))
+    assert(plan.contains("ShuffledHashJoin"),
+      s"the cell equi-join must be a shuffled hash join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"the corpus x needles pair stream must never NLJ:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"the needle side must not broadcast (that is the exact tier):\n$plan")
+    assert(plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"the packed argmax must hash-aggregate (map-side partials):\n$plan")
+  }
+
   test("q_dedup_lsh_recall's truth and measured arms share ONE persisted shingle pass") {
     // The recall gate's cost story: shingle hashing (the data-proportional
     // floor) runs once, cached, and feeds the PPJoin truth arm (exploded df
