@@ -121,12 +121,14 @@ object IvfKMeans {
     * grows — measured 53.8% contamination-flag agreement at nprobe=2 with
     * K=323 cells (0.6% probed), the count-driven seed policy's worst case.
     * Probing a fixed eighth of the cells (floor 2) holds the fraction — and
-    * therefore recall — flat across scales. The curve's own numbers at the
-    * scales where the tier is forced: ⌈K/8⌉ probes ≈ 12% of cells → ~85%+
-    * flag agreement at ≲1× the exact arm's cost (sf16: 84.7% at 10%
-    * probed / 0.39×; 94.7% at 20% / 0.69×). Cost scales linearly with the
-    * fraction, so the eighth is the knee the curve recommends — callers
-    * with a different recall budget pass their own policy.
+    * therefore recall — flat across scales. Measured at the forced scales
+    * (BENCH_SCALING round 14, isotropic worst-case corpus): flag agreement
+    * 94.0% at sf1 (K=81), 90.9% at sf4 (the old worst case, up from 53.8%),
+    * 88.7% at sf16 (K=40) — at 0.30× the exact arm's cost where the tier's
+    * past-broadcast regime actually holds (sf16) and cost parity at sf4.
+    * Cost scales linearly with the fraction, so the eighth is the knee the
+    * curve recommends — callers with a different recall budget pass their
+    * own policy.
     */
   def adaptiveNprobe(k: Int): Int = math.max(2, (k + 7) / 8)
 
