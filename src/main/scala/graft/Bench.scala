@@ -14,6 +14,34 @@ object Bench {
     sortedSamples.nonEmpty && sortedSamples.head > 0 &&
       sortedSamples.last / sortedSamples.head > SuspectWindowRatio
 
+  /** The steadiest of several sorted calibration sample sets — smallest
+    * max/min spread (ties: the earlier draw). Used by the suspect-window
+    * redraw: when the first 5-draw set spans a contended window, the bench
+    * redraws rather than letting one stalled draw inflate the median (the
+    * r13 official artifact's failure: a 169.7 s draw pushed calib_sec to
+    * 25.4, which pushed the remeasure bar to 8.5 s — above every query —
+    * so the flagged window shipped uncorrected figures).
+    */
+  def bestCalibration(sets: Seq[Seq[Double]]): Seq[Double] =
+    sets.minBy(s => if (s.isEmpty || s.head <= 0) Double.MaxValue else s.last / s.head)
+
+  /** Which queries to re-measure in a fresh JVM. Normal windows: every
+    * query above the cost bar, top 10 by in-suite median. SUSPECT windows:
+    * the top 10 UNCONDITIONALLY — the bar is derived from the calibration
+    * median, which is exactly what a contended window corrupts (r13: bar
+    * 8.48 s from a 25.4 s stalled-draw median → zero suspects → the
+    * artifact self-flagged but published inflated figures). Flagging
+    * without re-measuring is not a guard.
+    */
+  def remeasureSet(
+      suiteMedians: Seq[(String, Double)],
+      bar: Double,
+      suspectWindow: Boolean): Seq[String] = {
+    val pool = if (suspectWindow) suiteMedians
+               else suiteMedians.filter(_._2 > bar)
+    pool.sortBy(-_._2).take(10).map(_._1).sorted
+  }
+
   /** One draw of the host-speed calibration probe (~1.7–2 s of suite-shaped
     * mixed work: a parquet scan of the pinned sf0.001 corpus, codegen'd
     * md5+string CPU, an explode fan-out, a hash-agg shuffle, a final sort).
@@ -148,7 +176,20 @@ object Bench {
     // untimed run first: the probe's own whole-stage-codegen compile
     // otherwise lands in sample 1 (measured +1.2 s on the first draw).
     calibrateOnce()
-    val calibSamples = Seq.fill(5)(calibrateOnce()).sorted
+    // Suspect-window redraw (round-13 lesson): one stalled draw must not
+    // define the run's calibration unit. If the 5-sample set spans > 2x,
+    // wait out the contention briefly and redraw (≤2 times), then keep the
+    // steadiest set; the redraw count ships in the JSON.
+    var calibSets = List(Seq.fill(5)(calibrateOnce()).sorted)
+    var calibRedraws = 0
+    while (isSuspectWindow(calibSets.head) && calibRedraws < 2) {
+      System.err.println(
+        f"[bench] contended calibration window (max/min = ${calibSets.head.last / calibSets.head.head}%.2f) — redrawing")
+      Thread.sleep(5000)
+      calibSets = Seq.fill(5)(calibrateOnce()).sorted :: calibSets
+      calibRedraws += 1
+    }
+    val calibSamples = bestCalibration(calibSets)
     val calib = calibSamples(calibSamples.length / 2)
     // Contended-window guard (round-12 lesson): the official r12 artifact
     // carried calib_max 51.47 against calib_min 1.33 — one calibration draw
@@ -216,14 +257,20 @@ object Bench {
     // Cap at the top 10 by suite median: at data-dominated SFs (sf1+) half
     // the suite legitimately exceeds an absolute bar, and re-measuring 40+
     // queries would add tens of minutes for corrections that matter only on
-    // the most expensive figures.
-    val suspects = suiteResults.filter(_._2 > suspectBar).toSeq
-      .sortBy(-_._2).take(10).map(_._1).sorted
+    // the most expensive figures. On a SUSPECT window the bar is ignored
+    // and the top 10 re-measure unconditionally (remeasureSet scaladoc).
+    val suspects = remeasureSet(suiteResults.toSeq, suspectBar, suspectWindow)
     if (!isChild) spark.stop()
     val isolated: Map[String, Double] =
       if (isChild || suspects.isEmpty || sys.env.contains("SPARK_GRAFT_NO_REMEASURE"))
         Map.empty
-      else remeasureIsolated(suspects, trials)
+      else {
+        val first = remeasureIsolated(suspects, trials)
+        // one retry on total failure: the correction is the artifact's
+        // evidence (n_remeasured = 0 on a flagged window is the r13 gap) —
+        // a transient child failure shouldn't silently forfeit it
+        if (first.nonEmpty) first else remeasureIsolated(suspects, trials)
+      }
     val results = suiteResults.map { case (k, v) =>
       k -> isolated.get(k).fold(v)(math.min(v, _))
     }
@@ -242,7 +289,7 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val suiteTotal = if (suiteResults.nonEmpty) suiteResults.values.sum else 0.0
     val fullJson =
-      s"""{"metric":"total","value":${f"$total%.4f"},"suite_total":${f"$suiteTotal%.4f"},"unit":"sec","calib_sec":${f"$calib%.4f"},"calib_min":${f"${calibSamples.head}%.4f"},"calib_max":${f"${calibSamples.last}%.4f"},"suspect_window":$suspectWindow,"queries":${toJson(results.toSeq)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.4f"},"suite_total":${f"$suiteTotal%.4f"},"unit":"sec","calib_sec":${f"$calib%.4f"},"calib_min":${f"${calibSamples.head}%.4f"},"calib_max":${f"${calibSamples.last}%.4f"},"suspect_window":$suspectWindow,"calib_redraws":$calibRedraws,"queries":${toJson(results.toSeq)},"sf":"$sfDir"}"""
     // The driver captures only a bounded tail of sbt's stdout and parses the
     // last JSON line it finds. The full per-query map (~90 entries, ~3 KB)
     // overflows that buffer and the line arrives truncated → parsed:null in
@@ -295,7 +342,7 @@ object Bench {
       s""","remeasured":$remeasuredJson,"spread":$spreadJson}"""
     val compactJson =
       s"""{"metric":"total","value":${f"$total%.4f"},"suite_total":${f"$suiteTotal%.4f"},"unit":"sec","n_queries":${results.size},""" +
-        s""""calib_sec":${f"$calib%.4f"},"calib_min":${f"${calibSamples.head}%.4f"},"calib_max":${f"${calibSamples.last}%.4f"},"suspect_window":$suspectWindow,"n_remeasured":${isolated.size},""" +
+        s""""calib_sec":${f"$calib%.4f"},"calib_min":${f"${calibSamples.head}%.4f"},"calib_max":${f"${calibSamples.last}%.4f"},"suspect_window":$suspectWindow,"calib_redraws":$calibRedraws,"n_remeasured":${isolated.size},""" +
         s""""queries":${toJson(headlineResults)},"sf":"$sfDir","detail":"$detailPath"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), fullJsonWithEvidence)
     println(fullJsonWithEvidence)
