@@ -631,6 +631,58 @@ object PipelineQueries {
        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim4 DESC, n_id) AS rn
        |    FROM pp) t WHERE rn = 1)""".stripMargin
 
+  /** Per-image aHash fingerprints over the REAL PPM decode —
+    * (doc_id, h_hi, h_lo), one row per image document. Shared by the
+    * exact tier (`q_dedup_image_ahash`: hash-equality clusters) and the
+    * near tier (`q_dedup_image_phash_near`: banded Hamming≤3 pairs over
+    * the distinct-hash representatives). Integer-exact by the family's
+    * cross-multiplication discipline: luminance G_i = r+g+b, bit_i =
+    * (64·G_i ≥ ΣG), packed into two shift-safe 32-bit BIGINT halves.
+    */
+  private def imageAhashes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val assets = graft.multimodal.Multimodal
+      .assetsFromDocumentsCodec(s, documents(s, d).filter($"doc_id" % 2 === 0))
+    assets.mapPartitions(_.map { a =>
+      val img = graft.multimodal.PpmCodec.decode(a.content)
+        .getOrElse(throw new IllegalStateException(s"undecodable fixture ${a.asset_id}"))
+      val px = img.pixels
+      val g = new Array[Long](64)
+      var tot = 0L
+      var i = 0
+      while (i < 64) {
+        g(i) = (px(3 * i) & 0xff).toLong + (px(3 * i + 1) & 0xff) + (px(3 * i + 2) & 0xff)
+        tot += g(i); i += 1
+      }
+      var lo = 0L; var hi = 0L
+      i = 0
+      while (i < 32) { if (64 * g(i) >= tot) lo |= 1L << i; i += 1 }
+      while (i < 64) { if (64 * g(i) >= tot) hi |= 1L << (i - 32); i += 1 }
+      (a.asset_id, hi, lo)
+    }).toDF("doc_id", "h_hi", "h_lo")
+  }
+
+  /** DuckDB replay of [[imageAhashes]] — ends in `h (doc_id, h_lo, h_hi)`;
+    * the oracle reconstructs the decoded pixels from `text` so a decode
+    * slip breaks every hash. */
+  private val imageAhashCtes: String =
+    """b AS (
+      |  SELECT doc_id, list_transform(range(0, 192),
+      |    i -> CASE WHEN i < length(text) THEN ascii(substring(text, CAST(i + 1 AS INT), 1)) ELSE 0 END) AS pb
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |g AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 64), i -> pb[CAST(3 * i + 1 AS INT)] + pb[CAST(3 * i + 2 AS INT)] + pb[CAST(3 * i + 3 AS INT)]) AS lum
+      |  FROM b),
+      |s AS (SELECT doc_id, lum, list_sum(lum) AS tot FROM g),
+      |h AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(range(0, 32),
+      |      i -> CASE WHEN 64 * lum[CAST(i + 1 AS INT)] >= tot THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END)) AS BIGINT) AS h_lo,
+      |    CAST(list_sum(list_transform(range(32, 64),
+      |      i -> CASE WHEN 64 * lum[CAST(i + 1 AS INT)] >= tot THEN (1::BIGINT << CAST(i - 32 AS INT)) ELSE 0 END)) AS BIGINT) AS h_hi
+      |  FROM s)""".stripMargin
+
   val entries: Map[String, QueryDef] = Map(
     // ---------------------------------------------------------- dedup
     "q_dedup_exact" -> QueryDef(
@@ -1846,6 +1898,76 @@ object PipelineQueries {
              |FROM d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin)
     ),
 
+    "q_dedup_image_phash_near" -> QueryDef(
+      // NEAR-duplicate image dedup (round 14 — the Hamming≤k tier the
+      // round-13 verdict asked for): aHash equality only collapses
+      // near-exact duplicates; recompressed/slightly-edited images land a
+      // few bits away. This key finds every pair of DISTINCT hashes within
+      // Hamming distance 3 via a banded multi-index — the MinHash-banding
+      // discipline applied to perceptual hashes: the 64-bit hash splits
+      // into 4×16-bit bands, and by pigeonhole any pair with ≤3 differing
+      // bits agrees exactly on ≥1 band, so an any-band EQUI-join recalls
+      // ALL such pairs (recall floor 100% at d≤3 — proven on a planted
+      // fixture AND against the brute-force pair set on the real corpus in
+      // Round14OpsSpec), then the exact Hamming verify filters candidates.
+      // Composition is the scale story: the exact tier (groupBy hash)
+      // collapses first, so banding runs over DISTINCT-hash canonical
+      // representatives — at sf16 that is 3,435 reps from 400k images, and
+      // the band join shuffles 4 rows of 3 longs per rep, never pixels,
+      // never the Hamming-0 cluster members (whose all-pairs would be
+      // ~46M). d=0 pairs cannot appear by construction (reps have distinct
+      // hashes); they are q_dedup_image_ahash's output.
+      (s, d) => {
+        import s.implicits._
+        val reps = imageAhashes(s, d)
+          .groupBy($"h_hi", $"h_lo")
+          .agg(min($"doc_id").as("doc_id"))
+          // materialized once: the band explode reads it twice (self-join)
+          .localCheckpoint()
+        val bands = reps.select($"doc_id", $"h_hi", $"h_lo", explode(expr(
+          """array(
+            |  struct(0L AS band, h_lo % 65536 AS v),
+            |  struct(1L AS band, shiftright(h_lo, 16) AS v),
+            |  struct(2L AS band, h_hi % 65536 AS v),
+            |  struct(3L AS band, shiftright(h_hi, 16) AS v))""".stripMargin)).as("b"))
+          .select($"doc_id", $"h_hi", $"h_lo", $"b.band".as("band"), $"b.v".as("v"))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            col("x.h_hi").as("ahi"), col("x.h_lo").as("alo"),
+            col("y.h_hi").as("bhi"), col("y.h_lo").as("blo"))
+          // a d≤3 pair can agree on up to 3 bands — dedup the candidate,
+          // not the verified output (hashes ride along: doc_id determines
+          // the hash among reps, so the pair key alone dedups)
+          .distinct()
+        cand
+          .withColumn("hamming",
+            expr("CAST(bit_count(ahi ^ bhi) + bit_count(alo ^ blo) AS BIGINT)"))
+          .filter($"hamming" <= 3)
+          .select($"doc_a", $"doc_b", $"hamming")
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some(s"""WITH $imageAhashCtes,
+              |hh AS (SELECT h_hi, h_lo, MIN(doc_id) AS doc_id FROM h GROUP BY h_hi, h_lo),
+              |bb AS (
+              |  SELECT doc_id, h_hi, h_lo, band,
+              |    CASE WHEN band = 0 THEN h_lo % 65536
+              |         WHEN band = 1 THEN h_lo // 65536
+              |         WHEN band = 2 THEN h_hi % 65536
+              |         ELSE h_hi // 65536 END AS v
+              |  FROM (SELECT doc_id, h_hi, h_lo, unnest(range(4)) AS band FROM hh)),
+              |cand AS (
+              |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+              |    x.h_hi AS ahi, x.h_lo AS alo, y.h_hi AS bhi, y.h_lo AS blo
+              |  FROM bb x JOIN bb y ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id)
+              |SELECT * FROM (
+              |  SELECT doc_a, doc_b,
+              |    CAST(bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) AS BIGINT) AS hamming
+              |  FROM cand) t
+              |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
     "q_dedup_image_ahash" -> QueryDef(
       // The multimodal×dedup bridge (round 13): average-hash (aHash)
       // perceptual fingerprinting over the DECODED image pixels — the
@@ -1865,47 +1987,14 @@ object PipelineQueries {
       // (groupBy) — the linear dedup tier, same as q_dedup_exact.
       (s, d) => {
         import s.implicits._
-        val assets = graft.multimodal.Multimodal
-          .assetsFromDocumentsCodec(s, documents(s, d).filter($"doc_id" % 2 === 0))
-        assets.mapPartitions(_.map { a =>
-          val img = graft.multimodal.PpmCodec.decode(a.content)
-            .getOrElse(throw new IllegalStateException(s"undecodable fixture ${a.asset_id}"))
-          val px = img.pixels
-          val g = new Array[Long](64)
-          var tot = 0L
-          var i = 0
-          while (i < 64) {
-            g(i) = (px(3 * i) & 0xff).toLong + (px(3 * i + 1) & 0xff) + (px(3 * i + 2) & 0xff)
-            tot += g(i); i += 1
-          }
-          var lo = 0L; var hi = 0L
-          i = 0
-          while (i < 32) { if (64 * g(i) >= tot) lo |= 1L << i; i += 1 }
-          while (i < 64) { if (64 * g(i) >= tot) hi |= 1L << (i - 32); i += 1 }
-          (a.asset_id, hi, lo)
-        }).toDF("doc_id", "h_hi", "h_lo")
+        imageAhashes(s, d)
           .groupBy($"h_hi", $"h_lo")
           .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_images"))
           .orderBy($"doc_id")
       },
-      Some("""WITH b AS (
-             |  SELECT doc_id, list_transform(range(0, 192),
-             |    i -> CASE WHEN i < length(text) THEN ascii(substring(text, CAST(i + 1 AS INT), 1)) ELSE 0 END) AS pb
-             |  FROM documents WHERE doc_id % 2 = 0),
-             |g AS (
-             |  SELECT doc_id,
-             |    list_transform(range(0, 64), i -> pb[CAST(3 * i + 1 AS INT)] + pb[CAST(3 * i + 2 AS INT)] + pb[CAST(3 * i + 3 AS INT)]) AS lum
-             |  FROM b),
-             |s AS (SELECT doc_id, lum, list_sum(lum) AS tot FROM g),
-             |h AS (
-             |  SELECT doc_id,
-             |    CAST(list_sum(list_transform(range(0, 32),
-             |      i -> CASE WHEN 64 * lum[CAST(i + 1 AS INT)] >= tot THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END)) AS BIGINT) AS h_lo,
-             |    CAST(list_sum(list_transform(range(32, 64),
-             |      i -> CASE WHEN 64 * lum[CAST(i + 1 AS INT)] >= tot THEN (1::BIGINT << CAST(i - 32 AS INT)) ELSE 0 END)) AS BIGINT) AS h_hi
-             |  FROM s)
-             |SELECT h_hi, h_lo, MIN(doc_id) AS doc_id, COUNT(*) AS n_images
-             |FROM h GROUP BY h_hi, h_lo ORDER BY doc_id""".stripMargin)
+      Some(s"""WITH $imageAhashCtes
+              |SELECT h_hi, h_lo, MIN(doc_id) AS doc_id, COUNT(*) AS n_images
+              |FROM h GROUP BY h_hi, h_lo ORDER BY doc_id""".stripMargin)
     ),
 
     "q_multimodal_mp4" -> QueryDef(

@@ -553,6 +553,17 @@ class PlanQualitySpec extends AnyFunSuite {
       s"the packed argmax must hash-aggregate (map-side partials):\n$plan")
   }
 
+  test("q_dedup_image_phash_near bands are an equi-join over distinct-hash reps: no all-pairs, no broadcast-by-accident NLJ") {
+    // The near tier's 100 TB story: banding over distinct-hash canonical
+    // representatives (the exact tier collapses first), candidates from a
+    // (band, value) EQUI-join — never a cartesian Hamming scan over the
+    // rep set.
+    val plan = physical(run("q_dedup_image_phash_near"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"the candidate stage must be an equi-join, not all-pairs:\n$plan")
+    assert(plan.contains("Join"), s"expected the banded self-join:\n$plan")
+  }
+
   test("q_dedup_lsh_recall's truth and measured arms share ONE persisted shingle pass") {
     // The recall gate's cost story: shingle hashing (the data-proportional
     // floor) runs once, cached, and feeds the PPJoin truth arm (exploded df

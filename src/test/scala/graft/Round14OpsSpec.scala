@@ -84,6 +84,67 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(!Bench.isSuspectWindow(clean) && Bench.isSuspectWindow(stalled))
   }
 
+  test("image near-dup: planted Hamming-ball fixture — banding recalls every d<=3 pair, both exclusion paths hold") {
+    import spark.implicits._
+    // Texts ARE the pixel bytes (first 192 chars). Cell i is bright ('z',
+    // lum 366) or dark ('', lum 3); 64·lum vs ΣG≈11.8k keeps every
+    // threshold far from flipping when a few cells change, so the aHash is
+    // exactly the planted bit pattern (base: cells 0..31 bright).
+    def img(brightCells: Set[Int]): String =
+      (0 until 64).map(i => (if (brightCells(i)) "z" else "") * 3).mkString
+    val base = (0 until 32).toSet
+    val docs = Seq(
+      (0L, img(base)),                          // base
+      (2L, img(base)),                          // exact dup -> same hash, collapses
+      (4L, img(base + 63)),                     // d=1
+      (6L, img(base -- Set(0, 1) + 62)),        // d=3
+      (8L, img(base -- Set(0, 1, 2, 3))),       // d=4 vs base, all flips in band 0:
+                                                //   candidate via bands 1-3, filtered
+                                                //   by verify — but d=3 vs doc 6
+                                                //   (diff {2,3,62}), a true near pair
+      (10L, img(base -- Set(5, 20) ++ Set(40, 60))) // d=4, one flip per band: never
+                                                //   even a candidate (no shared band)
+    ).map { case (id, t) => (id, t, "en", "fixture", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("phash_near").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_dedup_image_phash_near")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 4L, 1L), (0L, 6L, 3L), (6L, 8L, 3L)),
+      s"expected exactly the three planted d<=3 pairs, got $got")
+    // the exact tier sees the collapse the near tier builds on
+    val ahash = SparkEntry.queries("q_dedup_image_ahash")(spark, dir)
+      .select($"doc_id", $"n_images").as[(Long, Long)].collect().toMap
+    assert(ahash(0L) == 2L, "base and its exact dup must share one hash cluster")
+  }
+
+  test("image near-dup: banding equals brute force on the real corpus (recall floor at d<=3)") {
+    import spark.implicits._
+    // Pigeonhole claim verified wholesale: every distinct-hash pair within
+    // Hamming 3 at sf0.01 (221 reps -> 24k brute pairs) must come back from
+    // the banded equi-join — zero missed, zero extra, distances equal.
+    val sf001Dir = "/root/testdata/sf0.01"
+    val reps = graft.queries.PipelineQueries
+      .entries("q_dedup_image_ahash").fn(spark, sf001Dir)
+      .select($"doc_id", $"h_hi", $"h_lo")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val brute = (for {
+      i <- reps.indices; j <- (i + 1) until reps.length
+      d = java.lang.Long.bitCount(reps(i)._2 ^ reps(j)._2) +
+        java.lang.Long.bitCount(reps(i)._3 ^ reps(j)._3)
+      if d <= 3
+    } yield {
+      val (a, b) = if (reps(i)._1 < reps(j)._1) (reps(i)._1, reps(j)._1)
+                   else (reps(j)._1, reps(i)._1)
+      (a, b, d.toLong)
+    }).toSet
+    val banded = SparkEntry.queries("q_dedup_image_phash_near")(spark, sf001Dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded == brute,
+      s"banding must equal brute force: missed ${brute -- banded}, extra ${banded -- brute}")
+    assert(brute.nonEmpty, "the corpus must actually exercise the near tier")
+  }
+
   test("the adaptive forced key genuinely widens the probe at the oracle scale") {
     import spark.implicits._
     // the key's needle policy at sf0.01: every 3rd vector → 167 needles,
