@@ -488,6 +488,114 @@ object JpegCodec {
     * (each block: DC diff + EOB), EOI. `restartEvery` > 0 inserts RSTn
     * markers every that-many MCUs (exercises the decoder's restart path).
     */
+  /** Encode a COLOR 4:2:0 baseline JPEG whose decode is exact integer
+    * arithmetic while exercising the general paths the DC-only arm cannot:
+    * AC coefficients (zigzag slot 39 = natural (4,4), whose 2-D basis
+    * cos((2x+1)π/4)·cos((2y+1)π/4) = ±1/2 exactly, so dequant·IDCT lands on
+    * 128 + 2t + 2a·s(x)s(y) with the sign pattern s = [+,−,−,+,+,−,−,+]
+    * and quant step 16 — float error ~1e-12 never moves the round), real
+    * AC Huffman run coding (ZRL×2 + run-6 to reach slot 39), chroma planes
+    * at half resolution through the box-upsampling path, and YCbCr→RGB
+    * (whose Math.round(x) = floor(x+0.5) an oracle mirrors bit-for-bit as
+    * FLOOR(x+0.5) over the identical IEEE products). Y DC/AC indices
+    * raster over the (width/8)×(height/8) block grid; chroma DC/AC raster
+    * over the (width/16)×(height/16) MCU grid. All components share quant
+    * table 0 and the Annex-K luminance Huffman pair (both legal). Index
+    * ranges keep every channel inside [0,255], so the clamp is never the
+    * thing being tested.
+    */
+  def encodeColor420Ac(width: Int, height: Int,
+      tY: Array[Int], aY: Array[Int],
+      tCb: Array[Int], aCb: Array[Int],
+      tCr: Array[Int], aCr: Array[Int]): Array[Byte] = {
+    require(width > 0 && width % 16 == 0 && height > 0 && height % 16 == 0,
+      s"fixture encoder writes whole 4:2:0 MCUs: ${width}x$height")
+    val ybw = width / 8; val ybh = height / 8
+    val mw = width / 16; val mh = height / 16
+    require(tY.length == ybw * ybh && aY.length == ybw * ybh,
+      s"need ${ybw * ybh} Y block values")
+    require(tCb.length == mw * mh && aCb.length == mw * mh &&
+      tCr.length == mw * mh && aCr.length == mw * mh, s"need ${mw * mh} chroma values")
+    require((tY.iterator ++ tCb.iterator ++ tCr.iterator).forall(t => t >= -16 && t <= 16),
+      "DC index out of [-16, 16]")
+    require((aY.iterator ++ aCb.iterator ++ aCr.iterator).forall(a => a >= -4 && a <= 4),
+      "AC index out of [-4, 4]")
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    marker(0xd8) // SOI
+    marker(0xe0); be16(16) // APP0 JFIF
+    out.write("JFIF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.write(0)
+    out.write(1); out.write(1)
+    out.write(0)
+    be16(1); be16(1)
+    out.write(0); out.write(0)
+    marker(0xdb); be16(67) // DQT table 0: step 16 in EVERY slot
+    out.write(0x00)
+    var k = 0
+    while (k < 64) { out.write(16); k += 1 }
+    marker(0xc0); be16(17) // SOF0: 3 components
+    out.write(8)
+    be16(height); be16(width)
+    out.write(3)
+    out.write(1); out.write(0x22); out.write(0) // Y: 2x2 sampling
+    out.write(2); out.write(0x11); out.write(0) // Cb: 1x1
+    out.write(3); out.write(0x11); out.write(0) // Cr: 1x1
+    marker(0xc4)
+    be16(2 + (17 + StdDcVals.length) + (17 + StdAcVals.length))
+    out.write(0x00); StdDcCounts.foreach(out.write); StdDcVals.foreach(out.write)
+    out.write(0x10); StdAcCounts.foreach(out.write); StdAcVals.foreach(out.write)
+    marker(0xda); be16(12) // SOS: 3 components
+    out.write(3)
+    out.write(1); out.write(0x00)
+    out.write(2); out.write(0x00)
+    out.write(3); out.write(0x00)
+    out.write(0); out.write(63); out.write(0)
+    val bw = new BitWriter(out)
+    // one 8x8 block: DC diff, then (if a != 0) 38 zeros (ZRL + ZRL + run 6)
+    // and the slot-39 coefficient, then EOB; returns the new DC predictor
+    def block(dcIdx: Int, acIdx: Int, pred: Int): Int = {
+      val diff = dcIdx - pred
+      val cat = 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      val (code, len) = DcCodes(cat)
+      bw.put(code, len)
+      if (cat > 0) bw.put(if (diff >= 0) diff else diff + (1 << cat) - 1, cat)
+      if (acIdx != 0) {
+        val (zrl, zrlLen) = AcCodes(0xf0)
+        bw.put(zrl, zrlLen); bw.put(zrl, zrlLen) // 32 zeros: k 1 → 33
+        val acat = 32 - Integer.numberOfLeadingZeros(math.abs(acIdx))
+        val (c6, l6) = AcCodes((6 << 4) | acat) // 6 more zeros → k = 39
+        bw.put(c6, l6)
+        bw.put(if (acIdx >= 0) acIdx else acIdx + (1 << acat) - 1, acat)
+      }
+      val (eob, eobLen) = AcCodes(0x00)
+      bw.put(eob, eobLen)
+      dcIdx
+    }
+    var predY = 0; var predCb = 0; var predCr = 0
+    var m = 0
+    while (m < mw * mh) {
+      val mx = m % mw; val my = m / mw
+      var by = 0
+      while (by < 2) {
+        var bx = 0
+        while (bx < 2) {
+          val g = (my * 2 + by) * ybw + (mx * 2 + bx)
+          predY = block(tY(g), aY(g), predY)
+          bx += 1
+        }
+        by += 1
+      }
+      predCb = block(tCb(m), aCb(m), predCb)
+      predCr = block(tCr(m), aCr(m), predCr)
+      m += 1
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
   def encodeGrayDcOnly(width: Int, height: Int, blockT: Array[Int],
       restartEvery: Int = 0): Array[Byte] = {
     require(width > 0 && width % 8 == 0 && height > 0 && height % 8 == 0,

@@ -192,6 +192,34 @@ object Multimodal {
     }
   }
 
+  /** Color 4:2:0 AC-bearing JPEG asset source (round 14) — the GENERAL-path
+    * twin of [[assetsFromDocumentsJpeg]], closing the r13 verdict's
+    * oracle-coverage gap (the DC-only arm never drives AC Huffman runs,
+    * chroma upsampling or color conversion through a CORRECTNESS hash).
+    * Each document becomes a 32×16 two-MCU color JPEG: per-Y-block DC and
+    * slot-(4,4) AC indices plus per-MCU chroma DC/AC, all modular
+    * arithmetic on doc_id, so a DuckDB oracle reconstructs every decoded
+    * RGB pixel from doc_id alone ([[JpegCodec.encodeColor420Ac]] exactness
+    * contract) while the engine runs the full general decode. Every 101st
+    * document is truncated mid-header (the decode-failure surface stays
+    * oracle-visible, a different stride than the gray arm's 97).
+    */
+  def assetsFromDocumentsJpeg420(spark: SparkSession, documents: DataFrame): Dataset[MediaAsset] = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].map { id =>
+      val tY = Array.tabulate(8)(g => (((id * 7 + 11 * g) % 33) - 16).toInt)
+      val aY = Array.tabulate(8)(g => (((id * 5 + 13 * g) % 9) - 4).toInt)
+      val tCb = Array.tabulate(2)(m => (((id * 3 + 5 * m) % 21) - 10).toInt)
+      val aCb = Array.tabulate(2)(m => (((id + m) % 7) - 3).toInt)
+      val tCr = Array.tabulate(2)(m => (((id * 9 + 4 + 3 * m) % 21) - 10).toInt)
+      val aCr = Array.tabulate(2)(m => (((id * 11 + 2 + m) % 7) - 3).toInt)
+      val full = JpegCodec.encodeColor420Ac(32, 16, tY, aY, tCb, aCb, tCr, aCr)
+      val bytes =
+        if (id % 101 == 0) java.util.Arrays.copyOf(full, math.min(20, full.length)) else full
+      MediaAsset(id, MediaMeta("image", "jpeg", 32, 16, 0, 0L), bytes)
+    }
+  }
+
   /** ISO-BMFF (MP4) asset source — the video member (round 13). Each
     * document becomes a genuine single-track container muxed by
     * [[Mp4Codec.encode]]: 1 + id%7 samples, sample k carrying

@@ -1741,6 +1741,84 @@ object PipelineQueries {
              |FROM agg ORDER BY doc_id""".stripMargin)
     ),
 
+    "q_multimodal_jpeg420" -> QueryDef(
+      // The GENERAL-path JPEG arm (round 14 — closes the r13 verdict's
+      // oracle-coverage gap): the DC-only gray arm above never drives AC
+      // coefficients, 4:2:0 chroma upsampling or YCbCr→RGB through a
+      // CORRECTNESS hash (they were pinned only by JpegCodecSpec vs the
+      // JDK). Each document is a 32×16 two-MCU COLOR 4:2:0 JPEG with a
+      // slot-(4,4) AC coefficient in every component: that basis is ±1/2
+      // exactly, so the decode lands on 128 + 2t + 2a·s(x)s(y) per plane
+      // (JpegCodec.encodeColor420Ac exactness contract), chroma varies
+      // WITHIN each block (a box-upsampling index slip reads a different
+      // chroma sample → different RGB → broken hash), and the color
+      // convert is mirrored bit-for-bit in SQL as FLOOR(x + 0.5) over the
+      // identical IEEE products (Math.round's definition). Every 101st
+      // document is truncated mid-header → the -1 row.
+      // Scale shape: map-only decode; no shuffle but the output sort.
+      (s, d) => {
+        import s.implicits._
+        val assets = graft.multimodal.Multimodal
+          .assetsFromDocumentsJpeg420(s, documents(s, d))
+        assets.mapPartitions(_.map { a =>
+          graft.multimodal.JpegCodec.decode(a.content) match {
+            case Some(img) =>
+              val px = img.pixels
+              var sr = 0L; var sg = 0L; var sb = 0L; var mr = 0L; var mb = 255L
+              var i = 0
+              while (i < px.length) {
+                val r = px(i) & 0xff; val g = px(i + 1) & 0xff; val b = px(i + 2) & 0xff
+                sr += r; sg += g; sb += b
+                if (r > mr) mr = r
+                if (b < mb) mb = b
+                i += 3
+              }
+              (a.asset_id, img.width.toLong, img.height.toLong, sr, sg, sb, mr, mb)
+            case None => (a.asset_id, -1L, -1L, -1L, -1L, -1L, -1L, -1L)
+          }
+        }).toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b", "max_r", "min_b")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH px AS (
+             |  SELECT doc_id, unnest(range(512)) AS p FROM documents),
+             |c AS (SELECT doc_id, p % 32 AS x, p // 32 AS y FROM px),
+             |f AS (
+             |  SELECT doc_id, x, y,
+             |    (y // 8) * 4 + (x // 8) AS g,
+             |    x // 16 AS m,
+             |    (CASE WHEN (x % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+             |      * (CASE WHEN (y % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END) AS ss,
+             |    (CASE WHEN ((x // 2) % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+             |      * (CASE WHEN ((y // 2) % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END) AS ssc
+             |  FROM c),
+             |v AS (
+             |  SELECT doc_id,
+             |    128 + 2 * ((doc_id * 7 + 11 * g) % 33 - 16)
+             |        + 2 * ((doc_id * 5 + 13 * g) % 9 - 4) * ss AS yy,
+             |    2 * ((doc_id * 3 + 5 * m) % 21 - 10) + 2 * ((doc_id + m) % 7 - 3) * ssc AS cb,
+             |    2 * ((doc_id * 9 + 4 + 3 * m) % 21 - 10) + 2 * ((doc_id * 11 + 2 + m) % 7 - 3) * ssc AS cr
+             |  FROM f),
+             |rgb AS (
+             |  SELECT doc_id,
+             |    CAST(FLOOR(yy + 1.402 * cr + 0.5) AS BIGINT) AS r,
+             |    CAST(FLOOR(yy - 0.344136 * cb - 0.714136 * cr + 0.5) AS BIGINT) AS gg,
+             |    CAST(FLOOR(yy + 1.772 * cb + 0.5) AS BIGINT) AS b
+             |  FROM v),
+             |agg AS (
+             |  SELECT doc_id, SUM(r) AS sum_r, SUM(gg) AS sum_g, SUM(b) AS sum_b,
+             |    MAX(r) AS max_r, MIN(b) AS min_b
+             |  FROM rgb GROUP BY doc_id)
+             |SELECT doc_id,
+             |  CAST(CASE WHEN doc_id % 101 = 0 THEN -1 ELSE 32 END AS BIGINT) AS width,
+             |  CAST(CASE WHEN doc_id % 101 = 0 THEN -1 ELSE 16 END AS BIGINT) AS height,
+             |  CAST(CASE WHEN doc_id % 101 = 0 THEN -1 ELSE sum_r END AS BIGINT) AS sum_r,
+             |  CAST(CASE WHEN doc_id % 101 = 0 THEN -1 ELSE sum_g END AS BIGINT) AS sum_g,
+             |  CAST(CASE WHEN doc_id % 101 = 0 THEN -1 ELSE sum_b END AS BIGINT) AS sum_b,
+             |  CAST(CASE WHEN doc_id % 101 = 0 THEN -1 ELSE max_r END AS BIGINT) AS max_r,
+             |  CAST(CASE WHEN doc_id % 101 = 0 THEN -1 ELSE min_b END AS BIGINT) AS min_b
+             |FROM agg ORDER BY doc_id""".stripMargin)
+    ),
+
     "q_multimodal_resize" -> QueryDef(
       // REAL resize (round 13 — the last named multimodal op to leave the
       // stub: decode ✓ / feature-extract ✓ / frame-sample ✓ / resize was

@@ -120,6 +120,65 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(JpegCodec.decode(bomb2).isEmpty, "2048x2048-from-tiny-file must return None")
   }
 
+  test("color 4:2:0 AC fixture decodes to the closed-form integer image") {
+    // the encodeColor420Ac exactness contract, checked pixel-by-pixel:
+    // plane(x,y) = 128 + 2t + 2a·s(x)s(y) (slot-(4,4) basis = ±1/2), box
+    // chroma upsampling at half resolution, RGB = Math.round of the JFIF
+    // formulas — any Huffman-run, zigzag, upsampling-index or conversion
+    // slip lands on a different integer
+    val s = Array(1, -1, -1, 1, 1, -1, -1, 1)
+    val id = 12345L
+    val tY = Array.tabulate(8)(g => (((id * 7 + 11 * g) % 33) - 16).toInt)
+    val aY = Array.tabulate(8)(g => (((id * 5 + 13 * g) % 9) - 4).toInt)
+    val tCb = Array.tabulate(2)(m => (((id * 3 + 5 * m) % 21) - 10).toInt)
+    val aCb = Array.tabulate(2)(m => (((id + m) % 7) - 3).toInt)
+    val tCr = Array.tabulate(2)(m => (((id * 9 + 4 + 3 * m) % 21) - 10).toInt)
+    val aCr = Array.tabulate(2)(m => (((id * 11 + 2 + m) % 7) - 3).toInt)
+    val bytes = JpegCodec.encodeColor420Ac(32, 16, tY, aY, tCb, aCb, tCr, aCr)
+    val img = JpegCodec.decode(bytes).getOrElse(fail("fixture must decode"))
+    assert(img.width == 32 && img.height == 16 && img.channels == 3)
+    for (y <- 0 until 16; x <- 0 until 32) {
+      val g = (y / 8) * 4 + (x / 8)
+      val m = x / 16
+      val ss = s(x % 8) * s(y % 8)
+      val ssc = s((x / 2) % 8) * s(y / 2)
+      val yy = (128 + 2 * tY(g) + 2 * aY(g) * ss).toDouble
+      val cb = (2 * tCb(m) + 2 * aCb(m) * ssc).toDouble
+      val cr = (2 * tCr(m) + 2 * aCr(m) * ssc).toDouble
+      val o = (y * 32 + x) * 3
+      assert((img.pixels(o) & 0xff) == Math.round(yy + 1.402 * cr).toInt, s"R at ($x,$y)")
+      assert((img.pixels(o + 1) & 0xff) == Math.round(yy - 0.344136 * cb - 0.714136 * cr).toInt, s"G at ($x,$y)")
+      assert((img.pixels(o + 2) & 0xff) == Math.round(yy + 1.772 * cb).toInt, s"B at ($x,$y)")
+    }
+  }
+
+  test("color 4:2:0 AC fixture bytes are standard JPEG: the JDK reader agrees within upsampling tolerance") {
+    val id = 777L
+    val tY = Array.tabulate(8)(g => (((id * 7 + 11 * g) % 33) - 16).toInt)
+    val aY = Array.tabulate(8)(g => (((id * 5 + 13 * g) % 9) - 4).toInt)
+    val tCb = Array.tabulate(2)(m => (((id * 3 + 5 * m) % 21) - 10).toInt)
+    val aCb = Array.tabulate(2)(m => (((id + m) % 7) - 3).toInt)
+    val tCr = Array.tabulate(2)(m => (((id * 9 + 4 + 3 * m) % 21) - 10).toInt)
+    val aCr = Array.tabulate(2)(m => (((id * 11 + 2 + m) % 7) - 3).toInt)
+    val bytes = JpegCodec.encodeColor420Ac(32, 16, tY, aY, tCb, aCb, tCr, aCr)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(ref != null, "the JDK's libjpeg reader must accept the fixture bytes")
+    assert(ref.getWidth == 32 && ref.getHeight == 16)
+    val ours = JpegCodec.decode(bytes).getOrElse(fail("fixture must decode"))
+    // triangle (libjpeg fancy) vs box chroma upsampling differ most where
+    // the chroma AC flips sign between neighbors; luma is exact on block
+    // interiors — bound the per-channel gap rather than demand equality
+    var maxDiff = 0
+    for (y <- 0 until 16; x <- 0 until 32) {
+      val rgb = ref.getRGB(x, y)
+      val o = (y * 32 + x) * 3
+      maxDiff = math.max(maxDiff, math.abs(((rgb >> 16) & 0xff) - (ours.pixels(o) & 0xff)))
+      maxDiff = math.max(maxDiff, math.abs(((rgb >> 8) & 0xff) - (ours.pixels(o + 1) & 0xff)))
+      maxDiff = math.max(maxDiff, math.abs((rgb & 0xff) - (ours.pixels(o + 2) & 0xff)))
+    }
+    assert(maxDiff <= 32, s"JDK-vs-ours per-channel gap $maxDiff exceeds the upsampling bound")
+  }
+
   test("fixture bytes are standard JPEG: the JDK's independent decoder reads the same constants") {
     val ts = Array(-64, -17, 0, 21, 42, 63)
     val bytes = JpegCodec.encodeGrayDcOnly(24, 16, ts)
