@@ -156,7 +156,7 @@ object ScenarioMain {
 
     // --- multimodal plumbing demo ------------------------------------------
     val docs = graft.tables.Tables.documents(spark, sfDir)
-    val assets = graft.multimodal.Multimodal.assetsFromDocuments(spark, docs.limit(100))
+    val assets = graft.multimodal.Multimodal.assetsFromDocumentsMp4(spark, docs.limit(100))
     val frames = graft.multimodal.Multimodal.decodeToFrames(
       graft.multimodal.Multimodal.repartitionForDecode(assets, 4))
     val feats = graft.multimodal.Multimodal.extractFeatures(assets)

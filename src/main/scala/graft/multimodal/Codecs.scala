@@ -4,9 +4,10 @@ package graft.multimodal
   * verdict's "resolve the stub" item: PPM (P6) for images and RIFF/WAVE
   * PCM-16 for audio are fully specified public formats implementable with
   * zero native dependencies, so the decode step stops being a stub for
-  * these two formats. Baseline JPEG joined in round 13 ([[JpegCodec]]);
-  * MP4/video remains the one format on the deterministic
-  * [[Multimodal.DecodeStub]] (no pure-JVM-feasible decoder).
+  * these two formats. Baseline JPEG joined in round 13 ([[JpegCodec]]),
+  * the ISO-BMFF/MP4 container parse too ([[Mp4Codec]]); since round 14
+  * every frame/feature path consumes real parser output (the stub is
+  * deleted) — only the H.264 codec-PAYLOAD decode stays out of scope.
   *
   * Both decoders are REAL parsers, not byte-offset readers: the PPM side
   * honors arbitrary header whitespace, `#` comments and the 2-byte-sample

@@ -4,7 +4,7 @@ package graft.multimodal
   * stub: PPM/WAV proved the real-bytes contract in round 12; this adds the
   * lossy-format member the reference's binary event payloads motivate
   * (`run.py:133-138` round-trips opaque binary through the consumer), so
-  * the family no longer needs the DecodeStub for still images at all.
+  * the family no longer needs a stub codec for still images at all.
   *
   * [[decode]] is a REAL baseline decoder, not a fixture reader: marker
   * segment walk (DQT 8/16-bit, DHT, SOF0, DRI, SOS; APPn/COM skipped),

@@ -9,17 +9,18 @@ import org.apache.spark.sql.functions._
   * of rows per partition, vectorizable batch shape, no per-row JVM↔native
   * round-trips).
   *
-  * Codec status (round 13): PPM images, RIFF/WAVE PCM-16 audio AND
-  * baseline JPEG decode through REAL pure-JVM parsers
-  * ([[PpmCodec]]/[[WavCodec]]/[[JpegCodec]] — header grammar, comment
-  * handling, chunk walking, Huffman + dequant + IDCT; exercised
-  * end-to-end by `q_multimodal_codec`/`q_multimodal_jpeg` against DuckDB
-  * oracles). MP4/video — the one format with no pure-JVM-feasible
-  * decoder — keeps the deterministic `DecodeStub` as its documented
-  * placeholder; everything Spark-side (schema, lineage,
-  * partition-parallel batching, feature shapes) is identical either way,
-  * so swapping the stub for a JNI/FFM codec on executors changes no plan
-  * shape.
+  * Codec status (round 14 — the stub is GONE): PPM images, RIFF/WAVE
+  * PCM-16 audio, baseline JPEG AND the ISO-BMFF/MP4 container all decode
+  * through REAL pure-JVM parsers
+  * ([[PpmCodec]]/[[WavCodec]]/[[JpegCodec]]/[[Mp4Codec]] — header
+  * grammar, comment handling, chunk walking, Huffman + dequant + IDCT,
+  * box walk + sample-table expansion; exercised end-to-end by the
+  * q_multimodal_* keys against DuckDB oracles). The frame and feature
+  * paths below consume those parsers' actual output: MP4 "frames" are
+  * the container-extracted sample payloads (H.264 payload decode — the
+  * entropy+transform layer — stays the family's one documented
+  * out-of-scope piece; a JNI/FFM video codec on executors would slot in
+  * at [[decodedUnits]] without changing any plan shape).
   *
   * Scale notes: assets are processed where they land (map-only; no shuffle);
   * `repartitionForDecode` exists for skew (few giant videos) — salt by
@@ -59,86 +60,122 @@ object Multimodal {
 
   val FeatureDim = 64
 
-  /** STUB codec: deterministic fake "decode" from raw bytes. A real build
-    * replaces only this object.
+  /** REAL decoded units of an asset — the bytes a feature extractor
+    * consumes, produced by the format's actual parser (round 14: retires
+    * the former DecodeStub): MP4 → the container-extracted sample
+    * payloads in sample order (the real box walk + stsc/stsz/stco reads);
+    * PPM/JPEG → decoded pixels; WAV → samples mapped losslessly back to
+    * bytes (s/256 + 128, the codec fixture's exact inverse). None on any
+    * decode failure — the caller decides how failures surface (the
+    * oracle-gated keys emit −1 rows; the library feature path skips).
     */
-  object DecodeStub {
-    /** Pretend each 256-byte block is one frame; mean intensity = mean byte. */
-    def decodeFrames(a: MediaAsset): Iterator[DecodedFrame] = {
-      val blocks = a.content.grouped(256).zipWithIndex
-      blocks.map { case (b, i) =>
-        val mean = if (b.isEmpty) 0.0 else b.map(x => (x & 0xff).toDouble).sum / b.length
-        DecodedFrame(a.asset_id, i, a.meta.width, a.meta.height, mean)
+  def decodedUnits(a: MediaAsset): Option[Array[Byte]] = a.meta.format match {
+    case "mp4" =>
+      Mp4Codec.decode(a.content).map { m =>
+        val out = new Array[Byte](m.samples.iterator.map(_.length).sum)
+        var o = 0
+        m.samples.foreach { s => System.arraycopy(s, 0, out, o, s.length); o += s.length }
+        out
       }
-    }
+    case "ppm" => PpmCodec.decode(a.content).map(_.pixels)
+    case "jpeg" => JpegCodec.decode(a.content).map(_.pixels)
+    case "wav" =>
+      WavCodec.decode(a.content).map(_.samples.map(s => (s / 256 + 128).toByte))
+    case _ => None
+  }
 
-    /** Unnormalized folded byte histogram (exact long counts). */
-    def histogram(a: MediaAsset): Array[Long] = {
+  /** Folded byte histogram (exact long counts) over [[decodedUnits]] —
+    * None when the asset does not decode. */
+  def unitHistogram(a: MediaAsset): Option[Array[Long]] =
+    decodedUnits(a).map { units =>
       val acc = new Array[Long](FeatureDim)
       var i = 0
-      while (i < a.content.length) {
-        acc((a.content(i) & 0xff) % FeatureDim) += 1L
+      while (i < units.length) {
+        acc((units(i) & 0xff) % FeatureDim) += 1L
         i += 1
       }
       acc
     }
 
-    /** Fixed-dim feature: folded byte histogram, L2-normalized. */
-    def feature(a: MediaAsset): MediaFeature = {
-      val acc = new Array[Float](FeatureDim)
-      var i = 0
-      while (i < a.content.length) {
-        acc((a.content(i) & 0xff) % FeatureDim) += 1f
-        i += 1
+  /** REAL per-asset frames: MP4 containers yield one frame per extracted
+    * sample (frame_idx = sample index, mean_intensity = mean payload
+    * byte — the per-frame statistic a sampling pipeline gates on);
+    * single-image formats yield one frame of the decoded pixels. A
+    * decode failure yields no frames (every valid fixture container has
+    * ≥ 1 sample, so zero frames ⟺ failure — the keys surface it as −1
+    * through the unitHistogram side).
+    */
+  private def realFrames(a: MediaAsset): Iterator[DecodedFrame] = a.meta.format match {
+    case "mp4" =>
+      Mp4Codec.decode(a.content) match {
+        case Some(m) =>
+          m.samples.iterator.zipWithIndex.map { case (s, i) =>
+            var sum = 0L; var j = 0
+            while (j < s.length) { sum += (s(j) & 0xff); j += 1 }
+            DecodedFrame(a.asset_id, i, a.meta.width, a.meta.height,
+              if (s.isEmpty) 0.0 else sum.toDouble / s.length)
+          }
+        case None => Iterator.empty
       }
-      val n = math.sqrt(acc.map(x => x.toDouble * x).sum).toFloat
-      MediaFeature(a.asset_id, if (n == 0) acc else acc.map(_ / n))
-    }
+    case _ =>
+      decodedUnits(a) match {
+        case Some(units) =>
+          var sum = 0L; var j = 0
+          while (j < units.length) { sum += (units(j) & 0xff); j += 1 }
+          Iterator.single(DecodedFrame(a.asset_id, 0, a.meta.width, a.meta.height,
+            if (units.isEmpty) 0.0 else sum.toDouble / units.length))
+        case None => Iterator.empty
+      }
   }
 
   /** Spread assets for parallel decode; salt on asset_id (blob-size skew). */
   def repartitionForDecode(assets: Dataset[MediaAsset], partitions: Int): Dataset[MediaAsset] =
     assets.repartition(partitions, col("asset_id"))
 
-  /** Decode every asset to frames, batched per partition (mapPartitions =
-    * the mapInPandas batch shape).
+  /** Decode every asset to frames via the REAL parsers, batched per
+    * partition (mapPartitions = the mapInPandas batch shape). Undecodable
+    * assets yield no frames.
     */
   def decodeToFrames(assets: Dataset[MediaAsset]): Dataset[DecodedFrame] = {
     import assets.sparkSession.implicits._
-    assets.mapPartitions(_.flatMap(DecodeStub.decodeFrames))
+    assets.mapPartitions(_.flatMap(realFrames))
   }
 
   /** Sample every `stride`-th frame (video frame-sampling shape). */
   def frameSample(frames: Dataset[DecodedFrame], stride: Int): Dataset[DecodedFrame] =
     frames.filter(col("frame_idx") % stride === 0).as(frames.encoder)
 
-  /** Extract fixed-dim features per asset, batched per partition. */
+  /** Extract fixed-dim features per asset (L2-normalized folded histogram
+    * of the REAL decoded units), batched per partition. Undecodable assets
+    * yield no feature row — a curation pipeline routes them to the failure
+    * lane, not into the ANN index.
+    */
   def extractFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeature] = {
     import assets.sparkSession.implicits._
-    assets.mapPartitions(_.map(DecodeStub.feature))
+    assets.mapPartitions(_.flatMap { a =>
+      unitHistogram(a).map { h =>
+        val n = math.sqrt(h.iterator.map(x => x.toDouble * x).sum)
+        val f = new Array[Float](FeatureDim)
+        var i = 0
+        while (i < FeatureDim) {
+          f(i) = if (n == 0) 0f else (h(i) / n).toFloat
+          i += 1
+        }
+        MediaFeature(a.asset_id, f)
+      }
+    })
   }
 
-  /** "Resize" on the STUB asset stream: metadata-level transform (keeps
-    * bytes, rewrites meta). The REAL resize ships on the real-codec
-    * stream since round 13: [[PpmCodec.downscale2x]] (area-average, floor
-    * per 2×2 block) and [[WavCodec.downsample2x]] (2× decimation with
-    * pair averaging), exercised decode→transform→re-encode→re-decode by
+  /** Metadata-level "resize" (keeps bytes, rewrites meta) — the catalog
+    * operation. The REAL pixel/sample resize ships on the codec stream:
+    * [[PpmCodec.downscale2x]] (area-average, floor per 2×2 block) and
+    * [[WavCodec.downsample2x]] (2× decimation with pair averaging),
+    * exercised decode→transform→re-encode→re-decode by
     * `q_multimodal_resize` against a DuckDB oracle.
     */
   def resize(assets: Dataset[MediaAsset], w: Int, h: Int): Dataset[MediaAsset] = {
     import assets.sparkSession.implicits._
     assets.map(a => a.copy(meta = a.meta.copy(width = w, height = h)))
-  }
-
-  /** Demo asset source: wraps any table's string column as fake binary
-    * image content (the testdata has no real media; deterministic).
-    */
-  def assetsFromDocuments(spark: SparkSession, documents: DataFrame): Dataset[MediaAsset] = {
-    import spark.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
-      val bytes = text.getBytes("UTF-8")
-      MediaAsset(id, MediaMeta("image", "fake", 64, 64, 0, 0L), bytes)
-    }
   }
 
   /** Real-codec asset source: each document becomes a genuinely-ENCODED

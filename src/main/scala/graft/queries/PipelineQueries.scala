@@ -1531,99 +1531,127 @@ object PipelineQueries {
     ),
 
     "q_multimodal_pipeline" -> QueryDef(
-      // The multimodal plumbing as a verifiable query: documents wrapped as
-      // binary assets, run through the REAL module path (batched per-partition
-      // decode + histogram). The oracle recomputes frame counts, first-frame
-      // mean intensity and histogram bins from ASCII codepoints — byte ==
-      // codepoint because the corpus is pure ASCII, so the stub codec's
-      // arithmetic is reproducible engine-independently.
+      // The multimodal plumbing as a verifiable query, over REAL container
+      // bytes (round 14 — retires the DecodeStub): every document is a
+      // genuine ISO-BMFF/MP4 file, `decodeToFrames` runs the real box walk
+      // + sample-table reads and yields one frame per container-extracted
+      // SAMPLE (mean_intensity = mean payload byte — the statistic a
+      // frame-sampling pipeline gates on), and the histogram bins count
+      // the extracted payload bytes. The payload generator is modular
+      // arithmetic on doc_id, so the oracle replays frame counts,
+      // frame-0 mean and every bin without touching the engine path.
+      // Every 89th document is truncated before moov → the -1 row.
       (s, d) => {
         import s.implicits._
-        val assets = graft.multimodal.Multimodal.assetsFromDocuments(s, documents(s, d))
+        val assets = graft.multimodal.Multimodal.assetsFromDocumentsMp4(s, documents(s, d))
         val frames = graft.multimodal.Multimodal.decodeToFrames(assets)
         val frameAgg = frames.groupBy($"asset_id".as("doc_id"))
           .agg(count(lit(1)).as("n_frames"),
             round(max(when($"frame_idx" === 0, $"mean_intensity")), 4).as("frame0_mean"))
-        val hists = assets.map(a => {
-          val h = graft.multimodal.Multimodal.DecodeStub.histogram(a)
-          (a.asset_id, h(0), h(1), h(2), h(3))
-        }).toDF("doc_id", "h0", "h1", "h2", "h3")
-        // Drive from `hists` (one row per asset, unconditionally): a zero-
-        // length doc decodes to zero frames, so an inner join on frameAgg
-        // would drop it here while the oracle keeps it with n_frames=0.
+        val hists = assets.map { a =>
+          graft.multimodal.Multimodal.unitHistogram(a) match {
+            case Some(h) => (a.asset_id, false, h(0), h(1), h(2), h(3))
+            case None => (a.asset_id, true, -1L, -1L, -1L, -1L)
+          }
+        }.toDF("doc_id", "failed", "h0", "h1", "h2", "h3")
+        // Drive from `hists` (one row per asset, unconditionally): a failed
+        // container decode yields zero frames, so an inner join on frameAgg
+        // would silently drop it instead of surfacing the -1 row.
         hists.join(frameAgg, Seq("doc_id"), "left_outer")
-          .select($"doc_id", coalesce($"n_frames", lit(0L)).as("n_frames"),
-            $"frame0_mean", $"h0", $"h1", $"h2", $"h3")
+          .select($"doc_id",
+            when($"failed", lit(-1L)).otherwise(coalesce($"n_frames", lit(0L))).as("n_frames"),
+            when($"failed", lit(-1.0d)).otherwise($"frame0_mean").as("frame0_mean"),
+            $"h0", $"h1", $"h2", $"h3")
           .orderBy($"doc_id")
       },
-      Some("""WITH b AS (
-             |  SELECT doc_id, text, length(text) AS n,
-             |    list_transform(range(1, length(text) + 1), i -> ascii(substring(text, i, 1))) AS bytes
-             |  FROM documents),
+      Some("""WITH d AS (SELECT doc_id, 1 + doc_id % 7 AS ns FROM documents),
+             |s AS (SELECT doc_id, ns, unnest(range(ns)) AS k FROM d),
+             |sz AS (SELECT doc_id, ns, k, 8 + (doc_id + k) % 9 AS sk FROM s),
+             |bj AS (SELECT doc_id, ns, k, unnest(range(sk)) AS j FROM sz),
+             |v AS (SELECT doc_id, ns, k, (doc_id * 31 + k * 17 + j * 7) % 256 AS b FROM bj),
              |agg AS (
-             |  SELECT doc_id,
-             |    CAST(CEIL(n / 256.0) AS BIGINT) AS n_frames,
-             |    ROUND(CAST(list_sum(bytes[1 : LEAST(n, 256)]) AS DOUBLE) / LEAST(n, 256), 4) AS frame0_mean,
-             |    CAST(len(list_filter(bytes, x -> x % 64 = 0)) AS BIGINT) AS h0,
-             |    CAST(len(list_filter(bytes, x -> x % 64 = 1)) AS BIGINT) AS h1,
-             |    CAST(len(list_filter(bytes, x -> x % 64 = 2)) AS BIGINT) AS h2,
-             |    CAST(len(list_filter(bytes, x -> x % 64 = 3)) AS BIGINT) AS h3
-             |  FROM b)
-             |SELECT doc_id, n_frames, frame0_mean, h0, h1, h2, h3
+             |  SELECT doc_id, MAX(ns) AS ns,
+             |    ROUND(CAST(SUM(CASE WHEN k = 0 THEN b END) AS DOUBLE)
+             |      / COUNT(CASE WHEN k = 0 THEN 1 END), 4) AS frame0_mean,
+             |    CAST(COUNT(*) FILTER (b % 64 = 0) AS BIGINT) AS h0,
+             |    CAST(COUNT(*) FILTER (b % 64 = 1) AS BIGINT) AS h1,
+             |    CAST(COUNT(*) FILTER (b % 64 = 2) AS BIGINT) AS h2,
+             |    CAST(COUNT(*) FILTER (b % 64 = 3) AS BIGINT) AS h3
+             |  FROM v GROUP BY doc_id)
+             |SELECT doc_id,
+             |  CAST(CASE WHEN doc_id % 89 = 0 THEN -1 ELSE ns END AS BIGINT) AS n_frames,
+             |  CASE WHEN doc_id % 89 = 0 THEN -1.0 ELSE frame0_mean END AS frame0_mean,
+             |  CAST(CASE WHEN doc_id % 89 = 0 THEN -1 ELSE h0 END AS BIGINT) AS h0,
+             |  CAST(CASE WHEN doc_id % 89 = 0 THEN -1 ELSE h1 END AS BIGINT) AS h1,
+             |  CAST(CASE WHEN doc_id % 89 = 0 THEN -1 ELSE h2 END AS BIGINT) AS h2,
+             |  CAST(CASE WHEN doc_id % 89 = 0 THEN -1 ELSE h3 END AS BIGINT) AS h3
              |FROM agg ORDER BY doc_id""".stripMargin)
     ),
 
     "q_multimodal_features" -> QueryDef(
-      // The other half of the multimodal surface as a verifiable query:
-      // frame SAMPLING (every 2nd decoded frame — the video-stride shape)
-      // and the folded-histogram FEATURE vector. Normalized dims are
-      // computed in double math from the exact long histogram counts, so
-      // both engines perform the identical IEEE sqrt+divide (the float-
-      // accumulating extractFeatures path stays spec-tested; compared
-      // values must not ride float rounding).
+      // The other half of the multimodal surface, over REAL container
+      // bytes (round 14 — retires the DecodeStub): frame SAMPLING (every
+      // 2nd container-extracted sample — the video-stride shape through
+      // the real frameSample path) and the folded-histogram FEATURE vector
+      // over the extracted payload bytes. Normalized dims are computed in
+      // double math from the exact long histogram counts, so both engines
+      // perform the identical IEEE sqrt+divide (the float-accumulating
+      // extractFeatures path stays spec-tested; compared values must not
+      // ride float rounding). Every 89th document is truncated → -1 row.
       (s, d) => {
         import s.implicits._
-        val assets = graft.multimodal.Multimodal.assetsFromDocuments(s, documents(s, d))
+        val assets = graft.multimodal.Multimodal.assetsFromDocumentsMp4(s, documents(s, d))
         val sampled = graft.multimodal.Multimodal
           .frameSample(graft.multimodal.Multimodal.decodeToFrames(assets), 2)
           .groupBy($"asset_id".as("doc_id"))
           .agg(count(lit(1)).as("n_sampled"))
         val hists = assets.map { a =>
-          val h = graft.multimodal.Multimodal.DecodeStub.histogram(a)
-          (a.asset_id, h(0), h(1), h(2), h(3),
-            math.sqrt(h.map(x => x.toDouble * x).sum))
-        }.toDF("doc_id", "h0", "h1", "h2", "h3", "nrm")
-        // Drive from `hists` (one row per asset): a zero-length doc has no
-        // sampled frames, so the former inner join dropped it while the
-        // oracle kept it with n_sampled=0. The nrm=0 guard pins the
-        // zero-histogram case to 0.0 in BOTH engines (Spark 0/0 is NaN,
+          graft.multimodal.Multimodal.unitHistogram(a) match {
+            case Some(h) =>
+              (a.asset_id, false, h(0), h(1), h(2), h(3),
+                math.sqrt(h.map(x => x.toDouble * x).sum))
+            case None => (a.asset_id, true, -1L, -1L, -1L, -1L, 0.0)
+          }
+        }.toDF("doc_id", "failed", "h0", "h1", "h2", "h3", "nrm")
+        // Drive from `hists` (one row per asset): a failed container
+        // decode has no sampled frames — an inner join would silently drop
+        // it instead of surfacing the -1 row. The nrm=0 guard pins the
+        // empty-histogram case to 0.0 in BOTH engines (Spark 0/0 is NaN,
         // DuckDB division by zero is NULL — neither is comparable).
         val feat = (h: org.apache.spark.sql.Column) =>
-          when($"nrm" === 0.0d, lit(0.0d)).otherwise(round(h / $"nrm", 4))
+          when($"failed", lit(-1.0d))
+            .when($"nrm" === 0.0d, lit(0.0d))
+            .otherwise(round(h / $"nrm", 4))
         hists.join(sampled, Seq("doc_id"), "left_outer")
-          .select($"doc_id", coalesce($"n_sampled", lit(0L)).as("n_sampled"),
+          .select($"doc_id",
+            when($"failed", lit(-1L)).otherwise(coalesce($"n_sampled", lit(0L))).as("n_sampled"),
             feat($"h0").as("f0"), feat($"h1").as("f1"),
             feat($"h2").as("f2"), feat($"h3").as("f3"))
           .orderBy($"doc_id")
       },
-      Some("""WITH b AS (
-             |  SELECT doc_id, length(text) AS n,
-             |    list_transform(range(1, length(text) + 1), i -> ascii(substring(text, i, 1))) AS bytes
-             |  FROM documents),
-             |hist AS (
-             |  SELECT doc_id, r.k, CAST(len(list_filter(bytes, x -> x % 64 = r.k)) AS DOUBLE) AS c
-             |  FROM b, range(0, 64) r(k)),
+      Some("""WITH d AS (SELECT doc_id, 1 + doc_id % 7 AS ns FROM documents),
+             |s AS (SELECT doc_id, ns, unnest(range(ns)) AS k FROM d),
+             |sz AS (SELECT doc_id, ns, k, 8 + (doc_id + k) % 9 AS sk FROM s),
+             |bj AS (SELECT doc_id, ns, k, unnest(range(sk)) AS j FROM sz),
+             |v AS (SELECT doc_id, (doc_id * 31 + k * 17 + j * 7) % 256 AS b FROM bj),
+             |hist AS (SELECT doc_id, b % 64 AS bin, CAST(COUNT(*) AS DOUBLE) AS c
+             |  FROM v GROUP BY doc_id, bin),
              |nrm AS (SELECT doc_id, sqrt(SUM(c * c)) AS nrm FROM hist GROUP BY doc_id),
-             |agg AS (
-             |  SELECT doc_id, CAST(CEIL(CEIL(n / 256.0) / 2.0) AS BIGINT) AS n_sampled FROM b)
-             |SELECT a.doc_id, a.n_sampled,
-             |  CASE WHEN MAX(m.nrm) = 0 THEN 0.0 ELSE ROUND(MAX(CASE WHEN h.k = 0 THEN h.c END) / MAX(m.nrm), 4) END AS f0,
-             |  CASE WHEN MAX(m.nrm) = 0 THEN 0.0 ELSE ROUND(MAX(CASE WHEN h.k = 1 THEN h.c END) / MAX(m.nrm), 4) END AS f1,
-             |  CASE WHEN MAX(m.nrm) = 0 THEN 0.0 ELSE ROUND(MAX(CASE WHEN h.k = 2 THEN h.c END) / MAX(m.nrm), 4) END AS f2,
-             |  CASE WHEN MAX(m.nrm) = 0 THEN 0.0 ELSE ROUND(MAX(CASE WHEN h.k = 3 THEN h.c END) / MAX(m.nrm), 4) END AS f3
-             |FROM agg a JOIN hist h USING (doc_id) JOIN nrm m USING (doc_id)
-             |GROUP BY a.doc_id, a.n_sampled
-             |ORDER BY a.doc_id""".stripMargin)
+             |fk AS (
+             |  SELECT doc_id,
+             |    COALESCE(MAX(CASE WHEN bin = 0 THEN c END), 0) AS c0,
+             |    COALESCE(MAX(CASE WHEN bin = 1 THEN c END), 0) AS c1,
+             |    COALESCE(MAX(CASE WHEN bin = 2 THEN c END), 0) AS c2,
+             |    COALESCE(MAX(CASE WHEN bin = 3 THEN c END), 0) AS c3
+             |  FROM hist GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  CAST(CASE WHEN d.doc_id % 89 = 0 THEN -1 ELSE (d.ns + 1) // 2 END AS BIGINT) AS n_sampled,
+             |  CASE WHEN d.doc_id % 89 = 0 THEN -1.0 ELSE ROUND(c0 / nrm, 4) END AS f0,
+             |  CASE WHEN d.doc_id % 89 = 0 THEN -1.0 ELSE ROUND(c1 / nrm, 4) END AS f1,
+             |  CASE WHEN d.doc_id % 89 = 0 THEN -1.0 ELSE ROUND(c2 / nrm, 4) END AS f2,
+             |  CASE WHEN d.doc_id % 89 = 0 THEN -1.0 ELSE ROUND(c3 / nrm, 4) END AS f3
+             |FROM d JOIN fk USING (doc_id) JOIN nrm USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)
     ),
 
     "q_multimodal_codec" -> QueryDef(
@@ -1643,8 +1671,10 @@ object PipelineQueries {
       // silently dropped) and would row-count against the oracle.
       // Scale shape: map-only (mapPartitions batches, the mapInPandas
       // shape); no shuffle but the output sort. JPEG joined the real-codec
-      // family in round 13 (q_multimodal_jpeg below); MP4/video remains on
-      // the documented DecodeStub (no pure-JVM-feasible decoder).
+      // family in round 13 (q_multimodal_jpeg below); the MP4 CONTAINER
+      // parse is real as of round 13 (q_multimodal_mp4) and feeds the
+      // frame/feature pipeline since round 14 — only the H.264 codec-
+      // PAYLOAD decode (entropy+transform) stays out of scope.
       (s, d) => {
         import s.implicits._
         val assets = graft.multimodal.Multimodal
