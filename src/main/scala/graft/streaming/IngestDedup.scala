@@ -76,6 +76,50 @@ object IngestDedup {
     ()
   }
 
+  /** Compact the fingerprint store — the 100 TB maintenance pass: every
+    * ingest batch appends one file per bucket, so after N batches each of
+    * the 4 buckets holds N small files and the store-side scan pays N× the
+    * file-open/footer cost (a year of daily shards = hundreds of files per
+    * bucket while the DATA is only ever 16-byte fingerprints). Compaction
+    * rewrites every partition with `batch <= upTo` as ONE distinct-fp
+    * partition — keyed `batch = upTo`, so every later batch's
+    * `batch < batchId` retry-safety filter still reads it — into a NEW
+    * table with the identical bucketing contract (bucketBy(4, fp), sortBy
+    * fp): the anti-join's zero-store-side-Exchange plan survives
+    * unchanged (gated in IngestDedupDepthSpec). Partitions with
+    * `batch > upTo` (a half-written in-flight batch under at-least-once
+    * delivery) are copied verbatim, so their retry semantics survive too.
+    *
+    * Crash-safe like the dual write, without transactions: the source
+    * table is never touched until the compacted table is fully written —
+    * a crash mid-compaction leaves the store intact plus a garbage
+    * `_c<upTo>` table that a retry's initial DROP clears (idempotent);
+    * the caller then swaps to the returned name and drops the old table
+    * ([[swapCompacted]]) — a crash between the write and the drop leaves
+    * both tables readable and the retry converges.
+    *
+    * Safe `upTo`: any batch id ≤ the highest COMMITTED batch. Committed
+    * batches never re-run under foreachBatch's checkpoint contract, and a
+    * later half-written partition stays above `upTo`.
+    */
+  def compactStore(s: SparkSession, storeTable: String, upTo: Long): String = {
+    val compacted = s"${storeTable}_c$upTo"
+    s.sql(s"DROP TABLE IF EXISTS $compacted") // clear a crashed prior attempt
+    val src = s.table(storeTable)
+    src.where(col("batch") <= upTo).select(col("fp")).distinct()
+      .withColumn("batch", lit(upTo))
+      .union(src.where(col("batch") > upTo).select(col("fp"), col("batch")))
+      .write.partitionBy("batch").bucketBy(4, "fp").sortBy("fp")
+      .mode("overwrite").format("parquet").saveAsTable(compacted)
+    compacted
+  }
+
+  /** Complete a compaction by dropping the superseded store. Idempotent. */
+  def swapCompacted(s: SparkSession, oldTable: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $oldTable")
+    ()
+  }
+
   /** Handle to a completed ingest replay; `outDir`/`storeTable` stay live
     * until [[cleanup]] so callers (the depth spec) can inspect them. */
   final case class IngestRun(

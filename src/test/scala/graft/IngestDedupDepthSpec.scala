@@ -119,4 +119,86 @@ class IngestDedupDepthSpec extends AnyFunSuite {
       assert(outAfter == out)
     } finally IngestDedup.cleanup(spark, run)
   }
+
+  test("store compaction: per-bucket coalesce preserves the set, the retry filter, and the zero-Exchange anti-join") {
+    import spark.implicits._
+    val (newDocs, corpusFps) = fixture()
+    val run = IngestDedup.runIngest(spark, newDocs, corpusFps, nShards = 4)
+    val conf = spark.conf
+    val bcKeys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val savedBc = bcKeys.map(k => k -> conf.getAll.get(k)).toMap
+    try {
+      // simulate an in-flight half-written batch 4 (at-least-once): its
+      // fps sit ABOVE upTo and must survive compaction verbatim so the
+      // batch-4 retry's `batch < 4` filter still excludes them
+      Seq("inflight doc").toDF("text")
+        .select(IngestDedup.fpCol($"text").as("fp"), lit(4L).as("batch"))
+        .write.partitionBy("batch").bucketBy(4, "fp").sortBy("fp")
+        .mode("append").format("parquet").saveAsTable(run.storeTable)
+      val beforeSet = spark.table(run.storeTable).where($"batch" < 4)
+        .select($"fp").as[String].collect().toSet
+      val beforeFiles = {
+        val loc = spark.sql(s"DESC FORMATTED ${run.storeTable}")
+          .filter($"col_name" === "Location").head.getString(1)
+        (0L to 3L).map(b => filesInPartition(loc, b)).sum
+      }
+      // crash-safety: a garbage table from a "crashed prior attempt" must
+      // be cleared by the retry's initial DROP, not break the rewrite
+      spark.sql(s"CREATE TABLE ${run.storeTable}_c3 (junk INT) USING parquet")
+      val compacted = IngestDedup.compactStore(spark, run.storeTable, upTo = 3L)
+      assert(compacted == s"${run.storeTable}_c3")
+
+      // the probe set under the NEXT batch's retry filter is unchanged
+      val afterSet = spark.table(compacted).where($"batch" < 4)
+        .select($"fp").as[String].collect().toSet
+      assert(afterSet == beforeSet, "compaction changed the fingerprint set")
+      // prefix collapsed to ONE partition (batch = upTo); in-flight kept
+      val batches = spark.table(compacted).select($"batch").distinct()
+        .as[Long].collect().toSet
+      assert(batches == Set(3L, 4L), s"expected {3 (compacted), 4 (in-flight)}: $batches")
+      assert(spark.table(compacted).where($"batch" === 4L).count() == 1L,
+        "the in-flight partition must be copied verbatim")
+      // per-bucket coalesce: the whole compacted prefix is <= 4 bucket files
+      // (the source layout paid 4 partitions x buckets)
+      val cLoc = spark.sql(s"DESC FORMATTED $compacted")
+        .filter($"col_name" === "Location").head.getString(1)
+      val cFiles = filesInPartition(cLoc, 3L)
+      assert(cFiles <= 4, s"compacted prefix must be one file per bucket: $cFiles")
+      assert(cFiles < beforeFiles,
+        s"compaction must shrink the file count ($beforeFiles -> $cFiles)")
+
+      // the zero-store-side-Exchange anti-join plan SURVIVES compaction:
+      // same gate as PlanQualitySpec's store test, against the new table
+      bcKeys.foreach(conf.set(_, "-1"))
+      val probe = spark.range(0, 200)
+        .select(md5((col("id") * 3).cast("string")).as("fp"))
+      val fresh = probe.join(
+        spark.table(compacted).where($"batch" < 5L).select($"fp"),
+        Seq("fp"), "left_anti")
+      fresh.collect()
+      // AQE's toString prints Final AND Initial sections — gate the final
+      val plan = fresh.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("LeftAnti"), plan)
+      val exchanges = "Exchange".r.findAllIn(plan.replace("ReusedExchange", "")).size
+      assert(exchanges == 1,
+        s"expected exactly the probe-side exchange after compaction:\n$plan")
+
+      // idempotent: a re-run (e.g. the swap crashed before the drop)
+      // converges to the same table
+      val again = IngestDedup.compactStore(spark, run.storeTable, upTo = 3L)
+      assert(again == compacted)
+      assert(spark.table(again).where($"batch" < 4)
+        .select($"fp").as[String].collect().toSet == beforeSet)
+      // the swap completes the pass: the superseded store is dropped
+      IngestDedup.swapCompacted(spark, run.storeTable)
+      assert(!spark.catalog.tableExists(run.storeTable))
+    } finally {
+      savedBc.foreach { case (k, Some(v)) => conf.set(k, v)
+                        case (k, None)    => conf.unset(k) }
+      spark.sql(s"DROP TABLE IF EXISTS ${run.storeTable}_c3")
+      IngestDedup.cleanup(spark, run)
+    }
+  }
 }
