@@ -320,7 +320,11 @@ object Bench {
       "q_stream_decontaminate_bc",
       // round 12: the forced IVF (past-broadcast) semantic-decontamination
       // tier and its two-arm recall gate
-      "q_decontaminate_semantic_ivf", "q_decontaminate_semantic_recall")
+      "q_decontaminate_semantic_ivf", "q_decontaminate_semantic_recall",
+      // round 14: the adaptive probe-width policy's forced key — wider
+      // probes than the pinned tier by construction, so its cost belongs
+      // in the official number
+      "q_decontaminate_semantic_ivf_adaptive")
     val headlineResults = results.toSeq.filter(kv => headline.contains(kv._1))
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "/tmp/bench.json")
     // suite-vs-isolated evidence for every re-measured query, in the detail

@@ -662,6 +662,71 @@ object PipelineQueries {
     }).toDF("doc_id", "h_hi", "h_lo")
   }
 
+  /** Hamming≤3 near-dup pairs between DISTINCT-hash canonical image reps —
+    * (doc_a, doc_b, hamming), already materialized (the pair list feeds
+    * both the pair report `q_dedup_image_phash_near` and the cluster
+    * labeling `q_dedup_image_clusters` without re-running the band join).
+    * Banding discipline: 4×16-bit bands over the 64-bit aHash, any-band
+    * equi-join (pigeonhole: ≤3 flips leave ≥1 band intact → total recall
+    * at d≤3), exact bit_count verify on candidates.
+    */
+  private def imagePhashNearPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val reps = imageAhashes(s, d)
+      .groupBy($"h_hi", $"h_lo")
+      .agg(min($"doc_id").as("doc_id"))
+      // materialized once: the band explode reads it twice (self-join)
+      .localCheckpoint()
+    val bands = reps.select($"doc_id", $"h_hi", $"h_lo", explode(expr(
+      """array(
+        |  struct(0L AS band, h_lo % 65536 AS v),
+        |  struct(1L AS band, shiftright(h_lo, 16) AS v),
+        |  struct(2L AS band, h_hi % 65536 AS v),
+        |  struct(3L AS band, shiftright(h_hi, 16) AS v))""".stripMargin)).as("b"))
+      .select($"doc_id", $"h_hi", $"h_lo", $"b.band".as("band"), $"b.v".as("v"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.h_hi").as("ahi"), col("x.h_lo").as("alo"),
+        col("y.h_hi").as("bhi"), col("y.h_lo").as("blo"))
+      // a d≤3 pair can agree on up to 3 bands — dedup the candidate,
+      // not the verified output (hashes ride along: doc_id determines
+      // the hash among reps, so the pair key alone dedups)
+      .distinct()
+    cand
+      .withColumn("hamming",
+        expr("CAST(bit_count(ahi ^ bhi) + bit_count(alo ^ blo) AS BIGINT)"))
+      .filter($"hamming" <= 3)
+      .select($"doc_a", $"doc_b", $"hamming")
+      .localCheckpoint()
+  }
+
+  /** DuckDB replay of [[imagePhashNearPairs]] — extends `imageAhashCtes`
+    * with the rep table `hh`, the 4×16-bit band explode `bb`, the any-band
+    * candidate join `cand`, and the verified pair list
+    * `np (doc_a, doc_b, hamming ≤ 3)`. */
+  private lazy val imagePhashNearCtes: String =
+    s"""$imageAhashCtes,
+       |hh AS (SELECT h_hi, h_lo, MIN(doc_id) AS doc_id FROM h GROUP BY h_hi, h_lo),
+       |bb AS (
+       |  SELECT doc_id, h_hi, h_lo, band,
+       |    CASE WHEN band = 0 THEN h_lo % 65536
+       |         WHEN band = 1 THEN h_lo // 65536
+       |         WHEN band = 2 THEN h_hi % 65536
+       |         ELSE h_hi // 65536 END AS v
+       |  FROM (SELECT doc_id, h_hi, h_lo, unnest(range(4)) AS band FROM hh)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    x.h_hi AS ahi, x.h_lo AS alo, y.h_hi AS bhi, y.h_lo AS blo
+       |  FROM bb x JOIN bb y ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id),
+       |np AS (
+       |  SELECT * FROM (
+       |    SELECT doc_a, doc_b,
+       |      CAST(bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) AS BIGINT) AS hamming
+       |    FROM cand) t
+       |  WHERE hamming <= 3)""".stripMargin
+
   /** DuckDB replay of [[imageAhashes]] — ends in `h (doc_id, h_lo, h_hi)`;
     * the oracle reconstructs the decoded pixels from `text` so a decode
     * slip breaks every hash. */
@@ -2027,53 +2092,61 @@ object PipelineQueries {
       // hashes); they are q_dedup_image_ahash's output.
       (s, d) => {
         import s.implicits._
-        val reps = imageAhashes(s, d)
-          .groupBy($"h_hi", $"h_lo")
-          .agg(min($"doc_id").as("doc_id"))
-          // materialized once: the band explode reads it twice (self-join)
-          .localCheckpoint()
-        val bands = reps.select($"doc_id", $"h_hi", $"h_lo", explode(expr(
-          """array(
-            |  struct(0L AS band, h_lo % 65536 AS v),
-            |  struct(1L AS band, shiftright(h_lo, 16) AS v),
-            |  struct(2L AS band, h_hi % 65536 AS v),
-            |  struct(3L AS band, shiftright(h_hi, 16) AS v))""".stripMargin)).as("b"))
-          .select($"doc_id", $"h_hi", $"h_lo", $"b.band".as("band"), $"b.v".as("v"))
-        val cand = bands.as("x").join(bands.as("y"),
-            col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-            col("x.h_hi").as("ahi"), col("x.h_lo").as("alo"),
-            col("y.h_hi").as("bhi"), col("y.h_lo").as("blo"))
-          // a d≤3 pair can agree on up to 3 bands — dedup the candidate,
-          // not the verified output (hashes ride along: doc_id determines
-          // the hash among reps, so the pair key alone dedups)
-          .distinct()
-        cand
-          .withColumn("hamming",
-            expr("CAST(bit_count(ahi ^ bhi) + bit_count(alo ^ blo) AS BIGINT)"))
-          .filter($"hamming" <= 3)
+        imagePhashNearPairs(s, d)
           .select($"doc_a", $"doc_b", $"hamming")
           .orderBy($"doc_a", $"doc_b")
       },
-      Some(s"""WITH $imageAhashCtes,
-              |hh AS (SELECT h_hi, h_lo, MIN(doc_id) AS doc_id FROM h GROUP BY h_hi, h_lo),
-              |bb AS (
-              |  SELECT doc_id, h_hi, h_lo, band,
-              |    CASE WHEN band = 0 THEN h_lo % 65536
-              |         WHEN band = 1 THEN h_lo // 65536
-              |         WHEN band = 2 THEN h_hi % 65536
-              |         ELSE h_hi // 65536 END AS v
-              |  FROM (SELECT doc_id, h_hi, h_lo, unnest(range(4)) AS band FROM hh)),
-              |cand AS (
-              |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-              |    x.h_hi AS ahi, x.h_lo AS alo, y.h_hi AS bhi, y.h_lo AS blo
-              |  FROM bb x JOIN bb y ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id)
-              |SELECT * FROM (
-              |  SELECT doc_a, doc_b,
-              |    CAST(bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) AS BIGINT) AS hamming
-              |  FROM cand) t
-              |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin)
+      Some(s"""WITH $imagePhashNearCtes
+              |SELECT doc_a, doc_b, hamming FROM np ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
+    "q_dedup_image_clusters" -> QueryDef(
+      // The image-dedup family's CANONICAL-selection close (round 14):
+      // connected components over the Hamming≤3 near-dup pair graph, so
+      // "keep one image per visual cluster" becomes a groupBy — the same
+      // composition q_dedup_clusters runs over embedding pairs, here over
+      // the perceptual-hash reps. Every IMAGE document gets a cluster id:
+      // doc → its aHash → the hash's canonical rep (the exact tier) → the
+      // rep's CC label over near-dup edges (the near tier); isolated reps
+      // label themselves. Execution reuses the adaptive
+      // ConnectedComponents operator (driver union-find below the
+      // subcritical edge bound, Pregel-style min-label propagation above);
+      // the oracle certifies the fixpoint with a recursive closure.
+      // Scale shape: pairs live on distinct-hash reps (tiny), the label
+      // table is bounded by the connected subgraph and broadcasts while it
+      // fits, so the per-image side pays one hash-group shuffle and
+      // map-side joins — images never pairwise-compare.
+      (s, d) => {
+        import s.implicits._
+        val pairs = imagePhashNearPairs(s, d).select($"doc_a", $"doc_b")
+        val nPairs = pairs.count() // bounded: materialized checkpoint, drives the CC mode
+        val labels = graft.operators.ConnectedComponents.labels(
+          s, pairs.select($"doc_a".as("id_a"), $"doc_b".as("id_b")),
+          knownEdgeCount = Some(nPairs))
+        val labelSide = if (nPairs < 1000000L) broadcast(labels) else labels
+        val reps = imageAhashes(s, d)
+          .groupBy($"h_hi", $"h_lo")
+          .agg(min($"doc_id").as("rep"))
+        imageAhashes(s, d)
+          .join(reps, Seq("h_hi", "h_lo"))
+          .join(labelSide.select($"id".as("rep"), $"lbl"), Seq("rep"), "left_outer")
+          .select($"doc_id", coalesce($"lbl", $"rep").as("cluster_id"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH RECURSIVE $imagePhashNearCtes,
+              |edges AS (
+              |  SELECT doc_a AS src, doc_b AS dst FROM np
+              |  UNION ALL SELECT doc_b, doc_a FROM np),
+              |reach(a, rb) AS (
+              |  SELECT doc_id, doc_id FROM hh
+              |  UNION
+              |  SELECT r.a, ed.dst FROM reach r JOIN edges ed ON r.rb = ed.src),
+              |lbl AS (SELECT a AS rep, MIN(rb) AS cluster_id FROM reach GROUP BY a),
+              |m AS (
+              |  SELECT h.doc_id, hh.doc_id AS rep
+              |  FROM h JOIN hh USING (h_hi, h_lo))
+              |SELECT m.doc_id, l.cluster_id FROM m JOIN lbl l ON m.rep = l.rep
+              |ORDER BY doc_id""".stripMargin)
     ),
 
     "q_dedup_image_ahash" -> QueryDef(

@@ -116,6 +116,13 @@ class Round14OpsSpec extends AnyFunSuite {
     val ahash = SparkEntry.queries("q_dedup_image_ahash")(spark, dir)
       .select($"doc_id", $"n_images").as[(Long, Long)].collect().toMap
     assert(ahash(0L) == 2L, "base and its exact dup must share one hash cluster")
+    // and the cluster key composes both tiers: the exact dup (doc 2)
+    // inherits its rep's near-component label; edges (0,4),(0,6),(6,8)
+    // connect {0,4,6,8}; the no-shared-band doc 10 labels itself
+    val clusters = SparkEntry.queries("q_dedup_image_clusters")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters == Map(0L -> 0L, 2L -> 0L, 4L -> 0L, 6L -> 0L, 8L -> 0L, 10L -> 10L),
+      s"cluster labels diverged: $clusters")
   }
 
   test("image near-dup: banding equals brute force on the real corpus (recall floor at d<=3)") {
