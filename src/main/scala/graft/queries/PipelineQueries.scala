@@ -670,7 +670,8 @@ object PipelineQueries {
     * equi-join (pigeonhole: ≤3 flips leave ≥1 band intact → total recall
     * at d≤3), exact bit_count verify on candidates.
     */
-  private def imagePhashNearPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def imagePhashNearPairs(
+      s: SparkSession, d: String, materialize: Boolean = true): DataFrame = {
     import s.implicits._
     val reps = imageAhashes(s, d)
       .groupBy($"h_hi", $"h_lo")
@@ -694,12 +695,14 @@ object PipelineQueries {
       // not the verified output (hashes ride along: doc_id determines
       // the hash among reps, so the pair key alone dedups)
       .distinct()
-    cand
+    val pairs = cand
       .withColumn("hamming",
         expr("CAST(bit_count(ahi ^ bhi) + bit_count(alo ^ blo) AS BIGINT)"))
       .filter($"hamming" <= 3)
       .select($"doc_a", $"doc_b", $"hamming")
-      .localCheckpoint()
+    // materialize=false exposes the full lineage for the plan gate (the
+    // checkpoint otherwise truncates the visible plan to an ExistingRDD)
+    if (materialize) pairs.localCheckpoint() else pairs
   }
 
   /** DuckDB replay of [[imagePhashNearPairs]] — extends `imageAhashCtes`

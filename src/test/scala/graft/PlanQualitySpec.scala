@@ -557,8 +557,11 @@ class PlanQualitySpec extends AnyFunSuite {
     // The near tier's 100 TB story: banding over distinct-hash canonical
     // representatives (the exact tier collapses first), candidates from a
     // (band, value) EQUI-join — never a cartesian Hamming scan over the
-    // rep set.
-    val plan = physical(run("q_dedup_image_phash_near"))
+    // rep set. Gate the UNMATERIALIZED pair plan: the shipped key
+    // checkpoints the pair list (shared with q_dedup_image_clusters),
+    // which truncates the visible plan to an ExistingRDD scan.
+    val plan = physical(graft.queries.PipelineQueries
+      .imagePhashNearPairs(spark, sfDir, materialize = false))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"the candidate stage must be an equi-join, not all-pairs:\n$plan")
     assert(plan.contains("Join"), s"expected the banded self-join:\n$plan")
