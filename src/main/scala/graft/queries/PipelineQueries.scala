@@ -705,6 +705,135 @@ object PipelineQueries {
     if (materialize) pairs.localCheckpoint() else pairs
   }
 
+  /** Shared base of the quantized ANN tier — (vec_id, v, bucket, qv8):
+    * float vectors with their LSH bucket (the ann_lsh index) and the int8
+    * scalar-quantized codes (the q_embedding_quantize affine scheme).
+    * The per-dim stats pass is ONE 64-key partial-aggregable shuffle whose
+    * result (exactly 64 rows — the dim count, the bounded collect) bakes
+    * into the plan as literals, so the quantize itself is pure map-side
+    * codegen over the scan — at 100 TB the codes are written once and the
+    * int ranking scans 4× fewer bytes than the float vectors.
+    */
+  private[graft] def quantizedLshBase(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+      .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    // SYMMETRIC global-scale codes, NOT the per-dim affine storage codes of
+    // q_embedding_quantize: ranking needs the code dot to be PROPORTIONAL
+    // to the true dot (q = round(127·x/maxabs) ⇒ Σq·q ≈ (127/maxabs)²·Σx·y),
+    // where the storage scheme's per-dim offsets add cross terms that
+    // dominate on a centered corpus — measured before this fix: recall@3
+    // collapsed 1.00 → 0.07 as bucket occupancy grew 4 → 1250 (the affine
+    // codes ranked offsets, not similarity). One global max|x| (a 1-row
+    // bounded collect) bakes into the plan; the quantize is pure map.
+    val maxAbs = e.select(max(expr(
+      "aggregate(v, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(x)))"))).head.getDouble(0)
+    e.withColumn("bucket", graft.functions.LshFunctions.hyperplaneSig(s, $"v") % 256)
+      .withColumn("qv8",
+        if (maxAbs == 0.0) expr("transform(v, x -> 0L)")
+        else transform($"v", x => floor(x * 127.0 / maxAbs + 0.5)))
+      // exact integer code norm Σq² — the shortlist's cosine denominator
+      .withColumn("qn",
+        expr("aggregate(qv8, 0L, (acc, q) -> acc + q * q)"))
+  }
+
+  /** The quantized tier's ranking plan over a (possibly cached) base —
+    * bucket equi-join candidates (broadcast 10-query side), exact-integer
+    * code-dot shortlist (top 15), full-precision cosine rescore (top 3).
+    * Unmaterialized so the plan gate can inspect the join/shortlist shape.
+    */
+  /** The int8 shortlist over the bucket candidates —
+    * (q_id, c_id, qvf, cv, iq): integer code dots, norm-corrected
+    * quantized cosine for the order (exact ints → one deterministic IEEE
+    * divide; the value never rides an output, only the order with c_id
+    * ties), adaptive width max(15, ⌈candidates/8⌉) — the same measured
+    * eighth as the IVF probe policy: a fixed 15 of 1250 candidates
+    * starves recall at scale exactly like nprobe=2 of K=323 did.
+    */
+  private[graft] def quantizedShortlist(s: SparkSession, base: DataFrame): DataFrame = {
+    import s.implicits._
+    val q = base.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qvf"), $"qv8".as("qq8"),
+        $"qn".as("qnq"), $"bucket")
+    val wQ = Window.partitionBy($"q_id")
+    base.select($"vec_id".as("c_id"), $"v".as("cv"), $"qv8".as("cq8"),
+        $"qn".as("qnc"), $"bucket")
+      .join(broadcast(q), Seq("bucket"))
+      .filter($"q_id" =!= $"c_id")
+      .withColumn("iq",
+        expr("aggregate(zip_with(qq8, cq8, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+      .withColumn("iqcos",
+        when($"qnq" === 0L || $"qnc" === 0L, lit(-2.0d))
+          .otherwise($"iq".cast("double") / sqrt(($"qnq" * $"qnc").cast("double"))))
+      .withColumn("ncand", count(lit(1)).over(wQ))
+      .withColumn("irk", row_number().over(wQ.orderBy($"iqcos".desc, $"c_id")))
+      .filter($"irk" <= greatest(lit(15L), ceil($"ncand" / 8.0)))
+      .select($"q_id", $"c_id", $"qvf", $"cv", $"iq")
+  }
+
+  /** [[quantizedShortlist]] + full-precision rescore, final top-3. */
+  private[graft] def quantizedTop3(s: SparkSession, base: DataFrame): DataFrame = {
+    import s.implicits._
+    quantizedShortlist(s, base)
+      .withColumn("sim4",
+        round(graft.functions.CosineSimilarity.cosineSim(s, $"qvf", $"cv"), 4) + lit(0.0))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"sim4".desc, $"c_id")))
+      .filter($"rnk" <= 3)
+      .select($"q_id", $"rnk", $"c_id", $"iq", $"sim4")
+      .orderBy($"q_id", $"rnk")
+  }
+
+  /** DuckDB replay of [[quantizedLshBase]] + the bucket candidate pairs —
+    * ends in `n (vec_id, v, bucket, nrm)`, `q8 (vec_id, qv8)`,
+    * `cp (q_id, c_id)` (the LSH bucket candidates for queries vec_id < 10)
+    * and `iq (q_id, c_id, iq)` (the exact integer code dot products).
+    * The bucket CTE is the q_similarity_ann_lsh lattice replay; the
+    * quantization recomputes the same per-dim MIN/MAX the engine baked as
+    * literals (identical doubles → identical codes).
+    */
+  private lazy val quantizedLshCtes: String =
+    s"""e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |b AS (
+       |  SELECT vec_id, v,
+       |    CAST(list_sum(list_transform(range(0, 8), p ->
+       |      CASE WHEN list_sum(list_transform(range(0, 64),
+       |          i -> v[i + 1] * CAST((([${PipelineQueries.lshA.mkString(",")}]::BIGINT[])[p + 1] * (i + 1)
+       |                              + ([${PipelineQueries.lshB.mkString(",")}]::BIGINT[])[p + 1]) % 1009 - 504 AS DOUBLE))) > 0
+       |           THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS bucket
+       |  FROM e),
+       |n AS (SELECT vec_id, v, bucket, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM b),
+       |ma AS (SELECT MAX(list_max(list_transform(v, x -> abs(x)))) AS maxabs FROM e),
+       |q8 AS (
+       |  SELECT vec_id,
+       |    CASE WHEN maxabs = 0 THEN list_transform(v, x -> 0::BIGINT)
+       |         ELSE list_transform(v, x -> CAST(FLOOR(x * 127.0 / maxabs + 0.5) AS BIGINT)) END AS qv8
+       |  FROM e, ma),
+       |qn8 AS (
+       |  SELECT vec_id, qv8, CAST(list_sum(list_transform(qv8, q -> q * q)) AS BIGINT) AS qn
+       |  FROM q8),
+       |cp AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id
+       |  FROM n q JOIN n c ON q.bucket = c.bucket AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
+       |iq AS (
+       |  SELECT cp.q_id, cp.c_id,
+       |    CAST(list_sum(list_transform(range(1, 65), i -> a.qv8[i] * z.qv8[i])) AS BIGINT) AS iq,
+       |    a.qn AS qnq, z.qn AS qnc
+       |  FROM cp JOIN qn8 a ON a.vec_id = cp.q_id JOIN qn8 z ON z.vec_id = cp.c_id),
+       |iqc AS (
+       |  SELECT q_id, c_id, iq,
+       |    CASE WHEN qnq = 0 OR qnc = 0 THEN -2.0
+       |         ELSE CAST(iq AS DOUBLE) / sqrt(CAST(qnq * qnc AS DOUBLE)) END AS iqcos,
+       |    COUNT(*) OVER (PARTITION BY q_id) AS ncand
+       |  FROM iq),
+       |short AS (
+       |  SELECT q_id, c_id, iq FROM (
+       |    SELECT q_id, c_id, iq, ncand,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY iqcos DESC, c_id) AS irk
+       |    FROM iqc) t
+       |  WHERE irk <= GREATEST(15, CAST(CEIL(ncand / 8.0) AS BIGINT)))""".stripMargin
+
   /** DuckDB replay of [[imagePhashNearPairs]] — extends `imageAhashCtes`
     * with the rep table `hh`, the 4×16-bit band explode `bb`, the any-band
     * candidate join `cand`, and the verified pair list
@@ -1388,6 +1517,114 @@ object PipelineQueries {
               |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim4 DESC, c_id) AS rnk
               |  FROM s) t
               |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin)
+    ),
+
+    "q_similarity_quantized" -> QueryDef(
+      // int8 CANDIDATE RANKING inside the ANN index (round 14) — the
+      // memory-bandwidth tier every 100 TB vector store runs: vectors are
+      // scalar-quantized once with a SYMMETRIC global scale
+      // (q = round(127·x/max|x|), so the code dot is proportional to the
+      // true dot — quantizedLshBase documents why the per-dim affine
+      // STORAGE codes are wrong for ranking, with the measured collapse),
+      // the LSH bucket equi-join provides candidates (never all-pairs),
+      // the shortlist is ordered by the norm-corrected QUANTIZED COSINE
+      // (exact integer dot and norms, one deterministic IEEE divide; 4×
+      // less memory traffic than float — at scale the ranking scan reads
+      // only the int8 codes), and only the adaptive shortlist
+      // (max(15, ⌈candidates/8⌉) — the IVF policy's measured eighth) pays
+      // the full-precision cosine rescore for the final top-3. The
+      // shortlist decision is hash-exact across engines; the rescore
+      // reuses the family's round-4 cosine. Quantization loss is MEASURED
+      // by q_similarity_quantized_recall at every forced scale (no
+      // approximate tier ships unmeasured).
+      (s, d) => {
+        import s.implicits._
+        val eq = quantizedLshBase(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // materialize the 30-row result, then release the corpus cache
+        // (the cache-hygiene contract; the gate inspects the
+        // unmaterialized quantizedTop3 plan instead)
+        val out = quantizedTop3(s, eq).localCheckpoint()
+        eq.unpersist(blocking = false)
+        out
+      },
+      Some(s"""WITH $quantizedLshCtes,
+              |sc AS (
+              |  SELECT s.q_id, s.c_id, s.iq,
+              |    ROUND(list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 4) + 0.0 AS sim4
+              |  FROM short s JOIN n q ON q.vec_id = s.q_id JOIN n c ON c.vec_id = s.c_id)
+              |SELECT q_id, rnk, c_id, iq, sim4 FROM (
+              |  SELECT q_id, c_id, iq, sim4,
+              |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim4 DESC, c_id) AS rnk
+              |  FROM sc) t
+              |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin)
+    ),
+
+    "q_similarity_quantized_recall" -> QueryDef(
+      // Measured quantization loss (the q_similarity_recall discipline,
+      // isolated to the NEW approximation): both arms see the IDENTICAL
+      // LSH bucket candidates, the float arm ranks them all at full
+      // precision, the quantized arm ranks by int8 codes and rescores only
+      // its adaptive shortlist — so any top-3 disagreement is attributable
+      // to the int8 ranking alone, not to bucketing. Integer counters
+      // only. Measured where the shortlist actually truncates (occupancy
+      // 78–1250 at sf1–sf16, BENCH_SCALING round 14) — the sf0.01 point is
+      // non-truncating by design and the spec pins it to exact equality.
+      (s, d) => {
+        import s.implicits._
+        val eq = quantizedLshBase(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val q = eq.filter($"vec_id" < 10)
+          .select($"vec_id".as("q_id"), $"v".as("qvf"), $"bucket")
+        val cand = eq.select($"vec_id".as("c_id"), $"v".as("cv"), $"bucket")
+          .join(broadcast(q), Seq("bucket"))
+          .filter($"q_id" =!= $"c_id")
+        def top3(df: DataFrame): DataFrame =
+          df.withColumn("rnk", row_number().over(
+              Window.partitionBy($"q_id").orderBy($"sim4".desc, $"c_id")))
+            .filter($"rnk" <= 3)
+            .select($"q_id", $"c_id")
+        val sim = round(graft.functions.CosineSimilarity.cosineSim(s, $"qvf", $"cv"), 4) + lit(0.0)
+        val floatArm = top3(cand.withColumn("sim4", sim))
+        val quantArm = top3(quantizedShortlist(s, eq).withColumn("sim4", sim))
+        val nF = floatArm.groupBy($"q_id").agg(count(lit(1)).as("n_float"))
+        val nQ = quantArm.groupBy($"q_id").agg(count(lit(1)).as("n_quant"))
+        val nH = floatArm.join(quantArm, Seq("q_id", "c_id"))
+          .groupBy($"q_id").agg(count(lit(1)).as("n_hit"))
+        val out = nF
+          .join(nQ, Seq("q_id"), "left_outer")
+          .join(nH, Seq("q_id"), "left_outer")
+          .select($"q_id", $"n_float",
+            coalesce($"n_quant", lit(0L)).as("n_quant"),
+            coalesce($"n_hit", lit(0L)).as("n_hit"))
+          .orderBy($"q_id")
+          .localCheckpoint()
+        eq.unpersist(blocking = false)
+        out
+      },
+      Some(s"""WITH $quantizedLshCtes,
+              |fa AS (
+              |  SELECT q_id, c_id FROM (
+              |    SELECT s.q_id, s.c_id, ROW_NUMBER() OVER (PARTITION BY s.q_id ORDER BY
+              |      ROUND(list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 4) + 0.0 DESC,
+              |      s.c_id) AS rnk
+              |    FROM cp s JOIN n q ON q.vec_id = s.q_id JOIN n c ON c.vec_id = s.c_id) t
+              |  WHERE rnk <= 3),
+              |qa AS (
+              |  SELECT q_id, c_id FROM (
+              |    SELECT s.q_id, s.c_id, ROW_NUMBER() OVER (PARTITION BY s.q_id ORDER BY
+              |      ROUND(list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 4) + 0.0 DESC,
+              |      s.c_id) AS rnk
+              |    FROM short s JOIN n q ON q.vec_id = s.q_id JOIN n c ON c.vec_id = s.c_id) t
+              |  WHERE rnk <= 3)
+              |SELECT fa.q_id,
+              |  CAST(COUNT(*) AS BIGINT) AS n_float,
+              |  CAST(MAX(nq.n_quant) AS BIGINT) AS n_quant,
+              |  CAST(SUM(CASE WHEN qa.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+              |FROM fa
+              |LEFT JOIN qa ON fa.q_id = qa.q_id AND fa.c_id = qa.c_id
+              |JOIN (SELECT q_id, COUNT(*) AS n_quant FROM qa GROUP BY q_id) nq ON nq.q_id = fa.q_id
+              |GROUP BY fa.q_id ORDER BY fa.q_id""".stripMargin)
     ),
 
     "q_similarity_filtered" -> QueryDef(

@@ -567,6 +567,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("Join"), s"expected the banded self-join:\n$plan")
   }
 
+  test("q_similarity_quantized: bucket equi-join candidates, literal-stats map-side quantize, no NLJ") {
+    // The int8 tier's scale contract: candidates come from the LSH bucket
+    // EQUI-join (broadcast query side — 10 rows), never an all-pairs
+    // product, and the quantize itself is map-side (the 64-row stats table
+    // is baked as plan literals at build time — no stats join in the plan).
+    // the shipped key checkpoints its 30-row result (cache hygiene), which
+    // truncates the visible plan — gate the unmaterialized ranking plan
+    val plan = finalSection(physical(graft.queries.PipelineQueries.quantizedTop3(
+      spark, graft.queries.PipelineQueries.quantizedLshBase(spark, sfDir))))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"the candidate stage must be the bucket equi-join, not all-pairs:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 10-query side must broadcast onto the bucketed corpus:\n$plan")
+  }
+
   test("q_dedup_lsh_recall's truth and measured arms share ONE persisted shingle pass") {
     // The recall gate's cost story: shingle hashing (the data-proportional
     // floor) runs once, cached, and feeds the PPJoin truth arm (exploded df

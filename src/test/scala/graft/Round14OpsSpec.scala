@@ -152,6 +152,34 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "the corpus must actually exercise the near tier")
   }
 
+  test("quantized ANN tier: int8 codes are the affine scheme, and the rescored top-3 matches the float arm when the shortlist holds everything") {
+    import spark.implicits._
+    val base = graft.queries.PipelineQueries.quantizedLshBase(spark, sf001)
+    val rows = base.select($"vec_id", $"v", $"qv8", $"qn").limit(20).collect()
+    // recompute the global symmetric scale directly and check the codes
+    val all = base.select($"v").collect().map(_.getSeq[Double](0))
+    val maxAbs = all.flatten.map(math.abs).max
+    rows.foreach { r =>
+      val v = r.getSeq[Double](1); val q = r.getSeq[Long](2)
+      assert(q.length == 64)
+      (0 until 64).foreach { i =>
+        val expect = if (maxAbs == 0.0) 0L
+          else math.floor(v(i) * 127.0 / maxAbs + 0.5).toLong
+        assert(q(i) == expect, s"code mismatch vec ${r.getLong(0)} dim $i")
+        assert(q(i) >= -127 && q(i) <= 127)
+      }
+      assert(r.getLong(3) == q.map(x => x * x).sum, "integer code norm")
+    }
+    // at sf0.01 every bucket holds <= 15 candidates, so the int shortlist
+    // keeps everything and the rescored top-3 must EQUAL the float-only
+    // LSH arm (the quantization can only matter through truncation)
+    val quant = SparkEntry.queries("q_similarity_quantized")(spark, sf001)
+      .select($"q_id", $"rnk", $"c_id", $"sim4").collect().map(_.toSeq).toSeq
+    val lsh = SparkEntry.queries("q_similarity_ann_lsh")(spark, sf001)
+      .select($"q_id", $"rnk", $"c_id", $"sim4").collect().map(_.toSeq).toSeq
+    assert(quant == lsh, "non-truncating shortlist must reproduce the float arm exactly")
+  }
+
   test("the adaptive forced key genuinely widens the probe at the oracle scale") {
     import spark.implicits._
     // the key's needle policy at sf0.01: every 3rd vector → 167 needles,
