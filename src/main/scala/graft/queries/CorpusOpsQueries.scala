@@ -525,6 +525,108 @@ object CorpusOpsQueries {
              |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin)
     ),
 
+    "q_bpe_train" -> QueryDef(
+      // ACTUAL BPE training (round 14) — q_bpe_pairs ranks the first
+      // merge's candidates; this key runs the real iterative loop
+      // (Sennrich et al. 2016): 4 merges, each picking the globally most
+      // frequent adjacent symbol pair (ties: lexicographically smallest
+      // pair — deterministic in both engines on this ASCII corpus) and
+      // applying it to the vocabulary left-to-right non-overlapping. The
+      // iteration count is FIXED like the quantizer's Lloyd discipline, so
+      // DuckDB replays all four stages bit-for-bit as staged CTEs.
+      //
+      // Representation is the separator trick shared by both engines: a
+      // word's symbol sequence is '|'-delimited with a LEADING separator
+      // ('|t|h|e'; tokens containing '|' or non-printables are excluded by
+      // the same regex both sides), so applying merge (a,b) is
+      // replace(symstr, '|a|b', '|ab') — string replace is left-to-right
+      // non-overlapping in both engines, which IS the BPE greedy-apply
+      // rule, and the missing trailing separator in the pattern keeps the
+      // next occurrence's leading '|' intact ('|a|b|a|b' → '|ab|ab').
+      //
+      // Scale shape: the corpus is touched ONCE (the word-frequency
+      // groupBy); all four iterations run on the vocabulary table
+      // (corpus-independent size), each paying one partial-aggregable
+      // (a,b) shuffle and a 1-row TakeOrdered argmax through the driver —
+      // the BPE trainer's global reduce, bounded by construction. The
+      // merge table (4 rows) is the tokenizer artifact.
+      (s, d) => {
+        import s.implicits._
+        var w = documents(s, d)
+          .select(explode(split($"text", " ")).as("tok"))
+          .filter($"tok".rlike("^[!-{}-~]+$"))
+          .select(regexp_replace($"tok", "(.)", "|$1").as("symstr"))
+          .groupBy($"symstr").agg(count(lit(1)).as("wcnt"))
+          .localCheckpoint() // materialize the vocab once; iterations start here
+        val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+        for (r <- 1 to 4) {
+          val top = w
+            .withColumn("syms", expr("slice(split(symstr, '\\\\|'), 2, 1000000)"))
+            .select($"wcnt", explode(expr(
+              """zip_with(slice(syms, 1, size(syms) - 1),
+                |         slice(syms, 2, size(syms) - 1),
+                |         (a, b) -> struct(a AS a, b AS b))""".stripMargin)).as("pr"))
+            .groupBy($"pr.a".as("a"), $"pr.b".as("b"))
+            .agg(sum($"wcnt").as("cnt"))
+            .orderBy($"cnt".desc, $"a", $"b")
+            // bounded: ONE row — the trainer's global argmax reduce
+            .limit(1).collect()(0)
+          val (a, b, c) = (top.getString(0), top.getString(1), top.getLong(2))
+          merges += ((r.toLong, a, b, c))
+          w = w
+            .withColumn("p", lit("|" + a + "|" + b))
+            .withColumn("q", lit("|" + a + b))
+            .select($"wcnt", expr("replace(symstr, p, q)").as("symstr"))
+            .localCheckpoint() // each action is one stage, not a nested DAG
+        }
+        merges.toSeq.toDF("rank", "merge_left", "merge_right", "pair_count")
+          .orderBy($"rank")
+      },
+      Some("""WITH tk AS (
+             |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+             |w0 AS (
+             |  SELECT regexp_replace(tok, '(.)', '|\1', 'g') AS symstr, COUNT(*) AS wcnt
+             |  FROM tk WHERE regexp_matches(tok, '^[!-{}-~]+$') GROUP BY 1),
+             |p0 AS (
+             |  SELECT sy[CAST(i AS INT)] AS a, sy[CAST(i + 1 AS INT)] AS b, SUM(wcnt) AS cnt FROM (
+             |    SELECT wcnt, sy, unnest(range(1, len(sy))) AS i FROM (
+             |      SELECT wcnt, string_split(symstr, '|')[2:] AS sy FROM w0)) GROUP BY a, b),
+             |m0 AS (SELECT a, b, cnt FROM p0 ORDER BY cnt DESC, a, b LIMIT 1),
+             |w1 AS (
+             |  SELECT replace(symstr,
+             |    '|' || (SELECT a FROM m0) || '|' || (SELECT b FROM m0),
+             |    '|' || (SELECT a FROM m0) || (SELECT b FROM m0)) AS symstr, wcnt FROM w0),
+             |p1 AS (
+             |  SELECT sy[CAST(i AS INT)] AS a, sy[CAST(i + 1 AS INT)] AS b, SUM(wcnt) AS cnt FROM (
+             |    SELECT wcnt, sy, unnest(range(1, len(sy))) AS i FROM (
+             |      SELECT wcnt, string_split(symstr, '|')[2:] AS sy FROM w1)) GROUP BY a, b),
+             |m1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+             |w2 AS (
+             |  SELECT replace(symstr,
+             |    '|' || (SELECT a FROM m1) || '|' || (SELECT b FROM m1),
+             |    '|' || (SELECT a FROM m1) || (SELECT b FROM m1)) AS symstr, wcnt FROM w1),
+             |p2 AS (
+             |  SELECT sy[CAST(i AS INT)] AS a, sy[CAST(i + 1 AS INT)] AS b, SUM(wcnt) AS cnt FROM (
+             |    SELECT wcnt, sy, unnest(range(1, len(sy))) AS i FROM (
+             |      SELECT wcnt, string_split(symstr, '|')[2:] AS sy FROM w2)) GROUP BY a, b),
+             |m2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+             |w3 AS (
+             |  SELECT replace(symstr,
+             |    '|' || (SELECT a FROM m2) || '|' || (SELECT b FROM m2),
+             |    '|' || (SELECT a FROM m2) || (SELECT b FROM m2)) AS symstr, wcnt FROM w2),
+             |p3 AS (
+             |  SELECT sy[CAST(i AS INT)] AS a, sy[CAST(i + 1 AS INT)] AS b, SUM(wcnt) AS cnt FROM (
+             |    SELECT wcnt, sy, unnest(range(1, len(sy))) AS i FROM (
+             |      SELECT wcnt, string_split(symstr, '|')[2:] AS sy FROM w3)) GROUP BY a, b),
+             |m3 AS (SELECT a, b, cnt FROM p3 ORDER BY cnt DESC, a, b LIMIT 1)
+             |SELECT rank, merge_left, merge_right, pair_count FROM (
+             |  SELECT 1::BIGINT AS rank, a AS merge_left, b AS merge_right, CAST(cnt AS BIGINT) AS pair_count FROM m0
+             |  UNION ALL SELECT 2, a, b, CAST(cnt AS BIGINT) FROM m1
+             |  UNION ALL SELECT 3, a, b, CAST(cnt AS BIGINT) FROM m2
+             |  UNION ALL SELECT 4, a, b, CAST(cnt AS BIGINT) FROM m3)
+             |ORDER BY rank""".stripMargin)
+    ),
+
     // see `semdedup` above: scale-adaptive strategy (literal → table → hier)
     "q_semdedup" -> QueryDef(
       (s, d) => semdedup(s, d, strategy = "auto"),

@@ -180,6 +180,28 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(quant == lsh, "non-truncating shortlist must reproduce the float arm exactly")
   }
 
+  test("BPE training: greedy non-overlap apply, multi-char merges, lexicographic tie-break — hand-computed fixture") {
+    import spark.implicits._
+    // "aaa"x5: (a,a) w10 -> merge 1; greedy left-to-right gives [aa, a]
+    //   (NOT [a, aa] or a double-merge), so round 3 sees (aa, a) w5.
+    // "bcbc"x4 + "bc"x1: (b,c) w9 -> merge 2; after it "bcbc" is [bc, bc].
+    // round 4 ties (bc,bc) w4 against (x,y) w4 -> 'bc' < 'x' wins the tie.
+    val text = (Seq.fill(5)("aaa") ++ Seq.fill(4)("bcbc") ++ Seq("bc")
+      ++ Seq.fill(4)("xy")).mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("bpe_train").toString
+    Seq((1L, text, "en", "fixture", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_bpe_train")(spark, dir)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "a", "a", 10L),   // the base pair
+      (2L, "b", "c", 9L),    // across both bc-words
+      (3L, "aa", "a", 5L),   // exists ONLY if merge 1 applied greedily
+      (4L, "bc", "bc", 4L)), // multi-char pair, tie-broken against (x,y)
+      s"merge sequence diverged: $got")
+  }
+
   test("the adaptive forced key genuinely widens the probe at the oracle scale") {
     import spark.implicits._
     // the key's needle policy at sf0.01: every 3rd vector → 167 needles,
