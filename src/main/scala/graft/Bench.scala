@@ -15,7 +15,8 @@ object Bench {
       sortedSamples.last / sortedSamples.head > SuspectWindowRatio
 
   /** The steadiest of several sorted calibration sample sets — smallest
-    * max/min spread (ties: the earlier draw). Used by the suspect-window
+    * max/min spread (ties: the most RECENT draw — redraw sets are
+    * prepended, and minBy keeps the first minimum). Used by the suspect-window
     * redraw: when the first 5-draw set spans a contended window, the bench
     * redraws rather than letting one stalled draw inflate the median (the
     * r13 official artifact's failure: a 169.7 s draw pushed calib_sec to

@@ -38,6 +38,39 @@ object JpegCodec {
     override def fillInStackTrace(): Throwable = this // control flow, not diagnostics
   }
 
+  /** Thrown (internally) when a structurally VALID image exceeds the
+    * decode allocation envelope — distinct from [[Malformed]] so callers
+    * can route oversized assets differently from corrupt bytes
+    * ([[decodeDetailed]]); a curation pipeline that treats every None as
+    * "corrupt, discard" would otherwise silently drop legitimate large
+    * assets (e.g. ~8000×8000 color) that merely need a bigger per-task
+    * budget.
+    */
+  private final class Oversize(val declaredPlaneInts: Long) extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  /** Default per-task decode allocation ceiling: 2^26 total plane ints
+    * (256 MB) — far above any fixture and safely below executor memory at
+    * 32 concurrent tasks. Configurable per call site via
+    * [[decodeDetailed]] for pipelines whose executors budget differently.
+    */
+  val DefaultMaxPlaneInts: Long = 1L << 26
+
+  /** Three-way decode outcome — the routing signal a curation pipeline
+    * needs: `Decoded` (use the pixels), `Oversized` (VALID structure, just
+    * past the allocation envelope — route to a big-asset lane or retry
+    * with a larger cap, do NOT discard as corrupt), `Invalid` (structural
+    * violation or bytes that cannot back the declared planes — the
+    * discard lane).
+    */
+  sealed trait DecodeResult
+  object DecodeResult {
+    final case class Decoded(img: Jpeg) extends DecodeResult
+    final case class Oversized(declaredPlaneInts: Long, cap: Long) extends DecodeResult
+    case object Invalid extends DecodeResult
+  }
+
   /** Natural (row-major) position of the i-th zigzag-order coefficient. */
   private val ZigZag: Array[Int] = Array(
     0, 1, 8, 16, 9, 2, 3, 10,
@@ -121,14 +154,34 @@ object JpegCodec {
       id: Int, h: Int, v: Int, tq: Int, var td: Int = 0, var ta: Int = 0)
 
   def decode(bytes: Array[Byte]): Option[Jpeg] =
+    decodeDetailed(bytes) match {
+      case DecodeResult.Decoded(img) => Some(img)
+      case _ => None
+    }
+
+  /** [[decode]] with the oversized/invalid distinction surfaced and the
+    * allocation envelope configurable. `Oversized` is only reachable when
+    * the INFORMATION bound passes (the bytes present could genuinely back
+    * the declared planes) but the absolute envelope doesn't — i.e. the
+    * asset is plausibly valid and merely large; struct bombs (tiny files
+    * declaring huge frames) fail the information bound first and stay
+    * `Invalid`.
+    */
+  def decodeDetailed(
+      bytes: Array[Byte],
+      maxPlaneInts: Long = DefaultMaxPlaneInts): DecodeResult =
     // Malformed is the expected refusal path; the NonFatal backstop keeps
-    // the None-on-any-structural-violation contract airtight for adversarial
-    // headers (an index slip on crafted lengths must never escape a decoder
-    // of untrusted bytes as a task-killing exception)
-    try decodeOrThrow(bytes)
+    // the Invalid-on-any-structural-violation contract airtight for
+    // adversarial headers (an index slip on crafted lengths must never
+    // escape a decoder of untrusted bytes as a task-killing exception)
+    try decodeOrThrow(bytes, maxPlaneInts) match {
+      case Some(img) => DecodeResult.Decoded(img)
+      case None => DecodeResult.Invalid
+    }
     catch {
-      case Malformed => None
-      case scala.util.control.NonFatal(_) => None
+      case o: Oversize => DecodeResult.Oversized(o.declaredPlaneInts, maxPlaneInts)
+      case Malformed => DecodeResult.Invalid
+      case scala.util.control.NonFatal(_) => DecodeResult.Invalid
     }
 
   private def be16(b: Array[Byte], i: Int): Int = {
@@ -136,7 +189,7 @@ object JpegCodec {
     ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
   }
 
-  private def decodeOrThrow(bytes: Array[Byte]): Option[Jpeg] = {
+  private def decodeOrThrow(bytes: Array[Byte], maxPlaneInts: Long): Option[Jpeg] = {
     if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
       return None // no SOI
     val qtab = new Array[Array[Int]](4) // zigzag order, as stored
@@ -234,7 +287,7 @@ object JpegCodec {
           val ss = bytes(o) & 0xff; val se = bytes(o + 1) & 0xff
           if (ss != 0 || se != 63) throw Malformed // sequential full-spectrum scan only
           return Some(decodeScan(bytes, i + len, width, height, comps,
-            qtab, dcTab, acTab, restartInterval))
+            qtab, dcTab, acTab, restartInterval, maxPlaneInts))
         case m if (m >= 0xc1 && m <= 0xcf) && m != 0xc4 && m != 0xc8 && m != 0xcc =>
           throw Malformed // progressive/arithmetic/lossless/hierarchical SOF
         case _ => // APPn, COM, and any other length-prefixed segment: skip
@@ -253,7 +306,8 @@ object JpegCodec {
   private def decodeScan(
       bytes: Array[Byte], scanStart: Int, width: Int, height: Int,
       comps: Array[Component], qtab: Array[Array[Int]],
-      dcTab: Array[Huff], acTab: Array[Huff], restartInterval: Int): Jpeg = {
+      dcTab: Array[Huff], acTab: Array[Huff], restartInterval: Int,
+      maxPlaneInts: Long): Jpeg = {
     val maxH = comps.map(_.h).max
     val maxV = comps.map(_.v).max
     val mcusX = (width + 8 * maxH - 1) / (8 * maxH)
@@ -271,12 +325,15 @@ object JpegCodec {
     //    at most 4 blocks (256 plane ints) per input byte; declared planes
     //    past 256*len (+4 KB slack for tiny fixtures) cannot be backed by
     //    the bytes present and are rejected as Malformed.
-    //  - absolute envelope: 2^26 total plane ints (256 MB) — a per-task
-    //    decode allocation ceiling, far above any fixture and safely below
-    //    executor memory at 32 concurrent tasks.
+    //  - absolute envelope: `maxPlaneInts` total plane ints (default 2^26
+    //    = 256 MB) — a per-task decode allocation ceiling, far above any
+    //    fixture and safely below executor memory at 32 concurrent tasks.
+    //    A VALID image past it throws Oversize, not Malformed, so callers
+    //    can route big assets away from the corrupt-bytes lane
+    //    (decodeDetailed).
     val totalPlaneInts = comps.indices.map(c => planeW(c).toLong * planeH(c)).sum
-    if (totalPlaneInts > 256L * bytes.length + 4096L || totalPlaneInts > (1L << 26))
-      throw Malformed
+    if (totalPlaneInts > 256L * bytes.length + 4096L) throw Malformed
+    if (totalPlaneInts > maxPlaneInts) throw new Oversize(totalPlaneInts)
     val planes = comps.indices.map(c => new Array[Int](planeW(c) * planeH(c))).toArray
     comps.foreach { c =>
       if (qtab(c.tq) == null || dcTab(c.td) == null || acTab(c.ta) == null)

@@ -705,13 +705,14 @@ object PipelineQueries {
     if (materialize) pairs.localCheckpoint() else pairs
   }
 
-  /** Shared base of the quantized ANN tier — (vec_id, v, bucket, qv8):
+  /** Shared base of the quantized ANN tier — (vec_id, v, bucket, qv8, qn):
     * float vectors with their LSH bucket (the ann_lsh index) and the int8
-    * scalar-quantized codes (the q_embedding_quantize affine scheme).
-    * The per-dim stats pass is ONE 64-key partial-aggregable shuffle whose
-    * result (exactly 64 rows — the dim count, the bounded collect) bakes
-    * into the plan as literals, so the quantize itself is pure map-side
-    * codegen over the scan — at 100 TB the codes are written once and the
+    * SYMMETRIC global-scale codes (q = round(127·x/max|x|) — NOT the
+    * per-dim affine storage codes of q_embedding_quantize; see the inline
+    * note for the measured failure that forced the distinction). The only
+    * stats pass is the global max|x| — a 1-row bounded collect baked into
+    * the plan as a literal — so the quantize itself is pure map-side
+    * codegen over the scan: at 100 TB the codes are written once and the
     * int ranking scans 4× fewer bytes than the float vectors.
     */
   private[graft] def quantizedLshBase(s: SparkSession, d: String): DataFrame = {
@@ -789,8 +790,9 @@ object PipelineQueries {
     * `cp (q_id, c_id)` (the LSH bucket candidates for queries vec_id < 10)
     * and `iq (q_id, c_id, iq)` (the exact integer code dot products).
     * The bucket CTE is the q_similarity_ann_lsh lattice replay; the
-    * quantization recomputes the same per-dim MIN/MAX the engine baked as
-    * literals (identical doubles → identical codes).
+    * quantization recomputes the same single GLOBAL max|x| scale (the
+    * `ma` CTE — the 1-row value the engine baked as a plan literal;
+    * identical doubles → identical codes).
     */
   private lazy val quantizedLshCtes: String =
     s"""e AS (

@@ -102,8 +102,21 @@ object IngestDedup {
     * batches never re-run under foreachBatch's checkpoint contract, and a
     * later half-written partition stays above `upTo`.
     */
+  /** Stable identity of a store across maintenance passes: compaction
+    * names its output `<base>_c<upTo>` and retention `<base>_r<cutoff>`,
+    * so repeated passes on a table that is itself a pass output would
+    * otherwise accrete suffixes (`store_c3_c7_c12…`) — and each pass's
+    * DROP-retry guard only clears its own exact name. Deriving every
+    * pass name from the stripped base keeps table identity bounded over
+    * the store's 100 TB maintenance lifetime.
+    */
+  private[graft] def storeBaseName(storeTable: String): String =
+    storeTable.replaceAll("(_[cr]\\d+)+$", "")
+
   def compactStore(s: SparkSession, storeTable: String, upTo: Long): String = {
-    val compacted = s"${storeTable}_c$upTo"
+    val compacted = s"${storeBaseName(storeTable)}_c$upTo"
+    require(compacted != storeTable,
+      s"compaction target equals the source table ($storeTable)")
     s.sql(s"DROP TABLE IF EXISTS $compacted") // clear a crashed prior attempt
     val src = s.table(storeTable)
     src.where(col("batch") <= upTo).select(col("fp")).distinct()
@@ -118,6 +131,40 @@ object IngestDedup {
   def swapCompacted(s: SparkSession, oldTable: String): Unit = {
     s.sql(s"DROP TABLE IF EXISTS $oldTable")
     ()
+  }
+
+  /** Age-based retention — the other half of the store's 100 TB lifecycle
+    * (compaction bounds the FILE count; this bounds the DATA): drop every
+    * fingerprint partition with `batch < dropBelow`, preserving the
+    * bucketing contract (bucketBy(4, fp), sortBy fp — the zero-Exchange
+    * anti-join plan survives, gated in IngestDedupDepthSpec) and the
+    * retry filter (surviving partitions keep their batch values, so a
+    * later batch's `batch < batchId` read is unchanged over them).
+    *
+    * Semantics are deliberate TTL dedup: a document last seen before the
+    * horizon MAY be re-admitted — the standard trade every production
+    * ingest dedup makes to keep the state set bounded (otherwise the
+    * store grows forever with the corpus). Pair with [[compactStore]]:
+    * compact first (collapses the prefix to `batch = upTo`), then expiry
+    * at `dropBelow > upTo` retires whole compacted generations at once.
+    *
+    * Crash-safe by the same dual-write discipline as [[compactStore]]:
+    * the source is never touched until `<base>_r<dropBelow>` is fully
+    * written (a retry's initial DROP clears a crashed attempt; the
+    * caller completes with [[swapCompacted]]). `dropBelow` must be ≤ the
+    * lowest batch id the NEXT micro-batch still needs suppressed-history
+    * for — i.e. the retention horizon is a policy input, not inferred.
+    */
+  def expireStore(s: SparkSession, storeTable: String, dropBelow: Long): String = {
+    val expired = s"${storeBaseName(storeTable)}_r$dropBelow"
+    require(expired != storeTable,
+      s"expiry target equals the source table ($storeTable)")
+    s.sql(s"DROP TABLE IF EXISTS $expired") // clear a crashed prior attempt
+    s.table(storeTable).where(col("batch") >= dropBelow)
+      .select(col("fp"), col("batch"))
+      .write.partitionBy("batch").bucketBy(4, "fp").sortBy("fp")
+      .mode("overwrite").format("parquet").saveAsTable(expired)
+    expired
   }
 
   /** Handle to a completed ingest replay; `outDir`/`storeTable` stay live

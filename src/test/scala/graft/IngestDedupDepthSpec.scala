@@ -201,4 +201,78 @@ class IngestDedupDepthSpec extends AnyFunSuite {
       IngestDedup.cleanup(spark, run)
     }
   }
+
+  test("store retention: age-based expiry keeps the set and retry filter over the horizon, the plan gate survives, and pass naming stays bounded") {
+    import spark.implicits._
+    // pass names derive from the STRIPPED base, so chained maintenance
+    // passes never accrete suffixes (store_c3_c7_c12… — the unbounded-
+    // identity defect) and each retry's DROP guard clears the right table
+    assert(IngestDedup.storeBaseName("graft_fp_store_ab12") == "graft_fp_store_ab12")
+    assert(IngestDedup.storeBaseName("graft_fp_store_ab12_c3") == "graft_fp_store_ab12")
+    assert(IngestDedup.storeBaseName("graft_fp_store_ab12_c3_r7") == "graft_fp_store_ab12")
+
+    val (newDocs, corpusFps) = fixture()
+    val run = IngestDedup.runIngest(spark, newDocs, corpusFps, nShards = 4)
+    val conf = spark.conf
+    val bcKeys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val savedBc = bcKeys.map(k => k -> conf.getAll.get(k)).toMap
+    try {
+      // crash-safety: a garbage table from a crashed prior attempt is
+      // cleared by the retry's initial DROP
+      spark.sql(s"CREATE TABLE ${run.storeTable}_r2 (junk INT) USING parquet")
+      val keptBefore = spark.table(run.storeTable).where($"batch" >= 2L)
+        .select($"fp", $"batch").as[(String, Long)].collect().toSet
+      assert(keptBefore.nonEmpty)
+      val expired = IngestDedup.expireStore(spark, run.storeTable, dropBelow = 2L)
+      assert(expired == s"${run.storeTable}_r2")
+
+      // fingerprints AND their batch ids (the retry filter's input)
+      // survive verbatim above the horizon; everything below is gone
+      val after = spark.table(expired)
+        .select($"fp", $"batch").as[(String, Long)].collect().toSet
+      assert(after == keptBefore,
+        "expiry must preserve (fp, batch) exactly over the horizon")
+      assert(spark.table(expired).select($"batch").distinct()
+        .as[Long].collect().toSet == Set(2L, 3L))
+
+      // the zero-store-side-Exchange anti-join plan survives expiry: the
+      // rewritten table keeps the bucketBy(4, fp) contract
+      bcKeys.foreach(conf.set(_, "-1"))
+      val probe = spark.range(0, 200)
+        .select(md5((col("id") * 3).cast("string")).as("fp"))
+      val fresh = probe.join(
+        spark.table(expired).where($"batch" < 4L).select($"fp"),
+        Seq("fp"), "left_anti")
+      fresh.collect()
+      val plan = fresh.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("LeftAnti"), plan)
+      val exchanges = "Exchange".r.findAllIn(plan.replace("ReusedExchange", "")).size
+      assert(exchanges == 1,
+        s"expected exactly the probe-side exchange after expiry:\n$plan")
+
+      // idempotent retry converges to the same table
+      val again = IngestDedup.expireStore(spark, run.storeTable, dropBelow = 2L)
+      assert(again == expired)
+      assert(spark.table(again).select($"fp", $"batch")
+        .as[(String, Long)].collect().toSet == keptBefore)
+
+      // chained maintenance on a pass OUTPUT still derives from the base:
+      // compacting the expired table names <base>_c3, never <base>_r2_c3
+      val compacted = IngestDedup.compactStore(spark, expired, upTo = 3L)
+      assert(compacted == s"${run.storeTable}_c3",
+        s"chained pass accreted a suffix: $compacted")
+      // and a pass that would overwrite its own source refuses loudly
+      intercept[IllegalArgumentException] {
+        IngestDedup.expireStore(spark, expired, dropBelow = 2L)
+      }
+    } finally {
+      savedBc.foreach { case (k, Some(v)) => conf.set(k, v)
+                        case (k, None)    => conf.unset(k) }
+      Seq(s"${run.storeTable}_r2", s"${run.storeTable}_c3")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      IngestDedup.cleanup(spark, run)
+    }
+  }
 }

@@ -120,6 +120,34 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(JpegCodec.decode(bomb2).isEmpty, "2048x2048-from-tiny-file must return None")
   }
 
+  test("decodeDetailed separates oversized-but-valid from malformed (the routing lanes)") {
+    import JpegCodec.DecodeResult
+    // a VALID 64x64 image (4096 plane ints): under the default cap it
+    // decodes; under a 1024-int cap it must surface as Oversized — NOT
+    // Invalid — so a curation pipeline can send it to the big-asset lane
+    // instead of the corrupt-bytes discard lane
+    val ok = JpegCodec.encodeGrayDcOnly(64, 64, Array.fill(64)(0))
+    assert(JpegCodec.decodeDetailed(ok).isInstanceOf[DecodeResult.Decoded])
+    JpegCodec.decodeDetailed(ok, maxPlaneInts = 1024L) match {
+      case DecodeResult.Oversized(declared, cap) =>
+        assert(declared == 4096L && cap == 1024L)
+      case other => fail(s"expected Oversized, got $other")
+    }
+    // a struct bomb (tiny file, huge declared frame) fails the INFORMATION
+    // bound and must stay Invalid even under an infinite envelope — the
+    // bytes present cannot back the declared planes
+    var at = -1; var i = 0
+    while (at < 0 && i + 1 < ok.length) {
+      if ((ok(i) & 0xff) == 0xff && (ok(i + 1) & 0xff) == 0xc0) at = i
+      i += 1
+    }
+    val bomb = ok.clone()
+    bomb(at + 5) = ((40000 >> 8) & 0xff).toByte; bomb(at + 6) = (40000 & 0xff).toByte
+    bomb(at + 7) = ((40000 >> 8) & 0xff).toByte; bomb(at + 8) = (40000 & 0xff).toByte
+    assert(JpegCodec.decodeDetailed(bomb, maxPlaneInts = Long.MaxValue) ==
+      DecodeResult.Invalid, "unbackable planes are Invalid, never Oversized")
+  }
+
   test("color 4:2:0 AC fixture decodes to the closed-form integer image") {
     // the encodeColor420Ac exactness contract, checked pixel-by-pixel:
     // plane(x,y) = 128 + 2t + 2a·s(x)s(y) (slot-(4,4) basis = ±1/2), box

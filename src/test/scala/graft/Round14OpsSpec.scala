@@ -152,7 +152,7 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "the corpus must actually exercise the near tier")
   }
 
-  test("quantized ANN tier: int8 codes are the affine scheme, and the rescored top-3 matches the float arm when the shortlist holds everything") {
+  test("quantized ANN tier: int8 codes are the symmetric global-scale scheme, and the rescored top-3 matches the float arm when the shortlist holds everything") {
     import spark.implicits._
     val base = graft.queries.PipelineQueries.quantizedLshBase(spark, sf001)
     val rows = base.select($"vec_id", $"v", $"qv8", $"qn").limit(20).collect()
