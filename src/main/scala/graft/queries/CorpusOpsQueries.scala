@@ -315,6 +315,89 @@ object CorpusOpsQueries {
       .orderBy($"doc_id")
   }
 
+  // ------------------------------------------------------------------ BPE
+  // Shared machinery of the tokenizer loop (q_bpe_train / q_bpe_train_batch
+  // train the merge table; q_bpe_apply runs it over the corpus).
+  //
+  // Representation: every symbol carries its OWN '|…|' wrapper — 'the' is
+  // '|t||h||e|' — so merge (a,b) is ONE left-to-right non-overlapping
+  // replace(symstr, '|a||b|', '|ab|') in BOTH engines, which IS the BPE
+  // greedy-apply rule: both symbol boundaries are explicit in the pattern
+  // (no false match against a symbol merely PREFIXED by b — the round-14
+  // defect), and adjacent occurrences share no characters (each symbol
+  // owns its wrappers), so a==b chains resolve exactly greedily in one
+  // pass ('aaaaa' → [aa,aa,a]) — the property a '|a|b|' pattern over
+  // singly-delimited text loses (shared boundary '|' forces a fixpoint
+  // loop that merges [aa,a,aa]). Tokens containing '|' or non-printables
+  // are excluded by the same regex both sides.
+
+  /** The word-frequency vocabulary in wrapped-symbol form — (symstr,
+    * wcnt), materialized once: the ONLY corpus-wide pass of the whole BPE
+    * loop; every training iteration and the apply's merge replay run on
+    * this vocabulary-bounded table.
+    */
+  private def bpeVocab(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select(explode(split($"text", " ")).as("tok"))
+      .filter($"tok".rlike("^[!-{}-~]+$"))
+      .select(regexp_replace($"tok", "(.)", "|$1|").as("symstr"))
+      .groupBy($"symstr").agg(count(lit(1)).as("wcnt"))
+      .localCheckpoint()
+  }
+
+  /** Adjacent-pair counts over a wrapped-symbol vocabulary — (a, b, cnt),
+    * weighted by word frequency; one partial-aggregable shuffle bounded by
+    * the live pair alphabet. */
+  private def bpePairs(w: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    w.withColumn("syms",
+        expr("split(substring(symstr, 2, length(symstr) - 2), '\\\\|\\\\|')"))
+      .select(col("wcnt"), explode(expr(
+        """zip_with(slice(syms, 1, size(syms) - 1),
+          |         slice(syms, 2, size(syms) - 1),
+          |         (a, b) -> struct(a AS a, b AS b))""".stripMargin)).as("pr"))
+      .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+      .agg(sum(col("wcnt")).as("cnt"))
+
+  /** Greedy application of merge (a,b) to the vocabulary — the one-pass
+    * replace under the wrapped representation (exactness argued at the
+    * section comment). */
+  private def bpeApplyMerge(w: org.apache.spark.sql.DataFrame, a: String, b: String): org.apache.spark.sql.DataFrame =
+    w.withColumn("p", lit("|" + a + "||" + b + "|"))
+      .withColumn("q", lit("|" + a + b + "|"))
+      .select(col("wcnt"), expr("replace(symstr, p, q)").as("symstr"))
+
+  /** DuckDB pair-count CTE over wrapped-symbol vocabulary `w` → `p (a, b, cnt)`. */
+  private def bpePairCte(p: String, w: String): String =
+    s"""$p AS (
+       |  SELECT sy[CAST(i AS INT)] AS a, sy[CAST(i + 1 AS INT)] AS b, SUM(wcnt) AS cnt FROM (
+       |    SELECT wcnt, sy, unnest(range(1, len(sy))) AS i FROM (
+       |      SELECT wcnt, string_split(substring(symstr, 2, length(symstr) - 2), '||') AS sy FROM $w)) GROUP BY a, b)""".stripMargin
+
+  /** DuckDB replay of the full training loop: `tk`/`w0` (the wrapped
+    * vocabulary), then per merge k: `pk` (pair counts), `mk` (the argmax),
+    * `w{k+1}` (the vocabulary after applying mk). `applyLast` additionally
+    * emits `w$n` so a consumer (q_bpe_apply's oracle) can read the
+    * post-all-merges vocabulary. */
+  private[graft] def bpeTrainCtes(n: Int, applyLast: Boolean = false): String = {
+    val parts = Seq.newBuilder[String]
+    parts += """tk AS (
+               |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents)""".stripMargin
+    parts += """w0 AS (
+               |  SELECT regexp_replace(tok, '(.)', '|\1|', 'g') AS symstr, COUNT(*) AS wcnt
+               |  FROM tk WHERE regexp_matches(tok, '^[!-{}-~]+$') GROUP BY 1)""".stripMargin
+    for (k <- 0 until n) {
+      parts += bpePairCte(s"p$k", s"w$k")
+      parts += s"m$k AS (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1)"
+      if (k < n - 1 || applyLast)
+        parts += s"""w${k + 1} AS (
+                    |  SELECT replace(symstr,
+                    |    '|' || (SELECT a FROM m$k) || '||' || (SELECT b FROM m$k) || '|',
+                    |    '|' || (SELECT a FROM m$k) || (SELECT b FROM m$k) || '|') AS symstr, wcnt FROM w$k)""".stripMargin
+    }
+    parts.result().mkString(",\n")
+  }
+
   val entries: Map[String, QueryDef] = Map(
 
     "q_quality_gopher" -> QueryDef(
@@ -526,105 +609,65 @@ object CorpusOpsQueries {
     ),
 
     "q_bpe_train" -> QueryDef(
-      // ACTUAL BPE training (round 14) — q_bpe_pairs ranks the first
-      // merge's candidates; this key runs the real iterative loop
-      // (Sennrich et al. 2016): 4 merges, each picking the globally most
-      // frequent adjacent symbol pair (ties: lexicographically smallest
-      // pair — deterministic in both engines on this ASCII corpus) and
-      // applying it to the vocabulary left-to-right non-overlapping. The
-      // iteration count is FIXED like the quantizer's Lloyd discipline, so
-      // DuckDB replays all four stages bit-for-bit as staged CTEs.
+      // ACTUAL BPE training (round 14; representation hardened round 15) —
+      // q_bpe_pairs ranks the first merge's candidates; this key runs the
+      // real iterative loop (Sennrich et al. 2016): 4 merges, each picking
+      // the globally most frequent adjacent symbol pair (ties:
+      // lexicographically smallest pair — deterministic in both engines on
+      // this ASCII corpus) and applying it to the vocabulary left-to-right
+      // non-overlapping. The iteration count is FIXED like the quantizer's
+      // Lloyd discipline, so DuckDB replays all four stages bit-for-bit as
+      // staged CTEs (builder: [[bpeTrainCtes]]).
       //
-      // Representation is the separator trick shared by both engines: a
-      // word's symbol sequence is '|'-delimited with a LEADING separator
-      // ('|t|h|e'; tokens containing '|' or non-printables are excluded by
-      // the same regex both sides), so applying merge (a,b) is
-      // replace(symstr, '|a|b', '|ab') — string replace is left-to-right
-      // non-overlapping in both engines, which IS the BPE greedy-apply
-      // rule, and the missing trailing separator in the pattern keeps the
-      // next occurrence's leading '|' intact ('|a|b|a|b' → '|ab|ab').
+      // Representation (shared by both engines, see [[bpeVocab]]): every
+      // symbol carries its OWN '|…|' wrapper ('the' → '|t||h||e|'), so
+      // applying merge (a,b) is ONE replace(symstr, '|a||b|', '|ab|') —
+      // left-to-right non-overlapping string replace IS the BPE greedy-
+      // apply rule under this wrapping, and both symbol boundaries are
+      // explicit in the pattern. The round-14 leading-separator form
+      // ('|t|h|e', pattern '|a|b') lacked the RIGHT boundary: after an
+      // earlier merge created a multi-char symbol, merge (e,t) also
+      // matched a symbol merely STARTING with t ('|m|e|th' → '|m|eth'),
+      // corrupting symbols — latent on the shipped corpus (er/in/ow/or
+      // never collide) but reachable on ordinary text; the prefix-
+      // collision fixture in Round15OpsSpec now forces exactly that case.
+      // Why not a trailing-sentinel fixpoint instead: with a full '|a|b|'
+      // pattern over singly-delimited text, adjacent occurrences share
+      // their boundary '|' and a==b chains resolve NON-greedily
+      // ('aaaaa' → [aa,a,aa], greedy is [aa,aa,a]); per-symbol wrapping
+      // has no shared boundary, so one pass is exact.
       //
       // Scale shape: the corpus is touched ONCE (the word-frequency
       // groupBy); all four iterations run on the vocabulary table
       // (corpus-independent size), each paying one partial-aggregable
       // (a,b) shuffle and a 1-row TakeOrdered argmax through the driver —
       // the BPE trainer's global reduce, bounded by construction. The
-      // merge table (4 rows) is the tokenizer artifact.
+      // merge table (4 rows) is the tokenizer artifact; q_bpe_apply
+      // consumes it.
       (s, d) => {
         import s.implicits._
-        var w = documents(s, d)
-          .select(explode(split($"text", " ")).as("tok"))
-          .filter($"tok".rlike("^[!-{}-~]+$"))
-          .select(regexp_replace($"tok", "(.)", "|$1").as("symstr"))
-          .groupBy($"symstr").agg(count(lit(1)).as("wcnt"))
-          .localCheckpoint() // materialize the vocab once; iterations start here
+        var w = bpeVocab(s, d)
         val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
         for (r <- 1 to 4) {
-          val top = w
-            .withColumn("syms", expr("slice(split(symstr, '\\\\|'), 2, 1000000)"))
-            .select($"wcnt", explode(expr(
-              """zip_with(slice(syms, 1, size(syms) - 1),
-                |         slice(syms, 2, size(syms) - 1),
-                |         (a, b) -> struct(a AS a, b AS b))""".stripMargin)).as("pr"))
-            .groupBy($"pr.a".as("a"), $"pr.b".as("b"))
-            .agg(sum($"wcnt").as("cnt"))
+          // bounded: ONE row — the trainer's global argmax reduce
+          val top = bpePairs(w)
             .orderBy($"cnt".desc, $"a", $"b")
-            // bounded: ONE row — the trainer's global argmax reduce
             .limit(1).collect()(0)
           val (a, b, c) = (top.getString(0), top.getString(1), top.getLong(2))
           merges += ((r.toLong, a, b, c))
-          w = w
-            .withColumn("p", lit("|" + a + "|" + b))
-            .withColumn("q", lit("|" + a + b))
-            .select($"wcnt", expr("replace(symstr, p, q)").as("symstr"))
-            .localCheckpoint() // each action is one stage, not a nested DAG
+          // each action is one stage, not a nested DAG
+          w = bpeApplyMerge(w, a, b).localCheckpoint()
         }
         merges.toSeq.toDF("rank", "merge_left", "merge_right", "pair_count")
           .orderBy($"rank")
       },
-      Some("""WITH tk AS (
-             |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
-             |w0 AS (
-             |  SELECT regexp_replace(tok, '(.)', '|\1', 'g') AS symstr, COUNT(*) AS wcnt
-             |  FROM tk WHERE regexp_matches(tok, '^[!-{}-~]+$') GROUP BY 1),
-             |p0 AS (
-             |  SELECT sy[CAST(i AS INT)] AS a, sy[CAST(i + 1 AS INT)] AS b, SUM(wcnt) AS cnt FROM (
-             |    SELECT wcnt, sy, unnest(range(1, len(sy))) AS i FROM (
-             |      SELECT wcnt, string_split(symstr, '|')[2:] AS sy FROM w0)) GROUP BY a, b),
-             |m0 AS (SELECT a, b, cnt FROM p0 ORDER BY cnt DESC, a, b LIMIT 1),
-             |w1 AS (
-             |  SELECT replace(symstr,
-             |    '|' || (SELECT a FROM m0) || '|' || (SELECT b FROM m0),
-             |    '|' || (SELECT a FROM m0) || (SELECT b FROM m0)) AS symstr, wcnt FROM w0),
-             |p1 AS (
-             |  SELECT sy[CAST(i AS INT)] AS a, sy[CAST(i + 1 AS INT)] AS b, SUM(wcnt) AS cnt FROM (
-             |    SELECT wcnt, sy, unnest(range(1, len(sy))) AS i FROM (
-             |      SELECT wcnt, string_split(symstr, '|')[2:] AS sy FROM w1)) GROUP BY a, b),
-             |m1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
-             |w2 AS (
-             |  SELECT replace(symstr,
-             |    '|' || (SELECT a FROM m1) || '|' || (SELECT b FROM m1),
-             |    '|' || (SELECT a FROM m1) || (SELECT b FROM m1)) AS symstr, wcnt FROM w1),
-             |p2 AS (
-             |  SELECT sy[CAST(i AS INT)] AS a, sy[CAST(i + 1 AS INT)] AS b, SUM(wcnt) AS cnt FROM (
-             |    SELECT wcnt, sy, unnest(range(1, len(sy))) AS i FROM (
-             |      SELECT wcnt, string_split(symstr, '|')[2:] AS sy FROM w2)) GROUP BY a, b),
-             |m2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
-             |w3 AS (
-             |  SELECT replace(symstr,
-             |    '|' || (SELECT a FROM m2) || '|' || (SELECT b FROM m2),
-             |    '|' || (SELECT a FROM m2) || (SELECT b FROM m2)) AS symstr, wcnt FROM w2),
-             |p3 AS (
-             |  SELECT sy[CAST(i AS INT)] AS a, sy[CAST(i + 1 AS INT)] AS b, SUM(wcnt) AS cnt FROM (
-             |    SELECT wcnt, sy, unnest(range(1, len(sy))) AS i FROM (
-             |      SELECT wcnt, string_split(symstr, '|')[2:] AS sy FROM w3)) GROUP BY a, b),
-             |m3 AS (SELECT a, b, cnt FROM p3 ORDER BY cnt DESC, a, b LIMIT 1)
-             |SELECT rank, merge_left, merge_right, pair_count FROM (
-             |  SELECT 1::BIGINT AS rank, a AS merge_left, b AS merge_right, CAST(cnt AS BIGINT) AS pair_count FROM m0
-             |  UNION ALL SELECT 2, a, b, CAST(cnt AS BIGINT) FROM m1
-             |  UNION ALL SELECT 3, a, b, CAST(cnt AS BIGINT) FROM m2
-             |  UNION ALL SELECT 4, a, b, CAST(cnt AS BIGINT) FROM m3)
-             |ORDER BY rank""".stripMargin)
+      Some(s"""WITH ${bpeTrainCtes(4)}
+              |SELECT rank, merge_left, merge_right, pair_count FROM (
+              |  SELECT 1::BIGINT AS rank, a AS merge_left, b AS merge_right, CAST(cnt AS BIGINT) AS pair_count FROM m0
+              |  UNION ALL SELECT 2, a, b, CAST(cnt AS BIGINT) FROM m1
+              |  UNION ALL SELECT 3, a, b, CAST(cnt AS BIGINT) FROM m2
+              |  UNION ALL SELECT 4, a, b, CAST(cnt AS BIGINT) FROM m3)
+              |ORDER BY rank""".stripMargin)
     ),
 
     // see `semdedup` above: scale-adaptive strategy (literal → table → hier)
