@@ -374,6 +374,75 @@ object CorpusOpsQueries {
        |    SELECT wcnt, sy, unnest(range(1, len(sy))) AS i FROM (
        |      SELECT wcnt, string_split(substring(symstr, 2, length(symstr) - 2), '||') AS sy FROM $w)) GROUP BY a, b)""".stripMargin
 
+  /** Multi-merge batched BPE training — the iteration protocol that makes
+    * a production vocabulary (~32k merges) affordable: the sequential
+    * trainer pays one pair-count shuffle + one driver argmax round-trip
+    * PER MERGE (32k Spark jobs); this variant takes, per iteration, the
+    * top-`batchM` NON-INTERACTING pairs (greedy in (cnt DESC, a, b) rank
+    * order, skipping any pair sharing a symbol with an already-selected
+    * one) and applies them in ONE combined vocabulary pass (chained
+    * replaces in a single projection, rank order preserved).
+    *
+    * Why symbol-disjointness makes the batch sound: applying merge (a,b)
+    * changes the count only of pairs CONTAINING a or b (destroyed: the
+    * consumed (x,a)/(a,b)/(b,y) adjacencies; created: (x,ab)/(ab,y)), so
+    * every later selected pair's published count equals what a sequential
+    * recount would have shown — and the chained one-pass apply is
+    * literally the sequential replace composition, so the vocabulary
+    * state matches too (spec-proven: batchM=1 reproduces q_bpe_train
+    * exactly; a disjoint-top fixture reproduces it at batchM=4). The
+    * residual divergence from sequential training is selection-only: a
+    * NEW pair created mid-batch ((x,ab)) cannot be seen until the next
+    * recount, and a SKIPPED conflicting pair is deferred — the standard
+    * trade of batched BPE. `poolK` bounds the ranked pool collected per
+    * iteration (the batch trainer's global reduce — poolK rows instead of
+    * batchM separate 1-row argmax jobs).
+    */
+  private[graft] def bpeTrainBatched(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      nMerges: Int, batchM: Int, poolK: Int = 64): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    var w = bpeVocab(s, d)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    while (merges.size < nMerges) {
+      // bounded: poolK ranked rows through the driver per iteration
+      val pool = bpePairs(w).orderBy($"cnt".desc, $"a", $"b").limit(poolK).collect()
+      if (pool.isEmpty)
+        throw new IllegalStateException("vocabulary exhausted before nMerges merges")
+      val used = scala.collection.mutable.Set.empty[String]
+      val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      val it = pool.iterator
+      while (sel.size < batchM && merges.size + sel.size < nMerges && it.hasNext) {
+        val r = it.next()
+        val (a, b) = (r.getString(0), r.getString(1))
+        if (!used.contains(a) && !used.contains(b)) {
+          sel += ((a, b, r.getLong(2))); used += a; used += b
+        }
+      }
+      var w2 = w
+      sel.foreach { case (a, b, _) => w2 = bpeApplyMerge(w2, a, b) }
+      w = w2.localCheckpoint() // one action per BATCH, not per merge
+      sel.foreach { case (a, b, c) => merges += ((merges.size + 1L, a, b, c)) }
+    }
+    merges.toSeq.toDF("rank", "merge_left", "merge_right", "pair_count")
+      .orderBy($"rank")
+  }
+
+  /** DuckDB replay of the BATCHED trainer at batchM=2 for one iteration k:
+    * the ranked pair table `rk`, the batch's first pick `s{k}a` (rank 1)
+    * and second pick `s{k}b` (the highest-ranked pair within the poolK
+    * window sharing no symbol with the first — greedy at M=2 needs no
+    * recursion). */
+  private def bpeBatchSelCtes(k: Int, poolK: Int): String =
+    s"""r$k AS (SELECT a, b, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, a, b) AS rk FROM p$k),
+       |s${k}a AS (SELECT a, b, cnt FROM r$k WHERE rk = 1),
+       |s${k}b AS (
+       |  SELECT a, b, cnt FROM r$k
+       |  WHERE rk <= $poolK
+       |    AND a NOT IN (SELECT a FROM s${k}a UNION ALL SELECT b FROM s${k}a)
+       |    AND b NOT IN (SELECT a FROM s${k}a UNION ALL SELECT b FROM s${k}a)
+       |  ORDER BY rk LIMIT 1)""".stripMargin
+
   /** DuckDB replay of the full training loop: `tk`/`w0` (the wrapped
     * vocabulary), then per merge k: `pk` (pair counts), `mk` (the argmax),
     * `w{k+1}` (the vocabulary after applying mk). `applyLast` additionally
