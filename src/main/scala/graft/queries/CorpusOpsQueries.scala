@@ -374,29 +374,69 @@ object CorpusOpsQueries {
        |    SELECT wcnt, sy, unnest(range(1, len(sy))) AS i FROM (
        |      SELECT wcnt, string_split(substring(symstr, 2, length(symstr) - 2), '||') AS sy FROM $w)) GROUP BY a, b)""".stripMargin
 
+  /** Greedy non-interacting batch selection from a ranked pair pool — the
+    * pure selection rule of [[bpeTrainBatched]], factored out so the spec
+    * can force its skip cases directly (Round16OpsSpec). Walks the pool in
+    * (cnt DESC, a, b) rank order and takes a pair iff
+    *  (1) neither symbol was a symbol of an already-selected pair
+    *      (symbol-disjointness), AND
+    *  (2) neither symbol EQUALS the concatenation a+b of an
+    *      already-selected pair (concat exclusion).
+    * (1) makes the published counts exact: applying merge (a,b) changes
+    * the count only of pairs containing a or b (destroyed: the consumed
+    * (x,a)/(a,b)/(b,y) adjacencies; created: (x,ab)/(ab,y)). (2) closes
+    * the one gap in that argument: a later pair CONTAINING the string a+b
+    * as a symbol (e.g. (w, 'xy') after selecting (x,y), where 'xy' already
+    * exists from an earlier different-split merge) would, in the chained
+    * apply, also merge the 'xy' instances NEWLY created by (x,y) — a
+    * sequential recount would have seen a different count. We have not
+    * found a corpus that can reach such a pool under the wrapped
+    * representation (every constructed attempt collapses: once one split
+    * of a string fires, the other split's source adjacencies are
+    * unreachable), but the argument is not a proof, so the exclusion makes
+    * count-exactness unconditional. Selection stops at `batchM` picks or
+    * `remaining` merges, whichever is smaller. */
+  private[graft] def bpeSelectBatch(
+      pool: Seq[(String, String, Long)],
+      batchM: Int, remaining: Int): Seq[(String, String, Long)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val it = pool.iterator
+    while (sel.size < batchM && sel.size < remaining && it.hasNext) {
+      val (a, b, c) = it.next()
+      if (!used.contains(a) && !used.contains(b)) {
+        sel += ((a, b, c)); used += a; used += b; used += (a + b)
+      }
+    }
+    sel.toSeq
+  }
+
   /** Multi-merge batched BPE training — the iteration protocol that makes
     * a production vocabulary (~32k merges) affordable: the sequential
     * trainer pays one pair-count shuffle + one driver argmax round-trip
     * PER MERGE (32k Spark jobs); this variant takes, per iteration, the
-    * top-`batchM` NON-INTERACTING pairs (greedy in (cnt DESC, a, b) rank
-    * order, skipping any pair sharing a symbol with an already-selected
-    * one) and applies them in ONE combined vocabulary pass (chained
-    * replaces in a single projection, rank order preserved).
+    * top-`batchM` NON-INTERACTING pairs ([[bpeSelectBatch]]: greedy in
+    * (cnt DESC, a, b) rank order, skipping any pair sharing a symbol with
+    * — or equal to the concatenation of — an already-selected one) and
+    * applies them in ONE combined vocabulary pass (chained replaces in a
+    * single projection, rank order preserved).
     *
-    * Why symbol-disjointness makes the batch sound: applying merge (a,b)
-    * changes the count only of pairs CONTAINING a or b (destroyed: the
-    * consumed (x,a)/(a,b)/(b,y) adjacencies; created: (x,ab)/(ab,y)), so
-    * every later selected pair's published count equals what a sequential
-    * recount would have shown — and the chained one-pass apply is
-    * literally the sequential replace composition, so the vocabulary
-    * state matches too (spec-proven: batchM=1 reproduces q_bpe_train
-    * exactly; a disjoint-top fixture reproduces it at batchM=4). The
-    * residual divergence from sequential training is selection-only: a
-    * NEW pair created mid-batch ((x,ab)) cannot be seen until the next
-    * recount, and a SKIPPED conflicting pair is deferred — the standard
-    * trade of batched BPE. `poolK` bounds the ranked pool collected per
-    * iteration (the batch trainer's global reduce — poolK rows instead of
-    * batchM separate 1-row argmax jobs).
+    * Why the selection rule makes the batch sound: applying merge (a,b)
+    * changes the count only of pairs containing a, b, or the new symbol
+    * a+b, so every later selected pair's published count equals what a
+    * sequential recount would have shown — and the chained one-pass apply
+    * is literally the sequential replace composition, so the vocabulary
+    * state matches too. Spec-proven in Round16OpsSpec: batchM=1 reproduces
+    * q_bpe_train exactly at sf0.001 AND on both round-15 adversarial
+    * fixtures; a disjoint-top fixture reproduces the sequential merge
+    * table at batchM=4 in a single iteration; the concat-exclusion skip is
+    * forced directly on [[bpeSelectBatch]]. The residual divergence from
+    * sequential training is selection-only: a NEW pair created mid-batch
+    * ((x,ab)) cannot be seen until the next recount, and a SKIPPED
+    * conflicting pair is deferred — the standard trade of batched BPE.
+    * `poolK` bounds the ranked pool collected per iteration (the batch
+    * trainer's global reduce — poolK rows instead of batchM separate
+    * 1-row argmax jobs).
     */
   private[graft] def bpeTrainBatched(
       s: org.apache.spark.sql.SparkSession, d: String,
@@ -407,18 +447,10 @@ object CorpusOpsQueries {
     while (merges.size < nMerges) {
       // bounded: poolK ranked rows through the driver per iteration
       val pool = bpePairs(w).orderBy($"cnt".desc, $"a", $"b").limit(poolK).collect()
+        .toSeq.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       if (pool.isEmpty)
         throw new IllegalStateException("vocabulary exhausted before nMerges merges")
-      val used = scala.collection.mutable.Set.empty[String]
-      val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-      val it = pool.iterator
-      while (sel.size < batchM && merges.size + sel.size < nMerges && it.hasNext) {
-        val r = it.next()
-        val (a, b) = (r.getString(0), r.getString(1))
-        if (!used.contains(a) && !used.contains(b)) {
-          sel += ((a, b, r.getLong(2))); used += a; used += b
-        }
-      }
+      val sel = bpeSelectBatch(pool, batchM, nMerges - merges.size)
       var w2 = w
       sel.foreach { case (a, b, _) => w2 = bpeApplyMerge(w2, a, b) }
       w = w2.localCheckpoint() // one action per BATCH, not per merge
@@ -431,17 +463,49 @@ object CorpusOpsQueries {
   /** DuckDB replay of the BATCHED trainer at batchM=2 for one iteration k:
     * the ranked pair table `rk`, the batch's first pick `s{k}a` (rank 1)
     * and second pick `s{k}b` (the highest-ranked pair within the poolK
-    * window sharing no symbol with the first — greedy at M=2 needs no
-    * recursion). */
+    * window sharing no symbol with the first AND not containing the first
+    * pick's concatenation — [[bpeSelectBatch]]'s rule; greedy at M=2 needs
+    * no recursion). */
   private def bpeBatchSelCtes(k: Int, poolK: Int): String =
     s"""r$k AS (SELECT a, b, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, a, b) AS rk FROM p$k),
        |s${k}a AS (SELECT a, b, cnt FROM r$k WHERE rk = 1),
        |s${k}b AS (
        |  SELECT a, b, cnt FROM r$k
        |  WHERE rk <= $poolK
-       |    AND a NOT IN (SELECT a FROM s${k}a UNION ALL SELECT b FROM s${k}a)
-       |    AND b NOT IN (SELECT a FROM s${k}a UNION ALL SELECT b FROM s${k}a)
+       |    AND a NOT IN (SELECT a FROM s${k}a UNION ALL SELECT b FROM s${k}a
+       |                  UNION ALL SELECT a || b FROM s${k}a)
+       |    AND b NOT IN (SELECT a FROM s${k}a UNION ALL SELECT b FROM s${k}a
+       |                  UNION ALL SELECT a || b FROM s${k}a)
        |  ORDER BY rk LIMIT 1)""".stripMargin
+
+  /** DuckDB replay of the full BATCHED training loop at batchM=2:
+    * `tk`/`w0` (the wrapped vocabulary), then per iteration k: `pk`
+    * (pair counts), the selection CTEs ([[bpeBatchSelCtes]]), and
+    * `w{k+1}` — BOTH picks applied in rank order as one chained replace,
+    * exactly [[bpeTrainBatched]]'s combined vocabulary pass. Precondition
+    * (checked by the correctness gate itself — a missing second pick
+    * yields NULL symstrs and a hash mismatch): every iteration finds a
+    * second non-interacting pair within the poolK window. */
+  private[graft] def bpeBatchTrainCtes(nIter: Int, poolK: Int): String = {
+    val parts = Seq.newBuilder[String]
+    parts += """tk AS (
+               |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents)""".stripMargin
+    parts += """w0 AS (
+               |  SELECT regexp_replace(tok, '(.)', '|\1|', 'g') AS symstr, COUNT(*) AS wcnt
+               |  FROM tk WHERE regexp_matches(tok, '^[!-{}-~]+$') GROUP BY 1)""".stripMargin
+    for (k <- 0 until nIter) {
+      parts += bpePairCte(s"p$k", s"w$k")
+      parts += bpeBatchSelCtes(k, poolK)
+      if (k < nIter - 1)
+        parts += s"""w${k + 1} AS (
+                    |  SELECT replace(replace(symstr,
+                    |    '|' || (SELECT a FROM s${k}a) || '||' || (SELECT b FROM s${k}a) || '|',
+                    |    '|' || (SELECT a FROM s${k}a) || (SELECT b FROM s${k}a) || '|'),
+                    |    '|' || (SELECT a FROM s${k}b) || '||' || (SELECT b FROM s${k}b) || '|',
+                    |    '|' || (SELECT a FROM s${k}b) || (SELECT b FROM s${k}b) || '|') AS symstr, wcnt FROM w$k)""".stripMargin
+    }
+    parts.result().mkString(",\n")
+  }
 
   /** DuckDB replay of the full training loop: `tk`/`w0` (the wrapped
     * vocabulary), then per merge k: `pk` (pair counts), `mk` (the argmax),
@@ -736,6 +800,40 @@ object CorpusOpsQueries {
               |  UNION ALL SELECT 2, a, b, CAST(cnt AS BIGINT) FROM m1
               |  UNION ALL SELECT 3, a, b, CAST(cnt AS BIGINT) FROM m2
               |  UNION ALL SELECT 4, a, b, CAST(cnt AS BIGINT) FROM m3)
+              |ORDER BY rank""".stripMargin)
+    ),
+
+    "q_bpe_train_batch" -> QueryDef(
+      // BATCHED BPE training (round-14 verdict item #4, landed round 16) —
+      // the protocol that makes a production vocabulary affordable:
+      // q_bpe_train pays one pair-count shuffle + one 1-row argmax action
+      // PER MERGE (a 32k-merge vocab = 32k Spark jobs); this key trains
+      // the same 4 merges in 2 iterations of batchM=2 — per iteration ONE
+      // ranked-pool collect (poolK=64 rows, the batch trainer's global
+      // reduce) + ONE combined vocabulary pass applying both selected
+      // merges as chained replaces in rank order. Selection is
+      // [[bpeSelectBatch]]: greedy by (cnt DESC, a, b), skipping pairs
+      // that share a symbol with — or contain the concatenation of — an
+      // already-selected pair, which keeps every published pair_count
+      // equal to a sequential recount (argument at [[bpeSelectBatch]];
+      // equivalence specs in Round16OpsSpec). The DuckDB oracle replays
+      // both iterations as staged CTEs ([[bpeBatchTrainCtes]]): ranked
+      // pair table, rank-1 pick, the concat-excluded second pick, then
+      // the chained two-replace vocabulary step — certifying selection
+      // AND application bit-for-bit.
+      //
+      // Scale shape: identical to q_bpe_train (ONE corpus pass, all
+      // iterations vocabulary-bounded) with the driver round-trips and
+      // checkpoint actions divided by batchM — at batchM=256 a 32k-merge
+      // training run is 125 Spark jobs instead of 32k. Measured
+      // merges/sec vs the sequential loop in BENCH_SCALING.md.
+      (s, d) => bpeTrainBatched(s, d, nMerges = 4, batchM = 2, poolK = 64),
+      Some(s"""WITH ${bpeBatchTrainCtes(2, 64)}
+              |SELECT rank, merge_left, merge_right, pair_count FROM (
+              |  SELECT 1::BIGINT AS rank, a AS merge_left, b AS merge_right, CAST(cnt AS BIGINT) AS pair_count FROM s0a
+              |  UNION ALL SELECT 2, a, b, CAST(cnt AS BIGINT) FROM s0b
+              |  UNION ALL SELECT 3, a, b, CAST(cnt AS BIGINT) FROM s1a
+              |  UNION ALL SELECT 4, a, b, CAST(cnt AS BIGINT) FROM s1b)
               |ORDER BY rank""".stripMargin)
     ),
 

@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.CorpusOpsQueries
+
+/** Round-16 closures, centered on the batched BPE trainer
+  * (q_bpe_train_batch): the two equivalence properties its soundness
+  * argument rests on — batchM=1 IS the sequential trainer, and a
+  * symbol-disjoint top applied as one batch reproduces the sequential
+  * merge table — plus direct forcing of [[CorpusOpsQueries.bpeSelectBatch]]'s
+  * two skip rules (shared symbol; concatenation of a selected pair), the
+  * second of which closes the round-15 ADVICE's batch-soundness gap.
+  */
+class Round16OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+  private val sf0001 = "/root/testdata/sf0.001"
+
+  private def writeFixture(words: Seq[String]): String = {
+    import spark.implicits._
+    val text = words.mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("bpe_batch").toString
+    Seq((1L, text, "en", "fixture", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def seqTrainOn(dir: String): Seq[(Long, String, String, Long)] = {
+    import spark.implicits._
+    SparkEntry.queries("q_bpe_train")(spark, dir)
+      .as[(Long, String, String, Long)].collect().toSeq
+  }
+
+  private def batchTrainOn(dir: String, batchM: Int, nMerges: Int = 4): Seq[(Long, String, String, Long)] = {
+    import spark.implicits._
+    CorpusOpsQueries.bpeTrainBatched(spark, dir, nMerges, batchM)
+      .as[(Long, String, String, Long)].collect().toSeq
+  }
+
+  test("batched BPE at batchM=1 reproduces q_bpe_train exactly at sf0.001") {
+    assert(batchTrainOn(sf0001, batchM = 1) == seqTrainOn(sf0001))
+  }
+
+  test("batched BPE at batchM=1 reproduces q_bpe_train on both round-15 adversarial fixtures") {
+    // the prefix-collision corpus and the a==b chain corpus — the two
+    // cases that distinguish a correct greedy apply from a broken one
+    // (Round15OpsSpec pins the sequential trainer's exact output on both)
+    val fx1 = writeFixture(Seq.fill(10)("th") ++ Seq.fill(9)("et") ++ Seq("meth"))
+    val fx2 = writeFixture(Seq.fill(4)("aaaaa") ++ Seq.fill(3)("xy"))
+    assert(batchTrainOn(fx1, batchM = 1) == seqTrainOn(fx1))
+    assert(batchTrainOn(fx2, batchM = 1) == seqTrainOn(fx2))
+  }
+
+  test("a symbol-disjoint top-4 applied as ONE batch (batchM=4) reproduces the sequential merge table") {
+    // four pairwise-disjoint top pairs: each merge touches only its own
+    // word, so one combined pass must equal four sequential iterations —
+    // same picks, same counts, one ranked-pool collect instead of four
+    val dir = writeFixture(
+      Seq.fill(10)("ab") ++ Seq.fill(9)("cd") ++ Seq.fill(8)("ef") ++ Seq.fill(7)("gh"))
+    val expected = Seq(
+      (1L, "a", "b", 10L), (2L, "c", "d", 9L),
+      (3L, "e", "f", 8L), (4L, "g", "h", 7L))
+    assert(seqTrainOn(dir) == expected)
+    assert(batchTrainOn(dir, batchM = 4) == expected)
+  }
+
+  test("q_bpe_train_batch (batchM=2) still yields the sequential table when each iteration's top-2 are disjoint") {
+    // the registered key's exact configuration on a corpus where batching
+    // provably cannot diverge: iteration 1 takes (a,b),(c,d); the recount
+    // then surfaces (e,f),(g,h) — identical to the sequential trainer
+    val dir = writeFixture(
+      Seq.fill(10)("ab") ++ Seq.fill(9)("cd") ++ Seq.fill(8)("ef") ++ Seq.fill(7)("gh"))
+    import spark.implicits._
+    val got = SparkEntry.queries("q_bpe_train_batch")(spark, dir)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got == seqTrainOn(dir))
+  }
+
+  test("bpeSelectBatch skips a pair sharing a symbol with an already-selected pair") {
+    val pool = Seq(("a", "b", 10L), ("b", "c", 9L), ("c", "d", 8L))
+    assert(CorpusOpsQueries.bpeSelectBatch(pool, batchM = 3, remaining = 10) ==
+      Seq(("a", "b", 10L), ("c", "d", 8L)))
+  }
+
+  test("bpeSelectBatch skips a pair containing the CONCATENATION of an already-selected pair (the r15 ADVICE gap)") {
+    // after selecting (x,y), applying it creates new 'xy' symbols — a
+    // same-batch (w,'xy') replace would also merge those, so its recorded
+    // count would differ from a sequential recount; the selection must
+    // defer it. Both orientations (concat as right and as left symbol).
+    val pool1 = Seq(("x", "y", 10L), ("w", "xy", 9L), ("u", "v", 8L))
+    assert(CorpusOpsQueries.bpeSelectBatch(pool1, batchM = 3, remaining = 10) ==
+      Seq(("x", "y", 10L), ("u", "v", 8L)))
+    val pool2 = Seq(("x", "y", 10L), ("xy", "w", 9L), ("u", "v", 8L))
+    assert(CorpusOpsQueries.bpeSelectBatch(pool2, batchM = 3, remaining = 10) ==
+      Seq(("x", "y", 10L), ("u", "v", 8L)))
+  }
+
+  test("bpeSelectBatch honors the remaining-merges cap below batchM") {
+    val pool = Seq(("a", "b", 10L), ("c", "d", 9L))
+    assert(CorpusOpsQueries.bpeSelectBatch(pool, batchM = 4, remaining = 1) ==
+      Seq(("a", "b", 10L)))
+  }
+}
