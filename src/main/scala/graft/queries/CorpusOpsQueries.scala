@@ -336,7 +336,7 @@ object CorpusOpsQueries {
     * loop; every training iteration and the apply's merge replay run on
     * this vocabulary-bounded table.
     */
-  private def bpeVocab(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+  private[graft] def bpeVocab(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     documents(s, d)
       .select(explode(split($"text", " ")).as("tok"))
@@ -440,9 +440,19 @@ object CorpusOpsQueries {
     */
   private[graft] def bpeTrainBatched(
       s: org.apache.spark.sql.SparkSession, d: String,
-      nMerges: Int, batchM: Int, poolK: Int = 64): org.apache.spark.sql.DataFrame = {
+      nMerges: Int, batchM: Int, poolK: Int = 64): org.apache.spark.sql.DataFrame =
+    bpeTrainLoop(s, bpeVocab(s, d), nMerges, batchM, poolK)
+
+  /** The trainer loop of [[bpeTrainBatched]] starting from an
+    * already-materialized wrapped-symbol vocabulary — split out so
+    * tools/BpeTrainBench can time the iteration protocol in isolation
+    * from the shared corpus→vocabulary pass. */
+  private[graft] def bpeTrainLoop(
+      s: org.apache.spark.sql.SparkSession,
+      w0: org.apache.spark.sql.DataFrame,
+      nMerges: Int, batchM: Int, poolK: Int): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    var w = bpeVocab(s, d)
+    var w = w0
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     while (merges.size < nMerges) {
       // bounded: poolK ranked rows through the driver per iteration
@@ -451,9 +461,16 @@ object CorpusOpsQueries {
       if (pool.isEmpty)
         throw new IllegalStateException("vocabulary exhausted before nMerges merges")
       val sel = bpeSelectBatch(pool, batchM, nMerges - merges.size)
-      var w2 = w
-      sel.foreach { case (a, b, _) => w2 = bpeApplyMerge(w2, a, b) }
-      w = w2.localCheckpoint() // one action per BATCH, not per merge
+      // ONE kernel pass applies the whole batch (value-identical to the
+      // chained per-merge replaces — BpeBatchApply scaladoc + Round16OpsSpec;
+      // the replace chain's measured floor is ~85 ms PER MERGE over the sf4
+      // vocabulary, the kernel is one parse + presence-set lookups per word)
+      val applied = org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.BpeBatchApply(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("symstr")),
+          sel.map { case (a, b, _) => (a, b) }))
+      w = w.select(col("wcnt"), applied.as("symstr"))
+        .localCheckpoint() // one action per BATCH, not per merge
       sel.foreach { case (a, b, c) => merges += ((merges.size + 1L, a, b, c)) }
     }
     merges.toSeq.toDF("rank", "merge_left", "merge_right", "pair_count")

@@ -101,4 +101,62 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(CorpusOpsQueries.bpeSelectBatch(pool, batchM = 4, remaining = 1) ==
       Seq(("a", "b", 10L)))
   }
+
+  // ---- BpeBatchApply kernel: value-identity to the chained replace form.
+  // Java's String.replace is the same literal left-to-right non-overlapping
+  // all-occurrences replace as Spark's replace() and DuckDB's replace() —
+  // the reference composition the kernel must reproduce.
+  private def chainedReplace(symstr: String, merges: Seq[(String, String)]): String =
+    merges.foldLeft(symstr) { case (s, (a, b)) =>
+      s.replace("|" + a + "||" + b + "|", "|" + a + b + "|")
+    }
+
+  private def kernel(symstr: String, merges: Seq[(String, String)]): String = {
+    import org.apache.spark.unsafe.types.UTF8String
+    graft.functions.BpeBatchApply(
+      org.apache.spark.sql.catalyst.expressions.Literal(symstr),
+      merges).applyMerges(UTF8String.fromString(symstr)).toString
+  }
+
+  private def wrap(word: String): String = word.map(c => s"|$c|").mkString
+
+  test("BpeBatchApply equals the chained replace composition on adversarial merge lists") {
+    val cases = Seq(
+      // a==b chain: greedy wrapping must yield [aa,aa,a]
+      (wrap("aaaaa"), Seq(("a", "a"))),
+      // chain then merge ON the chain's output symbol
+      (wrap("aaaaa"), Seq(("a", "a"), ("aa", "a"), ("aa", "aaa"))),
+      // prefix collision: (e,t) must not touch 'th' inside [m,e,th]
+      (wrap("meth"), Seq(("t", "h"), ("e", "t"), ("e", "th"), ("m", "eth"))),
+      // a later merge consuming a symbol CREATED mid-batch — exercises the
+      // presence-set update (without it, (e,th) would be wrongly skipped)
+      (wrap("meth"), Seq(("t", "h"), ("e", "th"))),
+      // absent symbols: merges that match nothing at all
+      (wrap("xyz"), Seq(("a", "b"), ("q", "r"))),
+      // single-symbol word, and a merge spanning the whole word
+      (wrap("ab"), Seq(("a", "b"), ("ab", "ab"))),
+      (wrap("abab"), Seq(("a", "b"), ("ab", "ab"))),
+      // symbols present but never adjacent
+      (wrap("axb"), Seq(("a", "b"))),
+      // empty merge list
+      (wrap("the"), Seq.empty[(String, String)]))
+    for ((s, ms) <- cases)
+      assert(kernel(s, ms) == chainedReplace(s, ms), s"input=$s merges=$ms")
+  }
+
+  test("BpeBatchApply equals the chained replace composition on the sf0.001 vocabulary under the real trained batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the actual first-iteration batch at sf0.001 (top-2 disjoint pairs),
+    // replayed over every vocabulary word both ways
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val vocab = docs
+      .select(explode(split($"text", " ")).as("tok"))
+      .filter($"tok".rlike("^[!-{}-~]+$"))
+      .select(regexp_replace($"tok", "(.)", "|$1|").as("symstr"))
+      .distinct().as[String].collect()
+    val merges = Seq(("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"))
+    val diverged = vocab.filter(s => kernel(s, merges) != chainedReplace(s, merges))
+    assert(diverged.isEmpty, s"${diverged.length} diverged, first: ${diverged.headOption}")
+  }
 }
