@@ -49,6 +49,16 @@ object IngestDedup {
       storeTable: String,
       outDir: String
   ): Unit = {
+    // A brand-new store's name must be suffix-free: every maintenance pass
+    // derives its output name from the stripped base, so a base that itself
+    // matched `_c<n>`/`_r<n>` would be silently retargeted — and the pass's
+    // DROP-retry guard could clear an unrelated table. Enforced once, at
+    // lineage start; pass outputs (which legitimately carry the suffix) are
+    // only ever reached through an already-validated base.
+    if (!s.catalog.tableExists(storeTable))
+      require(storeBaseName(storeTable) == storeTable,
+        s"new store name '$storeTable' matches the maintenance-suffix " +
+          "pattern (_c<n>/_r<n>); pick a suffix-free base name")
     val inBatch = batch.select(col("doc_id"), fpCol(col("text")).as("fp"))
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("doc_id"),
@@ -76,6 +86,20 @@ object IngestDedup {
     ()
   }
 
+  /** Stable identity of a store across maintenance passes: compaction
+    * names its output `<base>_c<upTo>` and retention `<base>_r<cutoff>`,
+    * so repeated passes on a table that is itself a pass output would
+    * otherwise accrete suffixes (`store_c3_c7_c12…`) — and each pass's
+    * DROP-retry guard only clears its own exact name. Deriving every
+    * pass name from the stripped base keeps table identity bounded over
+    * the store's 100 TB maintenance lifetime. Sound because lineage
+    * starts suffix-free: [[applyBatch]] rejects a NEW store whose name
+    * matches the suffix pattern, so stripping can never retarget a
+    * legitimately-suffixed user table.
+    */
+  private[graft] def storeBaseName(storeTable: String): String =
+    storeTable.replaceAll("(_[cr]\\d+)+$", "")
+
   /** Compact the fingerprint store — the 100 TB maintenance pass: every
     * ingest batch appends one file per bucket, so after N batches each of
     * the 4 buckets holds N small files and the store-side scan pays N× the
@@ -102,17 +126,6 @@ object IngestDedup {
     * batches never re-run under foreachBatch's checkpoint contract, and a
     * later half-written partition stays above `upTo`.
     */
-  /** Stable identity of a store across maintenance passes: compaction
-    * names its output `<base>_c<upTo>` and retention `<base>_r<cutoff>`,
-    * so repeated passes on a table that is itself a pass output would
-    * otherwise accrete suffixes (`store_c3_c7_c12…`) — and each pass's
-    * DROP-retry guard only clears its own exact name. Deriving every
-    * pass name from the stripped base keeps table identity bounded over
-    * the store's 100 TB maintenance lifetime.
-    */
-  private[graft] def storeBaseName(storeTable: String): String =
-    storeTable.replaceAll("(_[cr]\\d+)+$", "")
-
   def compactStore(s: SparkSession, storeTable: String, upTo: Long): String = {
     val compacted = s"${storeBaseName(storeTable)}_c$upTo"
     require(compacted != storeTable,

@@ -210,6 +210,15 @@ class IngestDedupDepthSpec extends AnyFunSuite {
     assert(IngestDedup.storeBaseName("graft_fp_store_ab12") == "graft_fp_store_ab12")
     assert(IngestDedup.storeBaseName("graft_fp_store_ab12_c3") == "graft_fp_store_ab12")
     assert(IngestDedup.storeBaseName("graft_fp_store_ab12_c3_r7") == "graft_fp_store_ab12")
+    // and stripping is SOUND because lineage starts suffix-free: a NEW
+    // store whose name already matches the maintenance-suffix pattern is
+    // rejected before any write (otherwise a later pass would retarget —
+    // and its DROP guard could delete — an unrelated table)
+    val badName = intercept[IllegalArgumentException] {
+      IngestDedup.applyBatch(spark, Seq((1L, "a b")).toDF("doc_id", "text"),
+        0L, Seq.empty[String].toDF("fp"), "graft_user_store_c3", "/tmp/unused")
+    }
+    assert(badName.getMessage.contains("maintenance-suffix"))
 
     val (newDocs, corpusFps) = fixture()
     val run = IngestDedup.runIngest(spark, newDocs, corpusFps, nShards = 4)
