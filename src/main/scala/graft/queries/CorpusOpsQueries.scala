@@ -367,6 +367,83 @@ object CorpusOpsQueries {
       .withColumn("q", lit("|" + a + b + "|"))
       .select(col("wcnt"), expr("replace(symstr, p, q)").as("symstr"))
 
+  /** The tokenize-apply oracle (shared verbatim by q_bpe_apply and
+    * q_bpe_apply_shuffle — same semantics, different join mechanism, so
+    * one SQL string certifies row parity across the policy's two arms):
+    * replay the 4-merge training staged-CTE, derive the word→tokenization
+    * map from the post-merge vocabulary, tokenize every document, and
+    * hash each document's exact ordered token sequence. */
+  private def bpeApplySql: String =
+    s"""WITH ${bpeTrainCtes(4, applyLast = true)},
+       |mp AS (
+       |  SELECT replace(symstr, '|', '') AS word,
+       |    substring(symstr, 2, length(symstr) - 2) AS core,
+       |    CAST((length(symstr) - length(replace(symstr, '|', ''))) // 2 AS BIGINT) AS n_tok
+       |  FROM w4),
+       |ct AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[CAST(i AS INT)] AS tok FROM (
+       |    SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM (
+       |      SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+       |  WHERE regexp_matches(toks[CAST(i AS INT)], '^[!-{}-~]+$$')),
+       |j AS (SELECT ct.doc_id, ct.pos, mp.core, mp.n_tok FROM ct JOIN mp ON ct.tok = mp.word)
+       |SELECT doc_id, COUNT(*) AS n_words,
+       |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |  md5(string_agg(core, ' ' ORDER BY pos)) AS tok_fp
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Vocab-map join ceiling for [[bpeApplyTokenize]] — rows, not bytes,
+    * because the decision is taken BEFORE the map is serialized and a map
+    * row is small and uniform (word + core + count). 2e6 rows ≈ low
+    * hundreds of MB broadcast — the same ceiling the semdedup broadcast
+    * tier uses; a real tokenizer artifact (≤~10⁵ merges, Heaps-law vocab)
+    * sits orders of magnitude below it. */
+  private[graft] val BpeVocabBroadcastCap = 2000000L
+
+  /** Tokenize the corpus with the merge table the 4-merge trainer induces —
+    * the shared body of q_bpe_apply and its forced-shuffle twin. The merge
+    * replay is vocabulary-side (the driver loop over the checkpointed
+    * vocab); the corpus pass is ONE map-side explode joined against the
+    * word→tokenization map under a SIZE-GATED policy: while the measured
+    * vocab row count fits `vocabRowCap`, the map broadcasts (map-only
+    * corpus pass, the per-doc aggregate partial-aggregates, one result-row
+    * exchange — the plan PlanQualitySpec gates); past the cap the SAME
+    * semantics degrade to a shuffle-hash equi-join on word (vocab as the
+    * per-partition build side — never a sort of the exploded token
+    * stream). The count that drives the gate is vocabulary-bounded (one
+    * aggregate over the checkpointed vocab), not a corpus pass.
+    */
+  private[graft] def bpeApplyTokenize(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      vocabRowCap: Long): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    var w = bpeVocab(s, d)
+    for (_ <- 1 to 4) {
+      // bounded: ONE row per iteration (the trainer's argmax reduce)
+      val top = bpePairs(w).orderBy($"cnt".desc, $"a", $"b")
+        .limit(1).collect()(0)
+      w = bpeApplyMerge(w, top.getString(0), top.getString(1)).localCheckpoint()
+    }
+    val map = w.select(
+      expr("replace(symstr, '|', '')").as("word"),
+      expr("substring(symstr, 2, length(symstr) - 2)").as("core"),
+      expr("CAST((length(symstr) - length(replace(symstr, '|', ''))) div 2 AS BIGINT)")
+        .as("n_tok"))
+    val corpus = documents(s, d)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "tok")))
+      .filter($"tok".rlike("^[!-{}-~]+$"))
+    val joined =
+      if (w.count() <= vocabRowCap) corpus.join(broadcast(map), $"tok" === $"word")
+      else corpus.join(map.hint("shuffle_hash"), $"tok" === $"word")
+    joined
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum($"n_tok").as("n_tokens"),
+        expr("md5(array_join(transform(array_sort(collect_list(struct(pos, core))), x -> x.core), ' '))")
+          .as("tok_fp"))
+      .orderBy($"doc_id")
+  }
+
   /** DuckDB pair-count CTE over wrapped-symbol vocabulary `w` → `p (a, b, cnt)`. */
   private def bpePairCte(p: String, w: String): String =
     s"""$p AS (
@@ -874,55 +951,30 @@ object CorpusOpsQueries {
       // replay touches only the distinct-word table; the corpus is
       // touched ONCE, map-only: explode is map-side, the word→map join
       // broadcasts (Heaps' law: vocab grows ~√corpus — the map is the
-      // tokenizer artifact, MBs where the corpus is TBs; past broadcast
-      // scale the same plan degrades to a shuffle equi-join on word), and
-      // the per-doc aggregate completes map-side under partial
+      // tokenizer artifact, MBs where the corpus is TBs), and the
+      // per-doc aggregate completes map-side under partial
       // aggregation (explode keeps a doc's words co-partitioned), so the
       // only exchange carries one result row per doc. Plan-gated in
       // PlanQualitySpec: BroadcastHashJoin, no Exchange below the partial
-      // aggregate.
-      (s, d) => {
-        import s.implicits._
-        var w = bpeVocab(s, d)
-        for (_ <- 1 to 4) {
-          // bounded: ONE row per iteration (the trainer's argmax reduce)
-          val top = bpePairs(w).orderBy($"cnt".desc, $"a", $"b")
-            .limit(1).collect()(0)
-          w = bpeApplyMerge(w, top.getString(0), top.getString(1)).localCheckpoint()
-        }
-        val map = w.select(
-          expr("replace(symstr, '|', '')").as("word"),
-          expr("substring(symstr, 2, length(symstr) - 2)").as("core"),
-          expr("CAST((length(symstr) - length(replace(symstr, '|', ''))) div 2 AS BIGINT)")
-            .as("n_tok"))
-        documents(s, d)
-          .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "tok")))
-          .filter($"tok".rlike("^[!-{}-~]+$"))
-          .join(broadcast(map), $"tok" === $"word")
-          .groupBy($"doc_id")
-          .agg(
-            count(lit(1)).as("n_words"),
-            sum($"n_tok").as("n_tokens"),
-            expr("md5(array_join(transform(array_sort(collect_list(struct(pos, core))), x -> x.core), ' '))")
-              .as("tok_fp"))
-          .orderBy($"doc_id")
-      },
-      Some(s"""WITH ${bpeTrainCtes(4, applyLast = true)},
-              |mp AS (
-              |  SELECT replace(symstr, '|', '') AS word,
-              |    substring(symstr, 2, length(symstr) - 2) AS core,
-              |    CAST((length(symstr) - length(replace(symstr, '|', ''))) // 2 AS BIGINT) AS n_tok
-              |  FROM w4),
-              |ct AS (
-              |  SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[CAST(i AS INT)] AS tok FROM (
-              |    SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM (
-              |      SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
-              |  WHERE regexp_matches(toks[CAST(i AS INT)], '^[!-{}-~]+$$')),
-              |j AS (SELECT ct.doc_id, ct.pos, mp.core, mp.n_tok FROM ct JOIN mp ON ct.tok = mp.word)
-              |SELECT doc_id, COUNT(*) AS n_words,
-              |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
-              |  md5(string_agg(core, ' ' ORDER BY pos)) AS tok_fp
-              |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+      // aggregate. The broadcast is SIZE-GATED, not assumed
+      // ([[bpeApplyTokenize]]): past [[BpeVocabBroadcastCap]] measured
+      // vocab rows the same semantics degrade to a shuffle-hash equi-join
+      // on word — forced and parity-proven by q_bpe_apply_shuffle below.
+      (s, d) => bpeApplyTokenize(s, d, BpeVocabBroadcastCap),
+      Some(bpeApplySql)
+    ),
+
+    "q_bpe_apply_shuffle" -> QueryDef(
+      // The PAST-BROADCAST arm of q_bpe_apply's size-gated policy, forced
+      // (cap = 0, so the measured vocab count always exceeds it): the
+      // word→tokenization map joins as a SHUFFLE-HASH equi-join on word —
+      // the vocab is the per-partition build side; the exploded token
+      // stream is hashed, never sorted. Shares q_bpe_apply's oracle
+      // bit-for-bit, so the DuckDB gate proves row parity through the
+      // non-broadcast mechanism; PlanQualitySpec pins the plan shape
+      // (ShuffledHashJoin, no broadcast, no sort of the token stream).
+      (s, d) => bpeApplyTokenize(s, d, vocabRowCap = 0L),
+      Some(bpeApplySql)
     ),
 
     // see `semdedup` above: scale-adaptive strategy (literal → table → hier)

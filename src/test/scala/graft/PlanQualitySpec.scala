@@ -604,6 +604,28 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected exactly the one-row-per-doc result exchange, saw $hashEx:\n$plan")
   }
 
+  test("q_bpe_apply_shuffle: the past-broadcast arm hash-shuffles on word — never sorts the token stream") {
+    // The degrade contract of the size-gated vocab-join policy: when the
+    // tokenizer artifact outgrows the broadcast cap, the corpus pass pays
+    // exactly the two join-key exchanges plus the per-doc result exchange
+    // — a ShuffledHashJoin with the vocab as the per-partition build side.
+    // A SortMergeJoin here would SORT the exploded token stream (far more
+    // data movement than hashing it); a BroadcastHashJoin would mean the
+    // forced arm silently took the path it exists to avoid.
+    val plan = finalSection(physical(run("q_bpe_apply_shuffle")))
+    assert(plan.contains("ShuffledHashJoin"),
+      s"the vocab map must shuffle-hash join on word past the cap:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"the forced arm must not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the token stream must be hashed, never sorted:\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"the per-doc aggregate must still partial-aggregate:\n$plan")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 3,
+      s"expected the two join-side exchanges + the per-doc result exchange, saw $hashEx:\n$plan")
+  }
+
   test("q_dedup_lsh_recall's truth and measured arms share ONE persisted shingle pass") {
     // The recall gate's cost story: shingle hashing (the data-proportional
     // floor) runs once, cached, and feeds the PPJoin truth arm (exploded df

@@ -159,4 +159,19 @@ class Round16OpsSpec extends AnyFunSuite {
     val diverged = vocab.filter(s => kernel(s, merges) != chainedReplace(s, merges))
     assert(diverged.isEmpty, s"${diverged.length} diverged, first: ${diverged.headOption}")
   }
+
+  test("q_bpe_apply's size-gated vocab join: the forced shuffle arm is bit-identical to the broadcast arm") {
+    import spark.implicits._
+    // Same tokenizations through BOTH join mechanisms — the degrade the
+    // broadcast arm's scaladoc promises past BpeVocabBroadcastCap, proven
+    // on real data (the two keys also share one oracle SQL, so the DuckDB
+    // gate certifies each arm independently at sf0.01).
+    val bc = SparkEntry.queries("q_bpe_apply")(spark, sf0001)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val sh = SparkEntry.queries("q_bpe_apply_shuffle")(spark, sf0001)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(bc.nonEmpty && bc == sh,
+      s"arms diverged: ${bc.size} vs ${sh.size} rows; first diff: " +
+        bc.zip(sh).find { case (a, b) => a != b })
+  }
 }
