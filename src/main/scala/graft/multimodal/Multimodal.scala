@@ -229,6 +229,41 @@ object Multimodal {
     }
   }
 
+  /** Audit-lane JPEG asset source (round 16) — plants all three
+    * [[JpegCodec.DecodeResult]] outcomes deterministically so a release
+    * audit can certify its decoded/oversized/invalid split against an
+    * oracle (the q_corpus_integrity pattern applied to media):
+    * `doc_id % 7 == 0` → truncated mid-header (Invalid, the corrupt-bytes
+    * lane); `doc_id % 7 == 1` → a structurally VALID 80×64 DC-only gray
+    * JPEG — 5120 plane ints, past q_multimodal_audit's 4096-int decode
+    * envelope but comfortably inside the information bound (the bytes
+    * genuinely back the declared planes), so it exercises the Oversized
+    * routing a curation pipeline must NOT conflate with corruption;
+    * everything else → the small DC-only construction of
+    * [[assetsFromDocumentsJpeg]] (exact integer decode, oracle-
+    * reconstructable pixel sums).
+    */
+  def assetsFromDocumentsJpegAudit(spark: SparkSession, documents: DataFrame): Dataset[MediaAsset] = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].map { id =>
+      if (id % 7 == 1L) {
+        val nb = (80 / 8) * (64 / 8)
+        val ts = Array.tabulate(nb)(b => (((id * 13 + 29L * b) % 128) - 64).toInt)
+        MediaAsset(id, MediaMeta("image", "jpeg", 80, 64, 0, 0L),
+          JpegCodec.encodeGrayDcOnly(80, 64, ts))
+      } else {
+        val w = (8 * (1 + id % 3)).toInt
+        val h = (8 * (1 + (id / 3) % 2)).toInt
+        val nb = (w / 8) * (h / 8)
+        val ts = Array.tabulate(nb)(b => (((id * 13 + 29L * b) % 128) - 64).toInt)
+        val full = JpegCodec.encodeGrayDcOnly(w, h, ts)
+        val bytes =
+          if (id % 7 == 0L) java.util.Arrays.copyOf(full, math.min(25, full.length)) else full
+        MediaAsset(id, MediaMeta("image", "jpeg", w, h, 0, 0L), bytes)
+      }
+    }
+  }
+
   /** Color 4:2:0 AC-bearing JPEG asset source (round 14) — the GENERAL-path
     * twin of [[assetsFromDocumentsJpeg]], closing the r13 verdict's
     * oracle-coverage gap (the DC-only arm never drives AC Huffman runs,

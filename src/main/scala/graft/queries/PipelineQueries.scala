@@ -2078,6 +2078,72 @@ object PipelineQueries {
              |FROM agg ORDER BY doc_id""".stripMargin)
     ),
 
+    "q_multimodal_audit" -> QueryDef(
+      // MEDIA RELEASE AUDIT (round 16 — wires DecodeResult.Oversized
+      // through a query surface): the dataset-card split a 100 TB media
+      // curation publishes — per bucket, how many assets DECODED, how many
+      // were structurally valid but past the decode allocation envelope
+      // (OVERSIZED — the big-asset lane, retried with a bigger budget, NOT
+      // discarded), and how many were corrupt (INVALID, the discard lane).
+      // Assets come from assetsFromDocumentsJpegAudit, which plants all
+      // three outcomes deterministically (id%7==0 truncated; id%7==1 a
+      // VALID 80×64 = 5120-plane-int image vs the 4096-int envelope forced
+      // here; else the exact-decode small construction), so the oracle
+      // certifies the split per bucket — including the decoded-lane pixel
+      // checksum (proving oversized assets never leak pixels into the
+      // decoded stats) and the total declared plane ints riding the
+      // Oversized outcome (what a big-asset lane budgets its retry from).
+      // Scale shape: map-only decode, partial-aggregable count/sum per
+      // bucket — ONE exchange carrying 4 audit rows.
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.JpegCodec
+        val assets = graft.multimodal.Multimodal
+          .assetsFromDocumentsJpegAudit(s, documents(s, d))
+        assets.mapPartitions(_.map { a =>
+          JpegCodec.decodeDetailed(a.content, maxPlaneInts = 4096L) match {
+            case JpegCodec.DecodeResult.Decoded(img) =>
+              val px = img.pixels.map(_ & 0xff)
+              (a.asset_id, "decoded", px.foldLeft(0L)(_ + _), 0L)
+            case JpegCodec.DecodeResult.Oversized(declared, _) =>
+              (a.asset_id, "oversized", 0L, declared)
+            case JpegCodec.DecodeResult.Invalid =>
+              (a.asset_id, "invalid", 0L, 0L)
+          }
+        }).toDF("doc_id", "lane", "px", "declared")
+          .groupBy(($"doc_id" % 4).as("bucket"))
+          .agg(
+            count(lit(1)).as("n_assets"),
+            sum(when($"lane" === "decoded", 1L).otherwise(0L)).as("n_decoded"),
+            sum(when($"lane" === "oversized", 1L).otherwise(0L)).as("n_oversized"),
+            sum(when($"lane" === "invalid", 1L).otherwise(0L)).as("n_invalid"),
+            sum($"px").as("px_sum"),
+            sum($"declared").as("declared_ints"))
+          .orderBy($"bucket")
+      },
+      Some("""WITH cls AS (
+             |  SELECT doc_id, doc_id % 7 AS c,
+             |    8 * (1 + doc_id % 3) AS w, 8 * (1 + (doc_id // 3) % 2) AS h
+             |  FROM documents),
+             |blocks AS (
+             |  SELECT doc_id, unnest(range((w // 8) * (h // 8))) AS b
+             |  FROM cls WHERE c NOT IN (0, 1)),
+             |px AS (
+             |  SELECT doc_id, CAST(64 * SUM(2 * ((doc_id * 13 + 29 * b) % 128)) AS BIGINT) AS px_sum
+             |  FROM blocks GROUP BY doc_id),
+             |au AS (
+             |  SELECT cls.doc_id, cls.c, COALESCE(px.px_sum, 0) AS px_sum
+             |  FROM cls LEFT JOIN px ON cls.doc_id = px.doc_id)
+             |SELECT CAST(doc_id % 4 AS BIGINT) AS bucket,
+             |  COUNT(*) AS n_assets,
+             |  CAST(SUM(CASE WHEN c NOT IN (0, 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_decoded,
+             |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oversized,
+             |  CAST(SUM(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid,
+             |  CAST(SUM(CASE WHEN c NOT IN (0, 1) THEN px_sum ELSE 0 END) AS BIGINT) AS px_sum,
+             |  CAST(SUM(CASE WHEN c = 1 THEN 5120 ELSE 0 END) AS BIGINT) AS declared_ints
+             |FROM au GROUP BY 1 ORDER BY bucket""".stripMargin)
+    ),
+
     "q_multimodal_jpeg420" -> QueryDef(
       // The GENERAL-path JPEG arm (round 14 — closes the r13 verdict's
       // oracle-coverage gap): the DC-only gray arm above never drives AC

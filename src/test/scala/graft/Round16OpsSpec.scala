@@ -160,6 +160,33 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(diverged.isEmpty, s"${diverged.length} diverged, first: ${diverged.headOption}")
   }
 
+  test("q_multimodal_audit's planted fixtures force all three DecodeResult lanes at the 4096-int envelope") {
+    import spark.implicits._
+    import graft.multimodal.{JpegCodec, Multimodal}
+    val docs = (0L to 20L).map(id => (id, "x")).toDF("doc_id", "text")
+    val byId = Multimodal.assetsFromDocumentsJpegAudit(spark, docs)
+      .collect().map(a => a.asset_id -> a.content).toMap
+    // id%7==1: structurally VALID 80×64 — 5120 plane ints exceeds the
+    // audit envelope but passes the information bound, so it must route
+    // Oversized (the big-asset lane), never Invalid
+    assert(JpegCodec.decodeDetailed(byId(8L), maxPlaneInts = 4096L)
+      == JpegCodec.DecodeResult.Oversized(5120L, 4096L))
+    // ...and the SAME bytes decode fine under the default envelope —
+    // proof the asset is genuinely valid, merely large
+    assert(JpegCodec.decodeDetailed(byId(8L)) match {
+      case JpegCodec.DecodeResult.Decoded(img) => img.width == 80 && img.height == 64
+      case _ => false
+    })
+    // id%7==0: truncated mid-header — the corrupt lane
+    assert(JpegCodec.decodeDetailed(byId(7L), maxPlaneInts = 4096L)
+      == JpegCodec.DecodeResult.Invalid)
+    // everything else decodes inside the envelope
+    assert(JpegCodec.decodeDetailed(byId(2L), maxPlaneInts = 4096L) match {
+      case JpegCodec.DecodeResult.Decoded(_) => true
+      case _ => false
+    })
+  }
+
   test("q_bpe_apply's size-gated vocab join: the forced shuffle arm is bit-identical to the broadcast arm") {
     import spark.implicits._
     // Same tokenizations through BOTH join mechanisms — the degrade the
