@@ -2408,6 +2408,89 @@ object PipelineQueries {
               |SELECT doc_a, doc_b, hamming FROM np ORDER BY doc_a, doc_b""".stripMargin)
     ),
 
+    "q_dedup_image_recall" -> QueryDef(
+      // BANDED-HAMMING RECALL CURVE (round 16 — the r14 verdict's
+      // parameterized-band-width item): Hamming≤3 recall is exact by
+      // pigeonhole, but real recompression perturbations land at d=4–10,
+      // where banding decays SILENTLY. This is q_dedup_lsh_recall's
+      // discipline applied to the image index: per Hamming distance
+      // d ∈ [1,10], the true-pair count over the distinct-hash reps and
+      // how many of those each band width recalls — b bands of 64/b bits
+      // for b ∈ {2, 4, 8} (the production index is b=4). Two tricks keep
+      // it equi-join only, no NLJ:
+      //  - TRUTH arm: 16 bands of 4 bits — pigeonhole guarantees every
+      //    pair with d ≤ 15 shares ≥1 band, so a band equi-join + exact
+      //    bit_count verify enumerates EXACT truth over the whole d ≤ 10
+      //    range being measured.
+      //  - MEASURED arms need no join at all: whether a known pair agrees
+      //    on ≥1 of b width-(64/b) bands is pure xor-slice arithmetic on
+      //    the two hashes already riding the pair (a slice of a^b is zero
+      //    iff that band matches) — monotone in b by nesting.
+      // Scale story: candidates are quadratic in the 4-bit-band group
+      // sizes BY DESIGN — this is the gate a pipeline runs over the
+      // distinct-hash reps (3,435 at sf16, never raw images) or a rep
+      // SAMPLE before trusting the index, exactly like the brute-force
+      // recall baselines. Integers only; nothing float decides a row.
+      (s, d) => {
+        import s.implicits._
+        val reps = imageAhashes(s, d)
+          .groupBy($"h_hi", $"h_lo")
+          .agg(min($"doc_id").as("doc_id"))
+          .localCheckpoint() // the 16-band explode self-joins this
+        val bands = reps.select($"doc_id", $"h_hi", $"h_lo", explode(expr(
+          """transform(sequence(0, 15), j -> struct(CAST(j AS BIGINT) AS band,
+            |  CASE WHEN j < 8 THEN shiftright(h_lo, CAST(4 * j AS INT)) % 16
+            |       ELSE shiftright(h_hi, CAST(4 * (j - 8) AS INT)) % 16 END AS v))""".stripMargin))
+            .as("b"))
+          .select($"doc_id", $"h_hi", $"h_lo", $"b.band".as("band"), $"b.v".as("v"))
+        bands.as("x").join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            col("x.h_hi").as("ahi"), col("x.h_lo").as("alo"),
+            col("y.h_hi").as("bhi"), col("y.h_lo").as("blo"))
+          .distinct() // a close pair shares many 4-bit bands
+          .select($"doc_a", $"doc_b",
+            expr("ahi ^ bhi").as("xhi"), expr("alo ^ blo").as("xlo"))
+          .withColumn("hamming",
+            expr("CAST(bit_count(xhi) + bit_count(xlo) AS BIGINT)"))
+          .filter($"hamming".between(1, 10))
+          .withColumn("r2", ($"xlo" === 0 || $"xhi" === 0).cast("long"))
+          .withColumn("r4", expr(
+            """CAST(xlo % 65536 = 0 OR shiftright(xlo, 16) = 0
+              |  OR xhi % 65536 = 0 OR shiftright(xhi, 16) = 0 AS LONG)""".stripMargin))
+          .withColumn("r8", expr(
+            """CAST(exists(sequence(0, 3),
+              |  j -> shiftright(xlo, CAST(8 * j AS INT)) % 256 = 0
+              |    OR shiftright(xhi, CAST(8 * j AS INT)) % 256 = 0) AS LONG)""".stripMargin))
+          .groupBy($"hamming")
+          .agg(count(lit(1)).as("n_true"),
+            sum($"r2").as("n_rec_b2"),
+            sum($"r4").as("n_rec_b4"),
+            sum($"r8").as("n_rec_b8"))
+          .orderBy($"hamming")
+      },
+      Some(s"""WITH $imageAhashCtes,
+              |hh AS (SELECT h_hi, h_lo, MIN(doc_id) AS doc_id FROM h GROUP BY h_hi, h_lo),
+              |pr AS (
+              |  SELECT xor(x.h_hi, y.h_hi) AS xhi, xor(x.h_lo, y.h_lo) AS xlo
+              |  FROM hh x JOIN hh y ON x.doc_id < y.doc_id),
+              |hd AS (
+              |  SELECT xhi, xlo, bit_count(xhi) + bit_count(xlo) AS d FROM pr)
+              |SELECT CAST(d AS BIGINT) AS hamming, COUNT(*) AS n_true,
+              |  CAST(SUM(CASE WHEN xlo = 0 OR xhi = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rec_b2,
+              |  CAST(SUM(CASE WHEN xlo % 65536 = 0 OR xlo // 65536 = 0
+              |                  OR xhi % 65536 = 0 OR xhi // 65536 = 0
+              |           THEN 1 ELSE 0 END) AS BIGINT) AS n_rec_b4,
+              |  CAST(SUM(CASE WHEN (xlo // 1) % 256 = 0 OR (xlo // 256) % 256 = 0
+              |                  OR (xlo // 65536) % 256 = 0 OR (xlo // 16777216) % 256 = 0
+              |                  OR (xhi // 1) % 256 = 0 OR (xhi // 256) % 256 = 0
+              |                  OR (xhi // 65536) % 256 = 0 OR (xhi // 16777216) % 256 = 0
+              |           THEN 1 ELSE 0 END) AS BIGINT) AS n_rec_b8
+              |FROM hd WHERE d BETWEEN 1 AND 10
+              |GROUP BY 1 ORDER BY hamming""".stripMargin)
+    ),
+
     "q_dedup_image_clusters" -> QueryDef(
       // The image-dedup family's CANONICAL-selection close (round 14):
       // connected components over the Hamming≤3 near-dup pair graph, so

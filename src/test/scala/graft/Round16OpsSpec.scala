@@ -160,6 +160,26 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(diverged.isEmpty, s"${diverged.length} diverged, first: ${diverged.headOption}")
   }
 
+  test("q_dedup_image_recall: pigeonhole floors hold exactly and recall is monotone in band count") {
+    import spark.implicits._
+    // b bands of 64/b bits guarantee recall 1.0 for d <= b-1 (some band
+    // must be untouched); the curve may only decay PAST that floor — and
+    // narrower bands (more of them) can never recall fewer pairs (a zero
+    // 16-bit xor slice forces zero 8-bit sub-slices).
+    val rows = SparkEntry.queries("q_dedup_image_recall")(spark, "/root/testdata/sf0.01")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.exists(_._1 > 7),
+      s"curve must cover the d=4-10 decay range: ${rows.map(_._1).toSeq}")
+    rows.foreach { case (d, nTrue, r2, r4, r8) =>
+      assert(nTrue > 0)
+      if (d <= 1) assert(r2 == nTrue, s"b=2 floor broken at d=$d: $r2/$nTrue")
+      if (d <= 3) assert(r4 == nTrue, s"b=4 floor broken at d=$d: $r4/$nTrue")
+      if (d <= 7) assert(r8 == nTrue, s"b=8 floor broken at d=$d: $r8/$nTrue")
+      assert(r2 <= r4 && r4 <= r8 && r8 <= nTrue,
+        s"monotonicity broken at d=$d: $r2/$r4/$r8/$nTrue")
+    }
+  }
+
   test("q_multimodal_audit's planted fixtures force all three DecodeResult lanes at the 4096-int envelope") {
     import spark.implicits._
     import graft.multimodal.{JpegCodec, Multimodal}
