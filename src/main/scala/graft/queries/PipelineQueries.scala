@@ -440,17 +440,26 @@ object PipelineQueries {
     * full contract). Factored out so `q_decontaminate_semantic_recall` can
     * compare it against the IVF tier without duplicating either plan.
     */
-  private[graft] def semanticDecontamExact(s: SparkSession, d: String): DataFrame = {
+  private[graft] def semanticDecontamExact(
+      s: SparkSession, d: String,
+      needleMod: Long = 31L, needleBudget: Long = Long.MaxValue): DataFrame = {
     import s.implicits._
     val e = embeddings(s, d).select($"vec_id",
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-    val needleRows = e.filter(pmod($"vec_id", lit(31)) === 0)
-      .orderBy($"vec_id").collect() // bounded: the benchmark embedding matrix (entry scaladoc)
+    val base = e.filter(pmod($"vec_id", lit(needleMod)) === 0)
+    // bounded: the benchmark embedding matrix (entry scaladoc); under a
+    // needle budget, the same deterministic md5-order cap as the IVF arm
+    // so recall keys compare the two mechanisms over ONE suite
+    val needleRows =
+      (if (needleBudget == Long.MaxValue) base.orderBy($"vec_id")
+       else base.orderBy(md5($"vec_id".cast("string")), $"vec_id")
+         .limit(needleBudget.toInt))
+        .collect()
     val probe = graft.functions.NeedleProbe.gate(s,
       needleRows.map(_.getLong(0)),
       needleRows.map(_.getSeq[Double](1).toArray))
     val low = lit((1L << 41) - 1L)
-    e.filter(pmod($"vec_id", lit(31)) =!= 0)
+    e.filter(pmod($"vec_id", lit(needleMod)) =!= 0)
       // the compact single-file parquet source would otherwise run the
       // whole probe loop in one or two scan tasks (the lsh_recall
       // lesson); a no-op at real scale where the source is thousands
@@ -513,7 +522,7 @@ object PipelineQueries {
     */
   private[graft] def semanticDecontamIvf(
       s: SparkSession, d: String, nprobe: Int = 2): DataFrame =
-    semanticDecontamIvf(s, d, (_: Int) => nprobe, 31L)
+    semanticDecontamIvf(s, d, (_: Int) => nprobe, 31L, Long.MaxValue)
 
   /** Policy form: probe width derived from the trained quantizer size by
     * `nprobePolicy` (the production path uses
@@ -525,13 +534,28 @@ object PipelineQueries {
     */
   private[graft] def semanticDecontamIvf(
       s: SparkSession, d: String,
-      nprobePolicy: Int => Int, needleMod: Long): DataFrame = {
+      nprobePolicy: Int => Int, needleMod: Long,
+      needleBudget: Long): DataFrame = {
     import s.implicits._
     import graft.operators.IvfKMeans
     val e = embeddings(s, d).select($"vec_id",
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-    val needles = e.filter(pmod($"vec_id", lit(needleMod)) === 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // NEEDLE BUDGET (round 16 — the r14 verdict's cost-linearity item): a
+    // real benchmark suite is FIXED-SIZE, but the mod-rule needle set grows
+    // with the corpus, making the tier's pair work quadratic-over-8
+    // (corpus × needles/8 under the adaptive probe width — measured 4.06×
+    // per 4× at sf16). Capping the suite at `needleBudget` needles in
+    // deterministic md5 order (ties by vec_id — the oracle replays the
+    // exact same ORDER BY ... LIMIT) bounds K, the probe width, and the
+    // per-vector work by constants, so the corpus pass is linear at any
+    // scale. The cap runs BEFORE quantizer training: seeds, centroids and
+    // posting lists all derive from the budgeted suite.
+    val allNeedles = e.filter(pmod($"vec_id", lit(needleMod)) === 0)
+    val needles =
+      (if (needleBudget == Long.MaxValue) allNeedles
+       else allNeedles.orderBy(md5($"vec_id".cast("string")), $"vec_id")
+         .limit(needleBudget.toInt))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nNeedles = needles.count() // materializes the persist; drives the seed policy
     val stride = if (nNeedles <= 4096L) 8L else 256L
     // bounded: K ≈ |needles|/stride seed rows through the driver — the
@@ -593,12 +617,22 @@ object PipelineQueries {
     * (`prb`) and the cell-restricted argmax.
     */
   private def semanticIvfCtes(
-      needleMod: Int = 31, nprobeSelect: String = "SELECT 2 AS np"): String =
+      needleMod: Int = 31, nprobeSelect: String = "SELECT 2 AS np",
+      needleBudget: Long = Long.MaxValue): String = {
+    val needleCte =
+      if (needleBudget == Long.MaxValue)
+        s"n AS (SELECT * FROM en WHERE vec_id % $needleMod = 0)"
+      else
+        // the budget cap, replayed exactly: deterministic md5 order,
+        // vec_id ties, LIMIT — same suite the engine trains on
+        s"""n AS (
+           |  SELECT vec_id, v, nrm FROM en WHERE vec_id % $needleMod = 0
+           |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $needleBudget)""".stripMargin
     s"""e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |en AS (
        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
-       |n AS (SELECT * FROM en WHERE vec_id % $needleMod = 0),
+       |$needleCte,
        |cor AS (SELECT * FROM en WHERE vec_id % $needleMod <> 0),
        |pol AS (SELECT CASE WHEN COUNT(*) <= 4096 THEN 8 ELSE 256 END AS stride FROM n),
        |c0 AS (
@@ -630,6 +664,7 @@ object PipelineQueries {
        |    SELECT vec_id, n_id, sim4,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim4 DESC, n_id) AS rn
        |    FROM pp) t WHERE rn = 1)""".stripMargin
+  }
 
   /** Per-image aHash fingerprints over the REAL PPM decode —
     * (doc_id, h_hi, h_lo), one row per image document. Shared by the
@@ -3261,10 +3296,78 @@ object PipelineQueries {
       // the hash. Recall delivered by the policy is measured at the
       // forced scales by tools/IvfRecallCurve (BENCH_SCALING round 14).
       (s, d) => semanticDecontamIvf(
-        s, d, graft.operators.IvfKMeans.adaptiveNprobe, 3L),
+        s, d, graft.operators.IvfKMeans.adaptiveNprobe, 3L, Long.MaxValue),
       Some(s"""WITH ${semanticIvfCtes(3,
                  "SELECT GREATEST(2, CAST(ceil(COUNT(*) / 8.0) AS BIGINT)) AS np FROM c2")}
               |SELECT vec_id, n_id, sim4, contam FROM ivf ORDER BY vec_id""".stripMargin)
+    ),
+
+    "q_decontaminate_semantic_budget" -> QueryDef(
+      // The NEEDLE-BUDGET policy arm (round 16 — the r14 verdict's
+      // cost-linearity item): the mod-rule needle set GROWS with the
+      // corpus, so the adaptive tier's pair work is quadratic-over-8
+      // (corpus × needles/8 — measured 4.06× per 4× at sf16); a real
+      // benchmark suite is fixed-size. This key runs the full adaptive
+      // IVF tier over a suite CAPPED at 64 needles in deterministic md5
+      // order (ties by vec_id), applied BEFORE quantizer training — K,
+      // the probe width and the per-vector work become constants and the
+      // corpus pass is linear at every scale. The budget BINDS at the
+      // oracle scale (sf0.01: 64 of 167 mod-3 needles survive), so the
+      // cap path — not a pass-through — is what the hash certifies: the
+      // DuckDB oracle replays the same ORDER BY md5 LIMIT cap, the
+      // count-driven stride over the capped suite, both Lloyd iterations,
+      // and the adaptive width from the capped-trained centroid table.
+      // Flag agreement vs the exact scan over the SAME suite is measured
+      // by q_decontaminate_semantic_budget_recall.
+      (s, d) => semanticDecontamIvf(
+        s, d, graft.operators.IvfKMeans.adaptiveNprobe, 3L, needleBudget = 64L),
+      Some(s"""WITH ${semanticIvfCtes(3,
+                 "SELECT GREATEST(2, CAST(ceil(COUNT(*) / 8.0) AS BIGINT)) AS np FROM c2",
+                 needleBudget = 64L)}
+              |SELECT vec_id, n_id, sim4, contam FROM ivf ORDER BY vec_id""".stripMargin)
+    ),
+
+    "q_decontaminate_semantic_budget_recall" -> QueryDef(
+      // Recall/agreement gate for the budgeted tier — the family rule: no
+      // approximate (or capped) tier ships without its loss measured. The
+      // comparison is IVF-vs-exact over the SAME budgeted suite (both arms
+      // take the identical md5-order 64-needle cap), so the counters
+      // isolate the IVF cell-route loss — the budget itself defines the
+      // suite, it is not a loss to measure. Same integer-only audit row as
+      // q_decontaminate_semantic_recall: corpus size, argmax agreement,
+      // each arm's contamination count, flag agreement (the number a
+      // release acts on).
+      (s, d) => {
+        import s.implicits._
+        val ex = semanticDecontamExact(s, d, needleMod = 3L, needleBudget = 64L)
+          .select($"vec_id", $"n_id".as("n_ex"), $"contam".as("c_ex"))
+        val iv = semanticDecontamIvf(
+            s, d, graft.operators.IvfKMeans.adaptiveNprobe, 3L, needleBudget = 64L)
+          .select($"vec_id", $"n_id".as("n_iv"), $"contam".as("c_iv"))
+        ex.join(iv, Seq("vec_id"))
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(when($"n_ex" === $"n_iv", 1L).otherwise(0L)).as("n_argmax_match"),
+            sum(when($"c_ex", 1L).otherwise(0L)).as("n_contam_exact"),
+            sum(when($"c_iv", 1L).otherwise(0L)).as("n_contam_ivf"),
+            sum(when($"c_ex" === $"c_iv", 1L).otherwise(0L)).as("n_flag_agree"))
+      },
+      Some(s"""WITH ${semanticIvfCtes(3,
+                 "SELECT GREATEST(2, CAST(ceil(COUNT(*) / 8.0) AS BIGINT)) AS np FROM c2",
+                 needleBudget = 64L)},
+              |ex AS (
+              |  SELECT vec_id, n_id, sim4 >= 0.40 AS contam FROM (
+              |    SELECT c.vec_id, q.vec_id AS n_id,
+              |      ROUND(list_sum(list_transform(range(1, 65), i -> c.v[i] * q.v[i])) / (c.nrm * q.nrm), 4) + 0.0 AS sim4,
+              |      ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+              |        ROUND(list_sum(list_transform(range(1, 65), i -> c.v[i] * q.v[i])) / (c.nrm * q.nrm), 4) + 0.0 DESC,
+              |        q.vec_id) AS rn
+              |    FROM cor c, n q) t WHERE rn = 1)
+              |SELECT COUNT(*) AS n_vecs,
+              |  CAST(SUM(CASE WHEN ex.n_id = ivf.n_id THEN 1 ELSE 0 END) AS BIGINT) AS n_argmax_match,
+              |  CAST(SUM(CASE WHEN ex.contam THEN 1 ELSE 0 END) AS BIGINT) AS n_contam_exact,
+              |  CAST(SUM(CASE WHEN ivf.contam THEN 1 ELSE 0 END) AS BIGINT) AS n_contam_ivf,
+              |  CAST(SUM(CASE WHEN ex.contam = ivf.contam THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_agree
+              |FROM ex JOIN ivf USING (vec_id)""".stripMargin)
     ),
 
     "q_decontaminate_semantic_recall" -> QueryDef(

@@ -213,14 +213,14 @@ class Round14OpsSpec extends AnyFunSuite {
     val adaptive = SparkEntry.queries("q_decontaminate_semantic_ivf_adaptive")(spark, sf001)
       .select($"vec_id", $"n_id", $"contam").collect()
     val pinned3 = graft.queries.PipelineQueries
-      .semanticDecontamIvf(spark, sf001, (_: Int) => 3, 3L)
+      .semanticDecontamIvf(spark, sf001, (_: Int) => 3, 3L, Long.MaxValue)
       .select($"vec_id", $"n_id", $"contam").collect()
     assert(adaptive.toSeq == pinned3.toSeq,
       "policy path must equal the constant path at the resolved width")
     // and the width MATTERS here — nprobe=2 on the same needle set finds a
     // different audit (the branch is exercised, not just compiled)
     val pinned2 = graft.queries.PipelineQueries
-      .semanticDecontamIvf(spark, sf001, (_: Int) => 2, 3L)
+      .semanticDecontamIvf(spark, sf001, (_: Int) => 2, 3L, Long.MaxValue)
       .select($"vec_id", $"n_id", $"contam").collect()
     assert(adaptive.toSeq != pinned2.toSeq,
       "widening 2→3 must change at least one audit row at K=21")

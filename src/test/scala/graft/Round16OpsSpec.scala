@@ -160,6 +160,37 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(diverged.isEmpty, s"${diverged.length} diverged, first: ${diverged.headOption}")
   }
 
+  test("needle budget: the cap binds in md5 order, and a non-binding budget is a pass-through") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    // the first 64 mod-3 vec_ids in deterministic md5 order — the suite
+    // the budgeted arm must train on and flag against
+    val suite = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter($"vec_id" % 3 === 0)
+      .orderBy(md5($"vec_id".cast("string")), $"vec_id")
+      .limit(64).select($"vec_id").as[Long].collect().toSet
+    assert(suite.size == 64)
+    val budgeted = graft.queries.PipelineQueries
+      .semanticDecontamIvf(spark, sfDir, graft.operators.IvfKMeans.adaptiveNprobe, 3L, 64L)
+      .select($"vec_id", $"n_id").as[(Long, Long)].collect()
+    assert(budgeted.nonEmpty)
+    // every reported nearest needle comes from the capped suite — the cap
+    // ran BEFORE training, not as an output filter
+    val outside = budgeted.filter(r => !suite.contains(r._2))
+    assert(outside.isEmpty, s"argmax needles outside the budgeted suite: ${outside.take(3).toSeq}")
+    // a budget the needle count never reaches changes nothing: same rows
+    // as the unbudgeted adaptive arm (the cap is ORDER BY md5 LIMIT, and
+    // LIMIT >= count keeps the set; training is order-independent)
+    val unb = graft.queries.PipelineQueries
+      .semanticDecontamIvf(spark, sfDir, graft.operators.IvfKMeans.adaptiveNprobe, 3L, Long.MaxValue)
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    val big = graft.queries.PipelineQueries
+      .semanticDecontamIvf(spark, sfDir, graft.operators.IvfKMeans.adaptiveNprobe, 3L, 1000000L)
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(big == unb, "a non-binding budget must be a pass-through")
+  }
+
   test("q_dedup_image_recall: pigeonhole floors hold exactly and recall is monotone in band count") {
     import spark.implicits._
     // b bands of 64/b bits guarantee recall 1.0 for d <= b-1 (some band
