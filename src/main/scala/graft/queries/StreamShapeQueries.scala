@@ -398,6 +398,73 @@ object StreamShapeQueries {
       Some(streamDecontaminateOracle)
     ),
 
+    "q_stream_decontaminate_semantic" -> QueryDef(
+      // STREAM-SIDE SEMANTIC decontamination (round 16) — the third
+      // decontamination mechanism gets its streaming twin (verbatim
+      // 5-gram and Bloom both have theirs above): every arriving corpus
+      // EMBEDDING is flagged against the fixed benchmark suite inside a
+      // STATELESS stream projection — no state store, no watermark, no
+      // stream-static join. The suite is the round-16 needle-budget
+      // artifact (64 needles in deterministic md5 order over the mod-3
+      // set — the same suite the budgeted IVF tier trains on), collected
+      // once batch-side (64×64 doubles, the bounded benchmark matrix) and
+      // riding the executors inside the fused codegen'd probe expression
+      // (NeedleProbe.gate: per-needle cosine loop + exact HALF_UP round +
+      // family packing per ROW — the exact arm's kernel, so the stream
+      // emits the same audit schema: nearest needle, sim4, contam flag,
+      // the moment the vector arrives). The oracle is the exact
+      // argmax over the same budgeted suite, so the hash certifies the
+      // suite cap, the kernel and the stream plumbing at once.
+      (s, d) => {
+        import s.implicits._
+        val needleRows = embeddings(s, d)
+          .select($"vec_id",
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+          .filter(pmod($"vec_id", lit(3)) === 0)
+          .orderBy(md5($"vec_id".cast("string")), $"vec_id").limit(64)
+          .collect() // bounded: the fixed 64-needle benchmark matrix
+        val probe = graft.functions.NeedleProbe.gate(s,
+          needleRows.map(_.getLong(0)),
+          needleRows.map(_.getSeq[Double](1).toArray))
+        val low = lit((1L << 41) - 1L)
+        val name = "q_stream_sem_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        graft.streaming.StreamOps.withRightSizedStreaming(s, 4, noDataBatches = false) {
+          val flagged = graft.streaming.StreamOps
+            .readEventStream(s, streamSourceDir(d, "embeddings"))
+            .filter(pmod($"vec_id", lit(3)) =!= 0)
+            .select($"vec_id",
+              expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+            .withColumn("p", probe($"v"))
+            .select($"vec_id",
+              (low - $"p".bitwiseAND(low)).as("n_id"),
+              ((shiftright($"p", 41) - lit(10000L)).cast("double") / 10000.0).as("sim4"))
+            .withColumn("contam", $"sim4" >= 0.40)
+          val q = graft.streaming.StreamOps.runToMemory(flagged, name)
+          q.awaitTermination()
+        }
+        val out = s.table(name).orderBy($"vec_id").localCheckpoint()
+        s.catalog.dropTempView(name)
+        out
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+             |en AS (
+             |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+             |n AS (
+             |  SELECT vec_id, v, nrm FROM en WHERE vec_id % 3 = 0
+             |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 64),
+             |cor AS (SELECT * FROM en WHERE vec_id % 3 <> 0)
+             |SELECT vec_id, n_id, sim4, sim4 >= 0.40 AS contam FROM (
+             |  SELECT c.vec_id, q.vec_id AS n_id,
+             |    ROUND(list_sum(list_transform(range(1, 65), i -> c.v[i] * q.v[i])) / (c.nrm * q.nrm), 4) + 0.0 AS sim4,
+             |    ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+             |      ROUND(list_sum(list_transform(range(1, 65), i -> c.v[i] * q.v[i])) / (c.nrm * q.nrm), 4) + 0.0 DESC,
+             |      q.vec_id) AS rn
+             |  FROM cor c, n q) t
+             |WHERE rn = 1 ORDER BY vec_id""".stripMargin)
+    ),
+
     "q_stream_ingest_dedup" -> QueryDef(
       // CONTINUOUS corpus ingestion with a durable fingerprint store — see
       // graft.streaming.IngestDedup for the full operator contract (batch

@@ -211,6 +211,22 @@ class Round16OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_stream_decontaminate_semantic equals the batch exact arm over the same budgeted suite") {
+    import spark.implicits._
+    // append-mode output of a stateless stream transform = the batch
+    // result: the stream twin must emit exactly the exact arm's audit
+    // rows for the identical md5-capped 64-needle suite
+    val sfDir = "/root/testdata/sf0.001"
+    val stream = SparkEntry.queries("q_stream_decontaminate_semantic")(spark, sfDir)
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    val batch = graft.queries.PipelineQueries
+      .semanticDecontamExact(spark, sfDir, needleMod = 3L, needleBudget = 64L)
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(stream.nonEmpty && stream == batch,
+      s"stream/batch diverged: ${stream.size} vs ${batch.size} rows; first diff: " +
+        stream.zip(batch).find { case (a, b) => a != b })
+  }
+
   test("q_multimodal_audit's planted fixtures force all three DecodeResult lanes at the 4096-int envelope") {
     import spark.implicits._
     import graft.multimodal.{JpegCodec, Multimodal}
