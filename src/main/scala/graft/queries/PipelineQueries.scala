@@ -788,9 +788,23 @@ object PipelineQueries {
     */
   private[graft] def quantizedShortlist(s: SparkSession, base: DataFrame): DataFrame = {
     import s.implicits._
-    val q = base.filter($"vec_id" < 10)
-      .select($"vec_id".as("q_id"), $"v".as("qvf"), $"qv8".as("qq8"),
-        $"qn".as("qnq"), $"bucket")
+    quantizedShortlistFrom(s, base,
+      base.filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"), $"v".as("qvf"), $"qv8".as("qq8"),
+          $"qn".as("qnq"), $"bucket"))
+  }
+
+  /** [[quantizedShortlist]] with the QUERY side supplied by the caller —
+    * the routing index is a parameter: the LSH tier passes one bucket row
+    * per query; the IVF composition passes one row per PROBED CELL (a
+    * corpus vector lives in exactly one cell, so a (q, c) pair still
+    * appears at most once and the adaptive width sees the query's whole
+    * candidate pool across its probes). `q` must carry
+    * (q_id, qvf, qq8, qnq, bucket).
+    */
+  private[graft] def quantizedShortlistFrom(
+      s: SparkSession, base: DataFrame, q: DataFrame): DataFrame = {
+    import s.implicits._
     val wQ = Window.partitionBy($"q_id")
     base.select($"vec_id".as("c_id"), $"v".as("cv"), $"qv8".as("cq8"),
         $"qn".as("qnc"), $"bucket")
@@ -810,7 +824,13 @@ object PipelineQueries {
   /** [[quantizedShortlist]] + full-precision rescore, final top-3. */
   private[graft] def quantizedTop3(s: SparkSession, base: DataFrame): DataFrame = {
     import s.implicits._
-    quantizedShortlist(s, base)
+    quantizedTop3Of(s, quantizedShortlist(s, base))
+  }
+
+  /** Full-precision rescore + final top-3 over a prepared shortlist. */
+  private[graft] def quantizedTop3Of(s: SparkSession, shortlist: DataFrame): DataFrame = {
+    import s.implicits._
+    shortlist
       .withColumn("sim4",
         round(graft.functions.CosineSimilarity.cosineSim(s, $"qvf", $"cv"), 4) + lit(0.0))
       .withColumn("rnk", row_number().over(
@@ -819,6 +839,106 @@ object PipelineQueries {
       .select($"q_id", $"rnk", $"c_id", $"iq", $"sim4")
       .orderBy($"q_id", $"rnk")
   }
+
+  /** The composed IVF × int8 index — shared body of
+    * q_similarity_ivf_quantized and its recall gate (full contract at the
+    * key's scaladoc): ann_ivf's trained coarse quantizer routes (nprobe=2
+    * probed cells per query), the symmetric global-scale int8 codes rank
+    * the probed candidates ([[quantizedShortlistFrom]] — the query side
+    * carries one row per probed cell), the adaptive shortlist pays the
+    * full-precision rescore for the final top-3.
+    */
+  private[graft] def ivfQuantizedTop3(s: SparkSession, d: String, nprobe: Int = 8): DataFrame = {
+    import s.implicits._
+    import graft.operators.IvfKMeans
+    val e = embeddings(s, d)
+      .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // K ≤ 16 seed rows — the k-means-init bound (ann_ivf's policy)
+    val seeds: Seq[(Long, Seq[Double])] =
+      e.filter($"vec_id" % 97 === 0 && $"vec_id" < 1552).orderBy($"vec_id")
+        .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val cents = IvfKMeans.train(s, e, seeds, iters = 2)
+    // ONE global max|x| (1-row bounded collect, baked as a plan literal) —
+    // the symmetric ranking scale quantizedLshBase documents; the quantize
+    // itself is pure map-side codegen
+    val maxAbs = e.select(max(expr(
+      "aggregate(v, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(x)))"))).head.getDouble(0)
+    def quant(df: DataFrame): DataFrame = df
+      .withColumn("qv8",
+        if (maxAbs == 0.0) expr("transform(v, x -> 0L)")
+        else transform($"v", x => floor(x * 127.0 / maxAbs + 0.5)))
+      .withColumn("qn", expr("aggregate(qv8, 0L, (acc, q) -> acc + q * q)"))
+    // the stored index: cell (map-side literal kernel) + int8 codes
+    val cBase = quant(e).withColumn("bucket", IvfKMeans.assignCell(s, cents, $"v"))
+    // query side: one row per probed cell (the ann_ivf probe policy)
+    val q = quant(e.filter($"vec_id" < 10))
+      .withColumn("p", explode(
+        slice(array_sort(IvfKMeans.simStructs(s, cents, $"v")), 1, nprobe)))
+      .select($"vec_id".as("q_id"), $"v".as("qvf"), $"qv8".as("qq8"),
+        $"qn".as("qnq"), $"p.cid".as("bucket"))
+    val out = quantizedTop3Of(s,
+        quantizedShortlistFrom(s, cBase, q).filter($"q_id" =!= $"c_id"))
+      .localCheckpoint() // 30 rows; then release the corpus cache
+    e.unpersist(blocking = false)
+    out
+  }
+
+  /** DuckDB replay of [[ivfQuantizedTop3]] — the ann_ivf training/probe
+    * CTEs composed with the quantized tier's code/shortlist CTEs, ending
+    * in `sc (q_id, c_id, iq, sim4)` (the rescored shortlist). */
+  private lazy val ivfQuantizedCtes: String =
+    s"""e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |c0 AS (
+       |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+       |  WHERE vec_id % 97 = 0 AND vec_id < 1552),
+       |${lloydIterSql(0)},
+       |${lloydIterSql(1)},
+       |asg AS (
+       |  SELECT vec_id, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos6 DESC, cid) AS rk
+       |  FROM (
+       |    SELECT n.vec_id, c.cid,
+       |      ROUND(list_sum(list_transform(range(1, 65), i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm), 6) AS cos6
+       |    FROM n, c2 c)),
+       |cells AS (SELECT vec_id, cid AS cell FROM asg WHERE rk = 1),
+       |probes AS (SELECT vec_id AS q_id, cid AS cell FROM asg WHERE vec_id < 10 AND rk <= 8),
+       |ma AS (SELECT MAX(list_max(list_transform(v, x -> abs(x)))) AS maxabs FROM e),
+       |q8 AS (
+       |  SELECT vec_id,
+       |    CASE WHEN maxabs = 0 THEN list_transform(v, x -> 0::BIGINT)
+       |         ELSE list_transform(v, x -> CAST(FLOOR(x * 127.0 / maxabs + 0.5) AS BIGINT)) END AS qv8
+       |  FROM e, ma),
+       |qn8 AS (
+       |  SELECT vec_id, qv8, CAST(list_sum(list_transform(qv8, q -> q * q)) AS BIGINT) AS qn
+       |  FROM q8),
+       |cp AS (
+       |  SELECT p.q_id, ce.vec_id AS c_id
+       |  FROM probes p JOIN cells ce ON ce.cell = p.cell AND ce.vec_id <> p.q_id),
+       |iq AS (
+       |  SELECT cp.q_id, cp.c_id,
+       |    CAST(list_sum(list_transform(range(1, 65), i -> a.qv8[i] * z.qv8[i])) AS BIGINT) AS iq,
+       |    a.qn AS qnq, z.qn AS qnc
+       |  FROM cp JOIN qn8 a ON a.vec_id = cp.q_id JOIN qn8 z ON z.vec_id = cp.c_id),
+       |iqc AS (
+       |  SELECT q_id, c_id, iq,
+       |    CASE WHEN qnq = 0 OR qnc = 0 THEN -2.0
+       |         ELSE CAST(iq AS DOUBLE) / sqrt(CAST(qnq * qnc AS DOUBLE)) END AS iqcos,
+       |    COUNT(*) OVER (PARTITION BY q_id) AS ncand
+       |  FROM iq),
+       |short AS (
+       |  SELECT q_id, c_id, iq FROM (
+       |    SELECT q_id, c_id, iq, ncand,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY iqcos DESC, c_id) AS irk
+       |    FROM iqc) t
+       |  WHERE irk <= GREATEST(15, CAST(CEIL(ncand / 8.0) AS BIGINT))),
+       |sc AS (
+       |  SELECT s.q_id, s.c_id, s.iq,
+       |    ROUND(list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 4) + 0.0 AS sim4
+       |  FROM short s JOIN n q ON q.vec_id = s.q_id JOIN n c ON c.vec_id = s.c_id)""".stripMargin
 
   /** DuckDB replay of [[quantizedLshBase]] + the bucket candidate pairs —
     * ends in `n (vec_id, v, bucket, nrm)`, `q8 (vec_id, qv8)`,
@@ -1662,6 +1782,101 @@ object PipelineQueries {
               |LEFT JOIN qa ON fa.q_id = qa.q_id AND fa.c_id = qa.c_id
               |JOIN (SELECT q_id, COUNT(*) AS n_quant FROM qa GROUP BY q_id) nq ON nq.q_id = fa.q_id
               |GROUP BY fa.q_id ORDER BY fa.q_id""".stripMargin)
+    ),
+
+    "q_similarity_ivf_quantized" -> QueryDef(
+      // IVF × int8 COMPOSED ANN (round 16) — the architecture a 100 TB
+      // vector store actually deploys (the FAISS IVFx,SQ8 shape): the
+      // coarse quantizer ROUTES (each query probes its nprobe nearest
+      // cells, so the index touches ~nprobe·N/K candidates, never N), the
+      // int8 code dot RANKS the probed candidates (exact integer
+      // arithmetic, 4× less memory traffic than float), and only the
+      // adaptive shortlist (max(15, ⌈candidates/8⌉)) pays the
+      // full-precision rescore for the final top-3. Every stage is an
+      // existing oracle-gated mechanism composed unchanged: the ann_ivf
+      // trainer (pinned Lloyd, plan-literal centroid assignment —
+      // zero-shuffle cell routing), the quantized tier's symmetric
+      // global-scale codes and norm-corrected shortlist
+      // (quantizedShortlistFrom — the query side here carries one row per
+      // PROBED CELL), the family's round-4 rescore. nprobe=8 is a
+      // MEASURED knee, not a guess (tools/IvfQuantizedCurve, BENCH_SCALING
+      // round 16): this corpus's near-uniform synthetic vectors spread
+      // true neighbors across the K≤16 coarse cells, so nprobe=2 recalls
+      // only 0.47–0.53@3 while 8 reaches 0.87–0.97 at flat wall-clock (a
+      // real embedding corpus is clustered and sits left of this knee).
+      // The DuckDB oracle replays the whole composition: both Lloyd
+      // iterations, cell assignment, the probe list, the global max|x|
+      // scale, integer code dots, the adaptive width over the per-query
+      // candidate pool, and the rescored top-3 — a drift anywhere breaks
+      // the hash. Loss measured by q_similarity_ivf_quantized_recall.
+      (s, d) => ivfQuantizedTop3(s, d),
+      Some(s"""WITH $ivfQuantizedCtes
+              |SELECT q_id, rnk, c_id, iq, sim4 FROM (
+              |  SELECT q_id, c_id, iq, sim4,
+              |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim4 DESC, c_id) AS rnk
+              |  FROM sc) t
+              |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin)
+    ),
+
+    "q_similarity_ivf_quantized_recall" -> QueryDef(
+      // Measured loss of the COMPOSED index (the family rule): recall@3 of
+      // IVF-routing × int8-shortlist × rescore against exact brute force,
+      // per query — the composition stacks two approximations (an exact
+      // neighbor can hide in an unprobed cell OR fall off the int8
+      // shortlist), so neither constituent's measured recall covers it.
+      // Integer counters only; the exact arm is the allowlisted
+      // brute-force baseline (q_similarity_topk's non-equi broadcast join
+      // IS that operator), re-run here exactly as q_similarity_recall
+      // re-runs it for the LSH arm.
+      (s, d) => {
+        import s.implicits._
+        val e = embeddings(s, d)
+          .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val q = e.filter($"vec_id" < 10)
+          .select($"vec_id".as("q_id"), $"v".as("qv"))
+        val exact = e.select($"vec_id".as("c_id"), $"v".as("cv"))
+          .join(broadcast(q), $"q_id" =!= $"c_id")
+          .withColumn("sim4",
+            round(graft.functions.CosineSimilarity.cosineSim(s, $"qv", $"cv"), 4))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy($"q_id").orderBy($"sim4".desc, $"c_id")))
+          .filter($"rnk" <= 3)
+          .select($"q_id", $"c_id")
+        val ann = ivfQuantizedTop3(s, d).select($"q_id", $"c_id")
+        val nHit = exact.join(ann, Seq("q_id", "c_id"))
+          .groupBy($"q_id").agg(count(lit(1)).as("n_hit"))
+        val out = exact.groupBy($"q_id").agg(count(lit(1)).as("n_exact"))
+          .join(ann.groupBy($"q_id").agg(count(lit(1)).as("n_ann")),
+            Seq("q_id"), "left_outer")
+          .join(nHit, Seq("q_id"), "left_outer")
+          .select($"q_id", $"n_exact",
+            coalesce($"n_ann", lit(0L)).as("n_ann"),
+            coalesce($"n_hit", lit(0L)).as("n_hit"))
+          .orderBy($"q_id")
+          .localCheckpoint() // 10 counter rows; then release the corpus cache
+        e.unpersist(blocking = false)
+        out
+      },
+      Some(s"""WITH $ivfQuantizedCtes,
+              |ann AS (
+              |  SELECT q_id, c_id FROM (
+              |    SELECT q_id, c_id,
+              |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim4 DESC, c_id) AS rnk
+              |    FROM sc) t WHERE rnk <= 3),
+              |ex AS (
+              |  SELECT q_id, c_id FROM (
+              |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+              |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+              |        ROUND(list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 4) DESC,
+              |        c.vec_id) AS rnk
+              |    FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id) t
+              |  WHERE rnk <= 3)
+              |SELECT ex.q_id, COUNT(*) AS n_exact,
+              |  (SELECT COUNT(*) FROM ann a WHERE a.q_id = ex.q_id) AS n_ann,
+              |  CAST(SUM(CASE WHEN ann.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+              |FROM ex LEFT JOIN ann ON ann.q_id = ex.q_id AND ann.c_id = ex.c_id
+              |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin)
     ),
 
     "q_similarity_filtered" -> QueryDef(

@@ -272,12 +272,14 @@ class PlanQualitySpec extends AnyFunSuite {
   test("no declared query plans a cartesian product; NLJ only where intended") {
     // q_similarity_topk is the deliberate brute-force exact baseline: its
     // non-equi (q_id <> c_id) broadcast join IS the operator; the recall
-    // evaluation re-runs that exact arm to measure the ANN arm against it.
-    // Everything else must key its joins — including the SemDeDup
+    // evaluations re-run that exact arm to measure an approximate index
+    // against it (the LSH arm and the composed IVF×int8 arm each have
+    // one). Everything else must key its joins — including the SemDeDup
     // broadcast tier, whose assignment is now the map-side
     // IvfNearestCellBc kernel (no crossJoin at any K; the former
     // broadcast-join mechanism's NLJ allowance is gone).
-    val allowNlj = Set("q_similarity_topk", "q_similarity_recall")
+    val allowNlj = Set("q_similarity_topk", "q_similarity_recall",
+      "q_similarity_ivf_quantized_recall")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
