@@ -884,6 +884,150 @@ object PipelineQueries {
     out
   }
 
+  /** BUILD/SERVE-separated persisted ANN index (round 16) — the lifecycle
+    * a production vector store actually runs, distinct from the
+    * compute-everything-per-query composition above:
+    *
+    *  - BUILD: the quantizer (centroids) AND the int8 scale train on the
+    *    indexed corpus only (even vec_ids — "yesterday's index"); the
+    *    index is WRITTEN as a parquet table PARTITIONED BY CELL — the
+    *    on-disk layout that makes probing an I/O win.
+    *  - INCREMENTAL APPEND: today's shard (odd vec_ids) is assigned to
+    *    the EXISTING centroids and quantized with the STORED scale — no
+    *    retrain, no rewrite of existing partitions; appended rows land in
+    *    their cells' directories (the IngestDedup store discipline
+    *    applied to the vector index).
+    *  - SERVE: queries probe their nprobe=8 nearest cells; the stored
+    *    index is read back with a STATIC cell-list partition filter (the
+    *    union of probed cells — bounded by K), so the scan reads ONLY the
+    *    probed cells' files (PartitionFilters/PartitionCount plan-gated in
+    *    Round16OpsSpec via the `inspect` hook) — at 100 TB this is the
+    *    difference between touching nprobe·K⁻¹ of the index bytes and all
+    *    of them. Ranking is the composed tier unchanged: int8 shortlist
+    *    ([[quantizedShortlistFrom]]) + full-precision rescore.
+    *
+    * The DuckDB oracle replays the lifecycle semantics exactly (training
+    * and scale from the even half, assignment/quantization of both halves,
+    * probe, shortlist, rescore), so the hash certifies that persistence +
+    * append added and lost nothing.
+    */
+  private[graft] def ivfIndexServe(
+      s: SparkSession, d: String,
+      inspect: DataFrame => Unit = _ => (),
+      nprobe: Int = 8): DataFrame = {
+    import s.implicits._
+    import graft.operators.IvfKMeans
+    val e = embeddings(s, d)
+      .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val build = e.filter($"vec_id" % 2 === 0)
+    val seeds: Seq[(Long, Seq[Double])] =
+      build.filter($"vec_id" % 97 === 0 && $"vec_id" < 1552).orderBy($"vec_id")
+        .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val cents = IvfKMeans.train(s, build, seeds, iters = 2)
+    // the stored scale artifact: max|x| over the INDEXED corpus only —
+    // appended shards quantize with it (production reality: the scale is
+    // part of the index, not recomputed per shard)
+    val maxAbs = build.select(max(expr(
+      "aggregate(v, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(x)))"))).head.getDouble(0)
+    def quant(df: DataFrame): DataFrame = df
+      .withColumn("qv8",
+        if (maxAbs == 0.0) expr("transform(v, x -> 0L)")
+        else transform($"v", x => floor(x * 127.0 / maxAbs + 0.5)))
+      .withColumn("qn", expr("aggregate(qv8, 0L, (acc, q) -> acc + q * q)"))
+    def indexed(df: DataFrame): DataFrame =
+      quant(df).withColumn("cell", IvfKMeans.assignCell(s, cents, $"v"))
+        .select($"vec_id", $"v", $"qv8", $"qn", $"cell")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_index").toString
+    try {
+      indexed(build).write.partitionBy("cell").mode("overwrite").parquet(dir)
+      indexed(e.filter($"vec_id" % 2 =!= 0))
+        .write.partitionBy("cell").mode("append").parquet(dir)
+      val q = quant(e.filter($"vec_id" < 10))
+        .withColumn("p", explode(
+          slice(array_sort(IvfKMeans.simStructs(s, cents, $"v")), 1, nprobe)))
+        .select($"vec_id".as("q_id"), $"v".as("qvf"), $"qv8".as("qq8"),
+          $"qn".as("qnq"), $"p.cid".as("bucket"))
+        .localCheckpoint() // tiny (10 × nprobe rows); read twice below
+      // bounded: ≤ K distinct probed cells — the static partition filter
+      val probedCells = q.select($"bucket").distinct().as[Long].collect().toSeq
+      val stored = s.read.parquet(dir)
+        .where($"cell".isin(probedCells: _*))
+        .select($"vec_id", $"v", $"qv8", $"qn", $"cell".cast("long").as("bucket"))
+      val top3 = quantizedTop3Of(s,
+        quantizedShortlistFrom(s, stored, q).filter($"q_id" =!= $"c_id"))
+      inspect(top3) // plan gate hook: partition pruning on the stored scan
+      top3.localCheckpoint() // 30 rows; then release cache + the index dir
+    } finally {
+      e.unpersist(blocking = false)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  /** DuckDB replay of [[ivfIndexServe]]'s lifecycle semantics — training
+    * and scale over the even half, assignment/quantization of both halves,
+    * probe, int8 shortlist, rescore; ends in `sc (q_id, c_id, iq, sim4)`.
+    * `lloydIterSql` trains over the CTE named `n` (the build corpus);
+    * `en` carries every vector for assignment/probing. */
+  private lazy val ivfIndexServeCtes: String =
+    s"""e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |en AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |n AS (SELECT * FROM en WHERE vec_id % 2 = 0),
+       |c0 AS (
+       |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+       |  WHERE vec_id % 97 = 0 AND vec_id < 1552),
+       |${lloydIterSql(0)},
+       |${lloydIterSql(1)},
+       |asg AS (
+       |  SELECT vec_id, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos6 DESC, cid) AS rk
+       |  FROM (
+       |    SELECT en.vec_id, c.cid,
+       |      ROUND(list_sum(list_transform(range(1, 65), i -> en.v[i] * c.cv[i])) / (en.nrm * c.cnrm), 6) AS cos6
+       |    FROM en, c2 c)),
+       |cells AS (SELECT vec_id, cid AS cell FROM asg WHERE rk = 1),
+       |probes AS (SELECT vec_id AS q_id, cid AS cell FROM asg WHERE vec_id < 10 AND rk <= 8),
+       |ma AS (
+       |  SELECT MAX(list_max(list_transform(v, x -> abs(x)))) AS maxabs
+       |  FROM e WHERE vec_id % 2 = 0),
+       |q8 AS (
+       |  SELECT vec_id,
+       |    CASE WHEN maxabs = 0 THEN list_transform(v, x -> 0::BIGINT)
+       |         ELSE list_transform(v, x -> CAST(FLOOR(x * 127.0 / maxabs + 0.5) AS BIGINT)) END AS qv8
+       |  FROM e, ma),
+       |qn8 AS (
+       |  SELECT vec_id, qv8, CAST(list_sum(list_transform(qv8, q -> q * q)) AS BIGINT) AS qn
+       |  FROM q8),
+       |cp AS (
+       |  SELECT p.q_id, ce.vec_id AS c_id
+       |  FROM probes p JOIN cells ce ON ce.cell = p.cell AND ce.vec_id <> p.q_id),
+       |iq AS (
+       |  SELECT cp.q_id, cp.c_id,
+       |    CAST(list_sum(list_transform(range(1, 65), i -> a.qv8[i] * z.qv8[i])) AS BIGINT) AS iq,
+       |    a.qn AS qnq, z.qn AS qnc
+       |  FROM cp JOIN qn8 a ON a.vec_id = cp.q_id JOIN qn8 z ON z.vec_id = cp.c_id),
+       |iqc AS (
+       |  SELECT q_id, c_id, iq,
+       |    CASE WHEN qnq = 0 OR qnc = 0 THEN -2.0
+       |         ELSE CAST(iq AS DOUBLE) / sqrt(CAST(qnq * qnc AS DOUBLE)) END AS iqcos,
+       |    COUNT(*) OVER (PARTITION BY q_id) AS ncand
+       |  FROM iq),
+       |short AS (
+       |  SELECT q_id, c_id, iq FROM (
+       |    SELECT q_id, c_id, iq, ncand,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY iqcos DESC, c_id) AS irk
+       |    FROM iqc) t
+       |  WHERE irk <= GREATEST(15, CAST(CEIL(ncand / 8.0) AS BIGINT))),
+       |sc AS (
+       |  SELECT s.q_id, s.c_id, s.iq,
+       |    ROUND(list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 4) + 0.0 AS sim4
+       |  FROM short s JOIN en q ON q.vec_id = s.q_id JOIN en c ON c.vec_id = s.c_id)""".stripMargin
+
   /** DuckDB replay of [[ivfQuantizedTop3]] — the ann_ivf training/probe
     * CTEs composed with the quantized tier's code/shortlist CTEs, ending
     * in `sc (q_id, c_id, iq, sim4)` (the rescored shortlist). */
@@ -1877,6 +2021,23 @@ object PipelineQueries {
               |  CAST(SUM(CASE WHEN ann.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
               |FROM ex LEFT JOIN ann ON ann.q_id = ex.q_id AND ann.c_id = ex.c_id
               |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin)
+    ),
+
+    "q_similarity_index_serve" -> QueryDef(
+      // BUILD / INCREMENTAL-APPEND / SERVE lifecycle of the persisted
+      // IVF × int8 index — contract and 100 TB story at [[ivfIndexServe]]:
+      // quantizer + scale trained on the indexed half only, index written
+      // partitioned by cell, today's shard appended against the STORED
+      // artifacts (no retrain), queries served off the store through a
+      // static probed-cell partition filter (scan reads only probed cells
+      // — plan-gated) with the composed int8-shortlist + rescore ranking.
+      (s, d) => ivfIndexServe(s, d),
+      Some(s"""WITH $ivfIndexServeCtes
+              |SELECT q_id, rnk, c_id, iq, sim4 FROM (
+              |  SELECT q_id, c_id, iq, sim4,
+              |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim4 DESC, c_id) AS rnk
+              |  FROM sc) t
+              |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin)
     ),
 
     "q_similarity_filtered" -> QueryDef(

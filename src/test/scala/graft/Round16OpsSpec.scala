@@ -211,6 +211,56 @@ class Round16OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_similarity_index_serve: the stored-index scan is partition-pruned to the probed cells") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // the persisted index's serve contract: the scan carries the static
+    // probed-cell PartitionFilters and reads ONLY those cells' partitions
+    // — at 100 TB this is nprobe/K of the index bytes, the property that
+    // makes a partitioned on-disk index an I/O win and not just a layout
+    var gated = false
+    // nprobe=1 over a 1552-vector fixture (K=8 cells — the sf0.001 corpus
+    // trains only K=3, which 10 queries cover even at nprobe=1, making a
+    // read<total gate vacuous there); the oracle hash certifies the
+    // shipped width separately
+    val fixDir = {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("ivf_serve_fix").toString
+      (0L until 1552L).map { i =>
+        (i, Array.tabulate(64)(j => (((i * 31 + j * 17) % 101) - 50).toFloat / 50f))
+      }.toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+    graft.queries.PipelineQueries.ivfIndexServe(spark, fixDir,
+      top3 => {
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+        def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+          case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+          case f: FileSourceScanExec => Seq(f)
+        }.flatten
+        val scans = scansOf(top3.queryExecution.executedPlan)
+          .filter(_.relation.location.rootPaths
+            .exists(_.toString.contains("graft_ivf_index")))
+        assert(scans.nonEmpty, "expected a stored-index file scan in the serve plan")
+        scans.foreach { f =>
+          assert(f.partitionFilters.nonEmpty,
+            s"the stored scan must carry the probed-cell partition filter:\n$f")
+          val read = f.selectedPartitions.partitionCount
+          // total cells on disk from the scan's own root path (the index
+          // dir is still live inside the hook)
+          val root = f.relation.location.rootPaths.head.toUri.getPath
+          val total = Option(new java.io.File(root).listFiles())
+            .map(_.count(d => d.isDirectory && d.getName.startsWith("cell="))).getOrElse(0)
+          assert(total > 0, s"no cell partitions under $root")
+          assert(read < total,
+            s"pruning must skip unprobed cells: read $read of $total partitions")
+        }
+        gated = true
+      }, nprobe = 1).collect()
+    assert(gated, "inspect hook must run")
+  }
+
   test("q_stream_decontaminate_semantic equals the batch exact arm over the same budgeted suite") {
     import spark.implicits._
     // append-mode output of a stateless stream transform = the batch
