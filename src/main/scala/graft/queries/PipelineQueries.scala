@@ -2023,6 +2023,74 @@ object PipelineQueries {
               |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin)
     ),
 
+    "q_similarity_index_health" -> QueryDef(
+      // INDEX MAINTENANCE AUDIT (round 16) — the signal that tells a
+      // production store WHEN the incrementally-appended index needs a
+      // retrain: appended shards are assigned to centroids trained on
+      // yesterday's data, so distribution drift shows up as per-cell
+      // occupancy skew. Per cell: indexed count (the build half), appended
+      // count (today's shard), and a GROWING flag — the cell's appended
+      // share exceeds 1.5× its indexed share, by exact integer
+      // cross-multiplication (2·n_app·Σidx > 3·n_idx·Σapp; no float
+      // decides a row). One bounded-key aggregate over the same map-side
+      // cell assignment the serve lifecycle uses — the audit costs one
+      // corpus pass, the retrain decision reads K rows.
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.IvfKMeans
+        val e = embeddings(s, d)
+          .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val build = e.filter($"vec_id" % 2 === 0)
+        val seeds: Seq[(Long, Seq[Double])] =
+          build.filter($"vec_id" % 97 === 0 && $"vec_id" < 1552).orderBy($"vec_id")
+            .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+        val cents = IvfKMeans.train(s, build, seeds, iters = 2)
+        val counts = e
+          .withColumn("cell", IvfKMeans.assignCell(s, cents, $"v"))
+          .groupBy($"cell")
+          .agg(
+            sum(when($"vec_id" % 2 === 0, 1L).otherwise(0L)).as("n_indexed"),
+            sum(when($"vec_id" % 2 =!= 0, 1L).otherwise(0L)).as("n_appended"))
+        val out = counts
+          .withColumn("tot_idx", sum($"n_indexed").over(Window.partitionBy()))
+          .withColumn("tot_app", sum($"n_appended").over(Window.partitionBy()))
+          .select($"cell", $"n_indexed", $"n_appended",
+            (lit(2L) * $"n_appended" * $"tot_idx" >
+              lit(3L) * $"n_indexed" * $"tot_app").as("growing"))
+          .orderBy($"cell")
+          .localCheckpoint() // K rows; then release the corpus cache
+        e.unpersist(blocking = false)
+        out
+      },
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+              |en AS (
+              |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+              |n AS (SELECT * FROM en WHERE vec_id % 2 = 0),
+              |c0 AS (
+              |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+              |  WHERE vec_id % 97 = 0 AND vec_id < 1552),
+              |${lloydIterSql(0)},
+              |${lloydIterSql(1)},
+              |cells AS (
+              |  SELECT vec_id, cid AS cell FROM (
+              |    SELECT en.vec_id, c.cid,
+              |      ROW_NUMBER() OVER (PARTITION BY en.vec_id ORDER BY
+              |        ROUND(list_sum(list_transform(range(1, 65), i -> en.v[i] * c.cv[i])) / (en.nrm * c.cnrm), 6) DESC,
+              |        c.cid) AS rk
+              |    FROM en, c2 c) WHERE rk = 1),
+              |cnt AS (
+              |  SELECT cell,
+              |    CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_indexed,
+              |    CAST(SUM(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_appended
+              |  FROM cells GROUP BY cell),
+              |tot AS (SELECT SUM(n_indexed) AS ti, SUM(n_appended) AS ta FROM cnt)
+              |SELECT cell, n_indexed, n_appended,
+              |  2 * n_appended * ti > 3 * n_indexed * ta AS growing
+              |FROM cnt, tot ORDER BY cell""".stripMargin)
+    ),
+
     "q_similarity_index_serve" -> QueryDef(
       // BUILD / INCREMENTAL-APPEND / SERVE lifecycle of the persisted
       // IVF × int8 index — contract and 100 TB story at [[ivfIndexServe]]:

@@ -261,6 +261,34 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(gated, "inspect hook must run")
   }
 
+  test("q_similarity_index_health: a planted drifted append fires the growing flag, undrifted cells stay quiet") {
+    import spark.implicits._
+    // even ids (the indexed half) spread pseudo-uniformly; odd ids (the
+    // appended shard) all cluster near one direction — the drift the
+    // audit exists to catch. Both flag branches must be live.
+    val dir = java.nio.file.Files.createTempDirectory("ivf_health_fix").toString
+    (0L until 1000L).map { i =>
+      val v =
+        if (i % 2 == 0) Array.tabulate(64)(j => (((i * 31 + j * 17) % 101) - 50).toFloat / 50f)
+        else Array.tabulate(64)(j =>
+          (if (j < 4) 1.0f else 0.0f) + (((i * 7 + j) % 11) - 5).toFloat / 500f)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = SparkEntry.queries("q_similarity_index_health")(spark, dir)
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(rows.length >= 3, s"expected several cells, got ${rows.length}")
+    val growing = rows.filter(_._4)
+    assert(growing.nonEmpty, s"the planted drift must fire the flag: ${rows.toSeq}")
+    assert(growing.length < rows.length,
+      s"undrifted cells must stay quiet: ${rows.toSeq}")
+    // the drifted mass is concentrated: the flagged cells hold the large
+    // majority of the appended shard
+    val appTotal = rows.map(_._3).sum
+    assert(growing.map(_._3).sum * 10 > appTotal * 8,
+      s"flagged cells should hold >80% of the appended mass: ${rows.toSeq}")
+  }
+
   test("q_stream_decontaminate_semantic equals the batch exact arm over the same budgeted suite") {
     import spark.implicits._
     // append-mode output of a stateless stream transform = the batch
