@@ -465,6 +465,64 @@ object StreamShapeQueries {
              |WHERE rn = 1 ORDER BY vec_id""".stripMargin)
     ),
 
+    "q_stream_multimodal_audit" -> QueryDef(
+      // MEDIA-FIREHOSE TRIAGE (round 16) — q_multimodal_audit's streaming
+      // twin: every arriving document's media asset is decode-routed the
+      // moment it lands, as a STATELESS stream stage (no state store, no
+      // watermark — the mapPartitions decode is the mapInPandas shape on
+      // a stream): Decoded assets emit their pixel checksum, structurally
+      // valid assets past the 4096-int envelope route to the OVERSIZED
+      // lane carrying the declared plane ints (what the big-asset retry
+      // lane budgets from), corrupt bytes route to invalid. The batch key
+      // aggregates this stream's rows into the release audit; here the
+      // oracle certifies every PER-ASSET routing decision and checksum
+      // from doc_id arithmetic.
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.JpegCodec
+        val name = "q_stream_mm_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        graft.streaming.StreamOps.withRightSizedStreaming(s, 4, noDataBatches = false) {
+          val routed = graft.multimodal.Multimodal
+            .assetsFromDocumentsJpegAudit(s,
+              graft.streaming.StreamOps.readEventStream(s, streamSourceDir(d, "documents")))
+            .mapPartitions(_.map { a =>
+              JpegCodec.decodeDetailed(a.content, maxPlaneInts = 4096L) match {
+                case JpegCodec.DecodeResult.Decoded(img) =>
+                  (a.asset_id, "decoded",
+                    img.pixels.map(_ & 0xff).foldLeft(0L)(_ + _), 0L)
+                case JpegCodec.DecodeResult.Oversized(declared, _) =>
+                  (a.asset_id, "oversized", 0L, declared)
+                case JpegCodec.DecodeResult.Invalid =>
+                  (a.asset_id, "invalid", 0L, 0L)
+              }
+            }).toDF("doc_id", "lane", "px_sum", "declared_ints")
+          val q = graft.streaming.StreamOps.runToMemory(routed, name)
+          q.awaitTermination()
+        }
+        val out = s.table(name).orderBy($"doc_id").localCheckpoint()
+        s.catalog.dropTempView(name)
+        out
+      },
+      Some("""WITH cls AS (
+             |  SELECT doc_id, doc_id % 7 AS c,
+             |    8 * (1 + doc_id % 3) AS w, 8 * (1 + (doc_id // 3) % 2) AS h
+             |  FROM documents),
+             |blocks AS (
+             |  SELECT doc_id, unnest(range((w // 8) * (h // 8))) AS b
+             |  FROM cls WHERE c NOT IN (0, 1)),
+             |px AS (
+             |  SELECT doc_id, CAST(64 * SUM(2 * ((doc_id * 13 + 29 * b) % 128)) AS BIGINT) AS px_sum
+             |  FROM blocks GROUP BY doc_id)
+             |SELECT cls.doc_id,
+             |  CASE WHEN c = 0 THEN 'invalid' WHEN c = 1 THEN 'oversized'
+             |       ELSE 'decoded' END AS lane,
+             |  COALESCE(px.px_sum, 0) AS px_sum,
+             |  CAST(CASE WHEN c = 1 THEN 5120 ELSE 0 END AS BIGINT) AS declared_ints
+             |FROM cls LEFT JOIN px ON cls.doc_id = px.doc_id
+             |ORDER BY cls.doc_id""".stripMargin)
+    ),
+
     "q_stream_ingest_dedup" -> QueryDef(
       // CONTINUOUS corpus ingestion with a durable fingerprint store — see
       // graft.streaming.IngestDedup for the full operator contract (batch
