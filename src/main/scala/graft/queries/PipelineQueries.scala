@@ -895,8 +895,11 @@ object PipelineQueries {
     *  - INCREMENTAL APPEND: today's shard (odd vec_ids) is assigned to
     *    the EXISTING centroids and quantized with the STORED scale — no
     *    retrain, no rewrite of existing partitions; appended rows land in
-    *    their cells' directories (the IngestDedup store discipline
-    *    applied to the vector index).
+    *    their cells' directories under a shard-id partition level with
+    *    DYNAMIC partition overwrite, so an at-least-once retry of the
+    *    shard overwrites its own partitions instead of double-appending
+    *    (the IngestDedup store discipline applied to the vector index —
+    *    idempotency spec-proven via `retryAppend`).
     *  - SERVE: queries probe their nprobe=8 nearest cells; the stored
     *    index is read back with a STATIC cell-list partition filter (the
     *    union of probed cells — bounded by K), so the scan reads ONLY the
@@ -914,7 +917,8 @@ object PipelineQueries {
   private[graft] def ivfIndexServe(
       s: SparkSession, d: String,
       inspect: DataFrame => Unit = _ => (),
-      nprobe: Int = 8): DataFrame = {
+      nprobe: Int = 8,
+      retryAppend: Boolean = false): DataFrame = {
     import s.implicits._
     import graft.operators.IvfKMeans
     val e = embeddings(s, d)
@@ -940,9 +944,28 @@ object PipelineQueries {
         .select($"vec_id", $"v", $"qv8", $"qn", $"cell")
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_index").toString
     try {
-      indexed(build).write.partitionBy("cell").mode("overwrite").parquet(dir)
-      indexed(e.filter($"vec_id" % 2 =!= 0))
-        .write.partitionBy("cell").mode("append").parquet(dir)
+      indexed(build).withColumn("shard", lit(0L))
+        .write.partitionBy("cell", "shard").mode("overwrite").parquet(dir)
+      // Shard-IDEMPOTENT append — the actual IngestDedup discipline, not a
+      // blind append: the shard id is the second partition level, and the
+      // write runs under DYNAMIC partition overwrite, so it replaces only
+      // (cell=*, shard=1) — an at-least-once retry of the same shard
+      // OVERWRITES its own partitions instead of double-appending, and the
+      // build shard's partitions are never touched. The conf toggle is
+      // scoped (explicit-only pre-state via getAll, the r6 hygiene rule).
+      val OvKey = "spark.sql.sources.partitionOverwriteMode"
+      val prevOv = s.conf.getAll.get(OvKey)
+      def appendShard(): Unit = {
+        s.conf.set(OvKey, "dynamic")
+        try indexed(e.filter($"vec_id" % 2 =!= 0)).withColumn("shard", lit(1L))
+          .write.partitionBy("cell", "shard").mode("overwrite").parquet(dir)
+        finally prevOv match {
+          case Some(v) => s.conf.set(OvKey, v)
+          case None => s.conf.unset(OvKey)
+        }
+      }
+      appendShard()
+      if (retryAppend) appendShard() // the at-least-once redelivery, simulated
       val q = quant(e.filter($"vec_id" < 10))
         .withColumn("p", explode(
           slice(array_sort(IvfKMeans.simStructs(s, cents, $"v")), 1, nprobe)))

@@ -247,14 +247,17 @@ class Round16OpsSpec extends AnyFunSuite {
           assert(f.partitionFilters.nonEmpty,
             s"the stored scan must carry the probed-cell partition filter:\n$f")
           val read = f.selectedPartitions.partitionCount
-          // total cells on disk from the scan's own root path (the index
-          // dir is still live inside the hook)
+          // total LEAF partitions (cell=*/shard=*) on disk from the scan's
+          // own root path (the index dir is still live inside the hook) —
+          // partitionCount counts leaves, so the bound must too
           val root = f.relation.location.rootPaths.head.toUri.getPath
-          val total = Option(new java.io.File(root).listFiles())
-            .map(_.count(d => d.isDirectory && d.getName.startsWith("cell="))).getOrElse(0)
-          assert(total > 0, s"no cell partitions under $root")
+          val cellDirs = Option(new java.io.File(root).listFiles()).toSeq.flatten
+            .filter(d => d.isDirectory && d.getName.startsWith("cell="))
+          val total = cellDirs.map(c => Option(c.listFiles()).toSeq.flatten
+            .count(d => d.isDirectory && d.getName.startsWith("shard="))).sum
+          assert(total > 0, s"no cell/shard partitions under $root")
           assert(read < total,
-            s"pruning must skip unprobed cells: read $read of $total partitions")
+            s"pruning must skip unprobed cells: read $read of $total leaf partitions")
         }
         gated = true
       }, nprobe = 1).collect()
@@ -287,6 +290,22 @@ class Round16OpsSpec extends AnyFunSuite {
     val appTotal = rows.map(_._3).sum
     assert(growing.map(_._3).sum * 10 > appTotal * 8,
       s"flagged cells should hold >80% of the appended mass: ${rows.toSeq}")
+  }
+
+  test("q_similarity_index_serve: an at-least-once retry of the append converges (idempotent shard overwrite)") {
+    import spark.implicits._
+    // the IngestDedup discipline the lifecycle claims: redelivering the
+    // append shard must overwrite its own (cell, shard) partitions, not
+    // double the rows — served results are bit-identical either way
+    val sfDir = "/root/testdata/sf0.001"
+    val once = graft.queries.PipelineQueries.ivfIndexServe(spark, sfDir)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    val retried = graft.queries.PipelineQueries
+      .ivfIndexServe(spark, sfDir, retryAppend = true)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(once.nonEmpty && retried == once,
+      s"retry diverged: ${once.size} vs ${retried.size} rows; first diff: " +
+        once.zip(retried).find { case (a, b) => a != b })
   }
 
   test("q_stream_decontaminate_semantic equals the batch exact arm over the same budgeted suite") {
