@@ -316,4 +316,39 @@ object Multimodal {
       MediaAsset(id, MediaMeta("video", "mp4", 0, 0, 0, duration), bytes)
     }
   }
+
+  /** MJPEG-in-MP4 asset source (round 17 — closes the video family's
+    * payload layer): each document becomes a genuine ISO-BMFF container
+    * whose sample payloads are REAL baseline-JFIF frames — the
+    * [[JpegCodec.encodeGrayDcOnly]] DC-only construction (16×8 gray, two
+    * blocks per frame), so frame decode is exact integer arithmetic and a
+    * DuckDB oracle reconstructs every decoded pixel statistic from
+    * `doc_id` alone while the engine runs the full real pipeline: box
+    * walk → stsc/stco sample extraction → per-frame marker walk, Huffman,
+    * dequant, IDCT. Two planted corruption lanes: every 89th document is
+    * truncated before moov (container-level, the mp4 key's lane), and
+    * every 97th document's LAST frame is cut mid-file (frame-level —
+    * a curation pipeline must route a bad frame without discarding the
+    * container). Reference analog: the opaque payloads the consumer
+    * round-trips (run.py:133-138), here given real decodable content.
+    */
+  def assetsFromDocumentsMjpeg(spark: SparkSession, documents: DataFrame): Dataset[MediaAsset] = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].map { id =>
+      val n = (1 + id % 7).toInt
+      val frames = Array.tabulate(n) { k =>
+        val t0 = (((id * 7 + k * 13) % 128) - 64).toInt
+        val t1 = (((id * 7 + k * 13 + 29) % 128) - 64).toInt
+        val jb = JpegCodec.encodeGrayDcOnly(16, 8, Array(t0, t1))
+        if (id % 97 == 0 && k == n - 1) java.util.Arrays.copyOf(jb, jb.length / 2)
+        else jb
+      }
+      val timescale = 1000 + id % 100
+      val duration = n * (10 + id % 50)
+      val full = Mp4Codec.encode(timescale, duration, frames)
+      val bytes =
+        if (id % 89 == 0) java.util.Arrays.copyOf(full, math.min(30, full.length)) else full
+      MediaAsset(id, MediaMeta("video", "mjpeg", 16, 8, 0, duration), bytes)
+    }
+  }
 }

@@ -443,6 +443,11 @@ object PipelineQueries {
   private[graft] def semanticDecontamExact(
       s: SparkSession, d: String,
       needleMod: Long = 31L, needleBudget: Long = Long.MaxValue): DataFrame = {
+    // budgets in (Int.MaxValue, Long.MaxValue) would overflow limit()'s
+    // Int to a negative — reject up front instead of failing at runtime
+    // (Long.MaxValue is the documented pass-through sentinel)
+    require(needleBudget == Long.MaxValue || needleBudget <= Int.MaxValue,
+      s"needleBudget $needleBudget exceeds limit()'s Int range (use Long.MaxValue to disable)")
     import s.implicits._
     val e = embeddings(s, d).select($"vec_id",
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
@@ -536,6 +541,8 @@ object PipelineQueries {
       s: SparkSession, d: String,
       nprobePolicy: Int => Int, needleMod: Long,
       needleBudget: Long): DataFrame = {
+    require(needleBudget == Long.MaxValue || needleBudget <= Int.MaxValue,
+      s"needleBudget $needleBudget exceeds limit()'s Int range (use Long.MaxValue to disable)")
     import s.implicits._
     import graft.operators.IvfKMeans
     val e = embeddings(s, d).select($"vec_id",
@@ -697,28 +704,51 @@ object PipelineQueries {
     }).toDF("doc_id", "h_hi", "h_lo")
   }
 
-  /** Hamming≤3 near-dup pairs between DISTINCT-hash canonical image reps —
-    * (doc_a, doc_b, hamming), already materialized (the pair list feeds
-    * both the pair report `q_dedup_image_phash_near` and the cluster
-    * labeling `q_dedup_image_clusters` without re-running the band join).
-    * Banding discipline: 4×16-bit bands over the 64-bit aHash, any-band
-    * equi-join (pigeonhole: ≤3 flips leave ≥1 band intact → total recall
-    * at d≤3), exact bit_count verify on candidates.
+  /** Hamming≤`maxDist` near-dup pairs between DISTINCT-hash canonical
+    * image reps — (doc_a, doc_b, hamming), materialized by default (the
+    * pair list feeds both the pair report and the cluster labeling
+    * without re-running the band join). Banding discipline,
+    * distance-parameterized like the IVF probe width (round 17, acting
+    * on q_dedup_image_recall's measured curve): `nBands` bands of
+    * 64/nBands bits over the 64-bit aHash, any-band equi-join
+    * (pigeonhole: ≤ nBands−1 flips leave ≥1 band intact → total recall
+    * at d ≤ nBands−1), exact bit_count verify on candidates. The
+    * default (4, 3) is the original d≤3 tier; (8, 7) is the production
+    * near tier — the recall curve showed 4×16 banding silently decays
+    * to 21.4% recall at d=10 at sf1 while 8×8 holds ≥99.9%.
     */
   private[graft] def imagePhashNearPairs(
-      s: SparkSession, d: String, materialize: Boolean = true): DataFrame = {
+      s: SparkSession, d: String, materialize: Boolean = true,
+      nBands: Int = 4, maxDist: Int = 3): DataFrame = {
     import s.implicits._
     val reps = imageAhashes(s, d)
       .groupBy($"h_hi", $"h_lo")
       .agg(min($"doc_id").as("doc_id"))
       // materialized once: the band explode reads it twice (self-join)
       .localCheckpoint()
-    val bands = reps.select($"doc_id", $"h_hi", $"h_lo", explode(expr(
-      """array(
-        |  struct(0L AS band, h_lo % 65536 AS v),
-        |  struct(1L AS band, shiftright(h_lo, 16) AS v),
-        |  struct(2L AS band, h_hi % 65536 AS v),
-        |  struct(3L AS band, shiftright(h_hi, 16) AS v))""".stripMargin)).as("b"))
+    bandedHammingPairs(s, reps, nBands, maxDist, materialize)
+  }
+
+  /** The band-join core of [[imagePhashNearPairs]] over an explicit rep
+    * table (doc_id, h_hi, h_lo) — factored out so specs can plant exact
+    * bit patterns. Requires 64 % nBands == 0 and maxDist < nBands (the
+    * pigeonhole exactness bound: beyond nBands−1 flips no band is
+    * guaranteed intact and the equi-join under-recalls SILENTLY).
+    */
+  private[graft] def bandedHammingPairs(
+      s: SparkSession, reps: DataFrame, nBands: Int, maxDist: Int,
+      materialize: Boolean = true): DataFrame = {
+    require(nBands > 1 && 64 % nBands == 0, s"band count $nBands must divide 64")
+    require(maxDist < nBands,
+      s"maxDist $maxDist breaks the pigeonhole recall floor of $nBands bands")
+    import s.implicits._
+    val w = 64 / nBands
+    val slices = (0 until nBands).map { j =>
+      val bitOff = w * j
+      val (src, off) = if (bitOff < 32) ("h_lo", bitOff) else ("h_hi", bitOff - 32)
+      s"struct(CAST($j AS BIGINT) AS band, shiftright($src, $off) % ${1L << w} AS v)"
+    }.mkString("array(\n", ",\n", ")")
+    val bands = reps.select($"doc_id", $"h_hi", $"h_lo", explode(expr(slices)).as("b"))
       .select($"doc_id", $"h_hi", $"h_lo", $"b.band".as("band"), $"b.v".as("v"))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
@@ -726,14 +756,14 @@ object PipelineQueries {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.h_hi").as("ahi"), col("x.h_lo").as("alo"),
         col("y.h_hi").as("bhi"), col("y.h_lo").as("blo"))
-      // a d≤3 pair can agree on up to 3 bands — dedup the candidate,
-      // not the verified output (hashes ride along: doc_id determines
-      // the hash among reps, so the pair key alone dedups)
+      // a close pair can agree on up to nBands−1 bands — dedup the
+      // candidate, not the verified output (hashes ride along: doc_id
+      // determines the hash among reps, so the pair key alone dedups)
       .distinct()
     val pairs = cand
       .withColumn("hamming",
         expr("CAST(bit_count(ahi ^ bhi) + bit_count(alo ^ blo) AS BIGINT)"))
-      .filter($"hamming" <= 3)
+      .filter($"hamming" <= maxDist)
       .select($"doc_a", $"doc_b", $"hamming")
     // materialize=false exposes the full lineage for the plan gate (the
     // checkpoint otherwise truncates the visible plan to an ExistingRDD)
@@ -914,17 +944,34 @@ object PipelineQueries {
     * probe, shortlist, rescore), so the hash certifies that persistence +
     * append added and lost nothing.
     */
-  private[graft] def ivfIndexServe(
-      s: SparkSession, d: String,
-      inspect: DataFrame => Unit = _ => (),
-      nprobe: Int = 8,
-      retryAppend: Boolean = false): DataFrame = {
+  private def embVecs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    embeddings(s, d)
+      .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+  }
+
+  /** int8-quantize `v` with a stored symmetric scale (the index's scale
+    * artifact — NOT recomputed per shard). */
+  private def quantWith(df: DataFrame, maxAbs: Double): DataFrame = df
+    .withColumn("qv8",
+      if (maxAbs == 0.0) expr("transform(v, x -> 0L)")
+      else transform(col("v"), x => floor(x * 127.0 / maxAbs + 0.5)))
+    .withColumn("qn", expr("aggregate(qv8, 0L, (acc, q) -> acc + q * q)"))
+
+  /** BUILD the persisted index into the named `store` directory —
+    * `store/index` is the parquet index partitioned by (cell, shard);
+    * `store/meta` holds the trained centroids and the stored int8 scale
+    * (one row per centroid, max_abs riding every row). The store — not a
+    * returned DataFrame — is the artifact; [[ivfIndexAppend]] and
+    * [[ivfIndexServeOnly]] run against it in LATER jobs, which is the
+    * production point of a persisted index (build once, serve many).
+    * Trains on "yesterday's corpus" (even vec_ids).
+    */
+  private[graft] def ivfIndexBuild(s: SparkSession, d: String, store: String): Unit = {
     import s.implicits._
     import graft.operators.IvfKMeans
-    val e = embeddings(s, d)
-      .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val build = embVecs(s, d).filter($"vec_id" % 2 === 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val build = e.filter($"vec_id" % 2 === 0)
     val seeds: Seq[(Long, Seq[Double])] =
       build.filter($"vec_id" % 97 === 0 && $"vec_id" < 1552).orderBy($"vec_id")
         .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
@@ -934,55 +981,107 @@ object PipelineQueries {
     // part of the index, not recomputed per shard)
     val maxAbs = build.select(max(expr(
       "aggregate(v, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(x)))"))).head.getDouble(0)
-    def quant(df: DataFrame): DataFrame = df
-      .withColumn("qv8",
-        if (maxAbs == 0.0) expr("transform(v, x -> 0L)")
-        else transform($"v", x => floor(x * 127.0 / maxAbs + 0.5)))
-      .withColumn("qn", expr("aggregate(qv8, 0L, (acc, q) -> acc + q * q)"))
-    def indexed(df: DataFrame): DataFrame =
-      quant(df).withColumn("cell", IvfKMeans.assignCell(s, cents, $"v"))
-        .select($"vec_id", $"v", $"qv8", $"qn", $"cell")
+    cents.map { case (cid, cv) => (cid, cv, maxAbs) }
+      .toDF("cid", "cv", "max_abs")
+      .coalesce(1).write.mode("overwrite").parquet(s"$store/meta")
+    quantWith(build, maxAbs)
+      .withColumn("cell", IvfKMeans.assignCell(s, cents, $"v"))
+      .select($"vec_id", $"v", $"qv8", $"qn", $"cell")
+      .withColumn("shard", lit(0L))
+      .write.partitionBy("cell", "shard").mode("overwrite").parquet(s"$store/index")
+    build.unpersist(blocking = false)
+  }
+
+  /** Read back the store's trained artifacts: (centroids, stored scale).
+    * Bounded: K ≤ 16 centroid rows. */
+  private[graft] def ivfIndexMeta(
+      s: SparkSession, store: String): (Seq[(Long, Seq[Double])], Double) = {
+    val rows = s.read.parquet(s"$store/meta").collect()
+    (rows.map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq,
+      rows.head.getDouble(2))
+  }
+
+  /** Shard-IDEMPOTENT incremental append of `shard` (odd vec_ids —
+    * "today's data") against the STORED centroids and scale — no retrain,
+    * no rewrite of existing partitions. The shard id is the second
+    * partition level and the write runs under DYNAMIC partition
+    * overwrite, so it replaces only (cell=*, shard=N) — an at-least-once
+    * retry of the same shard OVERWRITES its own partitions instead of
+    * double-appending, and the build shard's partitions are never touched
+    * (the IngestDedup store discipline applied to the vector index;
+    * idempotency spec-proven via `retryAppend`). The overwrite mode rides
+    * the WRITER (per-write option), not the session conf — a concurrent
+    * write in the same session can never inherit it (round-17 ADVICE).
+    */
+  private[graft] def ivfIndexAppend(
+      s: SparkSession, d: String, store: String, shard: Long = 1L): Unit = {
+    import s.implicits._
+    import graft.operators.IvfKMeans
+    val (cents, maxAbs) = ivfIndexMeta(s, store)
+    quantWith(embVecs(s, d).filter($"vec_id" % 2 =!= 0), maxAbs)
+      .withColumn("cell", IvfKMeans.assignCell(s, cents, $"v"))
+      .select($"vec_id", $"v", $"qv8", $"qn", $"cell")
+      .withColumn("shard", lit(shard))
+      .write.partitionBy("cell", "shard")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(s"$store/index")
+  }
+
+  /** SERVE-ONLY against a prebuilt store: queries probe their nprobe
+    * nearest cells (routing via the STORED centroids — no training, no
+    * corpus pass), and the index is read back with a STATIC cell-list
+    * partition filter (the union of probed cells — bounded by K), so the
+    * scan reads ONLY the probed cells' files (PartitionFilters /
+    * PartitionCount plan-gated in Round16OpsSpec via `inspect`) — at
+    * 100 TB this is the difference between touching nprobe·K⁻¹ of the
+    * index bytes and all of them. Ranking is the composed tier unchanged:
+    * int8 shortlist ([[quantizedShortlistFrom]]) + full-precision rescore.
+    */
+  private[graft] def ivfIndexServeOnly(
+      s: SparkSession, d: String, store: String,
+      inspect: DataFrame => Unit = _ => (),
+      nprobe: Int = 8): DataFrame = {
+    import s.implicits._
+    import graft.operators.IvfKMeans
+    val (cents, maxAbs) = ivfIndexMeta(s, store)
+    val q = quantWith(embVecs(s, d).filter($"vec_id" < 10), maxAbs)
+      .withColumn("p", explode(
+        slice(array_sort(IvfKMeans.simStructs(s, cents, $"v")), 1, nprobe)))
+      .select($"vec_id".as("q_id"), $"v".as("qvf"), $"qv8".as("qq8"),
+        $"qn".as("qnq"), $"p.cid".as("bucket"))
+      .localCheckpoint() // tiny (10 × nprobe rows); read twice below
+    // bounded: ≤ K distinct probed cells — the static partition filter
+    val probedCells = q.select($"bucket").distinct().as[Long].collect().toSeq
+    val stored = s.read.parquet(s"$store/index")
+      .where($"cell".isin(probedCells: _*))
+      .select($"vec_id", $"v", $"qv8", $"qn", $"cell".cast("long").as("bucket"))
+    val top3 = quantizedTop3Of(s,
+      quantizedShortlistFrom(s, stored, q).filter($"q_id" =!= $"c_id"))
+    inspect(top3) // plan gate hook: partition pruning on the stored scan
+    top3
+  }
+
+  /** The oracle-gated lifecycle key: [[ivfIndexBuild]] →
+    * [[ivfIndexAppend]] → [[ivfIndexServeOnly]] composed over an
+    * ephemeral store (the DuckDB hash certifies that persistence + append
+    * added and lost nothing). Production runs the three entry points
+    * separately against a named shared-storage store — serve-only
+    * wall-clock and pruned-bytes fraction are measured by
+    * `graft.tools.IndexServeBench` and recorded in BENCH_SCALING.
+    */
+  private[graft] def ivfIndexServe(
+      s: SparkSession, d: String,
+      inspect: DataFrame => Unit = _ => (),
+      nprobe: Int = 8,
+      retryAppend: Boolean = false): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_index").toString
     try {
-      indexed(build).withColumn("shard", lit(0L))
-        .write.partitionBy("cell", "shard").mode("overwrite").parquet(dir)
-      // Shard-IDEMPOTENT append — the actual IngestDedup discipline, not a
-      // blind append: the shard id is the second partition level, and the
-      // write runs under DYNAMIC partition overwrite, so it replaces only
-      // (cell=*, shard=1) — an at-least-once retry of the same shard
-      // OVERWRITES its own partitions instead of double-appending, and the
-      // build shard's partitions are never touched. The conf toggle is
-      // scoped (explicit-only pre-state via getAll, the r6 hygiene rule).
-      val OvKey = "spark.sql.sources.partitionOverwriteMode"
-      val prevOv = s.conf.getAll.get(OvKey)
-      def appendShard(): Unit = {
-        s.conf.set(OvKey, "dynamic")
-        try indexed(e.filter($"vec_id" % 2 =!= 0)).withColumn("shard", lit(1L))
-          .write.partitionBy("cell", "shard").mode("overwrite").parquet(dir)
-        finally prevOv match {
-          case Some(v) => s.conf.set(OvKey, v)
-          case None => s.conf.unset(OvKey)
-        }
-      }
-      appendShard()
-      if (retryAppend) appendShard() // the at-least-once redelivery, simulated
-      val q = quant(e.filter($"vec_id" < 10))
-        .withColumn("p", explode(
-          slice(array_sort(IvfKMeans.simStructs(s, cents, $"v")), 1, nprobe)))
-        .select($"vec_id".as("q_id"), $"v".as("qvf"), $"qv8".as("qq8"),
-          $"qn".as("qnq"), $"p.cid".as("bucket"))
-        .localCheckpoint() // tiny (10 × nprobe rows); read twice below
-      // bounded: ≤ K distinct probed cells — the static partition filter
-      val probedCells = q.select($"bucket").distinct().as[Long].collect().toSeq
-      val stored = s.read.parquet(dir)
-        .where($"cell".isin(probedCells: _*))
-        .select($"vec_id", $"v", $"qv8", $"qn", $"cell".cast("long").as("bucket"))
-      val top3 = quantizedTop3Of(s,
-        quantizedShortlistFrom(s, stored, q).filter($"q_id" =!= $"c_id"))
-      inspect(top3) // plan gate hook: partition pruning on the stored scan
-      top3.localCheckpoint() // 30 rows; then release cache + the index dir
+      ivfIndexBuild(s, d, dir)
+      ivfIndexAppend(s, d, dir)
+      if (retryAppend) ivfIndexAppend(s, d, dir) // at-least-once redelivery
+      ivfIndexServeOnly(s, d, dir, inspect, nprobe)
+        .localCheckpoint() // 30 rows; then release the index dir
     } finally {
-      e.unpersist(blocking = false)
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
       }
@@ -1182,6 +1281,36 @@ object PipelineQueries {
        |      CAST(bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) AS BIGINT) AS hamming
        |    FROM cand) t
        |  WHERE hamming <= 3)""".stripMargin
+
+  /** DuckDB replay of the PRODUCTION 8×8-bit-band tier
+    * (`imagePhashNearPairs(nBands = 8, maxDist = 7)`) — extends
+    * `imageAhashCtes` with the rep table `hh`, the 8-band explode `bb8`,
+    * the any-band candidate join `cand8`, and the verified pair list
+    * `np8 (doc_a, doc_b, hamming ≤ 7)`. */
+  private lazy val imagePhashNearB8Ctes: String =
+    s"""$imageAhashCtes,
+       |hh AS (SELECT h_hi, h_lo, MIN(doc_id) AS doc_id FROM h GROUP BY h_hi, h_lo),
+       |bb8 AS (
+       |  SELECT doc_id, h_hi, h_lo, band,
+       |    CASE WHEN band = 0 THEN h_lo % 256
+       |         WHEN band = 1 THEN (h_lo // 256) % 256
+       |         WHEN band = 2 THEN (h_lo // 65536) % 256
+       |         WHEN band = 3 THEN (h_lo // 16777216) % 256
+       |         WHEN band = 4 THEN h_hi % 256
+       |         WHEN band = 5 THEN (h_hi // 256) % 256
+       |         WHEN band = 6 THEN (h_hi // 65536) % 256
+       |         ELSE (h_hi // 16777216) % 256 END AS v
+       |  FROM (SELECT doc_id, h_hi, h_lo, unnest(range(8)) AS band FROM hh)),
+       |cand8 AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    x.h_hi AS ahi, x.h_lo AS alo, y.h_hi AS bhi, y.h_lo AS blo
+       |  FROM bb8 x JOIN bb8 y ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id),
+       |np8 AS (
+       |  SELECT * FROM (
+       |    SELECT doc_a, doc_b,
+       |      CAST(bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) AS BIGINT) AS hamming
+       |    FROM cand8) t
+       |  WHERE hamming <= 7)""".stripMargin
 
   /** DuckDB replay of [[imageAhashes]] — ends in `h (doc_id, h_lo, h_hi)`;
     * the oracle reconstructs the decoded pixels from `text` so a decode
@@ -2910,6 +3039,31 @@ object PipelineQueries {
               |SELECT doc_a, doc_b, hamming FROM np ORDER BY doc_a, doc_b""".stripMargin)
     ),
 
+    "q_dedup_image_phash_near_b8" -> QueryDef(
+      // THE PRODUCTION NEAR TIER (round 17 — acting on the round-16
+      // recall curve): q_dedup_image_recall measured that the original
+      // 4×16 banding is pigeonhole-exact at d≤3 but silently decays to
+      // 21.4% recall at d=10 at sf1 — real recompression perturbations
+      // land at d=4–10 — while 8×8 banding holds ≥99.9% through the
+      // whole range at ~2× candidate volume. This key ships that
+      // measurement as behavior: 8 bands of 8 bits, any-band equi-join
+      // (pigeonhole: ≤7 flips leave ≥1 band intact → TOTAL recall at
+      // d≤7, proven on a planted d=7 Hamming-ball in Round17OpsSpec),
+      // exact bit_count verify. Same scale shape as the b=4 tier: the
+      // band join shuffles 8 rows of 3 longs per DISTINCT-hash rep
+      // (3,435 at sf16), never pixels, never cluster members. The
+      // cluster labeling (q_dedup_image_clusters) consumes THIS pair
+      // graph now; the d≤3 key remains as the conservative tier.
+      (s, d) => {
+        import s.implicits._
+        imagePhashNearPairs(s, d, nBands = 8, maxDist = 7)
+          .select($"doc_a", $"doc_b", $"hamming")
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some(s"""WITH $imagePhashNearB8Ctes
+              |SELECT doc_a, doc_b, hamming FROM np8 ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
     "q_dedup_image_recall" -> QueryDef(
       // BANDED-HAMMING RECALL CURVE (round 16 — the r14 verdict's
       // parameterized-band-width item): Hamming≤3 recall is exact by
@@ -2994,8 +3148,12 @@ object PipelineQueries {
     ),
 
     "q_dedup_image_clusters" -> QueryDef(
-      // The image-dedup family's CANONICAL-selection close (round 14):
-      // connected components over the Hamming≤3 near-dup pair graph, so
+      // The image-dedup family's CANONICAL-selection close (round 14;
+      // round 17 repointed the pair graph at the PRODUCTION 8×8-band
+      // d≤7 tier — the recall curve proved the old d≤3 graph missed
+      // ~79% of true near-dups at d=10, so clusters built on it split
+      // recompressed variants into separate "canonical" images):
+      // connected components over the Hamming≤7 near-dup pair graph, so
       // "keep one image per visual cluster" becomes a groupBy — the same
       // composition q_dedup_clusters runs over embedding pairs, here over
       // the perceptual-hash reps. Every IMAGE document gets a cluster id:
@@ -3011,7 +3169,8 @@ object PipelineQueries {
       // map-side joins — images never pairwise-compare.
       (s, d) => {
         import s.implicits._
-        val pairs = imagePhashNearPairs(s, d).select($"doc_a", $"doc_b")
+        val pairs = imagePhashNearPairs(s, d, nBands = 8, maxDist = 7)
+          .select($"doc_a", $"doc_b")
         val nPairs = pairs.count() // bounded: materialized checkpoint, drives the CC mode
         val labels = graft.operators.ConnectedComponents.labels(
           s, pairs.select($"doc_a".as("id_a"), $"doc_b".as("id_b")),
@@ -3026,10 +3185,10 @@ object PipelineQueries {
           .select($"doc_id", coalesce($"lbl", $"rep").as("cluster_id"))
           .orderBy($"doc_id")
       },
-      Some(s"""WITH RECURSIVE $imagePhashNearCtes,
+      Some(s"""WITH RECURSIVE $imagePhashNearB8Ctes,
               |edges AS (
-              |  SELECT doc_a AS src, doc_b AS dst FROM np
-              |  UNION ALL SELECT doc_b, doc_a FROM np),
+              |  SELECT doc_a AS src, doc_b AS dst FROM np8
+              |  UNION ALL SELECT doc_b, doc_a FROM np8),
               |reach(a, rb) AS (
               |  SELECT doc_id, doc_id FROM hh
               |  UNION
@@ -3118,6 +3277,71 @@ object PipelineQueries {
              |  CAST(CASE WHEN doc_id % 89 = 0 THEN -1 ELSE psum END AS BIGINT) AS payload_sum,
              |  CAST(CASE WHEN doc_id % 89 = 0 THEN -1 ELSE pmax END AS BIGINT) AS payload_max
              |FROM agg ORDER BY doc_id""".stripMargin)
+    ),
+
+    "q_multimodal_video_frames" -> QueryDef(
+      // DECODE A VIDEO'S FRAMES, end to end (round 17 — closes the video
+      // family's payload layer the r16 verdict named): real container
+      // walk × real image decode. Every document is an MJPEG-in-MP4 — a
+      // genuine ISO-BMFF container whose sample payloads are genuine
+      // baseline-JFIF frames (Multimodal.assetsFromDocumentsMjpeg; the
+      // DC-only 16×8 two-block construction pins frame decode to EXACT
+      // integer arithmetic) — and the query runs the full pipeline per
+      // asset: box walk, stsc/stco chunk expansion, sample extraction,
+      // then per-frame marker walk / Huffman / dequant / IDCT, emitting
+      // per-frame pixel statistics. Three lanes, all planted: decoded
+      // frames (exact stats, DuckDB-reconstructed from doc_id), a
+      // frame-level corruption (every 97th doc's LAST frame cut mid-file
+      // → that frame routes to -1 without discarding the container), and
+      // the container-level truncation (every 89th doc cut before moov →
+      // one frame=-1 row). H.264 entropy/transform decode remains the
+      // documented out-of-scope layer; this key proves the claim that
+      // matters at 100 TB — the engine decodes real video frame payloads
+      // through the real container, map-only, no shuffle but the sort.
+      (s, d) => {
+        import s.implicits._
+        val assets = graft.multimodal.Multimodal
+          .assetsFromDocumentsMjpeg(s, documents(s, d))
+        assets.flatMap { a =>
+          graft.multimodal.Mp4Codec.decode(a.content) match {
+            case None => Seq((a.asset_id, -1L, -1L, -1L, -1L, -1L))
+            case Some(m) =>
+              m.samples.zipWithIndex.map { case (sb, k) =>
+                graft.multimodal.JpegCodec.decode(sb) match {
+                  case Some(j) =>
+                    val px = j.pixels.map(_ & 0xff)
+                    (a.asset_id, k.toLong, px.length.toLong,
+                      px.foldLeft(0L)(_ + _.toLong), px.min.toLong, px.max.toLong)
+                  case None => (a.asset_id, k.toLong, -1L, -1L, -1L, -1L)
+                }
+              }.toSeq
+          }
+        }.toDF("doc_id", "frame", "n_px", "px_sum", "px_min", "px_max")
+          .orderBy($"doc_id", $"frame")
+      },
+      // the oracle rebuilds every decoded pixel from doc_id alone: block b
+      // of frame k holds constant 128 + 2·t with t = ((id·7 + k·13 + b·29)
+      // mod 128) − 64 — a wrong Huffman bit, zigzag slot, quant multiply,
+      // IDCT constant, stsc run, OR chunk offset breaks the hash
+      Some("""WITH d AS (SELECT doc_id, 1 + doc_id % 7 AS nf FROM documents),
+             |fr AS (SELECT doc_id, nf, unnest(range(nf)) AS k FROM d),
+             |tv AS (SELECT doc_id, nf, k,
+             |    128 + 2 * (((doc_id * 7 + k * 13) % 128) - 64) AS p0,
+             |    128 + 2 * (((doc_id * 7 + k * 13 + 29) % 128) - 64) AS p1
+             |  FROM fr),
+             |lanes AS (
+             |  SELECT doc_id, CAST(k AS BIGINT) AS frame,
+             |    CAST(CASE WHEN doc_id % 97 = 0 AND k = nf - 1 THEN -1 ELSE 128 END AS BIGINT) AS n_px,
+             |    CAST(CASE WHEN doc_id % 97 = 0 AND k = nf - 1 THEN -1 ELSE 64 * p0 + 64 * p1 END AS BIGINT) AS px_sum,
+             |    CAST(CASE WHEN doc_id % 97 = 0 AND k = nf - 1 THEN -1 ELSE LEAST(p0, p1) END AS BIGINT) AS px_min,
+             |    CAST(CASE WHEN doc_id % 97 = 0 AND k = nf - 1 THEN -1 ELSE GREATEST(p0, p1) END AS BIGINT) AS px_max
+             |  FROM tv WHERE doc_id % 89 <> 0
+             |  UNION ALL
+             |  SELECT doc_id, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+             |    CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+             |  FROM documents WHERE doc_id % 89 = 0)
+             |SELECT doc_id, frame, n_px, px_sum, px_min, px_max
+             |FROM lanes ORDER BY doc_id, frame""".stripMargin)
     ),
 
     // ---------------------------------------------------------- text analysis

@@ -38,6 +38,31 @@ object IngestDedup {
   def fpCol(text: Column): Column =
     md5(array_join(array_sort(array_distinct(split(text, " "))), " "))
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** A brand-new store's name must be suffix-free: every maintenance pass
+    * derives its output name from the stripped base, so a base that itself
+    * matched `_c<n>`/`_r<n>` would be silently retargeted — and the pass's
+    * DROP-retry guard could clear an unrelated table. Pass outputs (which
+    * legitimately carry the suffix) are only ever reached through an
+    * already-validated base. [[runIngest]] validates once at stream setup;
+    * [[applyBatch]] keeps the call as direct-invocation defense, which is
+    * FREE on the common suffix-free path — the string check short-circuits
+    * before the catalog lookup, so steady-state batches against a remote
+    * metastore pay zero catalog RPCs (round-17 ADVICE). A PRE-EXISTING
+    * store whose name matches the pattern stays usable but is logged: its
+    * maintenance passes will target the stripped base's lineage.
+    */
+  private[graft] def validateStoreName(s: SparkSession, storeTable: String): Unit =
+    if (storeBaseName(storeTable) != storeTable) {
+      require(s.catalog.tableExists(storeTable),
+        s"new store name '$storeTable' matches the maintenance-suffix " +
+          "pattern (_c<n>/_r<n>); pick a suffix-free base name")
+      log.warn(s"existing store '$storeTable' matches the maintenance-suffix " +
+        s"pattern; maintenance passes derive names from base " +
+        s"'${storeBaseName(storeTable)}' and may retarget that lineage")
+    }
+
   /** One micro-batch of the ingest loop (the foreachBatch body; also
     * invoked directly by the depth spec's retry simulation).
     */
@@ -49,16 +74,7 @@ object IngestDedup {
       storeTable: String,
       outDir: String
   ): Unit = {
-    // A brand-new store's name must be suffix-free: every maintenance pass
-    // derives its output name from the stripped base, so a base that itself
-    // matched `_c<n>`/`_r<n>` would be silently retargeted — and the pass's
-    // DROP-retry guard could clear an unrelated table. Enforced once, at
-    // lineage start; pass outputs (which legitimately carry the suffix) are
-    // only ever reached through an already-validated base.
-    if (!s.catalog.tableExists(storeTable))
-      require(storeBaseName(storeTable) == storeTable,
-        s"new store name '$storeTable' matches the maintenance-suffix " +
-          "pattern (_c<n>/_r<n>); pick a suffix-free base name")
+    validateStoreName(s, storeTable)
     val inBatch = batch.select(col("doc_id"), fpCol(col("text")).as("fp"))
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("doc_id"),
@@ -207,6 +223,7 @@ object IngestDedup {
       System.getProperty("java.io.tmpdir"), s"graft_ingest_$runId")
     val srcDir = base.resolve("src")
     val storeTable = s"graft_fp_store_$runId"
+    validateStoreName(s, storeTable) // once per query, at stream setup
     val outDir = base.resolve("out").toString
     java.nio.file.Files.createDirectories(srcDir)
     // Single-pass staging: repartition on the shard value so every shard's

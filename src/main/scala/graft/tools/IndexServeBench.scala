@@ -1,0 +1,116 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The number the persisted-index lifecycle exists for (round 17 — the
+  * r16 verdict's "persists for one query" item): BUILD once into a named
+  * store, then time SERVE-ONLY runs against it — no training, no corpus
+  * pass, no index write — and report the pruned-read fraction (leaf
+  * partitions and index files actually scanned vs on disk). The composed
+  * key (q_similarity_index_serve) certifies lifecycle CORRECTNESS by
+  * paying build+append+serve per call; this tool measures the production
+  * shape where the build is amortized across every query that follows.
+  *
+  * Usage: sbt "runMain graft.tools.IndexServeBench [sfDir ...]"
+  *   (default: /root/repo/.localdata/sf1 and .localdata/sf4)
+  */
+object IndexServeBench {
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/repo/.localdata/sf1", "/root/repo/.localdata/sf4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def force(df: DataFrame): Unit =
+      df.queryExecution.toRdd.foreachPartition(it => while (it.hasNext) it.next())
+    def deepClean(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
+    def timeMed(n: Int)(body: => Unit): Double = {
+      val ts = (0 until n).map { _ =>
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(n / 2)
+    }
+
+    // JIT warm on the tiny corpus (build+serve shapes)
+    val warmStore = java.nio.file.Files.createTempDirectory("ivf_store_warm").toString
+    graft.queries.PipelineQueries.ivfIndexBuild(spark, "/root/testdata/sf0.001", warmStore)
+    graft.queries.PipelineQueries.ivfIndexAppend(spark, "/root/testdata/sf0.001", warmStore)
+    force(graft.queries.PipelineQueries
+      .ivfIndexServeOnly(spark, "/root/testdata/sf0.001", warmStore))
+    rm(warmStore)
+    deepClean()
+    val calib = graft.Bench.calibrateOnce(spark, "/root/testdata/sf0.001")
+    println(s"""{"calib_sec":$calib}""")
+
+    for (d <- dirs) {
+      val store = java.nio.file.Files.createTempDirectory("ivf_store_bench").toString
+      try {
+        val tBuild = timeMed(1) {
+          graft.queries.PipelineQueries.ivfIndexBuild(spark, d, store)
+        }
+        deepClean()
+        val tAppend = timeMed(1) {
+          graft.queries.PipelineQueries.ivfIndexAppend(spark, d, store)
+        }
+        deepClean()
+        // pruned-read evidence from the serve plan itself
+        var partsRead = -1L; var filesRead = -1L; var bytesRead = -1L
+        def inspect(top3: DataFrame): Unit = {
+          import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+          import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+          def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+            case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+            case f: FileSourceScanExec => Seq(f)
+          }.flatten
+          scansOf(top3.queryExecution.executedPlan)
+            .filter(_.relation.location.rootPaths
+              .exists(_.toString.contains("ivf_store_bench"))).foreach { f =>
+              partsRead = f.selectedPartitions.partitionCount.toLong
+              filesRead = f.selectedPartitions.totalNumberOfFiles
+              bytesRead = f.selectedPartitions.totalFileSize
+            }
+        }
+        val tServe = timeMed(5) {
+          force(graft.queries.PipelineQueries
+            .ivfIndexServeOnly(spark, d, store, inspect))
+          deepClean() // serve-only runs must not share cache across trials
+        }
+        // on-disk totals from the store layout
+        val idx = new java.io.File(s"$store/index")
+        val leaves = Option(idx.listFiles()).toSeq.flatten
+          .filter(c => c.isDirectory && c.getName.startsWith("cell="))
+          .flatMap(c => Option(c.listFiles()).toSeq.flatten
+            .filter(sh => sh.isDirectory && sh.getName.startsWith("shard=")))
+        val allFiles = leaves.flatMap(l => Option(l.listFiles()).toSeq.flatten)
+          .filter(_.getName.endsWith(".parquet"))
+        val filesTotal = allFiles.size.toLong
+        val bytesTotal = allFiles.map(_.length()).sum
+        println(s"""{"sf":"$d","build_sec":${f(tBuild)},"append_sec":${f(tAppend)},""" +
+          s""""serve_sec":${f(tServe)},"parts_read":$partsRead,""" +
+          s""""parts_total":${leaves.size},"files_read":$filesRead,""" +
+          s""""files_total":$filesTotal,"bytes_read":$bytesRead,""" +
+          s""""bytes_total":$bytesTotal}""")
+      } finally rm(store)
+      deepClean()
+    }
+    spark.stop()
+  }
+
+  private def f(x: Double): String = f"$x%.4f"
+
+  private def rm(p: String): Unit = {
+    def go(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(go)); f.delete(); ()
+    }
+    go(new java.io.File(p))
+  }
+}

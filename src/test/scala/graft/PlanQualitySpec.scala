@@ -567,6 +567,13 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"the candidate stage must be an equi-join, not all-pairs:\n$plan")
     assert(plan.contains("Join"), s"expected the banded self-join:\n$plan")
+    // the PRODUCTION 8×8-band d≤7 tier (round 17) keeps the identical
+    // shape — only the band slicing and the verify threshold change
+    val planB8 = physical(graft.queries.PipelineQueries
+      .imagePhashNearPairs(spark, sfDir, materialize = false, nBands = 8, maxDist = 7))
+    assert(!planB8.contains("BroadcastNestedLoopJoin") && !planB8.contains("CartesianProduct"),
+      s"the b8 candidate stage must be an equi-join, not all-pairs:\n$planB8")
+    assert(planB8.contains("Join"), s"expected the b8 banded self-join:\n$planB8")
   }
 
   test("q_similarity_quantized: bucket equi-join candidates, literal-stats map-side quantize, no NLJ") {

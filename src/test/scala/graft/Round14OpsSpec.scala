@@ -116,12 +116,14 @@ class Round14OpsSpec extends AnyFunSuite {
     val ahash = SparkEntry.queries("q_dedup_image_ahash")(spark, dir)
       .select($"doc_id", $"n_images").as[(Long, Long)].collect().toMap
     assert(ahash(0L) == 2L, "base and its exact dup must share one hash cluster")
-    // and the cluster key composes both tiers: the exact dup (doc 2)
-    // inherits its rep's near-component label; edges (0,4),(0,6),(6,8)
-    // connect {0,4,6,8}; the no-shared-band doc 10 labels itself
+    // and the cluster key composes both tiers — since round 17 over the
+    // PRODUCTION b=8/d≤7 pair graph: the exact dup (doc 2) inherits its
+    // rep's near-component label, and doc 10 (d=4 from base — a true
+    // near-dup the old d≤3 graph missed, leaving it a false isolated
+    // "canonical") now correctly joins the one component
     val clusters = SparkEntry.queries("q_dedup_image_clusters")(spark, dir)
       .as[(Long, Long)].collect().toMap
-    assert(clusters == Map(0L -> 0L, 2L -> 0L, 4L -> 0L, 6L -> 0L, 8L -> 0L, 10L -> 10L),
+    assert(clusters == Map(0L -> 0L, 2L -> 0L, 4L -> 0L, 6L -> 0L, 8L -> 0L, 10L -> 0L),
       s"cluster labels diverged: $clusters")
   }
 

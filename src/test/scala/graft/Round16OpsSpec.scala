@@ -16,6 +16,14 @@ class Round16OpsSpec extends AnyFunSuite {
   private lazy val spark = SparkSuite.spark
   private val sf0001 = "/root/testdata/sf0.001"
 
+  private def rmDir(p: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(p)
+    if (java.nio.file.Files.exists(root))
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
   private def writeFixture(words: Seq[String]): String = {
     import spark.implicits._
     val text = words.mkString(" ")
@@ -231,7 +239,7 @@ class Round16OpsSpec extends AnyFunSuite {
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       dir
     }
-    graft.queries.PipelineQueries.ivfIndexServe(spark, fixDir,
+    try graft.queries.PipelineQueries.ivfIndexServe(spark, fixDir,
       top3 => {
         import org.apache.spark.sql.execution.SparkPlan
         import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
@@ -261,6 +269,7 @@ class Round16OpsSpec extends AnyFunSuite {
         }
         gated = true
       }, nprobe = 1).collect()
+    finally rmDir(fixDir)
     assert(gated, "inspect hook must run")
   }
 
@@ -278,8 +287,10 @@ class Round16OpsSpec extends AnyFunSuite {
       (i, v)
     }.toDF("vec_id", "embedding")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    val rows = SparkEntry.queries("q_similarity_index_health")(spark, dir)
-      .as[(Long, Long, Long, Boolean)].collect()
+    val rows =
+      try SparkEntry.queries("q_similarity_index_health")(spark, dir)
+        .as[(Long, Long, Long, Boolean)].collect()
+      finally rmDir(dir)
     assert(rows.length >= 3, s"expected several cells, got ${rows.length}")
     val growing = rows.filter(_._4)
     assert(growing.nonEmpty, s"the planted drift must fire the flag: ${rows.toSeq}")
