@@ -62,28 +62,6 @@ object IndexServeBench {
           graft.queries.PipelineQueries.ivfIndexAppend(spark, d, store)
         }
         deepClean()
-        // pruned-read evidence from the serve plan itself
-        var partsRead = -1L; var filesRead = -1L; var bytesRead = -1L
-        def inspect(top3: DataFrame): Unit = {
-          import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-          import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-          def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
-            case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
-            case f: FileSourceScanExec => Seq(f)
-          }.flatten
-          scansOf(top3.queryExecution.executedPlan)
-            .filter(_.relation.location.rootPaths
-              .exists(_.toString.contains("ivf_store_bench"))).foreach { f =>
-              partsRead = f.selectedPartitions.partitionCount.toLong
-              filesRead = f.selectedPartitions.totalNumberOfFiles
-              bytesRead = f.selectedPartitions.totalFileSize
-            }
-        }
-        val tServe = timeMed(5) {
-          force(graft.queries.PipelineQueries
-            .ivfIndexServeOnly(spark, d, store, inspect))
-          deepClean() // serve-only runs must not share cache across trials
-        }
         // on-disk totals from the store layout
         val idx = new java.io.File(s"$store/index")
         val leaves = Option(idx.listFiles()).toSeq.flatten
@@ -94,11 +72,41 @@ object IndexServeBench {
           .filter(_.getName.endsWith(".parquet"))
         val filesTotal = allFiles.size.toLong
         val bytesTotal = allFiles.map(_.length()).sum
-        println(s"""{"sf":"$d","build_sec":${f(tBuild)},"append_sec":${f(tAppend)},""" +
-          s""""serve_sec":${f(tServe)},"parts_read":$partsRead,""" +
-          s""""parts_total":${leaves.size},"files_read":$filesRead,""" +
-          s""""files_total":$filesTotal,"bytes_read":$bytesRead,""" +
-          s""""bytes_total":$bytesTotal}""")
+        // serve-only sweep over the probe width: the pruned-read fraction
+        // is ~nprobe/K by design (nprobe == K reads everything — on this
+        // corpus the seed policy trains K=8, so the shipped width 8 is the
+        // no-pruning endpoint; production sizes K ≫ nprobe)
+        for (np <- Seq(1, 2, 4, 8)) {
+          var partsRead = -1L; var filesRead = -1L; var bytesRead = -1L
+          def inspect(top3: DataFrame): Unit = {
+            import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+            import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+            def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+              case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+              case f: FileSourceScanExec => Seq(f)
+            }.flatten
+            scansOf(top3.queryExecution.executedPlan)
+              .filter(_.relation.location.rootPaths
+                .exists(_.toString.contains("ivf_store_bench"))).foreach { f =>
+                partsRead = f.selectedPartitions.partitionCount.toLong
+                filesRead = f.selectedPartitions.totalNumberOfFiles
+                bytesRead = f.selectedPartitions.totalFileSize
+              }
+          }
+          val ts = (0 until 5).map { _ =>
+            val t0 = System.nanoTime()
+            force(graft.queries.PipelineQueries
+              .ivfIndexServeOnly(spark, d, store, inspect, nprobe = np))
+            val dt = (System.nanoTime() - t0) / 1e9
+            deepClean() // trials must not share cache (untimed)
+            dt
+          }.sorted
+          println(s"""{"sf":"$d","build_sec":${f(tBuild)},"append_sec":${f(tAppend)},""" +
+            s""""nprobe":$np,"serve_sec":${f(ts(2))},"parts_read":$partsRead,""" +
+            s""""parts_total":${leaves.size},"files_read":$filesRead,""" +
+            s""""files_total":$filesTotal,"bytes_read":$bytesRead,""" +
+            s""""bytes_total":$bytesTotal}""")
+        }
       } finally rm(store)
       deepClean()
     }
