@@ -515,40 +515,67 @@ object CorpusOpsQueries {
     * trainer's global reduce — poolK rows instead of batchM separate
     * 1-row argmax jobs).
     */
+  /** Ranked-pool width policy: the pool must survive [[bpeSelectBatch]]'s
+    * skips (each pick consumes two symbols plus its concatenation, so a
+    * contentious prefix can reject several candidates per pick) and still
+    * yield batchM disjoint pairs — a pool that does not scale with the
+    * batch silently starves selection and the iteration count creeps back
+    * toward sequential (the round-16 verdict's fixed-64-literal item).
+    * 4× the batch with the original 64 floor; still a bounded driver
+    * collect (1024 rows at the production batchM=256).
+    */
+  private[graft] def adaptivePoolK(batchM: Int): Int = math.max(64, 4 * batchM)
+
   private[graft] def bpeTrainBatched(
       s: org.apache.spark.sql.SparkSession, d: String,
-      nMerges: Int, batchM: Int, poolK: Int = 64): org.apache.spark.sql.DataFrame =
-    bpeTrainLoop(s, bpeVocab(s, d), nMerges, batchM, poolK)
+      nMerges: Int, batchM: Int, poolK: Int = -1,
+      minPairCount: Long = 1L): org.apache.spark.sql.DataFrame =
+    bpeTrainLoop(s, bpeVocab(s, d), nMerges, batchM, poolK, minPairCount)
 
   /** The trainer loop of [[bpeTrainBatched]] starting from an
     * already-materialized wrapped-symbol vocabulary — split out so
     * tools/BpeTrainBench can time the iteration protocol in isolation
-    * from the shared corpus→vocabulary pass. */
+    * from the shared corpus→vocabulary pass. `poolK = -1` resolves to
+    * [[adaptivePoolK]]. NATURAL STOP RULE (round 17): training ends at
+    * `nMerges` OR when no remaining pair reaches `minPairCount` —
+    * production BPE's termination (a merge seen once generalizes to
+    * nothing; the vocabulary size target is a cap, not a quota), and the
+    * reason a run on a vocabulary that exhausts early returns the merges
+    * that exist instead of throwing.
+    */
   private[graft] def bpeTrainLoop(
       s: org.apache.spark.sql.SparkSession,
       w0: org.apache.spark.sql.DataFrame,
-      nMerges: Int, batchM: Int, poolK: Int): org.apache.spark.sql.DataFrame = {
+      nMerges: Int, batchM: Int, poolK: Int,
+      minPairCount: Long = 1L): org.apache.spark.sql.DataFrame = {
     import s.implicits._
+    require(minPairCount >= 1L, s"minPairCount $minPairCount must be positive")
+    val k = if (poolK == -1) adaptivePoolK(batchM) else poolK
     var w = w0
+    var dry = false
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-    while (merges.size < nMerges) {
-      // bounded: poolK ranked rows through the driver per iteration
-      val pool = bpePairs(w).orderBy($"cnt".desc, $"a", $"b").limit(poolK).collect()
+    while (merges.size < nMerges && !dry) {
+      // bounded: poolK ranked rows through the driver per iteration; the
+      // stop threshold prunes INSIDE the rank order, so a below-threshold
+      // pair can never be selected and an all-below pool ends training
+      val pool = bpePairs(w).orderBy($"cnt".desc, $"a", $"b").limit(k).collect()
         .toSeq.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-      if (pool.isEmpty)
-        throw new IllegalStateException("vocabulary exhausted before nMerges merges")
-      val sel = bpeSelectBatch(pool, batchM, nMerges - merges.size)
-      // ONE kernel pass applies the whole batch (value-identical to the
-      // chained per-merge replaces — BpeBatchApply scaladoc + Round16OpsSpec;
-      // the replace chain's measured floor is ~85 ms PER MERGE over the sf4
-      // vocabulary, the kernel is one parse + presence-set lookups per word)
-      val applied = org.apache.spark.sql.GraftColumnBridge.column(
-        graft.functions.BpeBatchApply(
-          org.apache.spark.sql.GraftColumnBridge.expression(col("symstr")),
-          sel.map { case (a, b, _) => (a, b) }))
-      w = w.select(col("wcnt"), applied.as("symstr"))
-        .localCheckpoint() // one action per BATCH, not per merge
-      sel.foreach { case (a, b, c) => merges += ((merges.size + 1L, a, b, c)) }
+        .takeWhile(_._3 >= minPairCount)
+      if (pool.isEmpty) dry = true
+      else {
+        val sel = bpeSelectBatch(pool, batchM, nMerges - merges.size)
+        // ONE kernel pass applies the whole batch (value-identical to the
+        // chained per-merge replaces — BpeBatchApply scaladoc + Round16OpsSpec;
+        // the replace chain's measured floor is ~85 ms PER MERGE over the sf4
+        // vocabulary, the kernel is one parse + presence-set lookups per word)
+        val applied = org.apache.spark.sql.GraftColumnBridge.column(
+          graft.functions.BpeBatchApply(
+            org.apache.spark.sql.GraftColumnBridge.expression(col("symstr")),
+            sel.map { case (a, b, _) => (a, b) }))
+        w = w.select(col("wcnt"), applied.as("symstr"))
+          .localCheckpoint() // one action per BATCH, not per merge
+        sel.foreach { case (a, b, c) => merges += ((merges.size + 1L, a, b, c)) }
+      }
     }
     merges.toSeq.toDF("rank", "merge_left", "merge_right", "pair_count")
       .orderBy($"rank")

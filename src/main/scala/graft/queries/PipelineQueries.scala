@@ -770,6 +770,51 @@ object PipelineQueries {
     if (materialize) pairs.localCheckpoint() else pairs
   }
 
+  /** The recall-curve body over an explicit rep table (doc_id, h_hi,
+    * h_lo) — factored out (round 17) so the full-corpus key and the
+    * bounded rep-SAMPLE key share one implementation. Truth arm: 16
+    * bands of 4 bits (pigeonhole covers d ≤ 15) + exact bit_count
+    * verify; measured arms are pure xor-slice arithmetic on the pair.
+    * Output: per d ∈ [1,10], n_true and the pairs recalled by b ∈
+    * {2, 4, 8} bands.
+    */
+  private[graft] def imageRecallCurveOf(s: SparkSession, reps0: DataFrame): DataFrame = {
+    import s.implicits._
+    val reps = reps0.localCheckpoint() // the 16-band explode self-joins this
+    val bands = reps.select($"doc_id", $"h_hi", $"h_lo", explode(expr(
+      """transform(sequence(0, 15), j -> struct(CAST(j AS BIGINT) AS band,
+        |  CASE WHEN j < 8 THEN shiftright(h_lo, CAST(4 * j AS INT)) % 16
+        |       ELSE shiftright(h_hi, CAST(4 * (j - 8) AS INT)) % 16 END AS v))""".stripMargin))
+        .as("b"))
+      .select($"doc_id", $"h_hi", $"h_lo", $"b.band".as("band"), $"b.v".as("v"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.h_hi").as("ahi"), col("x.h_lo").as("alo"),
+        col("y.h_hi").as("bhi"), col("y.h_lo").as("blo"))
+      .distinct() // a close pair shares many 4-bit bands
+      .select($"doc_a", $"doc_b",
+        expr("ahi ^ bhi").as("xhi"), expr("alo ^ blo").as("xlo"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(xhi) + bit_count(xlo) AS BIGINT)"))
+      .filter($"hamming".between(1, 10))
+      .withColumn("r2", ($"xlo" === 0 || $"xhi" === 0).cast("long"))
+      .withColumn("r4", expr(
+        """CAST(xlo % 65536 = 0 OR shiftright(xlo, 16) = 0
+          |  OR xhi % 65536 = 0 OR shiftright(xhi, 16) = 0 AS LONG)""".stripMargin))
+      .withColumn("r8", expr(
+        """CAST(exists(sequence(0, 3),
+          |  j -> shiftright(xlo, CAST(8 * j AS INT)) % 256 = 0
+          |    OR shiftright(xhi, CAST(8 * j AS INT)) % 256 = 0) AS LONG)""".stripMargin))
+      .groupBy($"hamming")
+      .agg(count(lit(1)).as("n_true"),
+        sum($"r2").as("n_rec_b2"),
+        sum($"r4").as("n_rec_b4"),
+        sum($"r8").as("n_rec_b8"))
+      .orderBy($"hamming")
+  }
+
   /** Shared base of the quantized ANN tier — (vec_id, v, bucket, qv8, qn):
     * float vectors with their LSH bucket (the ann_lsh index) and the int8
     * SYMMETRIC global-scale codes (q = round(127·x/max|x|) — NOT the
@@ -3089,19 +3134,69 @@ object PipelineQueries {
       // recall baselines. Integers only; nothing float decides a row.
       (s, d) => {
         import s.implicits._
+        imageRecallCurveOf(s, imageAhashes(s, d)
+          .groupBy($"h_hi", $"h_lo")
+          .agg(min($"doc_id").as("doc_id")))
+      },
+      Some(s"""WITH $imageAhashCtes,
+              |hh AS (SELECT h_hi, h_lo, MIN(doc_id) AS doc_id FROM h GROUP BY h_hi, h_lo),
+              |pr AS (
+              |  SELECT xor(x.h_hi, y.h_hi) AS xhi, xor(x.h_lo, y.h_lo) AS xlo
+              |  FROM hh x JOIN hh y ON x.doc_id < y.doc_id),
+              |hd AS (
+              |  SELECT xhi, xlo, bit_count(xhi) + bit_count(xlo) AS d FROM pr)
+              |SELECT CAST(d AS BIGINT) AS hamming, COUNT(*) AS n_true,
+              |  CAST(SUM(CASE WHEN xlo = 0 OR xhi = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rec_b2,
+              |  CAST(SUM(CASE WHEN xlo % 65536 = 0 OR xlo // 65536 = 0
+              |                  OR xhi % 65536 = 0 OR xhi // 65536 = 0
+              |           THEN 1 ELSE 0 END) AS BIGINT) AS n_rec_b4,
+              |  CAST(SUM(CASE WHEN (xlo // 1) % 256 = 0 OR (xlo // 256) % 256 = 0
+              |                  OR (xlo // 65536) % 256 = 0 OR (xlo // 16777216) % 256 = 0
+              |                  OR (xhi // 1) % 256 = 0 OR (xhi // 256) % 256 = 0
+              |                  OR (xhi // 65536) % 256 = 0 OR (xhi // 16777216) % 256 = 0
+              |           THEN 1 ELSE 0 END) AS BIGINT) AS n_rec_b8
+              |FROM hd WHERE d BETWEEN 1 AND 10
+              |GROUP BY 1 ORDER BY hamming""".stripMargin)
+    ),
+
+    "q_dedup_image_recall_sample" -> QueryDef(
+      // The recall curve PAST the oracle's reach (round 17 — the r16
+      // verdict's item #6): the full-corpus curve's truth arm is
+      // quadratic in the rep count, so DuckDB cannot follow past sf1 and
+      // the engine-side curve was unclaimed exactly where band-group
+      // occupancy grows. This key bounds the curve with an ANCHOR
+      // sample: 512 reps in deterministic (md5(doc_id), doc_id) order —
+      // the semantic-decontamination needle-cap discipline — measured as
+      // ORDERED (anchor, other) pairs against ALL reps. Anchoring, not
+      // uniform pair-sampling, is what keeps the statistic alive: the
+      // d ≤ 10 stratum is rare among random pairs, so thinning BOTH
+      // endpoints by s keeps only s² of it (empty at sf4), while the
+      // anchor design keeps each sampled rep's whole true neighborhood —
+      // the per-item recall a production gate actually estimates. Cost
+      // is linear in the corpus: the truth arm joins 512×16 anchor band
+      // rows against the rep band table (equi-join, no NLJ), and the
+      // oracle's brute arm is 512 × N xors — feasible in DuckDB at
+      // every sf, so the POLICY (order, cap, and the curve itself) is
+      // oracle-certified at the same scales the engine measures.
+      (s, d) => {
+        import s.implicits._
         val reps = imageAhashes(s, d)
           .groupBy($"h_hi", $"h_lo")
           .agg(min($"doc_id").as("doc_id"))
-          .localCheckpoint() // the 16-band explode self-joins this
-        val bands = reps.select($"doc_id", $"h_hi", $"h_lo", explode(expr(
-          """transform(sequence(0, 15), j -> struct(CAST(j AS BIGINT) AS band,
-            |  CASE WHEN j < 8 THEN shiftright(h_lo, CAST(4 * j AS INT)) % 16
-            |       ELSE shiftright(h_hi, CAST(4 * (j - 8) AS INT)) % 16 END AS v))""".stripMargin))
-            .as("b"))
-          .select($"doc_id", $"h_hi", $"h_lo", $"b.band".as("band"), $"b.v".as("v"))
-        bands.as("x").join(bands.as("y"),
+          .localCheckpoint() // band-exploded twice (anchor and corpus side)
+        val anchors = reps
+          .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+          .limit(512)
+        def banded(df: DataFrame): DataFrame =
+          df.select($"doc_id", $"h_hi", $"h_lo", explode(expr(
+            """transform(sequence(0, 15), j -> struct(CAST(j AS BIGINT) AS band,
+              |  CASE WHEN j < 8 THEN shiftright(h_lo, CAST(4 * j AS INT)) % 16
+              |       ELSE shiftright(h_hi, CAST(4 * (j - 8) AS INT)) % 16 END AS v))""".stripMargin))
+              .as("b"))
+            .select($"doc_id", $"h_hi", $"h_lo", $"b.band".as("band"), $"b.v".as("v"))
+        banded(anchors).as("x").join(banded(reps).as("y"),
             col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
-              col("x.doc_id") < col("y.doc_id"))
+              col("x.doc_id") =!= col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
             col("x.h_hi").as("ahi"), col("x.h_lo").as("alo"),
             col("y.h_hi").as("bhi"), col("y.h_lo").as("blo"))
@@ -3128,9 +3223,11 @@ object PipelineQueries {
       },
       Some(s"""WITH $imageAhashCtes,
               |hh AS (SELECT h_hi, h_lo, MIN(doc_id) AS doc_id FROM h GROUP BY h_hi, h_lo),
+              |anc AS (SELECT h_hi, h_lo, doc_id FROM hh
+              |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 512),
               |pr AS (
-              |  SELECT xor(x.h_hi, y.h_hi) AS xhi, xor(x.h_lo, y.h_lo) AS xlo
-              |  FROM hh x JOIN hh y ON x.doc_id < y.doc_id),
+              |  SELECT xor(a.h_hi, y.h_hi) AS xhi, xor(a.h_lo, y.h_lo) AS xlo
+              |  FROM anc a JOIN hh y ON a.doc_id <> y.doc_id),
               |hd AS (
               |  SELECT xhi, xlo, bit_count(xhi) + bit_count(xlo) AS d FROM pr)
               |SELECT CAST(d AS BIGINT) AS hamming, COUNT(*) AS n_true,

@@ -168,6 +168,90 @@ class Round17OpsSpec extends AnyFunSuite {
     } finally rm(dir)
   }
 
+  test("BPE natural stop rule: training ends when no pair reaches minPairCount; poolK scales with the batch") {
+    import spark.implicits._
+    import graft.queries.CorpusOpsQueries
+    // the ranked-pool policy the r16 verdict flagged as a fixed literal:
+    // floor 64, then 4× the batch (bounded driver collect at any width)
+    assert(Seq(1, 2, 16, 64, 256).map(CorpusOpsQueries.adaptivePoolK)
+      == Seq(64, 64, 64, 256, 1024))
+    // fixture: pair (a,a) occurs twice, (b,b) once — nothing else
+    val text = "aa aa bb"
+    val dir = java.nio.file.Files.createTempDirectory("bpe_stop").toString
+    Seq((1L, text, "en", "fixture", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      // minPairCount=2: (a,a) merges, then the best remaining pair (b,b)
+      // is a singleton — training STOPS at 1 merge, nMerges=10 is a cap
+      val stopped = CorpusOpsQueries
+        .bpeTrainBatched(spark, dir, nMerges = 10, batchM = 4, minPairCount = 2L)
+        .as[(Long, String, String, Long)].collect().toSeq
+      assert(stopped == Seq((1L, "a", "a", 2L)),
+        s"stop rule must end training below the count threshold: $stopped")
+      // default threshold 1: both merges happen, then the vocabulary is
+      // genuinely dry (every word one symbol) — training stops at 2
+      val dry = CorpusOpsQueries
+        .bpeTrainBatched(spark, dir, nMerges = 10, batchM = 4)
+        .as[(Long, String, String, Long)].collect().toSeq
+      assert(dry == Seq((1L, "a", "a", 2L), (2L, "b", "b", 1L)),
+        s"a dry vocabulary must end training cleanly: $dry")
+    } finally rm(dir)
+  }
+
+  test("q_dedup_image_recall_sample: the 512-anchor md5 policy binds and the anchored curve equals brute force on a 600-rep fixture") {
+    import spark.implicits._
+    // 600 distinct aHash patterns (base 0..31 symmetric-difference a
+    // distinct 2-subset of the 64 cells — bright count stays in [30,34]),
+    // MORE reps than the 512-anchor cap, so the policy genuinely binds.
+    // The test recomputes the md5 anchor order and the full anchored
+    // curve brute-force, pinning policy AND slice arithmetic wholesale.
+    val pairsEnum = (for { a <- 0 until 64; b <- (a + 1) until 64 } yield (a, b)).take(600)
+    val base = (0 until 32).toSet
+    val docs = pairsEnum.zipWithIndex.map { case ((a, b), i) =>
+      (2L * i, (base -- Set(a, b)) ++ (Set(a, b) -- base))
+    }
+    val dir = writeImages(docs.map { case (id, cells) => (id, cells) })
+    try {
+      val got = SparkEntry.queries("q_dedup_image_recall_sample")(spark, dir)
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      // expected, recomputed independently: hashes from the planted
+      // patterns, anchors by (md5(doc_id), doc_id), ordered (anchor,
+      // other) pairs, per-d truth + per-band-width xor-slice recall
+      def hashOf(cells: Set[Int]): (Long, Long) = {
+        var lo = 0L; var hi = 0L
+        cells.foreach(i => if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32))
+        (hi, lo)
+      }
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def md5hex(s: String): String =
+        md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      val reps = docs.map { case (id, cells) => (id, hashOf(cells)) }
+      val anchors = reps.sortBy { case (id, _) => (md5hex(id.toString), id) }.take(512)
+      assert(reps.size == 600 && anchors.size == 512)
+      val exp = (for {
+        (ida, (ahi, alo)) <- anchors; (idb, (bhi, blo)) <- reps; if ida != idb
+        xhi = ahi ^ bhi; xlo = alo ^ blo
+        dd = java.lang.Long.bitCount(xhi) + java.lang.Long.bitCount(xlo)
+        if dd >= 1 && dd <= 10
+      } yield {
+        val r2 = if (xlo == 0 || xhi == 0) 1L else 0L
+        val r4 = if ((0 until 4).exists { j =>
+          (if (j < 2) (xlo >>> (16 * j)) & 0xffffL else (xhi >>> (16 * (j - 2))) & 0xffffL) == 0L
+        }) 1L else 0L
+        val r8 = if ((0 until 8).exists { j =>
+          (if (j < 4) (xlo >>> (8 * j)) & 0xffL else (xhi >>> (8 * (j - 4))) & 0xffL) == 0L
+        }) 1L else 0L
+        (dd.toLong, r2, r4, r8)
+      }).groupBy(_._1).map { case (dd, rows) =>
+        (dd, rows.size.toLong, rows.map(_._2).sum, rows.map(_._3).sum, rows.map(_._4).sum)
+      }.toSeq.sortBy(_._1)
+      assert(got == exp,
+        s"anchored curve diverged from the independent recomputation:\ngot $got\nexp $exp")
+      assert(exp.map(_._2).sum > 0, "the fixture must exercise the d<=10 range")
+    } finally rm(dir)
+  }
+
   test("bandedHammingPairs rejects parameterizations that break the pigeonhole floor") {
     import spark.implicits._
     val reps = Seq((0L, 0L, 0L)).toDF("doc_id", "h_hi", "h_lo")
