@@ -523,6 +523,72 @@ object StreamShapeQueries {
              |ORDER BY cls.doc_id""".stripMargin)
     ),
 
+    "q_stream_video_frames" -> QueryDef(
+      // VIDEO-FIREHOSE FRAME TRIAGE (round 17) — q_multimodal_video_frames'
+      // streaming twin, completing the stream-twin discipline for the
+      // video family: every arriving MJPEG-in-MP4 asset is container-
+      // walked and its frames decoded the moment it lands, as a STATELESS
+      // stream stage (flatMap fan-out to per-frame rows — no state store,
+      // no watermark; append-mode output of a stateless transform equals
+      // the batch result, so the oracle is the batch key's, certifying
+      // every per-frame routing decision and pixel statistic on arrival).
+      // The three lanes ride through: decoded frames with exact stats,
+      // the cut last frame of every 97th doc as a frame-level -1 row, the
+      // truncated container of every 89th doc as a single -1 row.
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.{JpegCodec, Mp4Codec, Multimodal}
+        val name = "q_stream_vf_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        graft.streaming.StreamOps.withRightSizedStreaming(s, 4, noDataBatches = false) {
+          val routed = Multimodal
+            .assetsFromDocumentsMjpeg(s,
+              graft.streaming.StreamOps.readEventStream(s, streamSourceDir(d, "documents")))
+            .flatMap { a =>
+              Mp4Codec.decode(a.content) match {
+                case None => Seq((a.asset_id, -1L, -1L, -1L, -1L, -1L))
+                case Some(m) =>
+                  m.samples.zipWithIndex.map { case (sb, k) =>
+                    JpegCodec.decode(sb) match {
+                      case Some(j) =>
+                        val px = j.pixels.map(_ & 0xff)
+                        (a.asset_id, k.toLong, px.length.toLong,
+                          px.foldLeft(0L)(_ + _.toLong), px.min.toLong, px.max.toLong)
+                      case None => (a.asset_id, k.toLong, -1L, -1L, -1L, -1L)
+                    }
+                  }.toSeq
+              }
+            }.toDF("doc_id", "frame", "n_px", "px_sum", "px_min", "px_max")
+          val q = graft.streaming.StreamOps.runToMemory(routed, name)
+          q.awaitTermination()
+        }
+        val out = s.table(name).orderBy($"doc_id", $"frame").localCheckpoint()
+        s.catalog.dropTempView(name)
+        out
+      },
+      // identical rows to the batch key — stream == batch for a stateless
+      // transform, so the twin shares its oracle verbatim
+      Some("""WITH d AS (SELECT doc_id, 1 + doc_id % 7 AS nf FROM documents),
+             |fr AS (SELECT doc_id, nf, unnest(range(nf)) AS k FROM d),
+             |tv AS (SELECT doc_id, nf, k,
+             |    128 + 2 * (((doc_id * 7 + k * 13) % 128) - 64) AS p0,
+             |    128 + 2 * (((doc_id * 7 + k * 13 + 29) % 128) - 64) AS p1
+             |  FROM fr),
+             |lanes AS (
+             |  SELECT doc_id, CAST(k AS BIGINT) AS frame,
+             |    CAST(CASE WHEN doc_id % 97 = 0 AND k = nf - 1 THEN -1 ELSE 128 END AS BIGINT) AS n_px,
+             |    CAST(CASE WHEN doc_id % 97 = 0 AND k = nf - 1 THEN -1 ELSE 64 * p0 + 64 * p1 END AS BIGINT) AS px_sum,
+             |    CAST(CASE WHEN doc_id % 97 = 0 AND k = nf - 1 THEN -1 ELSE LEAST(p0, p1) END AS BIGINT) AS px_min,
+             |    CAST(CASE WHEN doc_id % 97 = 0 AND k = nf - 1 THEN -1 ELSE GREATEST(p0, p1) END AS BIGINT) AS px_max
+             |  FROM tv WHERE doc_id % 89 <> 0
+             |  UNION ALL
+             |  SELECT doc_id, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+             |    CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+             |  FROM documents WHERE doc_id % 89 = 0)
+             |SELECT doc_id, frame, n_px, px_sum, px_min, px_max
+             |FROM lanes ORDER BY doc_id, frame""".stripMargin)
+    ),
+
     "q_stream_ingest_dedup" -> QueryDef(
       // CONTINUOUS corpus ingestion with a durable fingerprint store — see
       // graft.streaming.IngestDedup for the full operator contract (batch
