@@ -661,7 +661,10 @@ class PlanQualitySpec extends AnyFunSuite {
     // decode->resize->re-encode->re-decode cycle must all stay map-side —
     // the only exchange is the rangepartitioning for the output orderBy,
     // and there must be no join or aggregate anywhere
-    for (key <- Seq("q_multimodal_jpeg", "q_multimodal_mp4", "q_multimodal_resize")) {
+    // q_multimodal_video_frames (round 17): container walk + per-frame
+    // JPEG decode is a flatMap fan-out — same map-only contract
+    for (key <- Seq("q_multimodal_jpeg", "q_multimodal_mp4", "q_multimodal_resize",
+        "q_multimodal_video_frames")) {
       val plan = finalSection(physical(run(key)))
       val exchanges = "Exchange".r.findAllIn(plan.replace("ReusedExchange", "")).size
       assert(exchanges <= 1, s"$key: expected at most the final-sort exchange:\n$plan")
