@@ -1087,14 +1087,28 @@ object PipelineQueries {
       inspect: DataFrame => Unit = _ => (),
       nprobe: Int = 8): DataFrame = {
     import s.implicits._
+    ivfIndexServeQueries(s, store, embVecs(s, d).filter($"vec_id" < 10),
+      inspect, nprobe)
+  }
+
+  /** [[ivfIndexServeOnly]] with the query traffic supplied by the caller
+    * — (vec_id, v) rows; the streaming serve twin passes each micro-batch
+    * here (round 17). The queries are quantized with the STORED scale and
+    * routed via the STORED centroids, so serving needs no training and no
+    * corpus pass regardless of where the traffic comes from. */
+  private[graft] def ivfIndexServeQueries(
+      s: SparkSession, store: String, queries: DataFrame,
+      inspect: DataFrame => Unit = _ => (),
+      nprobe: Int = 8): DataFrame = {
+    import s.implicits._
     import graft.operators.IvfKMeans
     val (cents, maxAbs) = ivfIndexMeta(s, store)
-    val q = quantWith(embVecs(s, d).filter($"vec_id" < 10), maxAbs)
+    val q = quantWith(queries, maxAbs)
       .withColumn("p", explode(
         slice(array_sort(IvfKMeans.simStructs(s, cents, $"v")), 1, nprobe)))
       .select($"vec_id".as("q_id"), $"v".as("qvf"), $"qv8".as("qq8"),
         $"qn".as("qnq"), $"p.cid".as("bucket"))
-      .localCheckpoint() // tiny (10 × nprobe rows); read twice below
+      .localCheckpoint() // tiny (queries × nprobe rows); read twice below
     // bounded: ≤ K distinct probed cells — the static partition filter
     val probedCells = q.select($"bucket").distinct().as[Long].collect().toSeq
     val stored = s.read.parquet(s"$store/index")
@@ -1139,7 +1153,7 @@ object PipelineQueries {
     * probe, int8 shortlist, rescore; ends in `sc (q_id, c_id, iq, sim4)`.
     * `lloydIterSql` trains over the CTE named `n` (the build corpus);
     * `en` carries every vector for assignment/probing. */
-  private lazy val ivfIndexServeCtes: String =
+  private[queries] lazy val ivfIndexServeCtes: String =
     s"""e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |en AS (

@@ -589,6 +589,97 @@ object StreamShapeQueries {
              |FROM lanes ORDER BY doc_id, frame""".stripMargin)
     ),
 
+    "q_stream_similarity_serve" -> QueryDef(
+      // STREAMING VECTOR SERVING against the persisted index (round 17) —
+      // the lifecycle's missing consumer shape: query traffic ARRIVES on
+      // a stream and each micro-batch is served against the PREBUILT
+      // named store — per trigger: quantize the batch's queries with the
+      // STORED scale, route via the STORED centroids, read ONLY the
+      // probed cells (the static partition filter — per-trigger pruned
+      // I/O, the property that makes a 100 TB index servable at stream
+      // latency), int8 shortlist, full-precision rescore, idempotent
+      // per-batch output overwrite (foreachBatch is at-least-once — the
+      // IngestDedup write discipline). Build+append run ONCE before the
+      // stream starts, never per trigger. The query traffic replays as
+      // two ordered micro-batches (vec_id parity); served results are
+      // batch-independent (each query is served exactly once, whole), so
+      // the twin shares q_similarity_index_serve's oracle verbatim.
+      (s, d) => {
+        import s.implicits._
+        val P = graft.queries.PipelineQueries
+        val store = java.nio.file.Files
+          .createTempDirectory("graft_ivf_stream_store").toString
+        val base = java.nio.file.Files.createTempDirectory("graft_serve_stream")
+        try {
+          P.ivfIndexBuild(s, d, store)
+          P.ivfIndexAppend(s, d, store)
+          // stage today's query traffic as 2 ordered shard files
+          val queries = embeddings(s, d).filter($"vec_id" < 10)
+          val src = base.resolve("src")
+          java.nio.file.Files.createDirectories(src)
+          for (b <- 0 to 1) {
+            val tmp = base.resolve(s"shard$b")
+            queries.filter(pmod($"vec_id", lit(2)) === b)
+              .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+            val listing = java.nio.file.Files.list(tmp)
+            val part =
+              try listing.filter(p => p.getFileName.toString.startsWith("part-")
+                && p.getFileName.toString.endsWith(".parquet")).findFirst()
+                .orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
+              finally listing.close()
+            val dst = src.resolve(f"shard$b%04d.parquet")
+            java.nio.file.Files.move(part, dst)
+            java.nio.file.Files.setLastModifiedTime(dst,
+              java.nio.file.attribute.FileTime.fromMillis(1700000000000L + b * 60000L))
+          }
+          val outDir = base.resolve("out").toString
+          val schema = queries.schema
+          graft.streaming.StreamOps.withRightSizedStreaming(s, 4, noDataBatches = false) {
+            val stream = s.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src.toString)
+            val q = stream.writeStream
+              .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+                // the batch df belongs to the micro-batch's CLONED session:
+                // helpers must register their temp functions (cosine_sim)
+                // there, not in the outer session whose registry the clone
+                // snapshotted at stream start
+                val bs = batch.sparkSession
+                val qv = batch.select($"vec_id",
+                  expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+                P.ivfIndexServeQueries(bs, store, qv)
+                  .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+                ()
+              }
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .option("checkpointLocation",
+                s"${graft.streaming.StreamOps.fastCheckpointRoot}/serve_" +
+                  java.util.UUID.randomUUID().toString.replace("-", ""))
+              .start()
+            q.awaitTermination()
+            val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+            require(dataBatches == 2,
+              s"serving replay expects 2 data micro-batches, saw $dataBatches")
+          }
+          s.read.parquet(outDir)
+            .select($"q_id", $"rnk", $"c_id", $"iq", $"sim4")
+            .orderBy($"q_id", $"rnk").localCheckpoint()
+        } finally {
+          def rmr(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete(); ()
+          }
+          rmr(new java.io.File(store)); rmr(base.toFile)
+        }
+      },
+      // served results are batch-independent — the oracle is the batch
+      // lifecycle key's, verbatim
+      Some(s"""WITH ${graft.queries.PipelineQueries.ivfIndexServeCtes}
+              |SELECT q_id, rnk, c_id, iq, sim4 FROM (
+              |  SELECT q_id, c_id, iq, sim4,
+              |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim4 DESC, c_id) AS rnk
+              |  FROM sc) t
+              |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin)
+    ),
+
     "q_stream_ingest_dedup" -> QueryDef(
       // CONTINUOUS corpus ingestion with a durable fingerprint store — see
       // graft.streaming.IngestDedup for the full operator contract (batch

@@ -144,7 +144,7 @@ class StreamOpsSpec extends AnyFunSuite {
     val sfDir = "/root/testdata/sf0.001"
     graft.tables.Tables.events(spark, sfDir).limit(1).collect()
     val streamKeys = graft.SparkEntry.queries.keys.filter(_.startsWith("q_stream_"))
-    assert(streamKeys.size == 13) // r10 q_stream_curate, r11 q_stream_decontaminate_bc, r16 q_stream_decontaminate_semantic + q_stream_multimodal_audit, r17 q_stream_video_frames
+    assert(streamKeys.size == 14) // r10 q_stream_curate, r11 q_stream_decontaminate_bc, r16 q_stream_decontaminate_semantic + q_stream_multimodal_audit, r17 q_stream_video_frames + q_stream_similarity_serve
     streamKeys.toSeq.sorted.foreach { name =>
       val before = spark.conf.getAll
       graft.SparkEntry.queries(name)(spark, sfDir).collect()
