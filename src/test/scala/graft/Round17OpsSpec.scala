@@ -252,6 +252,22 @@ class Round17OpsSpec extends AnyFunSuite {
     } finally rm(dir)
   }
 
+  test("q_stream_similarity_serve equals the batch lifecycle key row-for-row") {
+    import spark.implicits._
+    // served results are batch-independent (each query served once,
+    // whole), so the per-trigger stream must be bit-identical to the
+    // composed batch key — the in-repo half of the shared-oracle claim
+    val sfDir = "/root/testdata/sf0.001"
+    val batch = SparkEntry.queries("q_similarity_index_serve")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    val streamed = SparkEntry.queries("q_stream_similarity_serve")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(batch.nonEmpty && streamed == batch,
+      s"stream serving diverged from the batch lifecycle: " +
+        s"${batch.size} vs ${streamed.size} rows; first diff: " +
+        batch.zip(streamed).find { case (a, b) => a != b })
+  }
+
   test("bandedHammingPairs rejects parameterizations that break the pigeonhole floor") {
     import spark.implicits._
     val reps = Seq((0L, 0L, 0L)).toDF("doc_id", "h_hi", "h_lo")
