@@ -332,14 +332,25 @@ object Multimodal {
     * container). Reference analog: the opaque payloads the consumer
     * round-trips (run.py:133-138), here given real decodable content.
     */
+  /** Frame-encode memo for [[assetsFromDocumentsMjpeg]]: t1 is a function
+    * of t0 (t1 = (t0 + 29) mod-wrapped), so the corpus contains only 128
+    * distinct frames — encoding each once per JVM instead of once per
+    * (doc, frame) removes ~99.9% of the fixture-synthesis cost at sf1
+    * (the DECODE side, the operator under test, still runs per frame).
+    * Entries are treated as immutable; the corrupt lane copies. */
+  private val mjpegFrameMemo =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Byte]]()
+
   def assetsFromDocumentsMjpeg(spark: SparkSession, documents: DataFrame): Dataset[MediaAsset] = {
     import spark.implicits._
     documents.select(col("doc_id")).as[Long].map { id =>
       val n = (1 + id % 7).toInt
       val frames = Array.tabulate(n) { k =>
         val t0 = (((id * 7 + k * 13) % 128) - 64).toInt
-        val t1 = (((id * 7 + k * 13 + 29) % 128) - 64).toInt
-        val jb = JpegCodec.encodeGrayDcOnly(16, 8, Array(t0, t1))
+        val jb = mjpegFrameMemo.computeIfAbsent(t0, t => {
+          val t1 = (((t + 64 + 29) % 128) - 64)
+          JpegCodec.encodeGrayDcOnly(16, 8, Array(t, t1))
+        })
         if (id % 97 == 0 && k == n - 1) java.util.Arrays.copyOf(jb, jb.length / 2)
         else jb
       }
