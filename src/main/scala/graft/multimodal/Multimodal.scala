@@ -332,15 +332,6 @@ object Multimodal {
     * container). Reference analog: the opaque payloads the consumer
     * round-trips (run.py:133-138), here given real decodable content.
     */
-  /** Frame-encode memo for [[assetsFromDocumentsMjpeg]]: t1 is a function
-    * of t0 (t1 = (t0 + 29) mod-wrapped), so the corpus contains only 128
-    * distinct frames — encoding each once per JVM instead of once per
-    * (doc, frame) removes ~99.9% of the fixture-synthesis cost at sf1
-    * (the DECODE side, the operator under test, still runs per frame).
-    * Entries are treated as immutable; the corrupt lane copies. */
-  private val mjpegFrameMemo =
-    new java.util.concurrent.ConcurrentHashMap[Int, Array[Byte]]()
-
   def assetsFromDocumentsMjpeg(spark: SparkSession, documents: DataFrame): Dataset[MediaAsset] = {
     import spark.implicits._
     documents.select(col("doc_id")).as[Long].map { id =>
@@ -362,4 +353,13 @@ object Multimodal {
       MediaAsset(id, MediaMeta("video", "mjpeg", 16, 8, 0, duration), bytes)
     }
   }
+
+  /** Frame-encode memo for [[assetsFromDocumentsMjpeg]]: t1 is a function
+    * of t0 (t1 = (t0 + 29) mod-wrapped), so the corpus contains only 128
+    * distinct frames — encoding each once per JVM instead of once per
+    * (doc, frame) removes ~99.9% of the fixture-synthesis cost at sf1
+    * (the DECODE side, the operator under test, still runs per frame).
+    * Entries are treated as immutable; the corrupt lane copies. */
+  private val mjpegFrameMemo =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Byte]]()
 }

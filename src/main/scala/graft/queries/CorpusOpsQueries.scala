@@ -488,6 +488,17 @@ object CorpusOpsQueries {
     sel.toSeq
   }
 
+  /** Ranked-pool width policy: the pool must survive [[bpeSelectBatch]]'s
+    * skips (each pick consumes two symbols plus its concatenation, so a
+    * contentious prefix can reject several candidates per pick) and still
+    * yield batchM disjoint pairs — a pool that does not scale with the
+    * batch silently starves selection and the iteration count creeps back
+    * toward sequential (the round-16 verdict's fixed-64-literal item).
+    * 4× the batch with the original 64 floor; still a bounded driver
+    * collect (1024 rows at the production batchM=256).
+    */
+  private[graft] def adaptivePoolK(batchM: Int): Int = math.max(64, 4 * batchM)
+
   /** Multi-merge batched BPE training — the iteration protocol that makes
     * a production vocabulary (~32k merges) affordable: the sequential
     * trainer pays one pair-count shuffle + one driver argmax round-trip
@@ -515,17 +526,6 @@ object CorpusOpsQueries {
     * trainer's global reduce — poolK rows instead of batchM separate
     * 1-row argmax jobs).
     */
-  /** Ranked-pool width policy: the pool must survive [[bpeSelectBatch]]'s
-    * skips (each pick consumes two symbols plus its concatenation, so a
-    * contentious prefix can reject several candidates per pick) and still
-    * yield batchM disjoint pairs — a pool that does not scale with the
-    * batch silently starves selection and the iteration count creeps back
-    * toward sequential (the round-16 verdict's fixed-64-literal item).
-    * 4× the batch with the original 64 floor; still a bounded driver
-    * collect (1024 rows at the production batchM=256).
-    */
-  private[graft] def adaptivePoolK(batchM: Int): Int = math.max(64, 4 * batchM)
-
   private[graft] def bpeTrainBatched(
       s: org.apache.spark.sql.SparkSession, d: String,
       nMerges: Int, batchM: Int, poolK: Int = -1,

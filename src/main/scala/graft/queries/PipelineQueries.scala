@@ -1042,6 +1042,7 @@ object PipelineQueries {
   private[graft] def ivfIndexMeta(
       s: SparkSession, store: String): (Seq[(Long, Seq[Double])], Double) = {
     val rows = s.read.parquet(s"$store/meta").collect()
+    require(rows.nonEmpty, s"no index meta at $store (store missing or build incomplete)")
     (rows.map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq,
       rows.head.getDouble(2))
   }
@@ -1140,12 +1141,7 @@ object PipelineQueries {
       if (retryAppend) ivfIndexAppend(s, d, dir) // at-least-once redelivery
       ivfIndexServeOnly(s, d, dir, inspect, nprobe)
         .localCheckpoint() // 30 rows; then release the index dir
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(dir))
-    }
+    } finally graft.util.Fs.deleteRecursively(dir)
   }
 
   /** DuckDB replay of [[ivfIndexServe]]'s lifecycle semantics — training

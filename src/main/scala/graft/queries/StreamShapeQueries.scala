@@ -664,10 +664,8 @@ object StreamShapeQueries {
             .select($"q_id", $"rnk", $"c_id", $"iq", $"sim4")
             .orderBy($"q_id", $"rnk").localCheckpoint()
         } finally {
-          def rmr(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete(); ()
-          }
-          rmr(new java.io.File(store)); rmr(base.toFile)
+          graft.util.Fs.deleteRecursively(store)
+          graft.util.Fs.deleteRecursively(base.toString)
         }
       },
       // served results are batch-independent — the oracle is the batch

@@ -53,14 +53,22 @@ object IngestDedup {
     * store whose name matches the pattern stays usable but is logged: its
     * maintenance passes will target the stripped base's lineage.
     */
+  // suffixed names that already passed validation this JVM — the warn and
+  // the catalog RPC fire once per lineage, not once per micro-batch
+  private val validatedSuffixedStores =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private[graft] def validateStoreName(s: SparkSession, storeTable: String): Unit =
-    if (storeBaseName(storeTable) != storeTable) {
+    if (storeBaseName(storeTable) != storeTable
+        && !validatedSuffixedStores.contains(storeTable)) {
       require(s.catalog.tableExists(storeTable),
         s"new store name '$storeTable' matches the maintenance-suffix " +
           "pattern (_c<n>/_r<n>); pick a suffix-free base name")
       log.warn(s"existing store '$storeTable' matches the maintenance-suffix " +
         s"pattern; maintenance passes derive names from base " +
         s"'${storeBaseName(storeTable)}' and may retarget that lineage")
+      validatedSuffixedStores.add(storeTable)
+      ()
     }
 
   /** One micro-batch of the ingest loop (the foreachBatch body; also

@@ -38,6 +38,7 @@ object BpeTrainBench {
     val batches: Seq[Int] = sys.env.get("SPARK_GRAFT_BATCHES")
       .map(_.split(",").map(_.trim.toInt).toSeq)
       .getOrElse(Seq(sys.env.getOrElse("SPARK_GRAFT_BATCH", "64").toInt, 1))
+      .distinct
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -115,10 +115,5 @@ object IndexServeBench {
 
   private def f(x: Double): String = f"$x%.4f"
 
-  private def rm(p: String): Unit = {
-    def go(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(go)); f.delete(); ()
-    }
-    go(new java.io.File(p))
-  }
+  private def rm(p: String): Unit = graft.util.Fs.deleteRecursively(p)
 }
