@@ -1047,6 +1047,74 @@ object PipelineQueries {
       rows.head.getDouble(2))
   }
 
+  /** The store's LIVE index directory — `store/CURRENT` (one line, the
+    * generation-pointer file compaction flips atomically) when present,
+    * the build's original `index` otherwise. Append, serve and compaction
+    * all resolve through this, so a reader can never observe a
+    * half-written generation.
+    */
+  private[graft] def ivfIndexLiveDir(store: String): String = {
+    val cur = java.nio.file.Paths.get(store, "CURRENT")
+    val name =
+      if (java.nio.file.Files.exists(cur))
+        new String(java.nio.file.Files.readAllBytes(cur), "UTF-8").trim
+      else "index"
+    s"$store/$name"
+  }
+
+  /** COMPACT the persisted index — the store's small-files maintenance
+    * pass (the IngestDedup compaction discipline applied to the vector
+    * index): every [[ivfIndexAppend]] adds one parquet file per
+    * (cell, shard), so after N daily shards each probed cell pays N
+    * file-opens at serve time while the DATA per cell is tiny. Compaction
+    * rewrites every partition with `shard <= upTo` as ONE partition per
+    * cell — keyed `shard = upTo`, so a later shard's identity is
+    * untouched — and copies partitions with `shard > upTo` (an in-flight
+    * append under at-least-once delivery) verbatim.
+    *
+    * Crash-safe without transactions, via GENERATION DIRECTORIES and an
+    * atomically-flipped pointer: the compacted generation is fully
+    * written to `store/index_c<upTo>` (a retry's initial delete clears a
+    * half-written attempt — idempotent), then `store/CURRENT` is flipped
+    * by temp-file + ATOMIC_MOVE rename; only after the flip is the old
+    * generation deleted (best effort — a crash leaves harmless garbage a
+    * later pass removes). A crash at ANY point leaves CURRENT naming a
+    * complete generation, so serves never break. The generation name
+    * derives from the constant base `index`, never from the current
+    * generation — chained compactions cannot accrete suffixes (the
+    * IngestDedup storeBaseName lesson). Returns the new generation name.
+    */
+  private[graft] def ivfIndexCompact(
+      s: SparkSession, store: String, upTo: Long): String = {
+    import s.implicits._
+    val liveName = ivfIndexLiveDir(store).split('/').last
+    val gen = s"index_c$upTo"
+    // a retry AFTER a successful flip is a completed pass — converge as a
+    // no-op (the crash-before-flip retry path is the delete-and-rewrite)
+    if (gen == liveName) return gen
+    graft.util.Fs.deleteRecursively(s"$store/$gen") // retry convergence
+    val live = s.read.parquet(s"$store/$liveName")
+      .select($"vec_id", $"v", $"qv8", $"qn",
+        $"cell".cast("long").as("cell"), $"shard".cast("long").as("shard"))
+    val compacted = live.filter($"shard" <= upTo)
+      .withColumn("shard", lit(upTo))
+      // one file per (cell, shard=upTo): co-locate each cell before write
+      .repartition($"cell")
+    val carried = live.filter($"shard" > upTo)
+    compacted.unionByName(carried)
+      .write.partitionBy("cell", "shard").mode("overwrite").parquet(s"$store/$gen")
+    // atomic pointer flip: readers see the old generation or the new one,
+    // never a partial state
+    val tmp = java.nio.file.Paths.get(store, s"CURRENT.tmp${System.nanoTime()}")
+    java.nio.file.Files.write(tmp, gen.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(store, "CURRENT"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // old generation is garbage only AFTER the flip
+    graft.util.Fs.deleteRecursively(s"$store/$liveName")
+    gen
+  }
+
   /** Shard-IDEMPOTENT incremental append of `shard` (odd vec_ids —
     * "today's data") against the STORED centroids and scale — no retrain,
     * no rewrite of existing partitions. The shard id is the second
@@ -1070,7 +1138,7 @@ object PipelineQueries {
       .withColumn("shard", lit(shard))
       .write.partitionBy("cell", "shard")
       .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").parquet(s"$store/index")
+      .mode("overwrite").parquet(ivfIndexLiveDir(store))
   }
 
   /** SERVE-ONLY against a prebuilt store: queries probe their nprobe
@@ -1112,7 +1180,7 @@ object PipelineQueries {
       .localCheckpoint() // tiny (queries × nprobe rows); read twice below
     // bounded: ≤ K distinct probed cells — the static partition filter
     val probedCells = q.select($"bucket").distinct().as[Long].collect().toSeq
-    val stored = s.read.parquet(s"$store/index")
+    val stored = s.read.parquet(ivfIndexLiveDir(store))
       .where($"cell".isin(probedCells: _*))
       .select($"vec_id", $"v", $"qv8", $"qn", $"cell".cast("long").as("bucket"))
     val top3 = quantizedTop3Of(s,

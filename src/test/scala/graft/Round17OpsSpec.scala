@@ -268,6 +268,57 @@ class Round17OpsSpec extends AnyFunSuite {
         batch.zip(streamed).find { case (a, b) => a != b })
   }
 
+  test("index compaction: serve-identical, shard dirs collapse, pointer flip idempotent, in-flight shards carried, appends follow the live generation") {
+    import spark.implicits._
+    val P = graft.queries.PipelineQueries
+    val sfDir = "/root/testdata/sf0.001"
+    val store = java.nio.file.Files.createTempDirectory("ivf_compact_store").toString
+    def shardDirs(): Map[String, Set[String]] = {
+      val live = new java.io.File(P.ivfIndexLiveDir(store))
+      Option(live.listFiles()).toSeq.flatten
+        .filter(c => c.isDirectory && c.getName.startsWith("cell="))
+        .map(c => c.getName -> Option(c.listFiles()).toSeq.flatten
+          .filter(d => d.isDirectory && d.getName.startsWith("shard="))
+          .map(_.getName).toSet).toMap
+    }
+    def serve(): Seq[(Long, Long, Long, Long, Double)] =
+      P.ivfIndexServeOnly(spark, sfDir, store)
+        .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    try {
+      P.ivfIndexBuild(spark, sfDir, store) // shard 0
+      P.ivfIndexAppend(spark, sfDir, store) // shard 1
+      P.ivfIndexAppend(spark, sfDir, store, shard = 2L) // a second day
+      val before = serve()
+      assert(shardDirs().values.flatten.toSet ==
+        Set("shard=0", "shard=1", "shard=2"))
+      // compact shards <= 1; the in-flight shard 2 must be carried verbatim
+      assert(P.ivfIndexCompact(spark, store, upTo = 1L) == "index_c1")
+      assert(P.ivfIndexLiveDir(store).endsWith("/index_c1"))
+      assert(serve() == before, "compaction must not change served results")
+      val dirs1 = shardDirs()
+      assert(dirs1.values.flatten.toSet == Set("shard=1", "shard=2"),
+        s"shards <=1 must collapse into shard=1: $dirs1")
+      // at-least-once retry AFTER the flip converges as a no-op
+      assert(P.ivfIndexCompact(spark, store, upTo = 1L) == "index_c1")
+      assert(serve() == before)
+      // chained compaction derives from the constant base — no suffix
+      // accretion — and collapses everything into one partition per cell
+      assert(P.ivfIndexCompact(spark, store, upTo = 2L) == "index_c2")
+      assert(serve() == before)
+      val dirs2 = shardDirs()
+      assert(dirs2.values.forall(_ == Set("shard=2")),
+        s"full compaction must leave one shard dir per cell: $dirs2")
+      assert(dirs2.values.forall(_.size == 1))
+      // the old generations are gone; only meta + the live gen + CURRENT
+      val top = Option(new java.io.File(store).listFiles()).toSeq.flatten
+        .map(_.getName).toSet
+      assert(top == Set("meta", "index_c2", "CURRENT"), s"stale generations: $top")
+      // a post-compaction append lands in the LIVE generation
+      P.ivfIndexAppend(spark, sfDir, store, shard = 9L)
+      assert(shardDirs().values.flatten.toSet == Set("shard=2", "shard=9"))
+    } finally rm(store)
+  }
+
   test("bandedHammingPairs rejects parameterizations that break the pigeonhole floor") {
     import spark.implicits._
     val reps = Seq((0L, 0L, 0L)).toDF("doc_id", "h_hi", "h_lo")
