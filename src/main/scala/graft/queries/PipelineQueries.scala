@@ -1128,11 +1128,17 @@ object PipelineQueries {
     * write in the same session can never inherit it (round-17 ADVICE).
     */
   private[graft] def ivfIndexAppend(
-      s: SparkSession, d: String, store: String, shard: Long = 1L): Unit = {
+      s: SparkSession, d: String, store: String, shard: Long = 1L,
+      // optional (mod, rem) slice of the appendable half — a production
+      // shard carries a DISJOINT subset of the day's data; the default
+      // (1, 0) appends everything (the lifecycle key's single-shard shape)
+      slice: (Long, Long) = (1L, 0L)): Unit = {
     import s.implicits._
     import graft.operators.IvfKMeans
     val (cents, maxAbs) = ivfIndexMeta(s, store)
-    quantWith(embVecs(s, d).filter($"vec_id" % 2 =!= 0), maxAbs)
+    quantWith(embVecs(s, d)
+        .filter($"vec_id" % 2 =!= 0)
+        .filter(pmod($"vec_id", lit(slice._1)) === slice._2), maxAbs)
       .withColumn("cell", IvfKMeans.assignCell(s, cents, $"v"))
       .select($"vec_id", $"v", $"qv8", $"qn", $"cell")
       .withColumn("shard", lit(shard))

@@ -107,6 +107,45 @@ object IndexServeBench {
             s""""files_total":$filesTotal,"bytes_read":$bytesRead,""" +
             s""""bytes_total":$bytesTotal}""")
         }
+        // optional compaction arm: simulate SPARK_GRAFT_DAYS daily appends,
+        // measure serve against the fragmented store, compact, re-measure —
+        // the file-open cost the maintenance pass exists to remove
+        val days = sys.env.getOrElse("SPARK_GRAFT_DAYS", "0").toInt
+        if (days > 1) {
+          // rebuild the store with the appendable half split into DISJOINT
+          // daily slices — constant total data, so frag-vs-compacted
+          // isolates the file-count cost instead of data inflation
+          rm(store)
+          graft.queries.PipelineQueries.ivfIndexBuild(spark, d, store)
+          (1 to days).foreach(i =>
+            graft.queries.PipelineQueries.ivfIndexAppend(spark, d, store,
+              shard = i.toLong, slice = (days.toLong, (i - 1).toLong)))
+          def liveFiles(): Long = {
+            val live = new java.io.File(
+              graft.queries.PipelineQueries.ivfIndexLiveDir(store))
+            Option(live.listFiles()).toSeq.flatten
+              .filter(c => c.isDirectory && c.getName.startsWith("cell="))
+              .flatMap(c => Option(c.listFiles()).toSeq.flatten)
+              .flatMap(sh => Option(sh.listFiles()).toSeq.flatten)
+              .count(_.getName.endsWith(".parquet")).toLong
+          }
+          def serveMed(): Double = (0 until 5).map { _ =>
+            val t0 = System.nanoTime()
+            force(graft.queries.PipelineQueries.ivfIndexServeOnly(spark, d, store))
+            val dt = (System.nanoTime() - t0) / 1e9
+            deepClean(); dt
+          }.sorted.apply(2)
+          val fragFiles = liveFiles()
+          val tFrag = serveMed()
+          val t0c = System.nanoTime()
+          graft.queries.PipelineQueries.ivfIndexCompact(spark, store, upTo = days.toLong)
+          val tCompact = (System.nanoTime() - t0c) / 1e9
+          val compFiles = liveFiles()
+          val tServeComp = serveMed()
+          println(s"""{"sf":"$d","days":$days,"files_frag":$fragFiles,""" +
+            s""""serve_frag_sec":${f(tFrag)},"compact_sec":${f(tCompact)},""" +
+            s""""files_compacted":$compFiles,"serve_compacted_sec":${f(tServeComp)}}""")
+        }
       } finally rm(store)
       deepClean()
     }
