@@ -1004,7 +1004,9 @@ object PipelineQueries {
     .withColumn("qn", expr("aggregate(qv8, 0L, (acc, q) -> acc + q * q)"))
 
   /** BUILD the persisted index into the named `store` directory —
-    * `store/index` is the parquet index partitioned by (cell, shard);
+    * `store/index` is the parquet index partitioned by (cell, shard)
+    * (later GENERATIONS from [[ivfIndexCompact]] live beside it, named
+    * by the `store/CURRENT` pointer all readers resolve through);
     * `store/meta` holds the trained centroids and the stored int8 scale
     * (one row per centroid, max_abs riding every row). The store — not a
     * returned DataFrame — is the artifact; [[ivfIndexAppend]] and
