@@ -1413,13 +1413,16 @@ object PipelineQueries {
        |    FROM cand) t
        |  WHERE hamming <= 3)""".stripMargin
 
-  /** DuckDB replay of the PRODUCTION 8×8-bit-band tier
-    * (`imagePhashNearPairs(nBands = 8, maxDist = 7)`) — extends
-    * `imageAhashCtes` with the rep table `hh`, the 8-band explode `bb8`,
-    * the any-band candidate join `cand8`, and the verified pair list
-    * `np8 (doc_a, doc_b, hamming ≤ 7)`. */
-  private lazy val imagePhashNearB8Ctes: String =
-    s"""$imageAhashCtes,
+  /** DuckDB replay of the PRODUCTION 8×8-bit-band near tier
+    * (`bandedHammingPairs(nBands = 8, maxDist = 7)`) over ANY hash CTE
+    * chain ending in `h (doc_id, h_hi, h_lo)` — the rep table `hh`, the
+    * 8-band explode `bb8`, the any-band candidate join `cand8`, and the
+    * verified pair list `np8 (doc_a, doc_b, hamming ≤ 7)`. Shared by the
+    * image (aHash) and audio (energy-profile) modalities — the banding
+    * machinery is hash-source-agnostic on both engine and oracle sides.
+    */
+  private def bandedB8CtesOver(hashCtes: String): String =
+    s"""$hashCtes,
        |hh AS (SELECT h_hi, h_lo, MIN(doc_id) AS doc_id FROM h GROUP BY h_hi, h_lo),
        |bb8 AS (
        |  SELECT doc_id, h_hi, h_lo, band,
@@ -1442,6 +1445,72 @@ object PipelineQueries {
        |      CAST(bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) AS BIGINT) AS hamming
        |    FROM cand8) t
        |  WHERE hamming <= 7)""".stripMargin
+
+  private lazy val imagePhashNearB8Ctes: String = bandedB8CtesOver(imageAhashCtes)
+
+  /** Per-audio-asset energy-profile fingerprint over the REAL WAV decode
+    * (round 17 — the audio member of the perceptual-dedup family, the
+    * aHash discipline applied to sound): samples bin into 64 equal-width
+    * time bins (bin = ⌊64·i/n⌋), per-bin short-time energy E_b = Σ s²
+    * (exact int64), bit_b = (64·E_b ≥ ΣE) — cross-multiplied, no
+    * division, no float — packed into two shift-safe 32-bit halves. Two
+    * recordings with the same coarse energy envelope (the loudness
+    * contour, robust to small per-sample perturbations) collide; the
+    * near tier widens to Hamming-adjacent envelopes through the SAME
+    * banded machinery the image tier uses.
+    */
+  private def audioFps(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val assets = graft.multimodal.Multimodal
+      .assetsFromDocumentsCodec(s, documents(s, d)
+        .filter($"doc_id" % 2 === 1 && length($"text") >= 1))
+    assets.mapPartitions(_.map { a =>
+      val wav = graft.multimodal.WavCodec.decode(a.content)
+        .getOrElse(throw new IllegalStateException(s"undecodable fixture ${a.asset_id}"))
+      val n = wav.samples.length
+      val e = new Array[Long](64)
+      var i = 0
+      while (i < n) {
+        val v = wav.samples(i).toLong
+        e(((i.toLong * 64) / n).toInt) += v * v
+        i += 1
+      }
+      var tot = 0L
+      var j = 0
+      while (j < 64) { tot += e(j); j += 1 }
+      var lo = 0L; var hi = 0L
+      j = 0
+      while (j < 32) { if (tot > 0 && 64 * e(j) >= tot) lo |= 1L << j; j += 1 }
+      while (j < 64) { if (tot > 0 && 64 * e(j) >= tot) hi |= 1L << (j - 32); j += 1 }
+      (a.asset_id, hi, lo)
+    }).toDF("doc_id", "h_hi", "h_lo")
+  }
+
+  /** DuckDB replay of [[audioFps]] — ends in `h (doc_id, h_hi, h_lo)`;
+    * the oracle reconstructs the decoded samples from `text`
+    * (s = (byte − 128)·256, the WAV fixture's exact inverse), so a decode
+    * slip breaks every fingerprint. Bins absent for short clips (n < 64)
+    * contribute zero bits on both sides (engine: E_b = 0 and ΣE > 0 on
+    * any real signal; oracle: no row for the bin). */
+  private val audioFpCtes: String =
+    """ad AS (
+      |  SELECT doc_id, text, length(text) AS n FROM documents
+      |  WHERE doc_id % 2 = 1 AND length(text) >= 1),
+      |sm AS (
+      |  SELECT doc_id, n, i,
+      |    (ascii(substring(text, CAST(i + 1 AS INT), 1)) - 128) * 256 AS s
+      |  FROM (SELECT doc_id, text, n, unnest(range(n)) AS i FROM ad)),
+      |be AS (
+      |  SELECT doc_id, (i * 64) // n AS b, SUM(CAST(s AS BIGINT) * s) AS e
+      |  FROM sm GROUP BY 1, 2),
+      |te AS (SELECT doc_id, SUM(e) AS tot FROM be GROUP BY 1),
+      |h AS (
+      |  SELECT be.doc_id,
+      |    CAST(SUM(CASE WHEN b >= 32 AND tot > 0 AND 64 * e >= tot
+      |      THEN (1::BIGINT << CAST(b - 32 AS INT)) ELSE 0 END) AS BIGINT) AS h_hi,
+      |    CAST(SUM(CASE WHEN b < 32 AND tot > 0 AND 64 * e >= tot
+      |      THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS h_lo
+      |  FROM be JOIN te USING (doc_id) GROUP BY be.doc_id)""".stripMargin
 
   /** DuckDB replay of [[imageAhashes]] — ends in `h (doc_id, h_lo, h_hi)`;
     * the oracle reconstructs the decoded pixels from `text` so a decode
@@ -3411,6 +3480,54 @@ object PipelineQueries {
       Some(s"""WITH $imageAhashCtes
               |SELECT h_hi, h_lo, MIN(doc_id) AS doc_id, COUNT(*) AS n_images
               |FROM h GROUP BY h_hi, h_lo ORDER BY doc_id""".stripMargin)
+    ),
+
+    "q_dedup_audio_fp" -> QueryDef(
+      // The AUDIO member of the perceptual-dedup family (round 17 —
+      // images had aHash + banded tiers; audio had features but no dedup
+      // fingerprint): 64-bin energy-profile fingerprint over the REAL
+      // WAV decode (contract at [[audioFps]] — the loudness contour as a
+      // 64-bit signature, integer cross-multiplied like the image aHash),
+      // then the exact tier: hash-equality clusters with the smallest
+      // doc_id canonical. The oracle rebuilds every decoded sample from
+      // `text`, so a chunk-walk or sample-decode slip breaks every hash.
+      // Scale shape: map-side decode+hash, ONE shuffle on the 16-byte
+      // fingerprint — the linear dedup tier, same as q_dedup_image_ahash.
+      (s, d) => {
+        import s.implicits._
+        audioFps(s, d)
+          .groupBy($"h_hi", $"h_lo")
+          .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_clips"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH $audioFpCtes
+              |SELECT h_hi, h_lo, MIN(doc_id) AS doc_id, COUNT(*) AS n_clips
+              |FROM h GROUP BY h_hi, h_lo ORDER BY doc_id""".stripMargin)
+    ),
+
+    "q_dedup_audio_fp_near" -> QueryDef(
+      // NEAR-duplicate audio (round 17): Hamming≤7 pairs between DISTINCT
+      // energy-profile fingerprints via the SAME production 8×8-band
+      // machinery as the image tier — [[bandedHammingPairs]] verbatim on
+      // the engine side, [[bandedB8CtesOver]] on the oracle side — the
+      // proof that the banded near-dup tier is modality-agnostic: any
+      // 64-bit perceptual hash plugs in with its recall floor (d≤7 exact
+      // by pigeonhole) intact. Two re-encodings of the same recording
+      // perturb a few envelope bins; the band join recalls them without
+      // an all-pairs scan over the clip population.
+      (s, d) => {
+        import s.implicits._
+        bandedHammingPairs(s,
+          audioFps(s, d)
+            .groupBy($"h_hi", $"h_lo")
+            .agg(min($"doc_id").as("doc_id"))
+            .localCheckpoint(), // the band explode self-joins this
+          nBands = 8, maxDist = 7)
+          .select($"doc_a", $"doc_b", $"hamming")
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some(s"""WITH ${bandedB8CtesOver(audioFpCtes)}
+              |SELECT doc_a, doc_b, hamming FROM np8 ORDER BY doc_a, doc_b""".stripMargin)
     ),
 
     "q_multimodal_mp4" -> QueryDef(

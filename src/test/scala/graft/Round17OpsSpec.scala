@@ -319,6 +319,31 @@ class Round17OpsSpec extends AnyFunSuite {
     } finally rm(store)
   }
 
+  test("audio near tier: the modality-agnostic banding equals brute force at d<=7 on the real corpus") {
+    import spark.implicits._
+    // the energy-profile fingerprints ride the SAME bandedHammingPairs as
+    // the image tier — verify the pigeonhole floor wholesale on the audio
+    // hash population too (distinct-fp reps, all pairs within Hamming 7)
+    val reps = SparkEntry.queries("q_dedup_audio_fp")(spark, sf001)
+      .select($"doc_id", $"h_hi", $"h_lo")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val brute = (for {
+      i <- reps.indices; j <- (i + 1) until reps.length
+      d = java.lang.Long.bitCount(reps(i)._2 ^ reps(j)._2) +
+        java.lang.Long.bitCount(reps(i)._3 ^ reps(j)._3)
+      if d <= 7
+    } yield {
+      val (a, b) = if (reps(i)._1 < reps(j)._1) (reps(i)._1, reps(j)._1)
+                   else (reps(j)._1, reps(i)._1)
+      (a, b, d.toLong)
+    }).toSet
+    val banded = SparkEntry.queries("q_dedup_audio_fp_near")(spark, sf001)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded == brute,
+      s"audio banding must equal brute force: missed ${brute -- banded}, extra ${banded -- brute}")
+    assert(brute.nonEmpty, "the corpus must exercise the audio near tier")
+  }
+
   test("bandedHammingPairs rejects parameterizations that break the pigeonhole floor") {
     import spark.implicits._
     val reps = Seq((0L, 0L, 0L)).toDF("doc_id", "h_hi", "h_lo")
