@@ -1049,19 +1049,122 @@ object PipelineQueries {
       rows.head.getDouble(2))
   }
 
-  /** The store's LIVE index directory — `store/CURRENT` (one line, the
+  /** The store's LIVE generation name — `store/CURRENT` (one line, the
     * generation-pointer file compaction flips atomically) when present,
     * the build's original `index` otherwise. Append, serve and compaction
     * all resolve through this, so a reader can never observe a
     * half-written generation.
     */
-  private[graft] def ivfIndexLiveDir(store: String): String = {
+  private[graft] def ivfIndexLiveName(store: String): String = {
     val cur = java.nio.file.Paths.get(store, "CURRENT")
-    val name =
-      if (java.nio.file.Files.exists(cur))
-        new String(java.nio.file.Files.readAllBytes(cur), "UTF-8").trim
-      else "index"
-    s"$store/$name"
+    if (java.nio.file.Files.exists(cur))
+      new String(java.nio.file.Files.readAllBytes(cur), "UTF-8").trim
+    else "index"
+  }
+
+  /** Full path of the live generation directory (see [[ivfIndexLiveName]]). */
+  private[graft] def ivfIndexLiveDir(store: String): String =
+    s"$store/${ivfIndexLiveName(store)}"
+
+  /** The reserved shard id compaction re-keys merged rows under. NEGATIVE
+    * by construction: [[ivfIndexAppend]] requires `shard > 0` and the
+    * build writes `shard = 0`, so no append redelivery can ever name this
+    * partition — a redelivered shard can therefore never dynamic-overwrite
+    * the compacted data (round-18 ADVICE; r17 keyed compacted rows as
+    * `shard = upTo`, which a redelivery of shard `upTo` silently replaced).
+    */
+  private[graft] val CompactedShard: Long = -1L
+
+  /** Shard ids a compaction has ABSORBED into the [[CompactedShard]]
+    * partition — read from the live generation's `_ABSORBED` manifest
+    * (underscore-prefixed: parquet readers ignore it). Empty before any
+    * compaction. [[ivfIndexAppend]] consults this to recognize an
+    * at-least-once REDELIVERY of a shard whose rows already live in the
+    * compacted partition (the append must no-op, not duplicate), while a
+    * first-delivery append whose shard id merely compares `<= upTo`
+    * numerically (the in-flight-during-compaction case — compaction never
+    * saw its rows) is NOT in the manifest and still lands under its own id.
+    */
+  private[graft] def ivfIndexAbsorbed(store: String, genName: String): Set[Long] = {
+    val p = java.nio.file.Paths.get(store, genName, "_ABSORBED")
+    if (java.nio.file.Files.exists(p))
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        .split("\n").iterator.map(_.trim).filter(_.nonEmpty).map(_.toLong).toSet
+    else Set.empty
+  }
+
+  /** TOMBSTONE deletion — the lifecycle verb a training-data vector store
+    * cannot ship without (takedowns, opt-outs, dedup-driven retractions).
+    * A delete writes the doomed `vec_id`s as marker rows under
+    * `store/tombstones`, PARTITIONED BY the caller's delete-batch id with
+    * dynamic partition overwrite — the append discipline applied to
+    * deletion, so an at-least-once redelivery of the same delete batch
+    * overwrites its own partition instead of duplicating markers (and
+    * duplicates would be harmless anyway: readers consume the DISTINCT
+    * set through [[ivfIndexTombstones]]). Tombstones are STORE-level, not
+    * generation-level: they survive compaction pointer flips, because a
+    * redelivered append of a carried shard could resurrect a deleted row's
+    * index entry — the serve-side anti-join must keep masking it. The set
+    * stays tiny relative to the index (deletes are rare events), so the
+    * serve-side cost is one broadcast anti-join over already-pruned rows.
+    */
+  private[graft] def ivfIndexDelete(
+      s: SparkSession, store: String, delId: Long, vecIds: DataFrame): Unit = {
+    vecIds
+      .select(col(vecIds.columns.head).cast("long").as("vec_id"))
+      .withColumn("del", lit(delId))
+      .write.partitionBy("del")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(s"$store/tombstones")
+  }
+
+  /** The store's distinct tombstoned vec_ids, or None when no delete has
+    * ever run (the common case — serve adds NO plan nodes then, keeping
+    * the pruned-scan plan gates byte-identical). */
+  private[graft] def ivfIndexTombstones(
+      s: SparkSession, store: String): Option[DataFrame] =
+    if (new java.io.File(s"$store/tombstones").exists())
+      Some(s.read.parquet(s"$store/tombstones").select("vec_id").distinct())
+    else None
+
+  /** Store-backed index health audit — the production twin of the
+    * q_similarity_index_health key, computed from a REAL store's live
+    * generation + tombstone set instead of the corpus halves. Per cell:
+    * live indexed rows (`shard <= 0` — the build, plus compacted-merged
+    * partitions, which ARE the index base once a compaction folds the
+    * appended history in), live appended rows (`shard > 0`), tombstoned
+    * rows still physically present (the broadcast join against the
+    * tombstone set — after a compaction physically drops them this count
+    * falls to the carried shards' share, which is exactly the signal:
+    * WASTED flags a cell whose reads are >20% discarded rows, i.e.
+    * compaction's first target). Flags use the key's exact-integer
+    * cross-multiplications; the key's oracle certifies the arithmetic,
+    * `Round18OpsSpec` ties this function to the key row-for-row on an
+    * ephemeral store and drives both flag branches on planted deletions.
+    */
+  private[graft] def ivfIndexHealthOf(s: SparkSession, store: String): DataFrame = {
+    import s.implicits._
+    val live = s.read.parquet(ivfIndexLiveDir(store))
+      .select($"vec_id", $"cell".cast("long").as("cell"),
+        $"shard".cast("long").as("shard"))
+    val marked = ivfIndexTombstones(s, store)
+      .map(t => live
+        .join(broadcast(t.withColumn("tomb", lit(true))), Seq("vec_id"), "left")
+        .withColumn("tomb", coalesce($"tomb", lit(false))))
+      .getOrElse(live.withColumn("tomb", lit(false)))
+    marked.groupBy($"cell")
+      .agg(
+        sum(when($"shard" <= 0 && !$"tomb", 1L).otherwise(0L)).as("n_indexed"),
+        sum(when($"shard" > 0 && !$"tomb", 1L).otherwise(0L)).as("n_appended"),
+        sum(when($"tomb", 1L).otherwise(0L)).as("n_tombstoned"))
+      .withColumn("tot_idx", sum($"n_indexed").over(Window.partitionBy()))
+      .withColumn("tot_app", sum($"n_appended").over(Window.partitionBy()))
+      .select($"cell", $"n_indexed", $"n_appended", $"n_tombstoned",
+        (lit(2L) * $"n_appended" * $"tot_idx" >
+          lit(3L) * $"n_indexed" * $"tot_app").as("growing"),
+        (lit(5L) * $"n_tombstoned" >
+          $"n_indexed" + $"n_appended" + $"n_tombstoned").as("wasted"))
+      .orderBy($"cell")
   }
 
   /** COMPACT the persisted index — the store's small-files maintenance
@@ -1070,9 +1173,24 @@ object PipelineQueries {
     * (cell, shard), so after N daily shards each probed cell pays N
     * file-opens at serve time while the DATA per cell is tiny. Compaction
     * rewrites every partition with `shard <= upTo` as ONE partition per
-    * cell — keyed `shard = upTo`, so a later shard's identity is
-    * untouched — and copies partitions with `shard > upTo` (an in-flight
-    * append under at-least-once delivery) verbatim.
+    * cell — keyed under the RESERVED [[CompactedShard]] id, which no
+    * append can ever name, so a redelivered append of an absorbed shard
+    * cannot dynamic-overwrite the merged data (round-18 ADVICE; the r17
+    * `shard = upTo` keying lost the build's and older shards' vectors to
+    * exactly that redelivery) — and copies partitions with `shard > upTo`
+    * (an in-flight append under at-least-once delivery) verbatim. The set
+    * of shard ids actually merged is recorded in the generation's
+    * `_ABSORBED` manifest (cumulative across chained compactions), which
+    * is what lets [[ivfIndexAppend]] distinguish a true redelivery
+    * (no-op) from a first delivery that merely has a low shard id.
+    *
+    * Compaction is also where deletion becomes PHYSICAL: rows whose
+    * vec_id is tombstoned ([[ivfIndexDelete]]) are anti-joined out of the
+    * merged partition — the serve-side mask turns into reclaimed bytes.
+    * Carried (`> upTo`) shards keep their tombstoned rows (they must stay
+    * byte-verbatim for redelivery idempotence); the tombstone set is
+    * retained either way, because a redelivered carried shard can
+    * resurrect a deleted row's index entry and serve must keep masking it.
     *
     * Crash-safe without transactions, via GENERATION DIRECTORIES and an
     * atomically-flipped pointer: the compacted generation is fully
@@ -1085,11 +1203,19 @@ object PipelineQueries {
     * derives from the constant base `index`, never from the current
     * generation — chained compactions cannot accrete suffixes (the
     * IngestDedup storeBaseName lesson). Returns the new generation name.
+    *
+    * Concurrency boundary: compaction vs a SIMULTANEOUS append from a
+    * different driver needs external coordination (this store is a
+    * directory contract, not a lock service); within at-least-once
+    * redelivery — the failure mode the lifecycle is designed for — both
+    * sides converge, and [[ivfIndexAppend]]'s post-write generation fence
+    * re-lands an append whose target generation was retired mid-write.
     */
   private[graft] def ivfIndexCompact(
       s: SparkSession, store: String, upTo: Long): String = {
     import s.implicits._
-    val liveName = ivfIndexLiveDir(store).split('/').last
+    require(upTo >= 0, s"compaction upTo must be >= 0, got $upTo")
+    val liveName = ivfIndexLiveName(store)
     val gen = s"index_c$upTo"
     // a retry AFTER a successful flip is a completed pass — converge as a
     // no-op (the crash-before-flip retry path is the delete-and-rewrite)
@@ -1098,13 +1224,24 @@ object PipelineQueries {
     val live = s.read.parquet(s"$store/$liveName")
       .select($"vec_id", $"v", $"qv8", $"qn",
         $"cell".cast("long").as("cell"), $"shard".cast("long").as("shard"))
-    val compacted = live.filter($"shard" <= upTo)
-      .withColumn("shard", lit(upTo))
-      // one file per (cell, shard=upTo): co-locate each cell before write
+    val merged = live.filter($"shard" <= upTo)
+    // cumulative absorbed set: earlier generations' manifest + the real
+    // shard ids this pass merges (bounded: one distinct over shard ids)
+    val absorbed = ivfIndexAbsorbed(store, liveName) ++
+      merged.filter($"shard" >= 0).select($"shard").distinct().as[Long].collect()
+    // physical deletion point: tombstoned rows leave the merged partition
+    val compacted = ivfIndexTombstones(s, store)
+      .map(t => merged.join(broadcast(t), Seq("vec_id"), "left_anti"))
+      .getOrElse(merged)
+      .withColumn("shard", lit(CompactedShard))
+      // one file per (cell, shard=CompactedShard): co-locate each cell
       .repartition($"cell")
     val carried = live.filter($"shard" > upTo)
     compacted.unionByName(carried)
       .write.partitionBy("cell", "shard").mode("overwrite").parquet(s"$store/$gen")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(store, gen, "_ABSORBED"),
+      absorbed.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
     // atomic pointer flip: readers see the old generation or the new one,
     // never a partial state
     val tmp = java.nio.file.Paths.get(store, s"CURRENT.tmp${System.nanoTime()}")
@@ -1128,25 +1265,69 @@ object PipelineQueries {
     * idempotency spec-proven via `retryAppend`). The overwrite mode rides
     * the WRITER (per-write option), not the session conf — a concurrent
     * write in the same session can never inherit it (round-17 ADVICE).
+    *
+    * Redelivery AFTER a compaction (round-18 ADVICE): if the live
+    * generation's `_ABSORBED` manifest lists this shard, its rows already
+    * live in the merged [[CompactedShard]] partition — the append
+    * NO-OPS (writing under its own shard id would duplicate every row at
+    * serve). A shard id that is numerically old but NOT in the manifest
+    * (its first delivery raced the compaction, which never saw its rows)
+    * still lands under its own id — no collision with the reserved
+    * compacted partition is possible. And if a compaction retires the
+    * target generation WHILE the append writes, the post-write fence
+    * re-resolves the pointer and re-runs against the new generation (the
+    * dropped-with-the-old-generation write is the r17 in-flight hole).
     */
   private[graft] def ivfIndexAppend(
       s: SparkSession, d: String, store: String, shard: Long = 1L,
       // optional (mod, rem) slice of the appendable half — a production
       // shard carries a DISJOINT subset of the day's data; the default
-      // (1, 0) appends everything (the lifecycle key's single-shard shape)
+      // (1, 0) appends everything (the lifecycle key's single-shard shape).
+      // The slice keys on the DENSE odd index (vec_id-1)/2, not vec_id
+      // itself: odd ids mod an even modulus hit only odd remainders, so
+      // slicing raw ids would leave half an even day-count's slices empty
+      // (round-18 ADVICE — the bench's frag-store arm relied on this)
       slice: (Long, Long) = (1L, 0L)): Unit = {
     import s.implicits._
     import graft.operators.IvfKMeans
+    require(shard > 0,
+      s"append shard ids are positive (0 = build, $CompactedShard reserved " +
+        s"for compacted partitions); got $shard")
     val (cents, maxAbs) = ivfIndexMeta(s, store)
-    quantWith(embVecs(s, d)
+    val rows = quantWith(embVecs(s, d)
         .filter($"vec_id" % 2 =!= 0)
-        .filter(pmod($"vec_id", lit(slice._1)) === slice._2), maxAbs)
+        .filter(pmod(($"vec_id" - 1) / 2, lit(slice._1)) === slice._2), maxAbs)
       .withColumn("cell", IvfKMeans.assignCell(s, cents, $"v"))
       .select($"vec_id", $"v", $"qv8", $"qn", $"cell")
       .withColumn("shard", lit(shard))
-      .write.partitionBy("cell", "shard")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").parquet(ivfIndexLiveDir(store))
+    var attempts = 0
+    var landed = false
+    while (!landed) {
+      attempts += 1
+      require(attempts <= 5,
+        s"append of shard $shard lost a generation race 5 times — " +
+          "compactions are flipping faster than one shard write completes")
+      val liveName = ivfIndexLiveName(store)
+      if (ivfIndexAbsorbed(store, liveName).contains(shard)) {
+        // at-least-once redelivery of a shard a compaction already merged:
+        // the rows live in the CompactedShard partition — converge as a no-op
+        landed = true
+      } else {
+        try {
+          rows.write.partitionBy("cell", "shard")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(s"$store/$liveName")
+          // generation fence: a compaction that flipped the pointer during
+          // the write deleted the target directory with the old generation
+          // — loop and re-land against the generation it produced
+          landed = ivfIndexLiveName(store) == liveName
+        } catch {
+          case e: Exception =>
+            // a mid-write failure is only retryable if a flip explains it
+            if (ivfIndexLiveName(store) == liveName) throw e
+        }
+      }
+    }
   }
 
   /** SERVE-ONLY against a prebuilt store: queries probe their nprobe
@@ -1188,9 +1369,18 @@ object PipelineQueries {
       .localCheckpoint() // tiny (queries × nprobe rows); read twice below
     // bounded: ≤ K distinct probed cells — the static partition filter
     val probedCells = q.select($"bucket").distinct().as[Long].collect().toSeq
-    val stored = s.read.parquet(ivfIndexLiveDir(store))
+    val scanned = s.read.parquet(ivfIndexLiveDir(store))
       .where($"cell".isin(probedCells: _*))
       .select($"vec_id", $"v", $"qv8", $"qn", $"cell".cast("long").as("bucket"))
+    // deletion mask: tombstoned vectors never reach the shortlist — the
+    // anti-join runs AFTER the partition prune (only probed cells' rows
+    // pay it) and BEFORE the shortlist cut (so serve-with-tombstones is
+    // row-identical to serving an index rebuilt without the deleted
+    // vectors — spec-proven). broadcast: the tombstone set is tiny by
+    // contract. Absent tombstones the plan is byte-unchanged.
+    val stored = ivfIndexTombstones(s, store)
+      .map(t => scanned.join(broadcast(t), Seq("vec_id"), "left_anti"))
+      .getOrElse(scanned)
     val top3 = quantizedTop3Of(s,
       quantizedShortlistFrom(s, stored, q).filter($"q_id" =!= $"c_id"))
     inspect(top3) // plan gate hook: partition pruning on the stored scan
@@ -1226,6 +1416,15 @@ object PipelineQueries {
     * `lloydIterSql` trains over the CTE named `n` (the build corpus);
     * `en` carries every vector for assignment/probing. */
   private[queries] lazy val ivfIndexServeCtes: String =
+    ivfIndexServeCtesWhere("TRUE")
+
+  /** [[ivfIndexServeCtes]] with a candidate-side predicate spliced into
+    * the probe join — `candPred` sees the index row as `ce`. The delete
+    * key replays its tombstone mask this way (`ce.vec_id % 10 <> 3`):
+    * excluding a vector from candidacy BEFORE the shortlist cut is
+    * exactly what the engine's pre-shortlist anti-join does, so the hash
+    * certifies the mask's position in the pipeline, not just its set. */
+  private[queries] def ivfIndexServeCtesWhere(candPred: String): String =
     s"""e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |en AS (
@@ -1258,7 +1457,7 @@ object PipelineQueries {
        |  FROM q8),
        |cp AS (
        |  SELECT p.q_id, ce.vec_id AS c_id
-       |  FROM probes p JOIN cells ce ON ce.cell = p.cell AND ce.vec_id <> p.q_id),
+       |  FROM probes p JOIN cells ce ON ce.cell = p.cell AND ce.vec_id <> p.q_id AND ($candPred)),
        |iq AS (
        |  SELECT cp.q_id, cp.c_id,
        |    CAST(list_sum(list_transform(range(1, 65), i -> a.qv8[i] * z.qv8[i])) AS BIGINT) AS iq,
@@ -1511,6 +1710,86 @@ object PipelineQueries {
       |    CAST(SUM(CASE WHEN b < 32 AND tot > 0 AND 64 * e >= tot
       |      THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS h_lo
       |  FROM be JOIN te USING (doc_id) GROUP BY be.doc_id)""".stripMargin
+
+  /** Per-video temporal fingerprint over the REAL container + frame
+    * decode (round 18 — the VIDEO member of the perceptual-dedup triple;
+    * images and audio already carry the aHash / energy-profile tiers):
+    * the audio energy-profile discipline applied VERBATIM to the video's
+    * decoded pixel timeline. Every asset is the MJPEG-in-MP4 corpus
+    * (q_multimodal_video_frames' construction): the real ISO-BMFF box
+    * walk extracts the samples, the real JPEG decoder yields each
+    * frame's pixels, and the concatenated (frame-order × row-major)
+    * luminance stream bins into 64 equal-width TIME bins — E_b = Σ v²
+    * (exact int64; v ≤ 254 and ≤ 896 px keep Σ far from overflow),
+    * bit_b = (64·E_b ≥ ΣE), cross-multiplied, packed into shift-safe
+    * 32-bit halves. Assets the decode REJECTS carry no fingerprint: a
+    * truncated container or a corrupt frame is quarantined by the codec
+    * result itself (the engine filters on decode success; the oracle
+    * replays the corpus's planted corruption rules), because hashing a
+    * half-decoded video would cluster it by failure mode, not content.
+    */
+  private def videoFps(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val assets = graft.multimodal.Multimodal
+      .assetsFromDocumentsMjpeg(s, documents(s, d))
+    assets.mapPartitions(_.flatMap { a =>
+      graft.multimodal.Mp4Codec.decode(a.content) match {
+        case None => Iterator.empty // container-corrupt: quarantined
+        case Some(m) =>
+          val fs = m.samples.map(sb => graft.multimodal.JpegCodec.decode(sb))
+          if (fs.exists(_.isEmpty)) Iterator.empty // frame-corrupt: quarantined
+          else {
+            val px = fs.iterator.flatMap(_.get.pixels.iterator).toArray
+            val n = px.length
+            val e = new Array[Long](64)
+            var i = 0
+            while (i < n) {
+              val v = (px(i) & 0xff).toLong
+              e(((i.toLong * 64) / n).toInt) += v * v
+              i += 1
+            }
+            var tot = 0L
+            var j = 0
+            while (j < 64) { tot += e(j); j += 1 }
+            var lo = 0L; var hi = 0L
+            j = 0
+            while (j < 32) { if (tot > 0 && 64 * e(j) >= tot) lo |= 1L << j; j += 1 }
+            while (j < 64) { if (tot > 0 && 64 * e(j) >= tot) hi |= 1L << (j - 32); j += 1 }
+            Iterator.single((a.asset_id, hi, lo))
+          }
+      }
+    }).toDF("doc_id", "h_hi", "h_lo")
+  }
+
+  /** DuckDB replay of [[videoFps]] — ends in `h (doc_id, h_hi, h_lo)`;
+    * the oracle reconstructs every decoded pixel from doc_id (block b of
+    * frame k is constant 128 + 2·t, t = ((7·id + 13·k + 29·b) mod 128) −
+    * 64, row-major 16×8 so blocks interleave every 8 pixels), so a box
+    * walk, Huffman, dequant, IDCT, or bin-arithmetic slip breaks every
+    * fingerprint. The corruption rules (% 89 container, % 97 last-frame)
+    * replay the engine's decode-success quarantine. */
+  private val videoFpCtes: String =
+    """vd AS (
+      |  SELECT doc_id, CAST(1 + doc_id % 7 AS BIGINT) AS nf FROM documents
+      |  WHERE doc_id % 89 <> 0 AND doc_id % 97 <> 0),
+      |vfr AS (SELECT doc_id, nf, unnest(range(nf)) AS k FROM vd),
+      |vpx AS (SELECT doc_id, nf, k, unnest(range(128)) AS i FROM vfr),
+      |vpv AS (
+      |  SELECT doc_id, nf, k, i,
+      |    128 + 2 * (((doc_id * 7 + k * 13 + ((i % 16) // 8) * 29) % 128) - 64) AS v
+      |  FROM vpx),
+      |vbe AS (
+      |  SELECT doc_id, ((k * 128 + i) * 64) // (128 * nf) AS b,
+      |    SUM(CAST(v AS BIGINT) * v) AS e
+      |  FROM vpv GROUP BY 1, 2),
+      |vte AS (SELECT doc_id, SUM(e) AS tot FROM vbe GROUP BY 1),
+      |h AS (
+      |  SELECT vbe.doc_id,
+      |    CAST(SUM(CASE WHEN b >= 32 AND tot > 0 AND 64 * e >= tot
+      |      THEN (1::BIGINT << CAST(b - 32 AS INT)) ELSE 0 END) AS BIGINT) AS h_hi,
+      |    CAST(SUM(CASE WHEN b < 32 AND tot > 0 AND 64 * e >= tot
+      |      THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS h_lo
+      |  FROM vbe JOIN vte USING (doc_id) GROUP BY vbe.doc_id)""".stripMargin
 
   /** DuckDB replay of [[imageAhashes]] — ends in `h (doc_id, h_lo, h_hi)`;
     * the oracle reconstructs the decoded pixels from `text` so a decode
@@ -2384,9 +2663,19 @@ object PipelineQueries {
       // count (today's shard), and a GROWING flag — the cell's appended
       // share exceeds 1.5× its indexed share, by exact integer
       // cross-multiplication (2·n_app·Σidx > 3·n_idx·Σapp; no float
-      // decides a row). One bounded-key aggregate over the same map-side
-      // cell assignment the serve lifecycle uses — the audit costs one
-      // corpus pass, the retrain decision reads K rows.
+      // decides a row). Round 18 folds DELETION into the audit: indexed/
+      // appended counts become LIVE counts (tombstoned members excluded —
+      // the q_similarity_index_delete takedown rule, vec_id ≡ 3 mod 10),
+      // a per-cell n_tombstoned column lands beside them, and a WASTED
+      // flag fires when tombstones exceed 20% of the cell's rows
+      // (5·n_tomb > n_idx+n_app+n_tomb, exact integers) — such a cell
+      // pays >20% of its serve reads for rows the anti-join discards,
+      // so it is compaction's (physical-drop) first target. One
+      // bounded-key aggregate over the same map-side cell assignment the
+      // serve lifecycle uses — the audit costs one corpus pass, the
+      // retrain/compact decision reads K rows. The store-backed twin
+      // [[ivfIndexHealthOf]] computes the same row from a REAL store's
+      // live generation + tombstone set (spec-tied to this key).
       (s, d) => {
         import s.implicits._
         import graft.operators.IvfKMeans
@@ -2400,16 +2689,20 @@ object PipelineQueries {
         val cents = IvfKMeans.train(s, build, seeds, iters = 2)
         val counts = e
           .withColumn("cell", IvfKMeans.assignCell(s, cents, $"v"))
+          .withColumn("tomb", $"vec_id" % 10 === 3)
           .groupBy($"cell")
           .agg(
-            sum(when($"vec_id" % 2 === 0, 1L).otherwise(0L)).as("n_indexed"),
-            sum(when($"vec_id" % 2 =!= 0, 1L).otherwise(0L)).as("n_appended"))
+            sum(when($"vec_id" % 2 === 0 && !$"tomb", 1L).otherwise(0L)).as("n_indexed"),
+            sum(when($"vec_id" % 2 =!= 0 && !$"tomb", 1L).otherwise(0L)).as("n_appended"),
+            sum(when($"tomb", 1L).otherwise(0L)).as("n_tombstoned"))
         val out = counts
           .withColumn("tot_idx", sum($"n_indexed").over(Window.partitionBy()))
           .withColumn("tot_app", sum($"n_appended").over(Window.partitionBy()))
-          .select($"cell", $"n_indexed", $"n_appended",
+          .select($"cell", $"n_indexed", $"n_appended", $"n_tombstoned",
             (lit(2L) * $"n_appended" * $"tot_idx" >
-              lit(3L) * $"n_indexed" * $"tot_app").as("growing"))
+              lit(3L) * $"n_indexed" * $"tot_app").as("growing"),
+            (lit(5L) * $"n_tombstoned" >
+              $"n_indexed" + $"n_appended" + $"n_tombstoned").as("wasted"))
           .orderBy($"cell")
           .localCheckpoint() // K rows; then release the corpus cache
         e.unpersist(blocking = false)
@@ -2434,12 +2727,14 @@ object PipelineQueries {
               |    FROM en, c2 c) WHERE rk = 1),
               |cnt AS (
               |  SELECT cell,
-              |    CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_indexed,
-              |    CAST(SUM(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_appended
+              |    CAST(SUM(CASE WHEN vec_id % 2 = 0 AND vec_id % 10 <> 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_indexed,
+              |    CAST(SUM(CASE WHEN vec_id % 2 <> 0 AND vec_id % 10 <> 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_appended,
+              |    CAST(SUM(CASE WHEN vec_id % 10 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_tombstoned
               |  FROM cells GROUP BY cell),
               |tot AS (SELECT SUM(n_indexed) AS ti, SUM(n_appended) AS ta FROM cnt)
-              |SELECT cell, n_indexed, n_appended,
-              |  2 * n_appended * ti > 3 * n_indexed * ta AS growing
+              |SELECT cell, n_indexed, n_appended, n_tombstoned,
+              |  2 * n_appended * ti > 3 * n_indexed * ta AS growing,
+              |  5 * n_tombstoned > n_indexed + n_appended + n_tombstoned AS wasted
               |FROM cnt, tot ORDER BY cell""".stripMargin)
     ),
 
@@ -2453,6 +2748,43 @@ object PipelineQueries {
       // — plan-gated) with the composed int8-shortlist + rescore ranking.
       (s, d) => ivfIndexServe(s, d),
       Some(s"""WITH $ivfIndexServeCtes
+              |SELECT q_id, rnk, c_id, iq, sim4 FROM (
+              |  SELECT q_id, c_id, iq, sim4,
+              |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim4 DESC, c_id) AS rnk
+              |  FROM sc) t
+              |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin)
+    ),
+
+    "q_similarity_index_delete" -> QueryDef(
+      // INDEX DELETION (round 18) — the lifecycle verb a training-data
+      // vector store cannot ship without (takedowns, opt-outs,
+      // dedup-driven retractions; the reference's O6 DELETE semantics
+      // applied to the index artifact). The key runs the FULL delete
+      // lifecycle against an ephemeral store: build → append → DELETE a
+      // takedown batch (every vec_id ≡ 3 mod 10 — ~10% of the corpus,
+      // spanning both the indexed and appended halves) → redeliver the
+      // SAME delete batch (at-least-once; dynamic partition overwrite
+      // makes it converge) → COMPACT (tombstoned rows physically leave
+      // the merged partition; serve must not change) → serve. The DuckDB
+      // hash certifies the whole chain: the tombstone mask excludes
+      // candidates BEFORE the shortlist cut (so surviving neighbors
+      // re-rank exactly as a rebuilt-without-the-deleted index would),
+      // the redelivery added nothing, and physical removal lost nothing.
+      (s, d) => {
+        import s.implicits._
+        val dir = java.nio.file.Files.createTempDirectory("graft_ivf_del").toString
+        try {
+          ivfIndexBuild(s, d, dir)
+          ivfIndexAppend(s, d, dir)
+          val doomed = embVecs(s, d).filter($"vec_id" % 10 === 3).select($"vec_id")
+          ivfIndexDelete(s, dir, delId = 1L, doomed)
+          ivfIndexDelete(s, dir, delId = 1L, doomed) // at-least-once redelivery
+          ivfIndexCompact(s, dir, upTo = 1L) // physical drop of tombstoned rows
+          ivfIndexServeOnly(s, d, dir)
+            .localCheckpoint() // 30 rows; then release the store dir
+        } finally graft.util.Fs.deleteRecursively(dir)
+      },
+      Some(s"""WITH ${ivfIndexServeCtesWhere("ce.vec_id % 10 <> 3")}
               |SELECT q_id, rnk, c_id, iq, sim4 FROM (
               |  SELECT q_id, c_id, iq, sim4,
               |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim4 DESC, c_id) AS rnk
@@ -3527,6 +3859,55 @@ object PipelineQueries {
           .orderBy($"doc_a", $"doc_b")
       },
       Some(s"""WITH ${bandedB8CtesOver(audioFpCtes)}
+              |SELECT doc_a, doc_b, hamming FROM np8 ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
+    "q_dedup_video_fp" -> QueryDef(
+      // The VIDEO member of the perceptual-dedup triple (round 18 —
+      // completes image/audio/video): 64-bin temporal energy-profile
+      // fingerprint over the REAL MJPEG-in-MP4 decode — container box
+      // walk × per-frame JPEG decode × the audio tier's exact binning
+      // discipline on the concatenated pixel timeline (contract at
+      // [[videoFps]]) — then the exact tier: hash-equality clusters with
+      // the smallest doc_id canonical. Undecodable assets (both planted
+      // corruption lanes) are quarantined by the DECODE RESULT, not an id
+      // rule — the oracle replays the rules and so certifies the
+      // quarantine's membership too. Scale shape: map-side decode+hash,
+      // ONE shuffle on the 16-byte fingerprint — the linear dedup tier.
+      (s, d) => {
+        import s.implicits._
+        videoFps(s, d)
+          .groupBy($"h_hi", $"h_lo")
+          .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_videos"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH $videoFpCtes
+              |SELECT h_hi, h_lo, MIN(doc_id) AS doc_id, COUNT(*) AS n_videos
+              |FROM h GROUP BY h_hi, h_lo ORDER BY doc_id""".stripMargin)
+    ),
+
+    "q_dedup_video_fp_near" -> QueryDef(
+      // NEAR-duplicate video (round 18): Hamming≤7 pairs between DISTINCT
+      // temporal fingerprints via the SAME production 8×8-band machinery
+      // as the image and audio tiers — [[bandedHammingPairs]] verbatim on
+      // the engine side, [[bandedB8CtesOver]] on the oracle side — the
+      // triple's closing proof that the banded near-dup tier is
+      // modality-agnostic: ANY 64-bit perceptual hash plugs in with the
+      // d≤7 pigeonhole recall floor intact. A re-encoded or lightly
+      // re-edited video perturbs a few timeline bins; the band join
+      // recalls it without an all-pairs scan over the asset population.
+      (s, d) => {
+        import s.implicits._
+        bandedHammingPairs(s,
+          videoFps(s, d)
+            .groupBy($"h_hi", $"h_lo")
+            .agg(min($"doc_id").as("doc_id"))
+            .localCheckpoint(), // the band explode self-joins this
+          nBands = 8, maxDist = 7)
+          .select($"doc_a", $"doc_b", $"hamming")
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some(s"""WITH ${bandedB8CtesOver(videoFpCtes)}
               |SELECT doc_a, doc_b, hamming FROM np8 ORDER BY doc_a, doc_b""".stripMargin)
     ),
 

@@ -325,6 +325,10 @@ object IngestDedup {
 
   def cleanup(s: SparkSession, run: IngestRun): Unit = {
     s.sql(s"DROP TABLE IF EXISTS ${run.storeTable}")
+    // drop the validation memo with the table: a later reuse of the same
+    // suffixed name for a BRAND-NEW store must hit the tableExists guard
+    // again, not ride this lineage's stale pass (round-18 ADVICE)
+    validatedSuffixedStores.remove(run.storeTable)
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
     }

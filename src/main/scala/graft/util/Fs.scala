@@ -7,12 +7,15 @@ package graft.util
 object Fs {
 
   /** Delete `path` and everything under it; missing paths are a no-op.
-    * Does not follow symlinks out of the tree (File.delete removes the
-    * link itself).
+    * Does not follow symlinks out of the tree: a symlinked directory is
+    * unlinked, never recursed into (`File.listFiles` WOULD follow it, so
+    * the recursion is guarded by `Files.isSymbolicLink` — a stray link
+    * inside an index store or temp dir must not delete external data).
     */
   def deleteRecursively(path: String): Unit = {
     def go(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(go))
+      if (!java.nio.file.Files.isSymbolicLink(f.toPath))
+        Option(f.listFiles()).foreach(_.foreach(go))
       f.delete()
       ()
     }

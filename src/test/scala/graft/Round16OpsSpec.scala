@@ -289,18 +289,22 @@ class Round16OpsSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val rows =
       try SparkEntry.queries("q_similarity_index_health")(spark, dir)
-        .as[(Long, Long, Long, Boolean)].collect()
+        .as[(Long, Long, Long, Long, Boolean, Boolean)].collect()
       finally rmDir(dir)
     assert(rows.length >= 3, s"expected several cells, got ${rows.length}")
-    val growing = rows.filter(_._4)
+    val growing = rows.filter(_._5)
     assert(growing.nonEmpty, s"the planted drift must fire the flag: ${rows.toSeq}")
     assert(growing.length < rows.length,
       s"undrifted cells must stay quiet: ${rows.toSeq}")
     // the drifted mass is concentrated: the flagged cells hold the large
-    // majority of the appended shard
+    // majority of the appended shard (live counts — the round-18 audit
+    // excludes the takedown-rule members from the indexed/appended columns)
     val appTotal = rows.map(_._3).sum
     assert(growing.map(_._3).sum * 10 > appTotal * 8,
       s"flagged cells should hold >80% of the appended mass: ${rows.toSeq}")
+    // the fixture plants no takedown-rule gaps wide enough to waste a
+    // cell: the deletion share is ~10% everywhere, below the 20% flag
+    assert(rows.forall(!_._6), s"no fixture cell crosses the wasted bar: ${rows.toSeq}")
   }
 
   test("q_similarity_index_serve: an at-least-once retry of the append converges (idempotent shard overwrite)") {

@@ -296,17 +296,20 @@ class Round17OpsSpec extends AnyFunSuite {
       assert(P.ivfIndexLiveDir(store).endsWith("/index_c1"))
       assert(serve() == before, "compaction must not change served results")
       val dirs1 = shardDirs()
-      assert(dirs1.values.flatten.toSet == Set("shard=1", "shard=2"),
-        s"shards <=1 must collapse into shard=1: $dirs1")
+      assert(dirs1.values.flatten.toSet == Set("shard=-1", "shard=2"),
+        s"shards <=1 must collapse into the reserved compacted partition: $dirs1")
+      assert(P.ivfIndexAbsorbed(store, "index_c1") == Set(0L, 1L))
       // at-least-once retry AFTER the flip converges as a no-op
       assert(P.ivfIndexCompact(spark, store, upTo = 1L) == "index_c1")
       assert(serve() == before)
       // chained compaction derives from the constant base — no suffix
-      // accretion — and collapses everything into one partition per cell
+      // accretion — and collapses everything into one partition per cell,
+      // accumulating the absorbed-shard manifest across generations
       assert(P.ivfIndexCompact(spark, store, upTo = 2L) == "index_c2")
       assert(serve() == before)
+      assert(P.ivfIndexAbsorbed(store, "index_c2") == Set(0L, 1L, 2L))
       val dirs2 = shardDirs()
-      assert(dirs2.values.forall(_ == Set("shard=2")),
+      assert(dirs2.values.forall(_ == Set("shard=-1")),
         s"full compaction must leave one shard dir per cell: $dirs2")
       assert(dirs2.values.forall(_.size == 1))
       // the old generations are gone; only meta + the live gen + CURRENT
@@ -315,7 +318,17 @@ class Round17OpsSpec extends AnyFunSuite {
       assert(top == Set("meta", "index_c2", "CURRENT"), s"stale generations: $top")
       // a post-compaction append lands in the LIVE generation
       P.ivfIndexAppend(spark, sfDir, store, shard = 9L)
-      assert(shardDirs().values.flatten.toSet == Set("shard=2", "shard=9"))
+      assert(shardDirs().values.flatten.toSet == Set("shard=-1", "shard=9"))
+      // a REDELIVERY of an absorbed shard converges as a no-op: the rows
+      // already live in the compacted partition, and writing them under
+      // shard=1 again would double-count every vector (round-18 ADVICE —
+      // the r17 keying silently REPLACED the compacted data instead)
+      val afterNine = serve()
+      P.ivfIndexAppend(spark, sfDir, store) // shard 1 ∈ absorbed
+      assert(shardDirs().values.flatten.toSet == Set("shard=-1", "shard=9"),
+        "an absorbed shard's redelivery must not write any partition")
+      assert(serve() == afterNine,
+        "an absorbed shard's redelivery must not change served results")
     } finally rm(store)
   }
 
