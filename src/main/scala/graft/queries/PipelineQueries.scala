@@ -1357,10 +1357,28 @@ object PipelineQueries {
   private[graft] def ivfIndexServeQueries(
       s: SparkSession, store: String, queries: DataFrame,
       inspect: DataFrame => Unit = _ => (),
+      nprobe: Int = 8): DataFrame =
+    ivfIndexServeQueriesWith(s, store, ivfIndexMeta(s, store), queries,
+      inspect, nprobe)
+
+  /** [[ivfIndexServeQueries]] with the store's (centroids, scale) meta
+    * supplied by the caller — a long-lived serving process loads the meta
+    * ONCE and reuses it across triggers, because the meta is IMMUTABLE
+    * after build (appends assign against it, compaction rewrites data
+    * only), so caching it is always safe. The TOMBSTONE set is NOT
+    * cacheable the same way — deletes arrive between triggers and a
+    * stale mask would serve taken-down vectors — so it is re-read per
+    * call (one tiny parquet read, vs the meta's read+collect).
+    * `StreamLatencyBench`'s serve arm measures both shapes to price the
+    * per-trigger fixed cost. */
+  private[graft] def ivfIndexServeQueriesWith(
+      s: SparkSession, store: String,
+      meta: (Seq[(Long, Seq[Double])], Double), queries: DataFrame,
+      inspect: DataFrame => Unit = _ => (),
       nprobe: Int = 8): DataFrame = {
     import s.implicits._
     import graft.operators.IvfKMeans
-    val (cents, maxAbs) = ivfIndexMeta(s, store)
+    val (cents, maxAbs) = meta
     val q = quantWith(queries, maxAbs)
       .withColumn("p", explode(
         slice(array_sort(IvfKMeans.simStructs(s, cents, $"v")), 1, nprobe)))

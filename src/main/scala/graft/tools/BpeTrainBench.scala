@@ -80,10 +80,23 @@ object BpeTrainBench {
     println(s"[bpebench] vocabulary: ${if (synthN > 0) s"synthetic($synthN draws)" else sfDir} " +
       s"-> $nVocab distinct words")
 
+    // real driver-heap peak across a run (JMX pool peaks, reset per run) —
+    // the pool collect is the only driver-side state that grows with the
+    // vocabulary's symbol alphabet, so the 32k-merge run prices it here
+    def heapPools = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getType == java.lang.management.MemoryType.HEAP)
+    }
     def run(m: Int): (Double, Long) = {
+      heapPools.foreach(_.resetPeakUsage())
       val t0 = System.nanoTime()
       val n = bpeTrainLoop(spark, w0, nMerges, m, poolK = -1, minPairCount = minCount).count()
-      ((System.nanoTime() - t0) / 1e9, n)
+      val dt = (System.nanoTime() - t0) / 1e9
+      val peakMb = heapPools.map(p => Option(p.getPeakUsage).map(_.getUsed)
+        .getOrElse(0L)).sum / (1024 * 1024)
+      println(f"[bpebench] run M=$m merges=$n wall=$dt%.2f s driver_heap_peak=${peakMb} MB")
+      (dt, n)
     }
 
     // interleave arms so window drift hits all equally

@@ -77,11 +77,99 @@ object StreamLatencyBench {
         f"rows/sec=${rows / all.map(_.map(_.durMs).sum.toDouble / 1000).min}%.0f")
     }
 
-    // JIT warm on the tiny corpus, both arms
-    runArm("warm_ingest", curate = false, "/root/testdata/sf0.01", 1)
-    runArm("warm_curate", curate = true, "/root/testdata/sf0.01", 1)
-    runArm("ingest_dedup", curate = false, sfDir, trials)
-    runArm("curate", curate = true, sfDir, trials)
+    /** Per-trigger latency of STREAMING VECTOR SERVING against a prebuilt
+      * named store (round 18 — the q_stream_similarity_serve shape at
+      * measurement depth): build+append ONCE, then replay query traffic
+      * as `nBatches` single-file micro-batches and capture each trigger's
+      * duration. Two shapes per corpus: `meta_per_trigger` re-reads the
+      * store meta every batch (the shipped key's shape — correct even if
+      * the process restarts) and `meta_cached` loads the immutable meta
+      * once and reuses it across triggers (the long-lived-server shape)
+      * — the delta IS the per-trigger fixed cost the SLO prices.
+      */
+    def runServeArm(dir: String, nBatches: Int, nTrials: Int): Unit = {
+      val P = graft.queries.PipelineQueries
+      val store = java.nio.file.Files.createTempDirectory("ivf_servelat_store").toString
+      try {
+        P.ivfIndexBuild(spark, dir, store)
+        P.ivfIndexAppend(spark, dir, store)
+        val queries = spark.read.parquet(s"$dir/embeddings.parquet")
+          .filter($"vec_id" < (10 * nBatches).toLong)
+        val schema = queries.schema
+        for (cached <- Seq(false, true)) {
+          val ds = scala.collection.mutable.ArrayBuffer.empty[Double]
+          for (_ <- 0 until nTrials) {
+            val base = java.nio.file.Files.createTempDirectory("ivf_servelat_run")
+            try {
+              val src = base.resolve("src")
+              java.nio.file.Files.createDirectories(src)
+              for (b <- 0 until nBatches) {
+                val tmp = base.resolve(s"shard$b")
+                queries.filter(pmod($"vec_id", lit(nBatches)) === b)
+                  .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+                val listing = java.nio.file.Files.list(tmp)
+                val part =
+                  try listing.filter(p => p.getFileName.toString.startsWith("part-")
+                    && p.getFileName.toString.endsWith(".parquet")).findFirst()
+                    .orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
+                  finally listing.close()
+                val dst = src.resolve(f"shard$b%04d.parquet")
+                java.nio.file.Files.move(part, dst)
+                java.nio.file.Files.setLastModifiedTime(dst,
+                  java.nio.file.attribute.FileTime.fromMillis(1700000000000L + b * 60000L))
+              }
+              val outDir = base.resolve("out").toString
+              // the immutable (centroids, scale) artifact — safe to cache
+              // across triggers; tombstones stay per-trigger by contract
+              val meta = if (cached) Some(P.ivfIndexMeta(spark, store)) else None
+              graft.streaming.StreamOps.withRightSizedStreaming(spark, 4, noDataBatches = false) {
+                val stream = spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src.toString)
+                val q = stream.writeStream
+                  .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+                    val bs = batch.sparkSession
+                    val qv = batch.select($"vec_id",
+                      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+                    meta.fold(P.ivfIndexServeQueries(bs, store, qv))(
+                        m => P.ivfIndexServeQueriesWith(bs, store, m, qv))
+                      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+                    ()
+                  }
+                  .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                  .option("checkpointLocation",
+                    s"${graft.streaming.StreamOps.fastCheckpointRoot}/servelat_" +
+                      java.util.UUID.randomUUID().toString.replace("-", ""))
+                  .start()
+                q.awaitTermination()
+                ds ++= q.recentProgress.filter(_.numInputRows > 0)
+                  .map(_.durationMs.getOrDefault("triggerExecution", -1L).toDouble / 1000)
+              }
+            } finally graft.util.Fs.deleteRecursively(base.toString)
+            deepClean()
+          }
+          val sd = ds.sorted
+          def pct(p: Double): Double = sd((p * (sd.size - 1)).round.toInt)
+          val label = if (cached) "serve_cached" else "serve_meta_rd"
+          println(f"[streamlat] $label%-14s batches=$nBatches trials=$nTrials " +
+            f"data_batches=${sd.size} " +
+            f"batch_sec min=${sd.head}%.2f med=${pct(0.5)}%.2f p90=${pct(0.9)}%.2f " +
+            f"max=${sd.last}%.2f")
+        }
+      } finally graft.util.Fs.deleteRecursively(store)
+      deepClean()
+    }
+
+    if (sys.env.get("SPARK_GRAFT_SERVE").contains("1")) {
+      val nBatches = sys.env.getOrElse("SPARK_GRAFT_SERVE_BATCHES", "8").toInt
+      runServeArm("/root/testdata/sf0.01", 2, 1) // JIT warm
+      runServeArm(sfDir, nBatches, trials)
+    } else {
+      // JIT warm on the tiny corpus, both arms
+      runArm("warm_ingest", curate = false, "/root/testdata/sf0.01", 1)
+      runArm("warm_curate", curate = true, "/root/testdata/sf0.01", 1)
+      runArm("ingest_dedup", curate = false, sfDir, trials)
+      runArm("curate", curate = true, sfDir, trials)
+    }
     spark.stop()
   }
 }
