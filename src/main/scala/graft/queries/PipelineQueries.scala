@@ -1120,12 +1120,21 @@ object PipelineQueries {
 
   /** The store's distinct tombstoned vec_ids, or None when no delete has
     * ever run (the common case — serve adds NO plan nodes then, keeping
-    * the pruned-scan plan gates byte-identical). */
+    * the pruned-scan plan gates byte-identical). Guarded on the presence
+    * of at least one `del=` partition directory, not the base dir alone:
+    * an EMPTY delete batch (a takedown feed with no new ids) writes the
+    * base dir but no partitions, and a bare-dir parquet read would throw
+    * UNABLE_TO_INFER_SCHEMA on the next serve. */
   private[graft] def ivfIndexTombstones(
-      s: SparkSession, store: String): Option[DataFrame] =
-    if (new java.io.File(s"$store/tombstones").exists())
+      s: SparkSession, store: String): Option[DataFrame] = {
+    val dir = new java.io.File(s"$store/tombstones")
+    val hasData = dir.exists() &&
+      Option(dir.listFiles()).exists(_.exists(f =>
+        f.isDirectory && f.getName.startsWith("del=")))
+    if (hasData)
       Some(s.read.parquet(s"$store/tombstones").select("vec_id").distinct())
     else None
+  }
 
   /** Store-backed index health audit — the production twin of the
     * q_similarity_index_health key, computed from a REAL store's live

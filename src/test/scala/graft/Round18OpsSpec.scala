@@ -57,12 +57,20 @@ class Round18OpsSpec extends AnyFunSuite {
   }
 
   test("re-delete is idempotent: same batch redelivered and an overlapping later batch change nothing") {
+    import spark.implicits._
     val a = tmp("ivf_del_idem")
     try {
       P.ivfIndexBuild(spark, sfDir, a)
       P.ivfIndexAppend(spark, sfDir, a)
+      // an EMPTY delete batch (a takedown feed with no new ids) must not
+      // poison the store: no partitions land, serve sees no tombstones
+      P.ivfIndexDelete(spark, a, delId = 0L, doomedIds().limit(0))
+      val unmasked = serve(a)
+      assert(P.ivfIndexTombstones(spark, a).isEmpty,
+        "an empty batch leaves no readable tombstone set")
       P.ivfIndexDelete(spark, a, delId = 1L, doomedIds())
       val masked = serve(a)
+      assert(masked != unmasked)
       P.ivfIndexDelete(spark, a, delId = 1L, doomedIds()) // at-least-once redelivery
       assert(serve(a) == masked, "same-batch redelivery must be a no-op")
       // a LATER delete batch that re-lists already-deleted ids (takedown
