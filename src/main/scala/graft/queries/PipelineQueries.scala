@@ -1055,7 +1055,23 @@ object PipelineQueries {
     * all resolve through this, so a reader can never observe a
     * half-written generation.
     */
+  /** The index-store directory contract is LOCAL-filesystem only: the
+    * CURRENT pointer (atomic rename), the `_ABSORBED` manifest and the
+    * tombstone-partition probe all go through java.nio/java.io, which a
+    * scheme-qualified path (hdfs://, s3a://) would silently miss — the
+    * store would look tombstone-free and serve deleted vectors. Fail fast
+    * at every store entry point instead (round-18 ADVICE). A distributed
+    * deployment would port these probes to the Hadoop FileSystem API and
+    * replace the rename flip with a conditional-put pointer.
+    */
+  private[graft] def requireLocalStore(store: String): Unit =
+    require(!store.contains("://"),
+      s"index store paths must be local-filesystem (CURRENT/_ABSORBED/" +
+        s"tombstone probes use java.nio and would silently miss a remote " +
+        s"scheme): got $store")
+
   private[graft] def ivfIndexLiveName(store: String): String = {
+    requireLocalStore(store)
     val cur = java.nio.file.Paths.get(store, "CURRENT")
     if (java.nio.file.Files.exists(cur))
       new String(java.nio.file.Files.readAllBytes(cur), "UTF-8").trim
@@ -1110,6 +1126,7 @@ object PipelineQueries {
     */
   private[graft] def ivfIndexDelete(
       s: SparkSession, store: String, delId: Long, vecIds: DataFrame): Unit = {
+    requireLocalStore(store)
     vecIds
       .select(col(vecIds.columns.head).cast("long").as("vec_id"))
       .withColumn("del", lit(delId))
@@ -1127,6 +1144,7 @@ object PipelineQueries {
     * UNABLE_TO_INFER_SCHEMA on the next serve. */
   private[graft] def ivfIndexTombstones(
       s: SparkSession, store: String): Option[DataFrame] = {
+    requireLocalStore(store)
     val dir = new java.io.File(s"$store/tombstones")
     val hasData = dir.exists() &&
       Option(dir.listFiles()).exists(_.exists(f =>
@@ -1209,9 +1227,14 @@ object PipelineQueries {
     * generation deleted (best effort — a crash leaves harmless garbage a
     * later pass removes). A crash at ANY point leaves CURRENT naming a
     * complete generation, so serves never break. The generation name
-    * derives from the constant base `index`, never from the current
-    * generation — chained compactions cannot accrete suffixes (the
-    * IngestDedup storeBaseName lesson). Returns the new generation name.
+    * derives from the constant base `index` plus a parsed epoch counter,
+    * never by string-appending to the current generation — chained
+    * compactions cannot accrete suffixes (the IngestDedup storeBaseName
+    * lesson). A SECOND compaction at the SAME watermark (new tombstones,
+    * or a raced append that landed a low shard after the flip) is
+    * detected by probing for remaining work and runs under an
+    * epoch-bumped name (`index_cNe2`, `e3`, …); a pure retry with no
+    * work left converges as a no-op. Returns the live generation name.
     *
     * Concurrency boundary: compaction vs a SIMULTANEOUS append from a
     * different driver needs external coordination (this store is a
@@ -1225,14 +1248,34 @@ object PipelineQueries {
     import s.implicits._
     require(upTo >= 0, s"compaction upTo must be >= 0, got $upTo")
     val liveName = ivfIndexLiveName(store)
-    val gen = s"index_c$upTo"
-    // a retry AFTER a successful flip is a completed pass — converge as a
-    // no-op (the crash-before-flip retry path is the delete-and-rewrite)
-    if (gen == liveName) return gen
-    graft.util.Fs.deleteRecursively(s"$store/$gen") // retry convergence
+    val base = s"index_c$upTo"
     val live = s.read.parquet(s"$store/$liveName")
       .select($"vec_id", $"v", $"qv8", $"qn",
         $"cell".cast("long").as("cell"), $"shard".cast("long").as("shard"))
+    val gen =
+      if (liveName != base && !liveName.startsWith(base + "e")) base
+      else {
+        // a pass at this watermark already FLIPPED. That can be a pure
+        // retry (converge as a no-op) — or a genuinely NEW compaction
+        // requested at the same watermark: tombstones added since the
+        // flip, or a raced first-delivery append that landed a shard
+        // <= upTo the earlier pass never saw. The bare name-equality
+        // no-op silently skipped such a pass — tombstones added after
+        // compact(upTo=N) were never physically dropped by a second
+        // compact(upTo=N) (round-18 ADVICE). Distinguish by probing for
+        // remaining work; a real new pass gets an EPOCH-bumped name
+        // (index_cNe2, e3, …) so crash-retry convergence — delete and
+        // rewrite under a deterministic name — still holds.
+        val atOrBelow = live.filter($"shard" <= upTo) // includes CompactedShard
+        val unmerged = !atOrBelow.filter($"shard" =!= CompactedShard).isEmpty
+        val tombWork = !unmerged && ivfIndexTombstones(s, store).exists(t =>
+          !atOrBelow.join(broadcast(t), Seq("vec_id"), "left_semi").isEmpty)
+        if (!unmerged && !tombWork) return liveName
+        val epoch =
+          if (liveName == base) 2 else liveName.stripPrefix(base + "e").toInt + 1
+        s"${base}e$epoch"
+      }
+    graft.util.Fs.deleteRecursively(s"$store/$gen") // retry convergence
     val merged = live.filter($"shard" <= upTo)
     // cumulative absorbed set: earlier generations' manifest + the real
     // shard ids this pass merges (bounded: one distinct over shard ids)
@@ -1296,7 +1339,13 @@ object PipelineQueries {
       // itself: odd ids mod an even modulus hit only odd remainders, so
       // slicing raw ids would leave half an even day-count's slices empty
       // (round-18 ADVICE — the bench's frag-store arm relied on this)
-      slice: (Long, Long) = (1L, 0L)): Unit = {
+      slice: (Long, Long) = (1L, 0L),
+      // test-injection seam: invoked with the RESOLVED live generation name
+      // immediately before each write attempt, so a spec can interleave a
+      // compaction pointer-flip between pointer resolution and the write
+      // deterministically (Round19OpsSpec drives the in-flight-append
+      // fence under real interleaving). Production default: no-op.
+      preWrite: String => Unit = _ => ()): Unit = {
     import s.implicits._
     import graft.operators.IvfKMeans
     require(shard > 0,
@@ -1311,17 +1360,26 @@ object PipelineQueries {
       .withColumn("shard", lit(shard))
     var attempts = 0
     var landed = false
+    // the last mid-write exception a generation flip explained away — kept
+    // so an attempts-exhausted failure surfaces the real error, not just
+    // the generic race message (round-18 ADVICE)
+    var lastRaceLoss: Exception = null
     while (!landed) {
       attempts += 1
-      require(attempts <= 5,
-        s"append of shard $shard lost a generation race 5 times — " +
-          "compactions are flipping faster than one shard write completes")
+      if (attempts > 5)
+        throw new IllegalStateException(
+          s"append of shard $shard lost a generation race 5 times — " +
+            "compactions are flipping faster than one shard write completes" +
+            (if (lastRaceLoss == null) ""
+             else " (last mid-write failure attached as cause)"),
+          lastRaceLoss)
       val liveName = ivfIndexLiveName(store)
       if (ivfIndexAbsorbed(store, liveName).contains(shard)) {
         // at-least-once redelivery of a shard a compaction already merged:
         // the rows live in the CompactedShard partition — converge as a no-op
         landed = true
       } else {
+        preWrite(liveName) // outside the try: a hook failure must surface
         try {
           rows.write.partitionBy("cell", "shard")
             .option("partitionOverwriteMode", "dynamic")
@@ -1333,7 +1391,10 @@ object PipelineQueries {
         } catch {
           case e: Exception =>
             // a mid-write failure is only retryable if a flip explains it
+            // (the target directory left with the retired generation);
+            // anything else — bad input, executor loss — surfaces as-is
             if (ivfIndexLiveName(store) == liveName) throw e
+            lastRaceLoss = e
         }
       }
     }

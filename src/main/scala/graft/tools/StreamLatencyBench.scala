@@ -141,8 +141,12 @@ object StreamLatencyBench {
                       java.util.UUID.randomUUID().toString.replace("-", ""))
                   .start()
                 q.awaitTermination()
+                // -1L is the getOrDefault sentinel for a progress row with
+                // no triggerExecution duration — filter it out rather than
+                // letting it flow into the min/median as -0.001 s
                 ds ++= q.recentProgress.filter(_.numInputRows > 0)
                   .map(_.durationMs.getOrDefault("triggerExecution", -1L).toDouble / 1000)
+                  .filter(_ >= 0)
               }
             } finally graft.util.Fs.deleteRecursively(base.toString)
             deepClean()
@@ -150,10 +154,14 @@ object StreamLatencyBench {
           val sd = ds.sorted
           def pct(p: Double): Double = sd((p * (sd.size - 1)).round.toInt)
           val label = if (cached) "serve_cached" else "serve_meta_rd"
-          println(f"[streamlat] $label%-14s batches=$nBatches trials=$nTrials " +
-            f"data_batches=${sd.size} " +
-            f"batch_sec min=${sd.head}%.2f med=${pct(0.5)}%.2f p90=${pct(0.9)}%.2f " +
-            f"max=${sd.last}%.2f")
+          if (sd.isEmpty)
+            println(s"[streamlat] $label batches=$nBatches trials=$nTrials " +
+              "data_batches=0 — no trigger reported input rows; no stats")
+          else
+            println(f"[streamlat] $label%-14s batches=$nBatches trials=$nTrials " +
+              f"data_batches=${sd.size} " +
+              f"batch_sec min=${sd.head}%.2f med=${pct(0.5)}%.2f p90=${pct(0.9)}%.2f " +
+              f"max=${sd.last}%.2f")
         }
       } finally graft.util.Fs.deleteRecursively(store)
       deepClean()
