@@ -14,6 +14,32 @@ object Bench {
     sortedSamples.nonEmpty && sortedSamples.head > 0 &&
       sortedSamples.last / sortedSamples.head > SuspectWindowRatio
 
+  /** Expected CLEAN-window calibration median on this host at the
+    * official local[32] config: every clean r12–r18 window measured the
+    * round-12 probe at ~1.2–1.9 s (BENCH_SCALING.md calib columns). The
+    * spread-only detector above cannot see a UNIFORMLY slow window — the
+    * official r18 artifact drew calib 32.19 with a 1.48× spread and
+    * sailed through (`suspect_window=false`, `n_remeasured=0`), pricing
+    * the whole suite through a ~17×-hot host (round-18 VERDICT #1). This
+    * absolute cross-round norm closes that hole. Override with
+    * SPARK_GRAFT_CALIB_NORM on a genuinely different host.
+    */
+  val CalibNormSec = 1.55
+
+  /** A calibration median beyond this multiple of the norm marks the
+    * window suspect regardless of spread. 3× sits far above the probe's
+    * clean-window band (max/norm ≈ 1.23) and far below real contention
+    * (r18: 20.8×), so it cannot misfire on ordinary host drift.
+    */
+  val CalibNormMaxRatio = 3.0
+
+  /** True when the calibration median is uniformly inflated vs the
+    * cross-round norm — the contention mode the spread check misses
+    * (all 5 draws equally slow).
+    */
+  def isUniformlySlow(calibMedian: Double, norm: Double = CalibNormSec): Boolean =
+    norm > 0 && calibMedian > CalibNormMaxRatio * norm
+
   /** The steadiest of several sorted calibration sample sets — smallest
     * max/min spread (ties: the most RECENT draw — redraw sets are
     * prepended, and minBy keeps the first minimum). Used by the suspect-window
@@ -177,21 +203,35 @@ object Bench {
     // untimed run first: the probe's own whole-stage-codegen compile
     // otherwise lands in sample 1 (measured +1.2 s on the first draw).
     calibrateOnce()
+    // Absolute cross-round norm (round-18 lesson): the spread check below
+    // is blind to a UNIFORMLY slow window (r18 official: all 5 draws
+    // ~17× hot, spread 1.48×). The probe parallelizes its fixed work over
+    // 32 partitions, so its clean cost scales ~32/cpus below the official
+    // thread count — the default norm follows; override with
+    // SPARK_GRAFT_CALIB_NORM when benching a genuinely different host.
+    val calibNorm = sys.env.get("SPARK_GRAFT_CALIB_NORM").map(_.toDouble)
+      .getOrElse(CalibNormSec * math.max(1.0, 32.0 / cpus.toDouble))
+    def windowSuspect(sortedSamples: Seq[Double]): Boolean =
+      isSuspectWindow(sortedSamples) ||
+        isUniformlySlow(sortedSamples(sortedSamples.length / 2), calibNorm)
     // Suspect-window redraw (round-13 lesson): one stalled draw must not
-    // define the run's calibration unit. If the 5-sample set spans > 2x,
-    // wait out the contention briefly and redraw (≤2 times), then keep the
-    // steadiest set; the redraw count ships in the JSON.
+    // define the run's calibration unit. If the 5-sample set spans > 2x —
+    // or is uniformly slow vs the cross-round norm — wait out the
+    // contention briefly and redraw (≤2 times), then keep the steadiest
+    // set; the redraw count ships in the JSON.
     var calibSets = List(Seq.fill(5)(calibrateOnce()).sorted)
     var calibRedraws = 0
-    while (isSuspectWindow(calibSets.head) && calibRedraws < 2) {
+    while (windowSuspect(calibSets.head) && calibRedraws < 2) {
       System.err.println(
-        f"[bench] contended calibration window (max/min = ${calibSets.head.last / calibSets.head.head}%.2f) — redrawing")
+        f"[bench] contended calibration window (max/min = ${calibSets.head.last / calibSets.head.head}%.2f, " +
+          f"median/norm = ${calibSets.head(2) / calibNorm}%.2f) — redrawing")
       Thread.sleep(5000)
       calibSets = Seq.fill(5)(calibrateOnce()).sorted :: calibSets
       calibRedraws += 1
     }
     val calibSamples = bestCalibration(calibSets)
     val calib = calibSamples(calibSamples.length / 2)
+    val calibNormRatio = calib / calibNorm
     // Contended-window guard (round-12 lesson): the official r12 artifact
     // carried calib_max 51.47 against calib_min 1.33 — one calibration draw
     // stalled ~35x on host contention, and the same contention inflated two
@@ -200,10 +240,16 @@ object Bench {
     // such protection — so a run whose calibration spread exceeds 2x is
     // MARKED suspect in the JSON itself, telling a reader the window was
     // contended without them having to re-derive it from calib_min/max.
-    val suspectWindow = isSuspectWindow(calibSamples)
+    // ...and a window whose median is uniformly inflated vs the
+    // cross-round norm is suspect even at a tight spread (round-18
+    // VERDICT #1) — the top-10 then re-measure unconditionally below,
+    // because the cost bar derives from the inflated median.
+    val suspectWindow = isSuspectWindow(calibSamples) ||
+      isUniformlySlow(calib, calibNorm)
     if (suspectWindow)
       System.err.println(
-        f"[bench] WARNING: contended host window — calib max/min = ${calibSamples.last / calibSamples.head}%.2f (> $SuspectWindowRatio); treat per-query figures as upper bounds")
+        f"[bench] WARNING: contended host window — calib max/min = ${calibSamples.last / calibSamples.head}%.2f (> $SuspectWindowRatio) " +
+          f"or median/norm = $calibNormRatio%.2f (> $CalibNormMaxRatio); treat per-query figures as upper bounds")
     // Median of `trials` runs per query: single-run times swing ±30% from GC /
     // scheduler noise in local mode; the median is stable run-to-run, so the
     // reported total tracks the engine, not the JVM's mood.
@@ -290,7 +336,7 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val suiteTotal = if (suiteResults.nonEmpty) suiteResults.values.sum else 0.0
     val fullJson =
-      s"""{"metric":"total","value":${f"$total%.4f"},"suite_total":${f"$suiteTotal%.4f"},"unit":"sec","calib_sec":${f"$calib%.4f"},"calib_min":${f"${calibSamples.head}%.4f"},"calib_max":${f"${calibSamples.last}%.4f"},"suspect_window":$suspectWindow,"calib_redraws":$calibRedraws,"queries":${toJson(results.toSeq)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.4f"},"suite_total":${f"$suiteTotal%.4f"},"unit":"sec","calib_sec":${f"$calib%.4f"},"calib_min":${f"${calibSamples.head}%.4f"},"calib_max":${f"${calibSamples.last}%.4f"},"calib_norm":${f"$calibNorm%.4f"},"calib_norm_ratio":${f"$calibNormRatio%.4f"},"suspect_window":$suspectWindow,"calib_redraws":$calibRedraws,"queries":${toJson(results.toSeq)},"sf":"$sfDir"}"""
     // The driver captures only a bounded tail of sbt's stdout and parses the
     // last JSON line it finds. The full per-query map (~90 entries, ~3 KB)
     // overflows that buffer and the line arrives truncated → parsed:null in
@@ -347,7 +393,7 @@ object Bench {
       s""","remeasured":$remeasuredJson,"spread":$spreadJson}"""
     val compactJson =
       s"""{"metric":"total","value":${f"$total%.4f"},"suite_total":${f"$suiteTotal%.4f"},"unit":"sec","n_queries":${results.size},""" +
-        s""""calib_sec":${f"$calib%.4f"},"calib_min":${f"${calibSamples.head}%.4f"},"calib_max":${f"${calibSamples.last}%.4f"},"suspect_window":$suspectWindow,"calib_redraws":$calibRedraws,"n_remeasured":${isolated.size},""" +
+        s""""calib_sec":${f"$calib%.4f"},"calib_min":${f"${calibSamples.head}%.4f"},"calib_max":${f"${calibSamples.last}%.4f"},"calib_norm":${f"$calibNorm%.4f"},"calib_norm_ratio":${f"$calibNormRatio%.4f"},"suspect_window":$suspectWindow,"calib_redraws":$calibRedraws,"n_remeasured":${isolated.size},""" +
         s""""queries":${toJson(headlineResults)},"sf":"$sfDir","detail":"$detailPath"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), fullJsonWithEvidence)
     println(fullJsonWithEvidence)
