@@ -12,6 +12,11 @@ import org.apache.spark.sql.{Column, SparkSession}
 object LshConstants {
   val A: Array[Long] = graft.queries.PipelineQueries.lshA.toArray
   val B: Array[Long] = graft.queries.PipelineQueries.lshB.toArray
+  // 64-plane families for the multi-word signature: planes 0–15 are the
+  // original A/B (word 0 stays bit-identical to HyperplaneSig), 16–63 the
+  // round-19 extension constants
+  val AW: Array[Long] = A ++ graft.queries.PipelineQueries.lshAExt
+  val BW: Array[Long] = B ++ graft.queries.PipelineQueries.lshBExt
   val MinHashMod = 2147483647L
   val PlaneMod = 1009L
   val PlaneShift = 504L
@@ -67,6 +72,82 @@ case class HyperplaneSig(child: Expression) extends UnaryExpression {
          |  if ($dot > 0) $sig |= (1L << $p);
          |}
          |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** MULTI-WORD hyperplane signature: `words` longs, each packing 16 sign-LSH
+  * bits — word w's bit j is plane p = 16·w + j of the 64-plane family
+  * [[LshConstants.AW]]/[[LshConstants.BW]]. Word 0 is bit-identical to
+  * [[HyperplaneSig]] (same planes 0–15), so every consumer of the
+  * single-long signature is a strict prefix of this one. The multi-word
+  * form is the 100 TB extension path the round-18 VERDICT names: 32/64
+  * planes allow 24/32-bit band keys, keeping expected bucket occupancy
+  * bounded past the ~10⁶-vector point where the 16-plane signature's
+  * widest (16-bit) banding saturates. Same two-tight-loop codegen shape
+  * as HyperplaneSig; the word packing (≤16 bits used per long) keeps
+  * every oracle-side shift far below DuckDB's 63-bit overflow check.
+  */
+case class HyperplaneSigWords(child: Expression, words: Int)
+    extends UnaryExpression {
+  require(words >= 1 && words <= 4,
+    s"words must be in [1, 4] (the 64-plane family packs 16 planes/word); got $words")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_sig_words"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val out = new Array[Long](words)
+    var w = 0
+    while (w < words) {
+      var sig = 0L
+      var j = 0
+      while (j < 16) {
+        val p = 16 * w + j
+        var dot = 0.0
+        var i = 0
+        while (i < n) {
+          val wt = (LshConstants.AW(p) * (i + 1) + LshConstants.BW(p)) % LshConstants.PlaneMod - LshConstants.PlaneShift
+          dot += v.getDouble(i) * wt.toDouble
+          i += 1
+        }
+        if (dot > 0) sig |= (1L << j)
+        j += 1
+      }
+      out(w) = sig
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val a = ctx.addReferenceObj("lshAW", LshConstants.AW, "long[]")
+      val b = ctx.addReferenceObj("lshBW", LshConstants.BW, "long[]")
+      val n = ctx.freshName("n"); val w = ctx.freshName("w"); val j = ctx.freshName("j")
+      val p = ctx.freshName("p"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val wt = ctx.freshName("wt")
+      val sig = ctx.freshName("sig"); val out = ctx.freshName("out")
+      s"""
+         |int $n = $v.numElements();
+         |long[] $out = new long[$words];
+         |for (int $w = 0; $w < $words; $w++) {
+         |  long $sig = 0L;
+         |  for (int $j = 0; $j < 16; $j++) {
+         |    int $p = 16 * $w + $j;
+         |    double $dot = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      long $wt = ($a[$p] * ($i + 1) + $b[$p]) % 1009L - 504L;
+         |      $dot += $v.getDouble($i) * (double) $wt;
+         |    }
+         |    if ($dot > 0) $sig |= (1L << $j);
+         |  }
+         |  $out[$w] = $sig;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
 
@@ -135,6 +216,15 @@ object LshFunctions {
     register(spark)
     org.apache.spark.sql.functions.call_function("hyperplane_sig", v)
   }
+
+  /** Multi-word signature Column. Built via the expression bridge, not the
+    * temp-function registry: `words` is structural (it shapes the compiled
+    * kernel), and the bridge needs no per-call registration.
+    */
+  def hyperplaneSigWords(v: Column, words: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(HyperplaneSigWords(
+      Cast(org.apache.spark.sql.GraftColumnBridge.expression(v),
+        ArrayType(DoubleType)), words))
 
   def minhashSig(spark: SparkSession, hs: Column): Column = {
     register(spark)

@@ -36,6 +36,44 @@ object PipelineQueries {
     650001233L, 911117773L, 137426953L, 805306457L,
     268435459L, 577007813L, 94906249L, 350011421L)
 
+  /** Extension coefficients for hyperplanes 16–63 of the MULTI-WORD
+    * signature (round 19: the 100 TB path past the single-long 16-plane
+    * cap). Word 0 keeps the original [[lshA]]/[[lshB]] planes bit-for-bit
+    * (so every ≤16-bit banding result is unchanged); words 1–3 draw from
+    * these. Fixed literals for the same reason as lshA/lshB: the DuckDB
+    * oracle rebuilds identical planes. All 64 (A mod 1009, B mod 1009)
+    * pairs are distinct (no duplicate plane directions) and no A ≡ 0 mod
+    * 1009 (no constant-weight plane); the 64×64 plane-weight matrix over
+    * a 64-dim vector is verified invertible, which is what lets the
+    * recall-floor spec PLANT vectors with exact target sign patterns.
+    */
+  val lshAExt: Seq[Long] = Seq(
+    1727058325L, 1842792145L, 1558846283L, 1549210032L,
+    1422554628L, 1568223019L, 1627823385L, 1638875957L,
+    1115607454L, 1442238308L, 1287667076L, 1115581795L,
+    1349502680L, 1334003581L, 1611216808L, 1216499564L,
+    1076007735L, 1217488585L, 1582443302L, 1417215069L,
+    1787558036L, 1862278609L, 1444998977L, 1106685281L,
+    1781678552L, 1811387113L, 1425269760L, 1706832748L,
+    1612823753L, 1539341537L, 1170208763L, 1684051696L,
+    1250011432L, 1585459807L, 1785310335L, 1860576415L,
+    1419060077L, 1148759959L, 1672503091L, 1112358342L,
+    1757374380L, 1007467760L, 1972712920L, 1637945190L,
+    1558533585L, 1885394257L, 1530430548L, 1459883771L)
+  val lshBExt: Seq[Long] = Seq(
+    56443419L, 971440226L, 139588228L, 224208618L,
+    382769699L, 320703243L, 169192736L, 290330986L,
+    289642307L, 361507651L, 906047282L, 840324714L,
+    973362717L, 34546404L, 673146751L, 953975282L,
+    998272380L, 132290152L, 499204266L, 939962034L,
+    89136510L, 115754411L, 28041650L, 631800973L,
+    464385930L, 925683325L, 482769975L, 331103328L,
+    992359385L, 905293309L, 860363817L, 446361232L,
+    841820094L, 629118518L, 125661137L, 232615032L,
+    215635965L, 154584040L, 539679856L, 597568187L,
+    501848250L, 498015511L, 525132438L, 138632917L,
+    525603755L, 546942128L, 406287529L, 972365952L)
+
   /** One Lloyd iteration as oracle CTEs: `c$k` (cid, cv, cnrm) → `c${k+1}`.
     * The SQL twin of one [[graft.operators.IvfKMeans.train]] pass — same
     * 6-dp cosine argmax with lowest-cid tiebreak, same decimal(38,12)
@@ -78,37 +116,63 @@ object PipelineQueries {
     * (p^bits per band), concentrating recall on genuinely-similar pairs —
     * true near-dups (cos ≥ 0.9, p ≈ 0.93 per plane) stay findable at every
     * width, while weak 0.45-cosine pairs are only exhaustively enumerable
-    * at small n. Beyond ~10⁶ vectors the single-long signature caps out;
-    * the extension path is a multi-word signature (array<long> of plane
-    * blocks), not smaller buckets. The oracle COMPUTES THE SAME POLICY in
-    * SQL (count-driven CTE, see [[embPairsCtes]]), so engine and oracle
-    * agree at every scale — the sf1 replay runs the 8-bit branch on both
-    * sides, with no N/A divergence point anywhere.
+    * at small n. Beyond ~10⁶ vectors the 16-plane signature's widest
+    * banding saturates; the policy then switches to the MULTI-WORD
+    * signature (round 19 — [[graft.functions.HyperplaneSigWords]]: 4×16
+    * planes as array<long>) and bands of 24 or 32 bits, each band drawn
+    * from a disjoint 32-plane block (2 bands — the classic multi-table
+    * sign-LSH layout), which holds expected occupancy ≤ ~256 out to
+    * n ≈ 2^40. Word 0 of the multi-word signature is bit-identical to the
+    * single-long signature, so every ≤16-bit result is unchanged. The
+    * oracle COMPUTES THE SAME POLICY in SQL (count-driven CTE, see
+    * [[embPairsCtes]]), so engine and oracle agree at every scale — the
+    * sf1 replay runs the 8-bit branch on both sides, with no N/A
+    * divergence point anywhere.
     *
-    * `bandBits` pins the band width explicitly (4, 8, or 16), making the
-    * adaptive policy an overridable DEFAULT rather than an implicit function
-    * of corpus size: a correctness harness can hold 4-bit semantics at any
-    * scale (accepting the quadratic candidate cost that entails), so the
-    * oracle divergence above the 4-bit threshold is opt-in, not silent —
-    * and results stop being a discontinuous function of a single insert
-    * crossing an occupancy threshold when the caller pins a width.
+    * `bandBits` pins the band width explicitly (4, 8, 16, 24 or 32),
+    * making the adaptive policy an overridable DEFAULT rather than an
+    * implicit function of corpus size: a correctness harness can hold
+    * 4-bit semantics at any scale (accepting the quadratic candidate cost
+    * that entails) or exercise the multi-word path at small n (the
+    * `q_dedup_embedding_w24`/`_w32` keys gate it through DuckDB at every
+    * sf), so the oracle divergence above the 4-bit threshold is opt-in,
+    * not silent — and results stop being a discontinuous function of a
+    * single insert crossing an occupancy threshold when the caller pins a
+    * width.
     */
   private[graft] def embeddingDupPairs(
       s: SparkSession, d: String, bandBits: Option[Int] = None): DataFrame = {
     import s.implicits._
-    bandBits.foreach(b => require(b == 4 || b == 8 || b == 16,
-      s"bandBits must divide the 16-plane signature evenly (4, 8 or 16; got $b)"))
-    val e = embeddings(s, d)
+    bandBits.foreach(b => require(Set(4, 8, 16, 24, 32)(b),
+      s"bandBits must be 4/8/16 (single-word) or 24/32 (multi-word); got $b"))
+    val base = embeddings(s, d)
       .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("sig16", graft.functions.LshFunctions.hyperplaneSig(s, $"v"))
+    // the width decides which signature column exists, so count first
+    // (a column-pruned parquet scan — cheap) rather than computing 4×
+    // the planes on the common single-word path
+    val n = base.count()
+    val bits = bandBits.getOrElse(
+      if (n <= 4096L) 4 else if (n <= 65536L) 8
+      else if (n <= 16777216L) 16 else if (n <= 268435456L) 24 else 32)
+    val e = (if (bits <= 16)
+        base.withColumn("sig16", graft.functions.LshFunctions.hyperplaneSig(s, $"v"))
+      else
+        base.withColumn("sigw", graft.functions.LshFunctions.hyperplaneSigWords($"v", 4)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = e.count() // materializes the persist it would pay anyway
-    val bits = bandBits.getOrElse(if (n <= 4096L) 4 else if (n <= 65536L) 8 else 16)
-    val nBands = 16 / bits
-    val bands = e.select($"vec_id",
-      explode(expr(
-        s"transform(sequence(0, ${nBands - 1}), b -> struct(b AS band, shiftright(sig16, b * $bits) % ${1 << bits} AS bkey))")).as("bb"))
-      .select($"vec_id", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
+    val bands = (if (bits <= 16) {
+      val nBands = 16 / bits
+      e.select($"vec_id",
+        explode(expr(
+          s"transform(sequence(0, ${nBands - 1}), b -> struct(b AS band, shiftright(sig16, b * $bits) % ${1 << bits} AS bkey))")).as("bb"))
+    } else {
+      // 2 bands over disjoint 32-plane blocks: band b = word 2b's 16
+      // planes + the low (bits-16) planes of word 2b+1, packed into one
+      // ≤32-bit key (words carry ≤16 bits, so no shift ever nears 63 —
+      // the DuckDB overflow rule)
+      e.select($"vec_id",
+        explode(expr(
+          s"transform(sequence(0, 1), b -> struct(b AS band, sigw[2*b] + (sigw[2*b+1] % ${1L << (bits - 16)}) * 65536 AS bkey))")).as("bb"))
+    }).select($"vec_id", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
     val cand = bands.select($"vec_id".as("id_a"), $"band", $"bkey")
       .join(bands.select($"vec_id".as("id_b"), $"band", $"bkey"), Seq("band", "bkey"))
       .filter($"id_a" < $"id_b")
@@ -132,35 +196,39 @@ object PipelineQueries {
 
   /** Oracle-side CTE chain producing `scored (id_a, id_b, cos4)` — the SQL
     * twin of [[embeddingDupPairs]] (before the ≥ 0.45 threshold), shared by
-    * the pair-reporting and clustering oracles. COMPUTES THE SAME
-    * occupancy-adaptive band-width policy as the engine (4/8/16 bits by
-    * corpus count, in the `pol` CTE) — the bloomPolicyBits pattern: because
-    * the policy is pure arithmetic on a COUNT, oracle and engine agree at
-    * EVERY scale, with no pinned-constant divergence point. (The pinned
-    * 4-bit oracle this replaces was itself quadratic past sf0.1 — DuckDB
-    * exceeded 110 GB on the sf1 candidate set the adaptive widths avoid.)
+    * the pair-reporting and clustering oracles, parameterized by the `pol`
+    * CTE body so the pinned-width keys (`q_dedup_embedding_w24`/`_w32`)
+    * replay the multi-word path through the SAME chain. The signature CTE
+    * computes 1 word on the ≤16-bit branches and all 4 on the multi-word
+    * branches (the word count is itself policy arithmetic, so the common
+    * adaptive oracle pays no 4× plane cost), using the 64-plane literal
+    * family — entries 1–16 are the original lshA/lshB, so word 0 equals
+    * the old sig16 bit-for-bit. Band keys: ≤16 bits slice word 0 as
+    * before; 24/32 bits pack word 2b + the low (bits−16) planes of word
+    * 2b+1 (every shift ≤ 32 — far below DuckDB's 63-bit overflow check).
     */
-  private val embPairsCtes: String =
+  private def embPairsCtesWith(polSelect: String): String =
     s"""e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |pol AS ($polSelect),
        |b AS (
        |  SELECT vec_id, v,
-       |    CAST(list_sum(list_transform(range(0, 16), p ->
-       |      CASE WHEN list_sum(list_transform(range(0, 64),
-       |          i -> v[i + 1] * CAST((([${PipelineQueries.lshA.mkString(",")}]::BIGINT[])[p + 1] * (i + 1)
-       |                              + ([${PipelineQueries.lshB.mkString(",")}]::BIGINT[])[p + 1]) % 1009 - 504 AS DOUBLE))) > 0
-       |           THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS sig16
-       |  FROM e),
-       |pol AS (
-       |  SELECT CASE WHEN COUNT(*) <= 4096 THEN 4
-       |              WHEN COUNT(*) <= 65536 THEN 8
-       |              ELSE 16 END AS bits
+       |    list_transform(range(0, CASE WHEN (SELECT bits FROM pol) <= 16 THEN 1 ELSE 4 END), w ->
+       |      CAST(list_sum(list_transform(range(0, 16), j ->
+       |        CASE WHEN list_sum(list_transform(range(0, 64),
+       |            i -> v[i + 1] * CAST((([${(PipelineQueries.lshA ++ PipelineQueries.lshAExt).mkString(",")}]::BIGINT[])[w * 16 + j + 1] * (i + 1)
+       |                                + ([${(PipelineQueries.lshB ++ PipelineQueries.lshBExt).mkString(",")}]::BIGINT[])[w * 16 + j + 1]) % 1009 - 504 AS DOUBLE))) > 0
+       |             THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT)) AS sw
        |  FROM e),
        |bands AS (
        |  SELECT vec_id, v, t.b AS band,
-       |    (sig16 >> (t.b * (SELECT bits FROM pol))) % (1 << (SELECT bits FROM pol)) AS bkey
+       |    CASE WHEN (SELECT bits FROM pol) <= 16
+       |         THEN (sw[1] >> (t.b * (SELECT bits FROM pol))) % (1::BIGINT << (SELECT bits FROM pol))
+       |         ELSE sw[2 * t.b + 1] + (sw[2 * t.b + 2] % (1::BIGINT << ((SELECT bits FROM pol) - 16))) * 65536
+       |    END AS bkey
        |  FROM b, (SELECT unnest(range(0, 4)) AS b) t
-       |  WHERE t.b < 16 // (SELECT bits FROM pol)),
+       |  WHERE t.b < CASE WHEN (SELECT bits FROM pol) <= 16
+       |                   THEN 16 // (SELECT bits FROM pol) ELSE 2 END),
        |cand AS (
        |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
        |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id),
@@ -169,6 +237,22 @@ object PipelineQueries {
        |  SELECT id_a, id_b,
        |    ROUND(list_sum(list_transform(range(1, 65), i -> a.v[i] * c.v[i])) / (a.nrm * c.nrm), 4) AS cos4
        |  FROM cand JOIN n a ON a.vec_id = id_a JOIN n c ON c.vec_id = id_b)""".stripMargin
+
+  /** The adaptive instance — COMPUTES THE SAME occupancy-adaptive
+    * band-width policy as the engine (4/8/16/24/32 bits by corpus count)
+    * — the bloomPolicyBits pattern: because the policy is pure arithmetic
+    * on a COUNT, oracle and engine agree at EVERY scale, with no
+    * pinned-constant divergence point. (The pinned 4-bit oracle this
+    * replaced was itself quadratic past sf0.1 — DuckDB exceeded 110 GB on
+    * the sf1 candidate set the adaptive widths avoid.)
+    */
+  private val embPairsCtes: String = embPairsCtesWith(
+    """SELECT CASE WHEN COUNT(*) <= 4096 THEN 4
+      |            WHEN COUNT(*) <= 65536 THEN 8
+      |            WHEN COUNT(*) <= 16777216 THEN 16
+      |            WHEN COUNT(*) <= 268435456 THEN 24
+      |            ELSE 32 END AS bits
+      |FROM e""".stripMargin)
 
   /** Distinct word 5-grams per document (docs under 5 tokens drop) — the
     * shared shingling of the decontamination shapes: map-only explode, no
@@ -3044,6 +3128,71 @@ object PipelineQueries {
       Some(s"""WITH $embPairsCtes
               |SELECT id_a, id_b, cos4 FROM scored WHERE cos4 >= 0.45
               |ORDER BY id_a, id_b""".stripMargin)
+    ),
+
+    "q_dedup_embedding_w24" -> QueryDef(
+      // The MULTI-WORD signature path at a PINNED 24-bit band width
+      // (round 19): 2 bands over disjoint 32-plane blocks, each key = 16
+      // planes of word 2b + 8 planes of word 2b+1. This is the branch the
+      // adaptive policy takes past 2^24 vectors; pinning it here gates the
+      // multi-word engine path through DuckDB at EVERY sf instead of only
+      // at the (untestable) corpus size that triggers it. Candidates
+      // shrink to near-identical-signature pairs by design — the wide-band
+      // recall trade the scaladoc on embeddingDupPairs documents; the
+      // planted-pair recall floor lives in Round19OpsSpec.
+      (s, d) => {
+        import s.implicits._
+        embeddingDupPairs(s, d, bandBits = Some(24)).orderBy($"id_a", $"id_b")
+      },
+      Some(s"""WITH ${embPairsCtesWith("SELECT 24 AS bits")}
+              |SELECT id_a, id_b, cos4 FROM scored WHERE cos4 >= 0.45
+              |ORDER BY id_a, id_b""".stripMargin)
+    ),
+
+    "q_dedup_embedding_w32" -> QueryDef(
+      // The widest multi-word branch (>2^28 vectors): 2 bands of 32 bits,
+      // band b = words (2b, 2b+1) packed whole. See q_dedup_embedding_w24.
+      (s, d) => {
+        import s.implicits._
+        embeddingDupPairs(s, d, bandBits = Some(32)).orderBy($"id_a", $"id_b")
+      },
+      Some(s"""WITH ${embPairsCtesWith("SELECT 32 AS bits")}
+              |SELECT id_a, id_b, cos4 FROM scored WHERE cos4 >= 0.45
+              |ORDER BY id_a, id_b""".stripMargin)
+    ),
+
+    "q_dedup_clusters_w32" -> QueryDef(
+      // Connected components over the 32-bit-banded near-dup pairs — the
+      // full dedup chain (signature → bands → verify → cluster) under the
+      // multi-word path, oracle-gated by the same recursive closure as
+      // q_dedup_clusters. At 100 TB this IS the chain that runs (the
+      // adaptive policy selects 32-bit bands there); the small-sf gate
+      // proves chain correctness, the adaptive key proves policy parity.
+      (s, d) => {
+        import s.implicits._
+        val pairs = embeddingDupPairs(s, d, bandBits = Some(32))
+          .select($"id_a", $"id_b")
+        val nPairs = pairs.count()
+        val result = graft.operators.ConnectedComponents.labels(
+          s, pairs, knownEdgeCount = Some(nPairs))
+        val labelSide =
+          if (nPairs < 1000000L) broadcast(result) else result
+        embeddings(s, d).select($"vec_id".as("id"))
+          .join(labelSide, Seq("id"), "left_outer")
+          .select($"id".as("doc_id"), coalesce($"lbl", $"id").as("cluster_id"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH RECURSIVE ${embPairsCtesWith("SELECT 32 AS bits")},
+              |pairs AS (SELECT id_a, id_b FROM scored WHERE cos4 >= 0.45),
+              |edges AS (
+              |  SELECT id_a AS src, id_b AS dst FROM pairs
+              |  UNION ALL SELECT id_b, id_a FROM pairs),
+              |reach(a, rb) AS (
+              |  SELECT vec_id, vec_id FROM e
+              |  UNION
+              |  SELECT r.a, ed.dst FROM reach r JOIN edges ed ON r.rb = ed.src)
+              |SELECT a AS doc_id, MIN(rb) AS cluster_id
+              |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin)
     ),
 
     "q_dedup_clusters" -> QueryDef(

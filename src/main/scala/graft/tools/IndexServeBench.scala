@@ -146,6 +146,57 @@ object IndexServeBench {
             s""""serve_frag_sec":${f(tFrag)},"compact_sec":${f(tCompact)},""" +
             s""""files_compacted":$compFiles,"serve_compacted_sec":${f(tServeComp)}}""")
         }
+        // tombstone-heavy serve arm (round-19, VERDICT #3): serve latency
+        // vs the tombstoned fraction of a PRE-compaction store — the mask
+        // is re-read per serve by contract (stale masks would serve
+        // taken-down vectors), so this measures where the anti-join +
+        // discarded-row reads make compaction mandatory rather than
+        // optional. Fractions are NESTED hash slices (same xxhash64 per
+        // point), so each point adds one delete batch and the store is
+        // built once. SPARK_GRAFT_TOMB_FRACS=0,0.1,0.2,0.3
+        val tombFracs = sys.env.get("SPARK_GRAFT_TOMB_FRACS")
+          .map(_.split(",").map(_.trim.toDouble).toSeq.sorted).getOrElse(Seq.empty)
+        if (tombFracs.nonEmpty) {
+          rm(store)
+          graft.queries.PipelineQueries.ivfIndexBuild(spark, d, store)
+          graft.queries.PipelineQueries.ivfIndexAppend(spark, d, store)
+          val nLive = spark.read.parquet(
+            graft.queries.PipelineQueries.ivfIndexLiveDir(store)).count()
+          def serveMedT(): Double = (0 until 5).map { _ =>
+            val t0 = System.nanoTime()
+            force(graft.queries.PipelineQueries.ivfIndexServeOnly(spark, d, store))
+            val dt = (System.nanoTime() - t0) / 1e9
+            deepClean(); dt
+          }.sorted.apply(2)
+          val ids = spark.read.parquet(s"$d/embeddings.parquet").select("vec_id")
+          var delId = 0L
+          var prev = 0.0
+          for (frac <- tombFracs) {
+            if (frac > prev) {
+              delId += 1
+              val lo = math.round(prev * 1000); val hi = math.round(frac * 1000)
+              graft.queries.PipelineQueries.ivfIndexDelete(spark, store, delId,
+                ids.filter(org.apache.spark.sql.functions.expr(
+                  s"pmod(xxhash64(cast(vec_id AS string)), 1000) >= $lo AND " +
+                    s"pmod(xxhash64(cast(vec_id AS string)), 1000) < $hi")))
+              prev = frac
+            }
+            val nTomb = graft.queries.PipelineQueries
+              .ivfIndexTombstones(spark, store).map(_.count()).getOrElse(0L)
+            println(s"""{"sf":"$d","arm":"tombstones","frac":$frac,""" +
+              s""""n_live_rows":$nLive,"n_tombstoned":$nTomb,""" +
+              s""""serve_masked_sec":${f(serveMedT())}}""")
+          }
+          // the payoff side: compact at the heaviest fraction (physical
+          // drop) and re-measure — the same mask still applies (tombstone
+          // retention contract) but the discarded rows are gone
+          val t0c2 = System.nanoTime()
+          graft.queries.PipelineQueries.ivfIndexCompact(spark, store, upTo = 1L)
+          val tComp2 = (System.nanoTime() - t0c2) / 1e9
+          println(s"""{"sf":"$d","arm":"tombstones_compacted",""" +
+            s""""frac":${tombFracs.last},"compact_sec":${f(tComp2)},""" +
+            s""""serve_compacted_sec":${f(serveMedT())}}""")
+        }
       } finally rm(store)
       deepClean()
     }

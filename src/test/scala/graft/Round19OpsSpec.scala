@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.expr
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Round-19 closures on the vector-index store lifecycle:
@@ -133,6 +134,141 @@ class Round19OpsSpec extends AnyFunSuite {
       assert(serve(a) == serve(ref),
         "the interleaved store must serve identically to the sequential one")
     } finally { rm(a); rm(ref) }
+  }
+
+  // ---- multi-word LSH: planted-pair recall floor (round-18 VERDICT #2) ----
+
+  /** Plane-weight matrix of the 64-plane family: W(p)(i) = weight of dim i
+    * in plane p — the exact integer lattice both engines compute.
+    */
+  private def planeMatrix(): Array[Array[Double]] = {
+    val A = graft.functions.LshConstants.AW
+    val B = graft.functions.LshConstants.BW
+    Array.tabulate(64, 64)((p, i) =>
+      ((A(p) * (i + 1) + B(p)) % 1009L - 504L).toDouble)
+  }
+
+  /** Solve W·x = t by Gaussian elimination with partial pivoting — W is
+    * square (64 planes × 64 dims) and verified invertible (the lshAExt
+    * scaladoc), so a vector with EXACT target plane-dot values (hence
+    * exact sign pattern) always exists. This is what makes the recall
+    * fixture PLANTED rather than corpus luck: each pair's per-plane
+    * agreement is chosen, not sampled.
+    */
+  private def solveForDots(w: Array[Array[Double]], t: Array[Double]): Array[Double] = {
+    val n = t.length
+    val m = Array.tabulate(n)(r => w(r) :+ t(r))
+    for (c <- 0 until n) {
+      val piv = (c until n).maxBy(r => math.abs(m(r)(c)))
+      require(math.abs(m(piv)(c)) > 1e-9, s"plane matrix singular at column $c")
+      val tmp = m(c); m(c) = m(piv); m(piv) = tmp
+      for (r <- c + 1 until n) {
+        val f = m(r)(c) / m(c)(c)
+        for (k <- c to n) m(r)(k) -= f * m(c)(k)
+      }
+    }
+    val x = new Array[Double](n)
+    for (r <- n - 1 to 0 by -1) {
+      var acc = m(r)(n)
+      for (k <- r + 1 until n) acc -= m(r)(k) * x(k)
+      x(r) = acc / m(r)(r)
+    }
+    x
+  }
+
+  test("multi-word banding: planted sign patterns recall deterministically at 24- and 32-bit widths") {
+    import spark.implicits._
+    val w = planeMatrix()
+    // base pattern: deterministic pseudo-random signs, unit target dots
+    def baseSign(p: Int): Double =
+      if (((p * 2654435761L) >>> 3) % 2 == 0) 1.0 else -1.0
+    val tBase = Array.tabulate(64)(baseSign)
+    // flips use a SMALL negative target (sign flips, vector barely moves)
+    // so every planted pair stays above the 0.45 verify threshold and
+    // absence from the OUTPUT can only mean "not a candidate"
+    def flipTargets(planes: Set[Int]): Array[Double] =
+      Array.tabulate(64)(p => if (planes(p)) -0.05 * baseSign(p) else baseSign(p))
+    val planted: Seq[(Long, Array[Double])] = Seq(
+      1L -> tBase,                      // anchor
+      2L -> flipTargets(Set(48, 49)),   // flips in word 3 only: band 0 intact
+                                        // at BOTH widths → must be recalled
+      3L -> flipTargets(Set(5, 40)),    // flips touch both bands at both
+                                        // widths → must NOT be a candidate
+      4L -> flipTargets(Set(26, 27, 40))// planes 26-27 sit in word 1's HIGH
+                                        // half: outside the 24-bit band 0
+                                        // (word0 + low 8 of word1) but inside
+                                        // the 32-bit band 0 → recalled at 24,
+                                        // not at 32 (with 40 killing band 1)
+    ).map { case (id, t) => id -> solveForDots(w, t) }
+    // fillers: distinct random-ish sign patterns, far from the planted ones
+    val fillers = (100L until 160L).map { id =>
+      val t = Array.tabulate(64)(p =>
+        if (((id * 31L + p * 2654435761L) >>> 5) % 2 == 0) 1.0 else -1.0)
+      id -> solveForDots(w, t)
+    }
+    val dir = tmp("lsh_planted")
+    try {
+      (planted ++ fillers)
+        .map { case (id, v) => (id, v.map(_.toFloat), 0) }
+        .toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      // self-validate the construction: the ENGINE's signature of each
+      // planted vector must equal the planned sign pattern exactly
+      val sigs = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select($"vec_id", graft.functions.LshFunctions.hyperplaneSigWords(
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))"), 4).as("sw"))
+        .as[(Long, Seq[Long])].collect().toMap
+      def plannedWords(t: Array[Double]): Seq[Long] =
+        (0 until 4).map(wd => (0 until 16).foldLeft(0L)((acc, j) =>
+          if (t(16 * wd + j) > 0) acc | (1L << j) else acc))
+      planted.foreach { case (id, _) =>
+        val t = id match {
+          case 1L => tBase
+          case 2L => flipTargets(Set(48, 49))
+          case 3L => flipTargets(Set(5, 40))
+          case 4L => flipTargets(Set(26, 27, 40))
+        }
+        assert(sigs(id) == plannedWords(t),
+          s"planted vector $id: engine signature must equal the planned pattern")
+      }
+      // precondition: every planted pair is a true near-dup (the ≥0.45
+      // output filter must not hide a candidate)
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      val byId = planted.toMap
+      Seq(2L, 3L, 4L).foreach { id =>
+        assert(cos(byId(1L), byId(id)) >= 0.45,
+          s"planted pair (1, $id) must clear the verify threshold " +
+            s"(got ${cos(byId(1L), byId(id))}) — otherwise absence proves nothing)")
+      }
+      def pairsAt(bits: Int): Set[(Long, Long)] =
+        graft.queries.PipelineQueries.embeddingDupPairs(spark, dir, Some(bits))
+          .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      val p24 = pairsAt(24); val p32 = pairsAt(32)
+      assert(p24.contains((1L, 2L)) && p32.contains((1L, 2L)),
+        "flips confined to one 32-plane block must be recalled at both widths")
+      assert(!p24.contains((1L, 3L)) && !p32.contains((1L, 3L)),
+        "flips touching both bands must not be candidates at either width")
+      assert(p24.contains((1L, 4L)),
+        "planes 26-27 lie outside the 24-bit band 0 key — pair (1,4) must be recalled at 24 bits")
+      assert(!p32.contains((1L, 4L)),
+        "planes 26-27 lie inside the 32-bit band 0 key — pair (1,4) must be missed at 32 bits")
+    } finally rm(dir)
+  }
+
+  test("multi-word signature word 0 is bit-identical to the single-long signature on the real corpus") {
+    import spark.implicits._
+    val mismatches = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .select(
+        graft.functions.LshFunctions.hyperplaneSig(spark, $"v").as("sig16"),
+        graft.functions.LshFunctions.hyperplaneSigWords($"v", 4).as("sw"))
+      .filter($"sig16" =!= expr("sw[0]"))
+      .count()
+    assert(mismatches == 0L,
+      "every ≤16-bit banding consumer relies on word-0 identity")
   }
 
   test("bench flags a UNIFORMLY slow calibration window the spread check misses") {
