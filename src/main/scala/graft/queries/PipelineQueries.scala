@@ -198,30 +198,46 @@ object PipelineQueries {
     * twin of [[embeddingDupPairs]] (before the ≥ 0.45 threshold), shared by
     * the pair-reporting and clustering oracles, parameterized by the `pol`
     * CTE body so the pinned-width keys (`q_dedup_embedding_w24`/`_w32`)
-    * replay the multi-word path through the SAME chain. The signature CTE
-    * computes 1 word on the ≤16-bit branches and all 4 on the multi-word
-    * branches (the word count is itself policy arithmetic, so the common
-    * adaptive oracle pays no 4× plane cost), using the 64-plane literal
-    * family — entries 1–16 are the original lshA/lshB, so word 0 equals
-    * the old sig16 bit-for-bit. Band keys: ≤16 bits slice word 0 as
-    * before; 24/32 bits pack word 2b + the low (bits−16) planes of word
-    * 2b+1 (every shift ≤ 32 — far below DuckDB's 63-bit overflow check).
+    * replay the multi-word path through the SAME chain.
+    *
+    * The signature is computed SET-BASED, not as nested lambdas: plane
+    * weights materialize ONCE in `pw` (≤64 rows of 64-dim weight lists —
+    * the same exact integers-as-doubles the engine kernel derives), the
+    * `dots` cross join evaluates each (vector, plane) dot product as the
+    * identical left-to-right `list_sum` fold the engine runs, and words
+    * pack by grouped bit-OR (SUM of disjoint powers of two). The first
+    * nested-lambda formulation recomputed the modular weight arithmetic
+    * per (vector, word, plane, dim) — measured 38+ min for the w24 oracle
+    * at sf1 vs 2.3 s for this form, byte-identical output. The plane
+    * count is policy arithmetic (16 planes on ≤16-bit branches, 64 on
+    * multi-word), so the common adaptive oracle pays no 4× cost; planes
+    * 1–16 are the original lshA/lshB, so word 0 equals the old sig16
+    * bit-for-bit. Band keys: ≤16 bits slice word 0 as before; 24/32 bits
+    * pack word 2b + the low (bits−16) planes of word 2b+1 (every shift
+    * ≤ 32 — far below DuckDB's 63-bit overflow check).
     */
   private def embPairsCtesWith(polSelect: String): String =
     s"""e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |pol AS ($polSelect),
-       |b AS (
-       |  SELECT vec_id, v,
-       |    list_transform(range(0, CASE WHEN (SELECT bits FROM pol) <= 16 THEN 1 ELSE 4 END), w ->
-       |      CAST(list_sum(list_transform(range(0, 16), j ->
-       |        CASE WHEN list_sum(list_transform(range(0, 64),
-       |            i -> v[i + 1] * CAST((([${(PipelineQueries.lshA ++ PipelineQueries.lshAExt).mkString(",")}]::BIGINT[])[w * 16 + j + 1] * (i + 1)
-       |                                + ([${(PipelineQueries.lshB ++ PipelineQueries.lshBExt).mkString(",")}]::BIGINT[])[w * 16 + j + 1]) % 1009 - 504 AS DOUBLE))) > 0
-       |             THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT)) AS sw
-       |  FROM e),
+       |pw AS (
+       |  SELECT p.p AS p,
+       |    list_transform(range(0, 64), i ->
+       |      CAST((([${(PipelineQueries.lshA ++ PipelineQueries.lshAExt).mkString(",")}]::BIGINT[])[p.p + 1] * (i + 1)
+       |          + ([${(PipelineQueries.lshB ++ PipelineQueries.lshBExt).mkString(",")}]::BIGINT[])[p.p + 1]) % 1009 - 504 AS DOUBLE)) AS w
+       |  FROM (SELECT unnest(range(0, 64)) AS p) p
+       |  WHERE p.p < CASE WHEN (SELECT bits FROM pol) <= 16 THEN 16 ELSE 64 END),
+       |dots AS (
+       |  SELECT e.vec_id, pw.p,
+       |    list_sum(list_transform(range(1, 65), i -> e.v[i] * pw.w[i])) AS dot
+       |  FROM e, pw),
+       |bw AS (
+       |  SELECT vec_id, p // 16 AS wd,
+       |    CAST(SUM(CASE WHEN dot > 0 THEN (1::BIGINT << (p % 16)) ELSE 0 END) AS BIGINT) AS word
+       |  FROM dots GROUP BY vec_id, p // 16),
+       |b AS (SELECT vec_id, list(word ORDER BY wd) AS sw FROM bw GROUP BY vec_id),
        |bands AS (
-       |  SELECT vec_id, v, t.b AS band,
+       |  SELECT vec_id, t.b AS band,
        |    CASE WHEN (SELECT bits FROM pol) <= 16
        |         THEN (sw[1] >> (t.b * (SELECT bits FROM pol))) % (1::BIGINT << (SELECT bits FROM pol))
        |         ELSE sw[2 * t.b + 1] + (sw[2 * t.b + 2] % (1::BIGINT << ((SELECT bits FROM pol) - 16))) * 65536
