@@ -204,6 +204,12 @@ object RelationalQueries {
       // pre-pass (one column-pruned job) — empty hot set collapses to the
       // plain join; (3) hot keys scatter across 8 salts. All rungs are
       // row-identical (spec + ScalaCheck-proven, including degraded paths).
+      // The insurance's PAYOFF is measured against a planted 20%-hot key
+      // (round 19, tools/SkewArmBench; BENCH_SCALING "Planted-skew arm"):
+      // at sf4 with broadcast off, salting beats the naked-skew join on
+      // both wall (-14%) and max-task (-36%), and beats AQE's skew-join;
+      // at sf1 the straggler is too small to repay the pre-pass — exactly
+      // the regime the plan-time short-circuit exists for.
       (s, d) => {
         import s.implicits._
         val li = lineitem(s, d).select($"l_orderkey", $"l_extendedprice")
@@ -597,6 +603,12 @@ object RelationalQueries {
       // partial aggregation handles MOST skew; explicit salting is the
       // pattern for when a single key's partials still overwhelm one
       // reducer — high-cardinality agg states, collect_list, etc.)
+      // Measured against a planted 20%-hot event_type (round 19,
+      // tools/SkewArmBench; BENCH_SCALING "Planted-skew arm"): the direct
+      // groupBy wins at every tested sf for BOTH sum and collect_list
+      // states — map-side combine absorbs the hot key and the salted form
+      // pays an extra shuffle. The two-phase shape stays as insurance for
+      // per-key states too large to combine map-side, not a default.
       (s, d) => {
         import s.implicits._
         events(s, d)
