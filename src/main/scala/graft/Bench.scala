@@ -48,9 +48,39 @@ object Bench {
     * r13 official artifact's failure: a 169.7 s draw pushed calib_sec to
     * 25.4, which pushed the remeasure bar to 8.5 s — above every query —
     * so the flagged window shipped uncorrected figures).
+    *
+    * Round-20 (r19 ADVICE): sets whose MEDIAN is uniformly slow vs `norm`
+    * are excluded before the spread comparison — a uniformly-hot first set
+    * (the r18 shape: all draws ~17× inflated, spread 1.48×) can have a
+    * TIGHTER spread than the clean redraw that escaped the contention, and
+    * spread-only selection would then discard the clean set. Spread-only
+    * selection is the fallback when every set is uniformly slow (norm = 0
+    * disables the filter — the legacy behavior).
     */
-  def bestCalibration(sets: Seq[Seq[Double]]): Seq[Double] =
-    sets.minBy(s => if (s.isEmpty || s.head <= 0) Double.MaxValue else s.last / s.head)
+  def bestCalibration(sets: Seq[Seq[Double]], norm: Double = 0.0): Seq[Double] = {
+    def spread(s: Seq[Double]) =
+      if (s.isEmpty || s.head <= 0) Double.MaxValue else s.last / s.head
+    val clean = sets.filter(s =>
+      s.nonEmpty && !isUniformlySlow(s(s.length / 2), norm))
+    (if (clean.nonEmpty) clean else sets).minBy(spread)
+  }
+
+  /** Keys whose in-suite median regressed past 2× their LAST COMMITTED
+    * median (`bench_history.json`) — re-measured in the isolated child
+    * regardless of the top-10 cap, so a transient measurement artifact can
+    * never ship as an apparent regression (round-19: the official artifact's
+    * `q_join_theta_range` 1.56 s read as a 2.5× regression; the clean
+    * number was 0.456 s — with history the bench would have auto-corrected
+    * it). The floor skips sub-half-second keys where a 2× swing is ordinary
+    * local-mode scheduler noise, not signal worth a child JVM.
+    */
+  def historyRegressions(
+      suiteMedians: Seq[(String, Double)],
+      history: Map[String, Double],
+      floorSec: Double = 0.5): Seq[String] =
+    suiteMedians.collect {
+      case (k, v) if v >= floorSec && history.get(k).exists(h => h > 0 && v > 2.0 * h) => k
+    }.sorted
 
   /** Which queries to re-measure in a fresh JVM. Normal windows: every
     * query above the cost bar, top 10 by in-suite median. SUSPECT windows:
@@ -229,7 +259,7 @@ object Bench {
       calibSets = Seq.fill(5)(calibrateOnce()).sorted :: calibSets
       calibRedraws += 1
     }
-    val calibSamples = bestCalibration(calibSets)
+    val calibSamples = bestCalibration(calibSets, calibNorm)
     val calib = calibSamples(calibSamples.length / 2)
     val calibNormRatio = calib / calibNorm
     // Contended-window guard (round-12 lesson): the official r12 artifact
@@ -301,12 +331,39 @@ object Bench {
     // absolute bar is about a THIRD of it — with 3x the bar would sit at
     // ~5 s and nothing would ever re-measure
     val suspectBar = math.max(0.75, calib / 3.0)
+    // Per-key history (round-19 VERDICT #1/#2): the last committed full
+    // per-query med map. Two jobs: (a) any key >2× its committed med joins
+    // the re-measure set unconditionally (kills q_join_theta_range-style
+    // artifact noise before it ships); (b) the updated map is written back
+    // on full official runs so per-key drift is diffable round-over-round
+    // instead of dying in /tmp. Same flat-regex parse as the child output —
+    // the file is a flat {"q_x":sec,...} map by construction.
+    val historyPath = sys.env.getOrElse("SPARK_GRAFT_HISTORY", "bench_history.json")
+    val history: Map[String, Double] = {
+      val p = java.nio.file.Paths.get(historyPath)
+      if (!java.nio.file.Files.isRegularFile(p)) Map.empty
+      else {
+        val re = """"(q_[A-Za-z0-9_]+)":([0-9]+\.[0-9]+)""".r
+        re.findAllMatchIn(java.nio.file.Files.readString(p))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
+    val histRegressed = historyRegressions(suiteResults.toSeq, history)
+    if (histRegressed.nonEmpty)
+      System.err.println(
+        s"[bench] ${histRegressed.size} keys >2x their committed history med " +
+          s"(auto-remeasure): ${histRegressed.mkString(", ")}")
     // Cap at the top 10 by suite median: at data-dominated SFs (sf1+) half
     // the suite legitimately exceeds an absolute bar, and re-measuring 40+
     // queries would add tens of minutes for corrections that matter only on
     // the most expensive figures. On a SUSPECT window the bar is ignored
     // and the top 10 re-measure unconditionally (remeasureSet scaladoc).
-    val suspects = remeasureSet(suiteResults.toSeq, suspectBar, suspectWindow)
+    // History-regressed keys join the set UNCAPPED — they carry direct
+    // evidence of a per-key anomaly, which is exactly what the child JVM
+    // exists to adjudicate.
+    val suspects =
+      (remeasureSet(suiteResults.toSeq, suspectBar, suspectWindow) ++ histRegressed)
+        .distinct.sorted
     if (!isChild) spark.stop()
     val isolated: Map[String, Double] =
       if (isChild || suspects.isEmpty || sys.env.contains("SPARK_GRAFT_NO_REMEASURE"))
@@ -393,9 +450,23 @@ object Bench {
       s""","remeasured":$remeasuredJson,"spread":$spreadJson}"""
     val compactJson =
       s"""{"metric":"total","value":${f"$total%.4f"},"suite_total":${f"$suiteTotal%.4f"},"unit":"sec","n_queries":${results.size},""" +
-        s""""calib_sec":${f"$calib%.4f"},"calib_min":${f"${calibSamples.head}%.4f"},"calib_max":${f"${calibSamples.last}%.4f"},"calib_norm":${f"$calibNorm%.4f"},"calib_norm_ratio":${f"$calibNormRatio%.4f"},"suspect_window":$suspectWindow,"calib_redraws":$calibRedraws,"n_remeasured":${isolated.size},""" +
+        s""""calib_sec":${f"$calib%.4f"},"calib_min":${f"${calibSamples.head}%.4f"},"calib_max":${f"${calibSamples.last}%.4f"},"calib_norm":${f"$calibNorm%.4f"},"calib_norm_ratio":${f"$calibNormRatio%.4f"},"suspect_window":$suspectWindow,"calib_redraws":$calibRedraws,"n_remeasured":${isolated.size},"n_history_regressed":${histRegressed.size},""" +
         s""""queries":${toJson(headlineResults)},"sf":"$sfDir","detail":"$detailPath"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), fullJsonWithEvidence)
+    // COMMITTED artifacts (round-19 VERDICT #1: "the perf verdict is
+    // currently blind below the suite total"): on a full-registry official
+    // run, the corrected per-query map lands in the repo as
+    // bench_history.json (next run's regression baseline) and the full
+    // detail JSON as bench_detail.json — both a few KB, both diffable in
+    // git, neither subject to the driver's ~4 KB stdout tail buffer that
+    // forces the final line to stay compact. Subset runs and the isolated
+    // child never write (a partial map would clobber the baseline).
+    if (only.isEmpty && !isChild && !sys.env.contains("SPARK_GRAFT_NO_HISTORY")) {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(historyPath), toJson(results.toSeq) + "\n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_detail.json"), fullJsonWithEvidence + "\n")
+    }
     println(fullJsonWithEvidence)
     if (isChild) spark.stop()
     println(compactJson)

@@ -147,13 +147,17 @@ object PipelineQueries {
       s"bandBits must be 4/8/16 (single-word) or 24/32 (multi-word); got $b"))
     val base = embeddings(s, d)
       .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-    // the width decides which signature column exists, so count first
-    // (a column-pruned parquet scan — cheap) rather than computing 4×
-    // the planes on the common single-word path
-    val n = base.count()
-    val bits = bandBits.getOrElse(
+    // the width decides which signature column exists, so the adaptive
+    // default counts first (a column-pruned parquet scan — cheap) rather
+    // than computing 4× the planes on the common single-word path; the
+    // count runs ONLY on that default branch — pinned-width callers (the
+    // w24/w32 keys, the planted-recall specs) skip the scan job entirely
+    // (round-19 ADVICE)
+    val bits = bandBits.getOrElse {
+      val n = base.count()
       if (n <= 4096L) 4 else if (n <= 65536L) 8
-      else if (n <= 16777216L) 16 else if (n <= 268435456L) 24 else 32)
+      else if (n <= 16777216L) 16 else if (n <= 268435456L) 24 else 32
+    }
     val e = (if (bits <= 16)
         base.withColumn("sig16", graft.functions.LshFunctions.hyperplaneSig(s, $"v"))
       else
@@ -1235,24 +1239,123 @@ object PipelineQueries {
       .mode("overwrite").parquet(s"$store/tombstones")
   }
 
-  /** The store's distinct tombstoned vec_ids, or None when no delete has
-    * ever run (the common case — serve adds NO plan nodes then, keeping
-    * the pruned-scan plan gates byte-identical). Guarded on the presence
-    * of at least one `del=` partition directory, not the base dir alone:
+  /** CELL-ALIGNED tombstone write — the past-broadcast deletion mechanism
+    * (round-19 VERDICT #4): the r19 scaling arm established that the
+    * serve-side mask's ceiling is the BROADCAST of the global distinct
+    * tombstone set (~10^8 ids ≈ 1 GB — an operational compact-before rule,
+    * not a mechanism). This entry point removes the global set from the
+    * serve path entirely: tombstones are partitioned by the STORE'S OWN
+    * cell layout (one column-pruned (vec_id, cell) lookup against the live
+    * generation per delete batch — delete batches are rare, bounded
+    * events), so a serve reads ONLY the probed cells' tombstone partitions
+    * — the same nprobe/K pruning fraction the index scan itself pays. A
+    * store can then carry tombstones at any scale: the mask cost tracks
+    * probed-cell tombstones, never the global set.
+    *
+    * Sound under every lifecycle race the store admits:
+    *   - cell assignment is a pure function of the vector and the
+    *     IMMUTABLE centroid meta, so a redelivered carried shard that
+    *     resurrects a physically-dropped row re-lands it in the SAME cell
+    *     its tombstone is filed under — the pruned mask still catches it;
+    *   - an OUT-OF-ORDER takedown (the id is not in the index yet — its
+    *     append arrives later) files under the reserved
+    *     [[UnassignedTombCell]] partition, which every serve reads
+    *     unconditionally (bounded: ids deleted before they ever landed);
+    *   - redelivery of the same delete batch converges via dynamic
+    *     partition overwrite of its own (cell, del) partitions — the
+    *     append/delete discipline unchanged.
+    */
+  private[graft] def ivfIndexDeleteCellAligned(
+      s: SparkSession, store: String, delId: Long, vecIds: DataFrame): Unit = {
+    import s.implicits._
+    requireLocalStore(store)
+    val doomed = vecIds
+      .select(col(vecIds.columns.head).cast("long").as("vec_id")).distinct()
+    val live = s.read.parquet(ivfIndexLiveDir(store))
+      .select($"vec_id", $"cell".cast("long").as("cell"))
+    // the batch is the small side by contract (a takedown feed, never the
+    // corpus) — broadcast it against the column-pruned index scan
+    val assigned = live.join(broadcast(doomed), Seq("vec_id"), "left_semi")
+      .distinct()
+    val residual = doomed.join(live, Seq("vec_id"), "left_anti")
+      .withColumn("cell", lit(UnassignedTombCell))
+    assigned.unionByName(residual)
+      .withColumn("del", lit(delId))
+      .write.partitionBy("cell", "del")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(s"$store/tombstones_cell")
+  }
+
+  /** Reserved tombstone partition for ids absent from the live index at
+    * delete time (out-of-order takedowns). NEGATIVE: cell ids are k-means
+    * seed-derived non-negative longs, so no real cell can collide. */
+  private[graft] val UnassignedTombCell: Long = -1L
+
+  /** Serve-side tombstone-mask broadcast ceiling, in bytes-on-disk of the
+    * PRUNED tombstone partitions actually read (probed cells + residual —
+    * never the global set). Under it the mask is a broadcast anti-join;
+    * past it the same semantics degrade to a shuffle-HASH anti-join (the
+    * tombstone side builds per-partition hash maps, the pruned index rows
+    * stream through — no sort, no driver collect). The
+    * q_bpe_apply/[[graft.queries.CorpusOpsQueries]] vocab-join discipline
+    * applied to deletion; the forced arm (`q_similarity_index_delete_cell`,
+    * cap = 0) proves serve identity through the non-broadcast mechanism
+    * against the DuckDB oracle. 64 MB ≈ 8M pruned ids — far above any
+    * healthy store's probed-cell tombstone mass, far below driver heap. */
+  private[graft] val TombstoneBroadcastCapBytes: Long = 64L << 20
+
+  private def dirBytes(f: java.io.File): Long =
+    if (f.isFile) f.length()
+    else Option(f.listFiles()).map(_.map(dirBytes).sum).getOrElse(0L)
+
+  /** The store's distinct tombstoned vec_ids with their bytes-on-disk, or
+    * None when no delete has ever run (the common case — serve adds NO
+    * plan nodes then, keeping the pruned-scan plan gates byte-identical).
+    * `cells = Some(probed)` restricts the CELL-ALIGNED layout to the named
+    * cells' partitions plus the [[UnassignedTombCell]] residual — a
+    * partition-pruned read whose bytes figure feeds the
+    * [[TombstoneBroadcastCapBytes]] gate; `None` (compaction, health
+    * audit) reads the full set. The legacy store-level `tombstones` layout
+    * (un-pruned — kept for stores written before the cell-aligned
+    * mechanism) is unioned in whole either way. Both layouts guard on the
+    * presence of at least one partition directory, not the base dir alone:
     * an EMPTY delete batch (a takedown feed with no new ids) writes the
     * base dir but no partitions, and a bare-dir parquet read would throw
     * UNABLE_TO_INFER_SCHEMA on the next serve. */
-  private[graft] def ivfIndexTombstones(
-      s: SparkSession, store: String): Option[DataFrame] = {
+  private[graft] def ivfIndexTombstonesPruned(
+      s: SparkSession, store: String,
+      cells: Option[Seq[Long]]): Option[(DataFrame, Long)] = {
     requireLocalStore(store)
-    val dir = new java.io.File(s"$store/tombstones")
-    val hasData = dir.exists() &&
-      Option(dir.listFiles()).exists(_.exists(f =>
+    val legacyDir = new java.io.File(s"$store/tombstones")
+    val legacyHas = legacyDir.exists() &&
+      Option(legacyDir.listFiles()).exists(_.exists(f =>
         f.isDirectory && f.getName.startsWith("del=")))
-    if (hasData)
-      Some(s.read.parquet(s"$store/tombstones").select("vec_id").distinct())
-    else None
+    val cellDir = new java.io.File(s"$store/tombstones_cell")
+    val cellParts = Option(cellDir.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    if (!legacyHas && cellParts.isEmpty) return None
+    val keepNames = cells.map(cs =>
+      (cs :+ UnassignedTombCell).map(c => s"cell=$c").toSet)
+    val selParts = keepNames.fold(cellParts)(k => cellParts.filter(f => k(f.getName)))
+    val bytes = (if (legacyHas) dirBytes(legacyDir) else 0L) +
+      selParts.map(dirBytes).sum
+    val parts =
+      (if (legacyHas) Seq(s.read.parquet(s"$store/tombstones").select("vec_id"))
+       else Nil) ++
+      (if (cellParts.nonEmpty) {
+        val base = s.read.parquet(s"$store/tombstones_cell")
+        Seq(cells.fold(base)(cs => base.where(col("cell")
+            .isin((cs :+ UnassignedTombCell).map(Long.box): _*)))
+          .select("vec_id"))
+      } else Nil)
+    Some((parts.reduce(_ unionByName _).distinct(), bytes))
   }
+
+  /** Full distinct tombstone set (both layouts), no pruning — the
+    * compaction / health-audit view. */
+  private[graft] def ivfIndexTombstones(
+      s: SparkSession, store: String): Option[DataFrame] =
+    ivfIndexTombstonesPruned(s, store, None).map(_._1)
 
   /** Store-backed index health audit — the production twin of the
     * q_similarity_index_health key, computed from a REAL store's live
@@ -1488,6 +1591,12 @@ object PipelineQueries {
           // the write deleted the target directory with the old generation
           // — loop and re-land against the generation it produced
           landed = ivfIndexLiveName(store) == liveName
+          // the aborted write usually RECREATED the retired directory
+          // (parquet overwrite to a deleted path succeeds) — drop it before
+          // looping, or it orphans forever and, were CURRENT ever lost,
+          // ivfIndexLiveName's 'index' fallback could resolve to the
+          // partial orphan (round-19 ADVICE)
+          if (!landed) graft.util.Fs.deleteRecursively(s"$store/$liveName")
         } catch {
           case e: Exception =>
             // a mid-write failure is only retryable if a flip explains it
@@ -1495,6 +1604,7 @@ object PipelineQueries {
             // anything else — bad input, executor loss — surfaces as-is
             if (ivfIndexLiveName(store) == liveName) throw e
             lastRaceLoss = e
+            graft.util.Fs.deleteRecursively(s"$store/$liveName") // stale partial
         }
       }
     }
@@ -1513,10 +1623,11 @@ object PipelineQueries {
   private[graft] def ivfIndexServeOnly(
       s: SparkSession, d: String, store: String,
       inspect: DataFrame => Unit = _ => (),
-      nprobe: Int = 8): DataFrame = {
+      nprobe: Int = 8,
+      tombBroadcastCap: Long = TombstoneBroadcastCapBytes): DataFrame = {
     import s.implicits._
     ivfIndexServeQueries(s, store, embVecs(s, d).filter($"vec_id" < 10),
-      inspect, nprobe)
+      inspect, nprobe, tombBroadcastCap)
   }
 
   /** [[ivfIndexServeOnly]] with the query traffic supplied by the caller
@@ -1527,9 +1638,10 @@ object PipelineQueries {
   private[graft] def ivfIndexServeQueries(
       s: SparkSession, store: String, queries: DataFrame,
       inspect: DataFrame => Unit = _ => (),
-      nprobe: Int = 8): DataFrame =
+      nprobe: Int = 8,
+      tombBroadcastCap: Long = TombstoneBroadcastCapBytes): DataFrame =
     ivfIndexServeQueriesWith(s, store, ivfIndexMeta(s, store), queries,
-      inspect, nprobe)
+      inspect, nprobe, tombBroadcastCap)
 
   /** [[ivfIndexServeQueries]] with the store's (centroids, scale) meta
     * supplied by the caller — a long-lived serving process loads the meta
@@ -1545,7 +1657,8 @@ object PipelineQueries {
       s: SparkSession, store: String,
       meta: (Seq[(Long, Seq[Double])], Double), queries: DataFrame,
       inspect: DataFrame => Unit = _ => (),
-      nprobe: Int = 8): DataFrame = {
+      nprobe: Int = 8,
+      tombBroadcastCap: Long = TombstoneBroadcastCapBytes): DataFrame = {
     import s.implicits._
     import graft.operators.IvfKMeans
     val (cents, maxAbs) = meta
@@ -1564,11 +1677,21 @@ object PipelineQueries {
     // anti-join runs AFTER the partition prune (only probed cells' rows
     // pay it) and BEFORE the shortlist cut (so serve-with-tombstones is
     // row-identical to serving an index rebuilt without the deleted
-    // vectors — spec-proven). broadcast: the tombstone set is tiny by
-    // contract. Absent tombstones the plan is byte-unchanged.
-    val stored = ivfIndexTombstones(s, store)
-      .map(t => scanned.join(broadcast(t), Seq("vec_id"), "left_anti"))
-      .getOrElse(scanned)
+    // vectors — spec-proven). The mask itself is PRUNED to the probed
+    // cells' tombstone partitions (+ the out-of-order residual) — the
+    // serve never touches the global set — and SIZE-GATED on the pruned
+    // bytes actually read: broadcast anti-join under
+    // [[TombstoneBroadcastCapBytes]], shuffle-HASH anti-join past it
+    // (round-19 VERDICT #4 — the ~10^8-id broadcast ceiling is gone; the
+    // forced arm q_similarity_index_delete_cell proves the non-broadcast
+    // path oracle-identical). Absent tombstones the plan is byte-unchanged.
+    val stored = ivfIndexTombstonesPruned(s, store, Some(probedCells)) match {
+      case None => scanned
+      case Some((t, bytes)) if bytes <= tombBroadcastCap =>
+        scanned.join(broadcast(t), Seq("vec_id"), "left_anti")
+      case Some((t, _)) =>
+        scanned.join(t.hint("shuffle_hash"), Seq("vec_id"), "left_anti")
+    }
     val top3 = quantizedTop3Of(s,
       quantizedShortlistFrom(s, stored, q).filter($"q_id" =!= $"c_id"))
     inspect(top3) // plan gate hook: partition pruning on the stored scan
@@ -2969,6 +3092,52 @@ object PipelineQueries {
           ivfIndexDelete(s, dir, delId = 1L, doomed) // at-least-once redelivery
           ivfIndexCompact(s, dir, upTo = 1L) // physical drop of tombstoned rows
           ivfIndexServeOnly(s, d, dir)
+            .localCheckpoint() // 30 rows; then release the store dir
+        } finally graft.util.Fs.deleteRecursively(dir)
+      },
+      Some(s"""WITH ${ivfIndexServeCtesWhere("ce.vec_id % 10 <> 3")}
+              |SELECT q_id, rnk, c_id, iq, sim4 FROM (
+              |  SELECT q_id, c_id, iq, sim4,
+              |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim4 DESC, c_id) AS rnk
+              |  FROM sc) t
+              |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin)
+    ),
+
+    "q_similarity_index_delete_cell" -> QueryDef(
+      // PAST-BROADCAST deletion mask, FORCED (round-19 VERDICT #4 — the
+      // r19 scaling arm measured the legacy mask's ceiling: a driver-
+      // collected broadcast of the global tombstone set dies near ~10^8
+      // ids; that was an operational compact-before rule, not a
+      // mechanism). This key runs the CELL-ALIGNED mechanism end-to-end:
+      // tombstones partitioned by the store's own cell layout
+      // ([[ivfIndexDeleteCellAligned]]), so serve reads only the probed
+      // cells' tombstone partitions (+ the out-of-order residual) — the
+      // same nprobe/K pruning the index scan pays — and the mask is
+      // size-gated on the bytes actually read. The gate is forced PAST
+      // broadcast here (cap = 0, the q_bpe_apply_shuffle discipline):
+      // the mask runs as a shuffle-HASH anti-join and the DuckDB hash
+      // certifies serve identity through the non-broadcast path. The
+      // chain also drives the OUT-OF-ORDER lane: the odd half's takedown
+      // batch lands BEFORE the append introduces those vectors (filed
+      // under the reserved unassigned partition), and a redelivered
+      // batch converges via dynamic (cell, del) partition overwrite.
+      // Same oracle mask as q_similarity_index_delete: every vec_id ≡ 3
+      // (mod 10) is invisible to the shortlist.
+      (s, d) => {
+        import s.implicits._
+        val dir = java.nio.file.Files.createTempDirectory("graft_ivf_delc").toString
+        try {
+          ivfIndexBuild(s, d, dir)
+          // out-of-order: the odd half is not indexed yet — these file
+          // under the unassigned residual and must mask the append below
+          val early = embVecs(s, d)
+            .filter($"vec_id" % 10 === 3 && $"vec_id" % 2 =!= 0).select($"vec_id")
+          ivfIndexDeleteCellAligned(s, dir, delId = 1L, early)
+          ivfIndexAppend(s, d, dir)
+          val doomed = embVecs(s, d).filter($"vec_id" % 10 === 3).select($"vec_id")
+          ivfIndexDeleteCellAligned(s, dir, delId = 2L, doomed)
+          ivfIndexDeleteCellAligned(s, dir, delId = 2L, doomed) // redelivery
+          ivfIndexServeOnly(s, d, dir, tombBroadcastCap = 0L)
             .localCheckpoint() // 30 rows; then release the store dir
         } finally graft.util.Fs.deleteRecursively(dir)
       },

@@ -72,12 +72,20 @@ object SkewArmBench {
         case (k, None) => spark.conf.unset(k)
       }
     }
+    // deepClean runs BETWEEN trials, after the nanoTime delta is captured —
+    // clearCache + unpersist + System.gc inside the timed region inflated
+    // every arm's absolute wall (round-19 ADVICE); the cross-arm direction
+    // survived, but the published walls were noisier than the work.
     def time(sf: String, label: String)(body: => Unit): Unit = {
       body // warm
+      deepClean()
       val runs = Seq.fill(trials) {
         maxTaskMs.set(0)
         val t0 = System.nanoTime(); body
-        ((System.nanoTime() - t0) / 1e9, maxTaskMs.get() / 1000.0)
+        val dt = (System.nanoTime() - t0) / 1e9
+        val mt = maxTaskMs.get() / 1000.0
+        deepClean()
+        (dt, mt)
       }
       val wall = runs.map(_._1).sorted.apply(trials / 2)
       val task = runs.map(_._2).sorted.apply(trials / 2)
@@ -100,11 +108,9 @@ object SkewArmBench {
         println(s"""{"sf":"$d","arm":"plant","rows":$nTotal,"hot_rows":$nHot,"hot_key":$hotKey}""")
         val ord = orders(spark, d)
           .select($"o_orderkey".as("l_orderkey"), $"o_orderpriority")
-        def agg(df: DataFrame): Unit = {
+        def agg(df: DataFrame): Unit =
           force(df.groupBy($"o_orderpriority")
             .agg(count(lit(1)).as("n_items"), sum($"l_extendedprice").as("rev")))
-          deepClean()
-        }
         withConfs(
           "spark.sql.autoBroadcastJoinThreshold" -> "-1",
           "spark.sql.adaptive.skewJoin.enabled" -> "false") {
@@ -125,33 +131,25 @@ object SkewArmBench {
               .otherwise($"event_type"))
           .write.mode("overwrite").parquet(s"$base/events_skewed")
         val ev = spark.read.parquet(s"$base/events_skewed")
-        def directSum(): Unit = {
+        def directSum(): Unit =
           force(ev.groupBy($"event_type")
             .agg(count(lit(1)).as("n"), sum($"value").as("v")))
-          deepClean()
-        }
-        def saltedSum(): Unit = {
+        def saltedSum(): Unit =
           force(ev.withColumn("__salt", pmod(hash($"event_id"), lit(16)))
             .groupBy($"event_type", $"__salt")
             .agg(count(lit(1)).as("pc"), sum($"value").as("pv"))
             .groupBy($"event_type")
             .agg(sum($"pc").as("n"), sum($"pv").as("v")))
-          deepClean()
-        }
         // high-cardinality state: the hot group's list lands on one reducer
-        def directList(): Unit = {
+        def directList(): Unit =
           force(ev.groupBy($"event_type")
             .agg(size(collect_list($"user_id")).as("n_users")))
-          deepClean()
-        }
-        def saltedList(): Unit = {
+        def saltedList(): Unit =
           force(ev.withColumn("__salt", pmod(hash($"event_id"), lit(16)))
             .groupBy($"event_type", $"__salt")
             .agg(size(collect_list($"user_id")).as("pn"))
             .groupBy($"event_type")
             .agg(sum($"pn").as("n_users")))
-          deepClean()
-        }
         time(d, "agg_sum_direct")(directSum())
         time(d, "agg_sum_salted")(saltedSum())
         time(d, "agg_list_direct")(directList())
