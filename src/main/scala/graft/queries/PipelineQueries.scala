@@ -1033,16 +1033,12 @@ object PipelineQueries {
     val e = embeddings(s, d)
       .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // K ≤ 16 seed rows — the k-means-init bound (ann_ivf's policy)
-    val seeds: Seq[(Long, Seq[Double])] =
-      e.filter($"vec_id" % 97 === 0 && $"vec_id" < 1552).orderBy($"vec_id")
-        .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+    // K ≤ 16 seed rows (the k-means-init bound, ann_ivf's policy) and the
+    // global max|x| ranking scale (1-row bounded collect, baked as a plan
+    // literal — quantizedLshBase's symmetric-scale contract) fused into
+    // ONE corpus pass ([[seedsAndMaxAbs]]; bit-identical values)
+    val (seeds, maxAbs) = seedsAndMaxAbs(s, e)
     val cents = IvfKMeans.train(s, e, seeds, iters = 2)
-    // ONE global max|x| (1-row bounded collect, baked as a plan literal) —
-    // the symmetric ranking scale quantizedLshBase documents; the quantize
-    // itself is pure map-side codegen
-    val maxAbs = e.select(max(expr(
-      "aggregate(v, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(x)))"))).head.getDouble(0)
     def quant(df: DataFrame): DataFrame = df
       .withColumn("qv8",
         if (maxAbs == 0.0) expr("transform(v, x -> 0L)")
@@ -1123,15 +1119,14 @@ object PipelineQueries {
     import graft.operators.IvfKMeans
     val build = embVecs(s, d).filter($"vec_id" % 2 === 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val seeds: Seq[(Long, Seq[Double])] =
-      build.filter($"vec_id" % 97 === 0 && $"vec_id" < 1552).orderBy($"vec_id")
-        .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+    // seed pool + the stored scale artifact (max|x| over the INDEXED
+    // corpus only — appended shards quantize with it: the scale is part
+    // of the index, not recomputed per shard) in ONE corpus pass — the
+    // two collects were separate jobs and the chain's cost at small sf is
+    // per-job fixed overhead (round-19 VERDICT #5). Bit-identical: seeds
+    // sort by vec_id either way, and max is order-independent.
+    val (seeds, maxAbs) = seedsAndMaxAbs(s, build)
     val cents = IvfKMeans.train(s, build, seeds, iters = 2)
-    // the stored scale artifact: max|x| over the INDEXED corpus only —
-    // appended shards quantize with it (production reality: the scale is
-    // part of the index, not recomputed per shard)
-    val maxAbs = build.select(max(expr(
-      "aggregate(v, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(x)))"))).head.getDouble(0)
     cents.map { case (cid, cv) => (cid, cv, maxAbs) }
       .toDF("cid", "cv", "max_abs")
       .coalesce(1).write.mode("overwrite").parquet(s"$store/meta")
@@ -1141,6 +1136,27 @@ object PipelineQueries {
       .withColumn("shard", lit(0L))
       .write.partitionBy("cell", "shard").mode("overwrite").parquet(s"$store/index")
     build.unpersist(blocking = false)
+  }
+
+  /** Seed pool (the k-means-init policy: vec_id ≡ 0 mod 97, < 1552 —
+    * K ≤ 16 rows, sorted by vec_id) AND the global int8 scale max|x|, in
+    * ONE aggregation job over `df` (`vec_id`, `v`). `collect_list` skips
+    * the non-seeds' nulls; `sort_array` on the structs orders by the
+    * leading vec_id field — bit-identical to the former
+    * filter-orderBy-collect, and max is order-independent, so both values
+    * equal the two-job originals exactly (oracle keys unchanged). */
+  private[graft] def seedsAndMaxAbs(
+      s: SparkSession, df: DataFrame): (Seq[(Long, Seq[Double])], Double) = {
+    import s.implicits._
+    val row = df.agg(
+      sort_array(collect_list(when($"vec_id" % 97 === 0 && $"vec_id" < 1552,
+        struct($"vec_id", $"v")))).as("seeds"),
+      max(expr(
+        "aggregate(v, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(x)))")).as("ma"))
+      .head()
+    (row.getSeq[org.apache.spark.sql.Row](0)
+       .map(r => (r.getLong(0), r.getSeq[Double](1))),
+      row.getDouble(1))
   }
 
   /** Read back the store's trained artifacts: (centroids, stored scale).
@@ -1662,14 +1678,23 @@ object PipelineQueries {
     import s.implicits._
     import graft.operators.IvfKMeans
     val (cents, maxAbs) = meta
-    val q = quantWith(queries, maxAbs)
+    val qPlan = quantWith(queries, maxAbs)
       .withColumn("p", explode(
         slice(array_sort(IvfKMeans.simStructs(s, cents, $"v")), 1, nprobe)))
       .select($"vec_id".as("q_id"), $"v".as("qvf"), $"qv8".as("qq8"),
         $"qn".as("qnq"), $"p.cid".as("bucket"))
-      .localCheckpoint() // tiny (queries × nprobe rows); read twice below
+    // ONE driver materialization of the probe rows (bounded: queries are
+    // the serve REQUEST — queries × nprobe rows — never a corpus): the
+    // probed-cell list derives locally and q re-enters the plan as a
+    // LocalRelation, so the former localCheckpoint job + distinct-collect
+    // job collapse into this single job, and the broadcast below builds
+    // from local rows without a scan stage (round-19 VERDICT #5 — the
+    // chain's cost at small sf is per-job fixed overhead).
+    val qRows = qPlan.collect()
     // bounded: ≤ K distinct probed cells — the static partition filter
-    val probedCells = q.select($"bucket").distinct().as[Long].collect().toSeq
+    val probedCells = qRows.map(_.getLong(4)).distinct.toSeq
+    val q = s.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), qPlan.schema)
     val scanned = s.read.parquet(ivfIndexLiveDir(store))
       .where($"cell".isin(probedCells: _*))
       .select($"vec_id", $"v", $"qv8", $"qn", $"cell".cast("long").as("bucket"))
