@@ -85,33 +85,35 @@ object IvfKMeans {
     var cents = seeds
     for (_ <- 0 until iters) {
       cents = meanUpdate(spark,
-        e.withColumn("cell", assignCell(spark, cents, $"v")),
-        coalesceOne = true) // K ≤ the plan-literal cap here — tiny
+        e.withColumn("cell", assignCell(spark, cents, $"v")))
     }
     cents
   }
 
   /** One Lloyd mean update over an assigned frame (`cell`, `v`): exact
     * decimal(38,12) per-dimension sums (order-independent) divided as
-    * doubles, rounded to 6 dp, collected as the new centroid Seq. With
-    * `coalesceOne` the ≤ K×dim intermediate collapses to one task instead
-    * of paying a full shuffle-partition fan-out for the second tiny
-    * groupBy — right for plan-literal K, wrong past ~4k cells where
-    * K×dim rows are no longer one task's worth.
+    * doubles, rounded to 6 dp, collected as the new centroid Seq. The
+    * per-(cell, dim) means are collected FLAT and the K centroid arrays
+    * assemble on the driver (round 20): the former
+    * coalesce(1) + groupBy(cell) + collect_list tail was a second shuffle
+    * stage per iteration whose only job was array assembly — the collect
+    * moves the SAME K×dim doubles either way, and i is unique per cell, so
+    * sorting by dimension here is value-identical to the old
+    * array_sort(collect_list(struct(i, mx))).
     */
   private def meanUpdate(
-      spark: SparkSession, assigned: DataFrame, coalesceOne: Boolean
+      spark: SparkSession, assigned: DataFrame
   ): Seq[(Long, Seq[Double])] = {
     import spark.implicits._
-    val perDim = assigned
+    assigned
       .select($"cell", posexplode($"v").as(Seq("i", "x")))
       .groupBy($"cell", $"i")
       .agg(round(sum($"x".cast("decimal(38,12)")).cast("double") / count(lit(1)), 6).as("mx"))
-    (if (coalesceOne) perDim.coalesce(1) else perDim)
-      .groupBy($"cell")
-      .agg(expr("transform(array_sort(collect_list(struct(i, mx))), s -> s.mx)").as("cv"))
-      .collect().toSeq
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .collect()
+      .groupBy(_.getLong(0)).view
+      .map { case (cell, rs) =>
+        (cell, rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq) }
+      .toSeq
       .sortBy(_._1)
   }
 
@@ -266,8 +268,7 @@ object IvfKMeans {
     var cents = seeds
     for (_ <- 0 until iters) {
       val (cellCol, bc) = assignCellBcHandle(spark, cents, $"v")
-      cents = meanUpdate(spark, e.withColumn("cell", cellCol),
-        coalesceOne = cents.size <= 4096)
+      cents = meanUpdate(spark, e.withColumn("cell", cellCol))
       bc.destroy() // consumed by meanUpdate's collect; next iter re-broadcasts
     }
     cents

@@ -1221,6 +1221,25 @@ object PipelineQueries {
     * numerically (the in-flight-during-compaction case — compaction never
     * saw its rows) is NOT in the manifest and still lands under its own id.
     */
+  /** Shard ids physically present in a generation, read from the
+    * partition-directory layout (cell=C dirs holding shard=N dirs) — a driver-side
+    * listing, zero Spark jobs (round 20: the compaction's absorbed-set
+    * collect was a full distinct-aggregate job over the live generation
+    * for a value the directory names already state). Sound because
+    * partitioned parquet writes create a leaf dir only when at least one
+    * row lands in it, and generations are only ever written whole /
+    * deleted whole (never partially pruned in place).
+    */
+  private[graft] def ivfIndexShardIds(store: String, genName: String): Set[Long] = {
+    requireLocalStore(store)
+    val gen = new java.io.File(store, genName)
+    Option(gen.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .flatMap(c => Option(c.listFiles()).toSeq.flatten)
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+      .map(_.getName.stripPrefix("shard=").toLong).toSet
+  }
+
   private[graft] def ivfIndexAbsorbed(store: String, genName: String): Set[Long] = {
     val p = java.nio.file.Paths.get(store, genName, "_ABSORBED")
     if (java.nio.file.Files.exists(p))
@@ -1285,15 +1304,29 @@ object PipelineQueries {
       s: SparkSession, store: String, delId: Long, vecIds: DataFrame): Unit = {
     import s.implicits._
     requireLocalStore(store)
+    // no distinct on the feed either (the legacy ivfIndexDelete writes the
+    // caller's rows raw for the same reason): duplicate marker rows are
+    // invisible to every anti-/semi-join consumer
     val doomed = vecIds
-      .select(col(vecIds.columns.head).cast("long").as("vec_id")).distinct()
+      .select(col(vecIds.columns.head).cast("long").as("vec_id"))
     val live = s.read.parquet(ivfIndexLiveDir(store))
       .select($"vec_id", $"cell".cast("long").as("cell"))
     // the batch is the small side by contract (a takedown feed, never the
-    // corpus) — broadcast it against the column-pruned index scan
+    // corpus) — broadcast it against the column-pruned index scan. ONE
+    // index pass total (round 20): the residual (out-of-order takedowns)
+    // derives from the MATERIALIZED assigned set — bounded by the delete
+    // batch — instead of a second pass; the former
+    // `doomed LEFT ANTI live` used the full index as the anti-join's
+    // lookup side, which at 100 TB means hashing/shuffling index-scale
+    // rows to answer a delete-batch-sized question.
+    // no distinct on the semi output: vec_id is unique within a live
+    // generation, and duplicate marker rows would be harmless anyway —
+    // every consumer is an anti-/semi-join (set semantics) except the
+    // health audit, which distincts at its own join (round 20: the
+    // distinct was one exchange + its adaptive stage per delete batch)
     val assigned = live.join(broadcast(doomed), Seq("vec_id"), "left_semi")
-      .distinct()
-    val residual = doomed.join(live, Seq("vec_id"), "left_anti")
+      .localCheckpoint() // bounded: ≤ the delete batch's distinct ids
+    val residual = doomed.join(assigned.select($"vec_id"), Seq("vec_id"), "left_anti")
       .withColumn("cell", lit(UnassignedTombCell))
     assigned.unionByName(residual)
       .withColumn("del", lit(delId))
@@ -1324,9 +1357,11 @@ object PipelineQueries {
     if (f.isFile) f.length()
     else Option(f.listFiles()).map(_.map(dirBytes).sum).getOrElse(0L)
 
-  /** The store's distinct tombstoned vec_ids with their bytes-on-disk, or
-    * None when no delete has ever run (the common case — serve adds NO
-    * plan nodes then, keeping the pruned-scan plan gates byte-identical).
+  /** The store's tombstoned vec_id marker rows (raw — duplicates across
+    * redundant delete batches possible and harmless) with their
+    * bytes-on-disk, or None when no delete has ever run (the common case —
+    * serve adds NO plan nodes then, keeping the pruned-scan plan gates
+    * byte-identical).
     * `cells = Some(probed)` restricts the CELL-ALIGNED layout to the named
     * cells' partitions plus the [[UnassignedTombCell]] residual — a
     * partition-pruned read whose bytes figure feeds the
@@ -1364,11 +1399,16 @@ object PipelineQueries {
             .isin((cs :+ UnassignedTombCell).map(Long.box): _*)))
           .select("vec_id"))
       } else Nil)
-    Some((parts.reduce(_ unionByName _).distinct(), bytes))
+    // RAW marker rows, not a distinct set (round 20): every consumer is an
+    // anti-/semi-join, for which duplicates are invisible — except the
+    // health audit's left join, which applies its own distinct. The former
+    // always-on distinct cost one exchange + an adaptive stage per serve.
+    Some((parts.reduce(_ unionByName _), bytes))
   }
 
-  /** Full distinct tombstone set (both layouts), no pruning — the
-    * compaction / health-audit view. */
+  /** Full tombstone marker rows (both layouts; may carry duplicates — see
+    * [[ivfIndexTombstonesPruned]]), no pruning — the compaction /
+    * health-audit view. */
   private[graft] def ivfIndexTombstones(
       s: SparkSession, store: String): Option[DataFrame] =
     ivfIndexTombstonesPruned(s, store, None).map(_._1)
@@ -1394,8 +1434,11 @@ object PipelineQueries {
       .select($"vec_id", $"cell".cast("long").as("cell"),
         $"shard".cast("long").as("shard"))
     val marked = ivfIndexTombstones(s, store)
+      // distinct HERE (the one consumer with bag semantics): the reader
+      // returns raw marker rows, and a left join against duplicates would
+      // duplicate live rows
       .map(t => live
-        .join(broadcast(t.withColumn("tomb", lit(true))), Seq("vec_id"), "left")
+        .join(broadcast(t.distinct().withColumn("tomb", lit(true))), Seq("vec_id"), "left")
         .withColumn("tomb", coalesce($"tomb", lit(false))))
       .getOrElse(live.withColumn("tomb", lit(false)))
     marked.groupBy($"cell")
@@ -1497,9 +1540,12 @@ object PipelineQueries {
     graft.util.Fs.deleteRecursively(s"$store/$gen") // retry convergence
     val merged = live.filter($"shard" <= upTo)
     // cumulative absorbed set: earlier generations' manifest + the real
-    // shard ids this pass merges (bounded: one distinct over shard ids)
+    // shard ids this pass merges — from the partition-directory listing
+    // ([[ivfIndexShardIds]]), not a distinct-aggregate job over the
+    // generation (same set: merged = live where shard <= upTo, and the
+    // manifest wants its non-reserved ids)
     val absorbed = ivfIndexAbsorbed(store, liveName) ++
-      merged.filter($"shard" >= 0).select($"shard").distinct().as[Long].collect()
+      ivfIndexShardIds(store, liveName).filter(id => id >= 0 && id <= upTo)
     // physical deletion point: tombstoned rows leave the merged partition
     val compacted = ivfIndexTombstones(s, store)
       .map(t => merged.join(broadcast(t), Seq("vec_id"), "left_anti"))

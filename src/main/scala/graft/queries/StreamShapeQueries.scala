@@ -613,19 +613,33 @@ object StreamShapeQueries {
         try {
           P.ivfIndexBuild(s, d, store)
           P.ivfIndexAppend(s, d, store)
-          // stage today's query traffic as 2 ordered shard files
+          // the centroid/scale meta is IMMUTABLE after build (appends
+          // assign against it, compaction rewrites data only), so the
+          // serving process loads it ONCE before the stream starts and
+          // every trigger reuses it — the production shape
+          // ivfIndexServeQueriesWith documents; the former per-batch
+          // ivfIndexServeQueries call re-read + re-collected the meta
+          // parquet on every trigger (round 20). The TOMBSTONE read stays
+          // per-trigger inside the serve (deletes arrive between triggers).
+          val meta = P.ivfIndexMeta(s, store)
+          // stage today's query traffic as 2 ordered shard files — ONE
+          // pass (repartition on the parity so each shard's rows land in
+          // one task; partitionBy splits the dirs — the IngestDedup
+          // staging pattern), not one full scan + coalesce(1) per shard
           val queries = embeddings(s, d).filter($"vec_id" < 10)
           val src = base.resolve("src")
           java.nio.file.Files.createDirectories(src)
+          val stage = base.resolve("stage")
+          queries.withColumn("b", pmod($"vec_id", lit(2)))
+            .repartition(2, $"b")
+            .write.partitionBy("b").mode("overwrite").parquet(stage.toString)
           for (b <- 0 to 1) {
-            val tmp = base.resolve(s"shard$b")
-            queries.filter(pmod($"vec_id", lit(2)) === b)
-              .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-            val listing = java.nio.file.Files.list(tmp)
+            val shardDir = stage.resolve(s"b=$b")
+            val listing = java.nio.file.Files.list(shardDir)
             val part =
               try listing.filter(p => p.getFileName.toString.startsWith("part-")
                 && p.getFileName.toString.endsWith(".parquet")).findFirst()
-                .orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
+                .orElseThrow(() => new IllegalStateException(s"no part file in $shardDir"))
               finally listing.close()
             val dst = src.resolve(f"shard$b%04d.parquet")
             java.nio.file.Files.move(part, dst)
@@ -646,7 +660,7 @@ object StreamShapeQueries {
                 val bs = batch.sparkSession
                 val qv = batch.select($"vec_id",
                   expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-                P.ivfIndexServeQueries(bs, store, qv)
+                P.ivfIndexServeQueriesWith(bs, store, meta, qv)
                   .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
                 ()
               }

@@ -182,7 +182,8 @@ object IndexServeBench {
               prev = frac
             }
             val nTomb = graft.queries.PipelineQueries
-              .ivfIndexTombstones(spark, store).map(_.count()).getOrElse(0L)
+              .ivfIndexTombstones(spark, store)
+              .map(_.distinct().count()).getOrElse(0L) // reader returns raw marker rows
             println(s"""{"sf":"$d","arm":"tombstones","frac":$frac,""" +
               s""""n_live_rows":$nLive,"n_tombstoned":$nTomb,""" +
               s""""serve_masked_sec":${f(serveMedT())}}""")

@@ -63,6 +63,32 @@ object LifecycleProfile {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       System.gc()
     }
+
+    // round 20: the cell-aligned forced-shuffle-mask chain (the suite's
+    // most expensive key) — same phase breakdown
+    (0 until (trials + 1)).foreach { trial =>
+      val tag = if (trial == 0) "warmup" else s"trial$trial"
+      println(s"""{"chain":"q_similarity_index_delete_cell","run":"$tag"}""")
+      val dir = java.nio.file.Files.createTempDirectory("graft_prof_delc").toString
+      try {
+        phase("build")(P.ivfIndexBuild(spark, sfDir, dir))
+        val early = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select($"vec_id").filter($"vec_id" % 10 === 3 && $"vec_id" % 2 =!= 0)
+        phase("delete_early")(P.ivfIndexDeleteCellAligned(spark, dir, delId = 1L, early))
+        phase("append")(P.ivfIndexAppend(spark, sfDir, dir))
+        val doomed = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select($"vec_id").filter($"vec_id" % 10 === 3)
+        phase("delete")(P.ivfIndexDeleteCellAligned(spark, dir, delId = 2L, doomed))
+        phase("redelivery")(P.ivfIndexDeleteCellAligned(spark, dir, delId = 2L, doomed))
+        phase("serve_forced") {
+          P.ivfIndexServeOnly(spark, sfDir, dir, tombBroadcastCap = 0L).localCheckpoint()
+            .queryExecution.toRdd.foreachPartition(it => while (it.hasNext) it.next())
+        }
+      } finally graft.util.Fs.deleteRecursively(dir)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
     spark.stop()
   }
 }
