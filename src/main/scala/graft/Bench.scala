@@ -82,6 +82,24 @@ object Bench {
       case (k, v) if v >= floorSec && history.get(k).exists(h => h > 0 && v > 2.0 * h) => k
     }.sorted
 
+  /** Per-key merge of a suspect window's suite pass with its bounded
+    * retry: each key keeps the trial VECTOR whose median is smaller (the
+    * same one-sided-contamination estimator as the isolated re-measure —
+    * window contention only ever inflates), so the published
+    * min/med/max spread stays internally consistent per key. Keys the
+    * retry did not measure (defensive: a partial retry) keep their first
+    * pass. Round-21 (r20 VERDICT #4): a run that self-flags
+    * `suspect_window` must not publish the contended figures as the
+    * headline when one more suite pass can adjudicate.
+    */
+  def mergeSuiteTrials(
+      first: Seq[(String, Seq[Double])],
+      retry: Map[String, Seq[Double]]): Seq[(String, Seq[Double])] =
+    first.map { case (k, ts) =>
+      k -> retry.get(k).filter(r =>
+        r.nonEmpty && ts.nonEmpty && r(r.length / 2) < ts(ts.length / 2)).getOrElse(ts)
+    }
+
   /** Which queries to re-measure in a fresh JVM. Normal windows: every
     * query above the cost bar, top 10 by in-suite median. SUSPECT windows:
     * the top 10 UNCONDITIONALLY — the bar is derived from the calibration
@@ -249,19 +267,22 @@ object Bench {
     // or is uniformly slow vs the cross-round norm — wait out the
     // contention briefly and redraw (≤2 times), then keep the steadiest
     // set; the redraw count ships in the JSON.
-    var calibSets = List(Seq.fill(5)(calibrateOnce()).sorted)
-    var calibRedraws = 0
-    while (windowSuspect(calibSets.head) && calibRedraws < 2) {
-      System.err.println(
-        f"[bench] contended calibration window (max/min = ${calibSets.head.last / calibSets.head.head}%.2f, " +
-          f"median/norm = ${calibSets.head(2) / calibNorm}%.2f) — redrawing")
-      Thread.sleep(5000)
-      calibSets = Seq.fill(5)(calibrateOnce()).sorted :: calibSets
-      calibRedraws += 1
+    def calibrationPass(): (Seq[Double], Int) = {
+      var calibSets = List(Seq.fill(5)(calibrateOnce()).sorted)
+      var redraws = 0
+      while (windowSuspect(calibSets.head) && redraws < 2) {
+        System.err.println(
+          f"[bench] contended calibration window (max/min = ${calibSets.head.last / calibSets.head.head}%.2f, " +
+            f"median/norm = ${calibSets.head(2) / calibNorm}%.2f) — redrawing")
+        Thread.sleep(5000)
+        calibSets = Seq.fill(5)(calibrateOnce()).sorted :: calibSets
+        redraws += 1
+      }
+      (bestCalibration(calibSets, calibNorm), redraws)
     }
-    val calibSamples = bestCalibration(calibSets, calibNorm)
-    val calib = calibSamples(calibSamples.length / 2)
-    val calibNormRatio = calib / calibNorm
+    var (calibSamples, calibRedraws) = calibrationPass()
+    def calib = calibSamples(calibSamples.length / 2)
+    def calibNormRatio = calib / calibNorm
     // Contended-window guard (round-12 lesson): the official r12 artifact
     // carried calib_max 51.47 against calib_min 1.33 — one calibration draw
     // stalled ~35x on host contention, and the same contention inflated two
@@ -274,7 +295,7 @@ object Bench {
     // cross-round norm is suspect even at a tight spread (round-18
     // VERDICT #1) — the top-10 then re-measure unconditionally below,
     // because the cost bar derives from the inflated median.
-    val suspectWindow = isSuspectWindow(calibSamples) ||
+    var suspectWindow = isSuspectWindow(calibSamples) ||
       isUniformlySlow(calib, calibNorm)
     if (suspectWindow)
       System.err.println(
@@ -299,19 +320,48 @@ object Bench {
       deepClean()
       t
     }
-    var done = 0
     // Full sorted trial vector per query is KEPT (not just the median): the
     // detail JSON publishes min/med/max so a reader can separate host drift
     // from real regression without re-running — the documented ±35% swing
     // otherwise makes any two single medians unarguable.
-    val suiteTrials = queries.map { case (name, fn) =>
-      val ts = Seq.fill(trials)(timeOnce(fn)).sorted
-      done += 1
-      if (done % 15 == 0) System.err.println(s"[bench] after $done queries: ${poolStats()}")
-      name -> ts
+    def runSuite(label: String): Seq[(String, Seq[Double])] = {
+      var done = 0
+      queries.toSeq.map { case (name, fn) =>
+        val ts = Seq.fill(trials)(timeOnce(fn)).sorted
+        done += 1
+        if (done % 15 == 0) System.err.println(s"[bench] $label after $done queries: ${poolStats()}")
+        name -> ts
+      }
     }
-    val suiteResults = suiteTrials.map { case (name, ts) => name -> ts(ts.length / 2) }
+    var suiteTrials = runSuite("suite")
     System.err.println(s"[bench] after trials: ${poolStats()}")
+    val isChild = sys.env.contains("SPARK_GRAFT_ISOLATED_CHILD")
+    // Suspect-window bounded suite retry (round-20 VERDICT #4): a window
+    // that is STILL suspect after the calibration redraws must not publish
+    // its contended per-key figures as the headline when one more pass can
+    // adjudicate — the r20 official run shipped 12 apparent regressions on
+    // untouched code from exactly such a window. The whole suite re-runs
+    // ONCE (bounded), each key keeps the smaller median's trial vector
+    // (contention only inflates — the isolated re-measure's estimator),
+    // and the published calibration/suspect flag describe the window the
+    // published figures actually came from: a clean retry clears the flag,
+    // a still-contended retry keeps it. `suite_retried` ships in the JSON
+    // either way; the isolated child never retries (its parent adjudicates).
+    var suiteRetried = 0
+    if (suspectWindow && !isChild && !sys.env.contains("SPARK_GRAFT_NO_SUITE_RETRY")) {
+      System.err.println(
+        "[bench] suspect window persisted through redraws — re-running the full suite once")
+      val (cal2, redraws2) = calibrationPass()
+      calibRedraws += redraws2
+      suiteTrials = mergeSuiteTrials(suiteTrials, runSuite("retry").toMap)
+      suiteRetried = 1
+      val suspect2 = isSuspectWindow(cal2) ||
+        isUniformlySlow(cal2(cal2.length / 2), calibNorm)
+      if (!suspect2) calibSamples = cal2
+      suspectWindow = suspectWindow && suspect2
+      System.err.println(s"[bench] retry after trials: ${poolStats()}")
+    }
+    val suiteResults = suiteTrials.map { case (name, ts) => name -> ts(ts.length / 2) }.toMap
     // ---- Isolated re-measure of expensive queries (fresh child JVM) ----
     // Three rounds running, the in-suite number for SOME expensive query has
     // carried a 2-6x "measurement tax" from transient JVM state (code-cache
@@ -325,7 +375,6 @@ object Bench {
     // estimator, since the tax only ever inflates. Both numbers are kept in
     // the detail JSON ("suite"/"isolated") so the correction is transparent.
     // The parent session stops FIRST so the child measures on a quiet box.
-    val isChild = sys.env.contains("SPARK_GRAFT_ISOLATED_CHILD")
     // calib/3, not 3*calib: the multiplier was tuned for the old ~0.2 s
     // probe (3x ≈ 0.6 s); the round-12 probe is ~9x longer, so the same
     // absolute bar is about a THIRD of it — with 3x the bar would sit at
@@ -393,7 +442,7 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val suiteTotal = if (suiteResults.nonEmpty) suiteResults.values.sum else 0.0
     val fullJson =
-      s"""{"metric":"total","value":${f"$total%.4f"},"suite_total":${f"$suiteTotal%.4f"},"unit":"sec","calib_sec":${f"$calib%.4f"},"calib_min":${f"${calibSamples.head}%.4f"},"calib_max":${f"${calibSamples.last}%.4f"},"calib_norm":${f"$calibNorm%.4f"},"calib_norm_ratio":${f"$calibNormRatio%.4f"},"suspect_window":$suspectWindow,"calib_redraws":$calibRedraws,"queries":${toJson(results.toSeq)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.4f"},"suite_total":${f"$suiteTotal%.4f"},"unit":"sec","calib_sec":${f"$calib%.4f"},"calib_min":${f"${calibSamples.head}%.4f"},"calib_max":${f"${calibSamples.last}%.4f"},"calib_norm":${f"$calibNorm%.4f"},"calib_norm_ratio":${f"$calibNormRatio%.4f"},"suspect_window":$suspectWindow,"calib_redraws":$calibRedraws,"suite_retried":$suiteRetried,"queries":${toJson(results.toSeq)},"sf":"$sfDir"}"""
     // The driver captures only a bounded tail of sbt's stdout and parses the
     // last JSON line it finds. The full per-query map (~90 entries, ~3 KB)
     // overflows that buffer and the line arrives truncated → parsed:null in
@@ -450,7 +499,7 @@ object Bench {
       s""","remeasured":$remeasuredJson,"spread":$spreadJson}"""
     val compactJson =
       s"""{"metric":"total","value":${f"$total%.4f"},"suite_total":${f"$suiteTotal%.4f"},"unit":"sec","n_queries":${results.size},""" +
-        s""""calib_sec":${f"$calib%.4f"},"calib_min":${f"${calibSamples.head}%.4f"},"calib_max":${f"${calibSamples.last}%.4f"},"calib_norm":${f"$calibNorm%.4f"},"calib_norm_ratio":${f"$calibNormRatio%.4f"},"suspect_window":$suspectWindow,"calib_redraws":$calibRedraws,"n_remeasured":${isolated.size},"n_history_regressed":${histRegressed.size},""" +
+        s""""calib_sec":${f"$calib%.4f"},"calib_min":${f"${calibSamples.head}%.4f"},"calib_max":${f"${calibSamples.last}%.4f"},"calib_norm":${f"$calibNorm%.4f"},"calib_norm_ratio":${f"$calibNormRatio%.4f"},"suspect_window":$suspectWindow,"calib_redraws":$calibRedraws,"suite_retried":$suiteRetried,"n_remeasured":${isolated.size},"n_history_regressed":${histRegressed.size},""" +
         s""""queries":${toJson(headlineResults)},"sf":"$sfDir","detail":"$detailPath"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), fullJsonWithEvidence)
     // COMMITTED artifacts (round-19 VERDICT #1: "the perf verdict is

@@ -59,6 +59,11 @@ object GraftExtensions {
     entry("bounded_topk", "bounded_topk(score, id, k) - k largest (score,id) pairs per group", 3)(
       exprs => BoundedTopK(
         Cast(exprs(0), DoubleType), Cast(exprs(1), LongType), exprs(2)).toAggregateExpression()),
+    entry("semdedup_pair_stats",
+      "semdedup_pair_stats(vec_id, v, threshold) - per-group exact cosine near-dup pair stats", 3)(
+      exprs => SemDedupPairStats(
+        Cast(exprs(0), LongType), Cast(exprs(1), ArrayType(DoubleType)),
+        exprs(2)).toAggregateExpression()),
     entry("freq_sketch",
       "freq_sketch(item, k) - mergeable SpaceSaving heavy-hitters summary", 2)(
       exprs => FreqSketch(Cast(exprs(0), StringType), exprs(1)).toAggregateExpression()),

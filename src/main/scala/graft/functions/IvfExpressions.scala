@@ -238,8 +238,22 @@ object IvfNearestCell {
       cents: Array[Array[Double]],
       cnorms: Array[Double]
   ): Long = {
-    val n = v.numElements()
+    // one primitive copy per ROW, amortized over the K-centroid loop:
+    // ArrayData.getDouble per element per centroid was K×dim virtual-call
+    // reads (round 21; same bits, better locality)
+    val va = v.toDoubleArray()
+    val n = va.length
     val kk = cids.length
+    // |v|² folded left-to-right over the FULL length ONCE per row — the
+    // per-centroid fold must cover min(len); at m == n (the universal
+    // fixed-dim case) the full fold is the identical IEEE double, and the
+    // ragged case below recomputes the prefix fold (CosineSimilarity
+    // accumulates BOTH norms only over min(len) — bit-parity contract)
+    var nvFull = 0.0
+    locally {
+      var j = 0
+      while (j < n) { val x = va(j); nvFull += x * x; j += 1 }
+    }
     val raw = new Array[Double](kk)
     var rawBest = Double.NaN
     var anyNonNaN = false
@@ -247,19 +261,19 @@ object IvfNearestCell {
     while (k < kk) {
       val c = cents(k)
       val m = math.min(n, c.length)
-      // CosineSimilarity accumulates BOTH norms only over min(len) — the
-      // vector norm must fold over the same prefix per centroid or ragged
-      // lengths break the documented bit-parity with the composed form
-      // (when m == c.length the centroid norm is the precomputed full fold,
-      // identical IEEE result)
       var dot = 0.0
-      var nv = 0.0
       var j = 0
       while (j < m) {
-        val x = v.getDouble(j)
-        dot += x * c(j); nv += x * x
+        dot += va(j) * c(j)
         j += 1
       }
+      val nv =
+        if (m == n) nvFull
+        else {
+          var s = 0.0; var i = 0
+          while (i < m) { val x = va(i); s += x * x; i += 1 }
+          s
+        }
       val cnorm =
         if (m == c.length) cnorms(k)
         else {
@@ -336,19 +350,32 @@ object IvfNearestCell {
     // top-np raw non-NaN values, kept sorted descending (np is tiny)
     val top = new Array[Double](np)
     var nTop = 0
-    val n = v.numElements()
+    // same per-row primitive copy + hoisted full-length |v|² fold as
+    // [[nearest]] (bit-identical at m == n; prefix fold for ragged)
+    val va = v.toDoubleArray()
+    val n = va.length
+    var nvFull = 0.0
+    locally {
+      var j = 0
+      while (j < n) { val x = va(j); nvFull += x * x; j += 1 }
+    }
     var k = 0
     while (k < kk) {
       val c = cents(k)
       val m = math.min(n, c.length)
       var dot = 0.0
-      var nv = 0.0
       var j = 0
       while (j < m) {
-        val x = v.getDouble(j)
-        dot += x * c(j); nv += x * x
+        dot += va(j) * c(j)
         j += 1
       }
+      val nv =
+        if (m == n) nvFull
+        else {
+          var s = 0.0; var i = 0
+          while (i < m) { val x = va(i); s += x * x; i += 1 }
+          s
+        }
       val cnorm =
         if (m == c.length) cnorms(k)
         else {

@@ -63,6 +63,24 @@ case class NeedleArgmaxPacked(
   @transient private lazy val scratch: ThreadLocal[Array[Double]] =
     ThreadLocal.withInitial(() => new Array[Double](bcVecs.value.length))
 
+  // FULL-length |needle|² folds, computed once per executor (round 21):
+  // per-pair nb was a second multiply-add per element of every pair. The
+  // per-pair fold covers min(len) elements — at m == nv.length (the
+  // universal fixed-dim case) the full fold is the identical IEEE double;
+  // ragged pairs recompute the prefix below (bit-parity contract).
+  @transient private lazy val needleNorm2: Array[Double] = {
+    val vecs = bcVecs.value
+    val out = new Array[Double](vecs.length)
+    var j = 0
+    while (j < vecs.length) {
+      val nv = vecs(j)
+      var s = 0.0; var i = 0
+      while (i < nv.length) { val y = nv(i); s += y * y; i += 1 }
+      out(j) = s; j += 1
+    }
+    out
+  }
+
   private def roundedScaled(x: Double): Long = NeedleProbe.roundedScaled(x)
 
   /** Called once per row from eval/codegen; returns the packed long or
@@ -70,21 +88,35 @@ case class NeedleArgmaxPacked(
   def packedBest(v: ArrayData): Any = {
     val ids = bcIds.value
     val vecs = bcVecs.value
+    val norms2 = needleNorm2
     val sims = scratch.get()
-    val n = v.numElements()
+    // one primitive copy + one full-length |v|² fold per ROW (round 21):
+    // both were per-pair work — 2 of the 3 multiply-adds per element
+    val va = v.toDoubleArray()
+    val n = va.length
+    var naFull = 0.0
+    locally {
+      var i = 0
+      while (i < n) { val x = va(i); naFull += x * x; i += 1 }
+    }
     var rawMax = Double.NegativeInfinity
     var any = false
     var j = 0
     while (j < vecs.length) {
       val nv = vecs(j)
       val m = math.min(n, nv.length)
-      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var dot = 0.0
       var i = 0
       while (i < m) {
-        val x = v.getDouble(i); val y = nv(i)
-        dot += x * y; na += x * x; nb += y * y
+        dot += va(i) * nv(i)
         i += 1
       }
+      val na =
+        if (m == n) naFull
+        else { var s = 0.0; var q = 0; while (q < m) { val x = va(q); s += x * x; q += 1 }; s }
+      val nb =
+        if (m == nv.length) norms2(j)
+        else { var s = 0.0; var q = 0; while (q < m) { val y = nv(q); s += y * y; q += 1 }; s }
       val sim = dot / (math.sqrt(na) * math.sqrt(nb))
       sims(j) = sim
       if (sim == sim) { // not NaN
@@ -165,22 +197,35 @@ case class NeedleArgmaxPackedCells(left: Expression, right: Expression)
   def packedBest(v: ArrayData, nds: ArrayData): Any = {
     val kk = nds.numElements()
     if (kk == 0) return null
-    val n = v.numElements()
+    // one primitive copy + one full-length |v|² fold per ROW (round 21) —
+    // both were per-pair; at m == n the full fold is the identical IEEE
+    // double, ragged pairs recompute the prefix (bit-parity contract). The
+    // needle-side fold stays per pair: the posting list is a per-row column.
+    val va = v.toDoubleArray()
+    val n = va.length
+    var naFull = 0.0
+    locally {
+      var i = 0
+      while (i < n) { val x = va(i); naFull += x * x; i += 1 }
+    }
     val sims = new Array[Double](kk)
     var rawMax = Double.NegativeInfinity
     var any = false
     var j = 0
     while (j < kk) {
       val row = nds.getStruct(j, 2)
-      val nv = row.getArray(1)
-      val m = math.min(n, nv.numElements())
-      var dot = 0.0; var na = 0.0; var nb = 0.0
+      val nv = row.getArray(1).toDoubleArray()
+      val m = math.min(n, nv.length)
+      var dot = 0.0; var nb = 0.0
       var i = 0
       while (i < m) {
-        val x = v.getDouble(i); val y = nv.getDouble(i)
-        dot += x * y; na += x * x; nb += y * y
+        val y = nv(i)
+        dot += va(i) * y; nb += y * y
         i += 1
       }
+      val na =
+        if (m == n) naFull
+        else { var s = 0.0; var q = 0; while (q < m) { val x = va(q); s += x * x; q += 1 }; s }
       val sim = dot / (math.sqrt(na) * math.sqrt(nb))
       sims(j) = sim
       if (sim == sim) { // not NaN

@@ -118,19 +118,22 @@ object CorpusOpsQueries {
       // costs ~5% here, paid knowingly.
     }).localCheckpoint()
     e.unpersist(blocking = false)
-    val pairs = assigned.select($"cell", $"vec_id".as("id_a"), $"v".as("va"))
-      .join(assigned.select($"cell", $"vec_id".as("id_b"), $"v".as("vb")), Seq("cell"))
-      .filter($"id_a" < $"id_b")
-      .filter(round(graft.functions.CosineSimilarity.cosineSim(s, $"va", $"vb"), 4) >= 0.45)
-      .select($"cell", $"id_a", $"id_b")
-    val cellStats = assigned.groupBy($"cell").agg(count(lit(1)).as("n_vecs"))
-    val pairStats = pairs.groupBy($"cell").agg(
-      count(lit(1)).as("n_dup_pairs"),
-      countDistinct($"id_b").as("n_dropped"))
-    cellStats.join(pairStats, Seq("cell"), "left_outer")
+    // Within-cell exact dedup as ONE aggregate (round 21): the former cell
+    // self-join (two cell-partitioned exchanges + two sorts + ~128n pair
+    // rows through the cosine filter) + separate n_vecs aggregate + left
+    // join re-attach collapse into a single groupBy(cell) — each vector
+    // crosses the wire once and the O(occupancy²) comparison loop runs in
+    // [[graft.functions.SemDedupPairStats]]'s primitive-array kernel,
+    // bit-identical to the join formulation by construction (Round21OpsSpec
+    // proves it against the join form end-to-end; the shared oracle
+    // certifies it at every SF). guide §2.3/§2.4.
+    assigned.groupBy($"cell")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        graft.functions.SemDedupPairStats.pairStats(s, $"vec_id", $"v", 0.45).as("ps"))
       .select($"cell", $"n_vecs",
-        coalesce($"n_dup_pairs", lit(0L)).as("n_dup_pairs"),
-        coalesce($"n_dropped", lit(0L)).as("n_dropped"))
+        $"ps.n_dup_pairs".as("n_dup_pairs"),
+        $"ps.n_dropped".as("n_dropped"))
       .orderBy($"cell")
   }
 

@@ -67,10 +67,23 @@ object PhasePlanDump {
       try fn(spark, sfDir) catch {
         case e: Throwable => w.println(s"==== KEY FAILED: ${e.getMessage} ====")
       }
-      Thread.sleep(2000) // the listener bus is async; let stragglers land
+      // The listener bus is async: quiesce by polling the dump counter
+      // until it is stable for 1 s (≤ 10 s), instead of a fixed sleep a
+      // straggler could outlive (round-21 ADVICE), and record the final
+      // action count as a trailing line so an incomplete dump is visible
+      // in the evidence file itself rather than silent.
+      var stableMs = 0
+      var waitedMs = 0
+      var last = seq.get()
+      while (stableMs < 1000 && waitedMs < 10000) {
+        Thread.sleep(100); waitedMs += 100
+        val now = seq.get()
+        if (now == last) stableMs += 100 else { stableMs = 0; last = now }
+      }
+      w.println(s"==== end of $key: $last actions dumped ====")
       sink.set(null)
       w.close()
-      println(s"[phaseplan] $key -> $outDir/$key.txt")
+      println(s"[phaseplan] $key -> $outDir/$key.txt ($last actions)")
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     }
