@@ -905,13 +905,45 @@ object RelationalQueries {
       // Relative-rank analytics: percent_rank + cume_dist of each order
       // within its priority class by value. Ties share a rank in both
       // engines (rank-based definitions, not row_number), so the output is
-      // tie-order insensitive; one shuffle on the partition key.
+      // tie-order insensitive.
+      //
+      // TWO-PASS rank restatement (round 21, guide §2.5 skew): the direct
+      // window partitions by a 5-value key, so EVERY row funnels through 5
+      // reducer tasks (27 of 32 cores idle through the sort at sf16 —
+      // 43.4 s). Both functions depend only on (priority, price), so the
+      // rank table computes over the DEDUPED group table — 24M → 150k rows
+      // at sf16 — and re-attaches by equi-join (AQE broadcasts the rank
+      // side while it fits; past that it degrades to a fully parallel
+      // shuffle join, never the 5-reducer funnel). Value identity is exact
+      // integer arithmetic, not float luck: within a priority,
+      // rank−1 = #rows strictly below = cum−c and cume peers = cum (both
+      // exact int64 running sums over the distinct-price table, which has
+      // no window peers by construction), divided as doubles exactly as
+      // PercentRank/CumeDist define — (rank−1) and (n−1) subtract as longs
+      // then cast. o_totalprice is non-null in this corpus (TPC-H NOT
+      // NULL), so the equi-join re-attach drops nothing; the shared oracle
+      // certifies row parity at every sf. Round21OpsSpec pins new-vs-old
+      // row identity end-to-end.
       (s, d) => {
         import s.implicits._
-        val w = Window.partitionBy($"o_orderpriority").orderBy(dec($"o_totalprice"))
+        val price = dec($"o_totalprice")
+        val g = orders(s, d)
+          .groupBy($"o_orderpriority", price.as("price"))
+          .agg(count(lit(1)).as("c"))
+        val byPrio = Window.partitionBy($"o_orderpriority")
+        val cumW = byPrio.orderBy($"price")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ranked = g
+          .withColumn("cum", sum($"c").over(cumW))
+          .withColumn("n", sum($"c").over(byPrio))
+          .select($"o_orderpriority", $"price",
+            round(when($"n" > 1L,
+              ($"cum" - $"c").cast("double") / ($"n" - 1L).cast("double"))
+              .otherwise(0.0), 6).as("pct_rank"),
+            round($"cum".cast("double") / $"n".cast("double"), 6).as("cume"))
         orders(s, d)
-          .withColumn("pct_rank", round(percent_rank().over(w), 6))
-          .withColumn("cume", round(cume_dist().over(w), 6))
+          .select($"o_orderkey", $"o_orderpriority", price.as("price"))
+          .join(ranked, Seq("o_orderpriority", "price"))
           .select($"o_orderkey", $"o_orderpriority", $"pct_rank", $"cume")
           .orderBy($"o_orderkey")
       },
@@ -2039,8 +2071,14 @@ object RelationalQueries {
       val contrib = ranks.join(degSide, Seq("id"))
         .select($"id".as("src"),
           round($"r" / $"degd" * 1.0e14).cast("long").as("contrib"))
+      // SHUFFLE-HASH, build = contrib (guide §3.1): the default SMJ
+      // re-SORTED the persisted edge list every round (the partitioning is
+      // reused from the persist, the sort is not reusable across the join)
+      // while contrib is node-sized — building the hash map from contrib
+      // streams the edge side unsorted. Round 21, measured at sf16:
+      // per-iteration edge-side Sort nodes gone from the plan.
       ranks = edges
-        .join(contrib, Seq("src"))
+        .join(contrib.hint("shuffle_hash"), Seq("src"))
         .groupBy($"dst")
         .agg(sum($"contrib").as("sc"))
         .select($"dst".as("id"),

@@ -70,6 +70,24 @@ class Round21OpsSpec extends AnyFunSuite {
     } finally graft.util.Fs.deleteRecursively(store)
   }
 
+  test("q_window_pct two-pass rank restatement is row-identical to the direct window form") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      // the pre-round-21 direct formulation — the reference arm
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(12,2)")
+      val w = Window.partitionBy($"o_orderpriority").orderBy(dec($"o_totalprice"))
+      val ref = graft.tables.Tables.orders(spark, dir)
+        .withColumn("pct_rank", round(percent_rank().over(w), 6))
+        .withColumn("cume", round(cume_dist().over(w), 6))
+        .select($"o_orderkey", $"o_orderpriority", $"pct_rank", $"cume")
+        .orderBy($"o_orderkey")
+        .collect().toSeq
+      val got = SparkEntry.queries("q_window_pct")(spark, dir).collect().toSeq
+      assert(got == ref, s"divergence at $dir")
+    }
+  }
+
   test("bounded-collect guard: clear error past the cap, pass-through under it") {
     P.guardBoundedCollect("test collect", 10, "hint")
     P.guardBoundedCollect("test collect", P.BoundedCollectCapRows, "hint")
