@@ -59,6 +59,10 @@ object GraftExtensions {
     entry("bounded_topk", "bounded_topk(score, id, k) - k largest (score,id) pairs per group", 3)(
       exprs => BoundedTopK(
         Cast(exprs(0), DoubleType), Cast(exprs(1), LongType), exprs(2)).toAggregateExpression()),
+    entry("code_dot",
+      "code_dot(a, b) - exact integer dot product of two long code arrays", 2)(
+      exprs => CodeDot(
+        Cast(exprs(0), ArrayType(LongType)), Cast(exprs(1), ArrayType(LongType)))),
     entry("semdedup_pair_stats",
       "semdedup_pair_stats(vec_id, v, threshold) - per-group exact cosine near-dup pair stats", 3)(
       exprs => SemDedupPairStats(

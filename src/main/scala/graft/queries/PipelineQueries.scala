@@ -948,8 +948,8 @@ object PipelineQueries {
         if (maxAbs == 0.0) expr("transform(v, x -> 0L)")
         else transform($"v", x => floor(x * 127.0 / maxAbs + 0.5)))
       // exact integer code norm Σq² — the shortlist's cosine denominator
-      .withColumn("qn",
-        expr("aggregate(qv8, 0L, (acc, q) -> acc + q * q)"))
+      // (code_dot: the compiled twin of the aggregate-HOF fold, round 21)
+      .withColumn("qn", graft.functions.CodeDot.codeDot(s, col("qv8"), col("qv8")))
   }
 
   /** The quantized tier's ranking plan over a (possibly cached) base —
@@ -989,8 +989,11 @@ object PipelineQueries {
         $"qn".as("qnc"), $"bucket")
       .join(broadcast(q), Seq("bucket"))
       .filter($"q_id" =!= $"c_id")
-      .withColumn("iq",
-        expr("aggregate(zip_with(qq8, cq8, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+      // code_dot (round 21): the aggregate(zip_with(...)) HOF walked two
+      // interpreter lambdas per element PER CANDIDATE PAIR — the quantized
+      // tier's hot ranking loop (~4M pairs at sf16 serve); the compiled
+      // kernel is value-identical including null-on-ragged semantics
+      .withColumn("iq", graft.functions.CodeDot.codeDot(s, $"qq8", $"cq8"))
       .withColumn("iqcos",
         when($"qnq" === 0L || $"qnc" === 0L, lit(-2.0d))
           .otherwise($"iq".cast("double") / sqrt(($"qnq" * $"qnc").cast("double"))))
@@ -1043,7 +1046,7 @@ object PipelineQueries {
       .withColumn("qv8",
         if (maxAbs == 0.0) expr("transform(v, x -> 0L)")
         else transform($"v", x => floor(x * 127.0 / maxAbs + 0.5)))
-      .withColumn("qn", expr("aggregate(qv8, 0L, (acc, q) -> acc + q * q)"))
+      .withColumn("qn", graft.functions.CodeDot.codeDot(s, col("qv8"), col("qv8")))
     // the stored index: cell (map-side literal kernel) + int8 codes
     val cBase = quant(e).withColumn("bucket", IvfKMeans.assignCell(s, cents, $"v"))
     // query side: one row per probed cell (the ann_ivf probe policy)
@@ -1101,7 +1104,8 @@ object PipelineQueries {
     .withColumn("qv8",
       if (maxAbs == 0.0) expr("transform(v, x -> 0L)")
       else transform(col("v"), x => floor(x * 127.0 / maxAbs + 0.5)))
-    .withColumn("qn", expr("aggregate(qv8, 0L, (acc, q) -> acc + q * q)"))
+    .withColumn("qn",
+      graft.functions.CodeDot.codeDot(df.sparkSession, col("qv8"), col("qv8")))
 
   /** BUILD the persisted index into the named `store` directory —
     * `store/index` is the parquet index partitioned by (cell, shard)

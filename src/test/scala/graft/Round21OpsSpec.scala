@@ -70,6 +70,35 @@ class Round21OpsSpec extends AnyFunSuite {
     } finally graft.util.Fs.deleteRecursively(store)
   }
 
+  test("code_dot equals the aggregate(zip_with) HOF fold, including null/ragged semantics") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Seq[java.lang.Long](1L, -2L, 127L), Seq[java.lang.Long](3L, 4L, -127L)),
+      (2L, Seq[java.lang.Long](0L, 0L), Seq[java.lang.Long](0L, 0L)),
+      (3L, Seq[java.lang.Long](5L), Seq[java.lang.Long](5L, 6L)), // ragged -> null
+      (4L, Seq[java.lang.Long](1L, null), Seq[java.lang.Long](1L, 1L)), // null elem -> null
+      (5L, null, Seq[java.lang.Long](1L))) // null array -> null
+    val df = rows.toDF("id", "a", "b")
+    val hof = df.select($"id",
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, x) -> acc + x)").as("d"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1))).toSeq
+    val kern = df.select($"id",
+      graft.functions.CodeDot.codeDot(spark, $"a", $"b").as("d"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1))).toSeq
+    assert(kern == hof)
+    // and on real int8 codes: the quantized base's qn self-dot
+    val e = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("qv8", expr("transform(v, x -> CAST(floor(x * 127.0 / 0.25 + 0.5) AS BIGINT))"))
+    val qnHof = e.select($"vec_id",
+      expr("aggregate(qv8, 0L, (acc, q) -> acc + q * q)").as("qn")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val qnKern = e.select($"vec_id",
+      graft.functions.CodeDot.codeDot(spark, $"qv8", $"qv8").as("qn")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(qnKern == qnHof)
+  }
+
   test("q_window_pct two-pass rank restatement is row-identical to the direct window form") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
